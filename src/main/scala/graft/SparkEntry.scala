@@ -1,13 +1,526 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dates.DateNorm
+import graft.dedup.Dedup
+import graft.discover.{Discovery, Eval}
+import graft.functions.TextFns
+import graft.knn.KnnJoin
+import graft.pipeline.SemLink
+import graft.profile.Profiler
+import graft.sources.Lake
+import graft.text.Analysis
+
+/** Driver contract — one named query per implemented operator
+  * (SURVEY.md §2), each with equivalent DuckDB SQL in [[oracleSql]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Lake.table(spark, dir, name)
+
+  /** Flagship query (SemLink join discovery end-to-end, SURVEY.md §3.1)
+    * on sf=0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    SemLink.discover(spark, "/root/testdata/sf0.001", k = 5, threshold = 1.3)
+
+  // ---- shared kNN building blocks (embeddings table, self-kNN) ----
+
+  private def knnL2(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", k, KnnJoin.MetricL2Sq)
+  }
+
+  private def sameLabelTruth(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "label")
+    emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query"), col("b.vec_id").as("candidate"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-style aggregation over the biggest table (partial+final hash agg)
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // J1: broadcast inner equi-join (small dim side) + aggregation
+    "q02_revenue_by_segment" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // W1/T2: per-group top-k ranking window
+    "q03_top_orders_per_cust" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    }),
+
+    // P-class: filter + projection (pushed to the parquet scan)
+    "q04_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("disc_price"))
+    }),
+
+    // SO1–SO3: union/intersect/except with distinct semantics
+    "q05_setops_nation" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+      val sup = t(s, d, "supplier").select(col("s_nationkey").cast("long").as("nationkey"))
+      c.intersect(sup).withColumn("tag", lit("both"))
+        .union(c.except(sup).withColumn("tag", lit("customer_only")))
+        .union(sup.except(c).withColumn("tag", lit("supplier_only")))
+        .select("tag", "nationkey")
+    }),
+
+    // A1: column-profiling aggregation, full stats (extract_schema.py:48–72)
+    "q06_profile_customer" -> ((s, d) => {
+      Profiler.profileStats(t(s, d, "customer"), "customer")
+        .withColumnRenamed("table", "table_name")
+        .withColumnRenamed("column", "column_name")
+    }),
+
+    // A1/S3: whole-lake profile catalog (count stats; string-cast length
+    // stats excluded here — timestamp rendering is engine-specific)
+    "q07_profile_lake" -> ((s, d) => {
+      Profiler.profileLakeStats(s, d)
+        .select(col("table").as("table_name"), col("column").as("column_name"),
+          col("inferred_type"), col("row_count"), col("num_values"), col("nulls"))
+    }),
+
+    // F2: whitespace-collapse + lowercase normalization
+    "q08_normalize_text" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextFns.normalizeText(col("text")).as("norm_text"))
+    }),
+
+    // Text analysis: token/char/quality stats
+    "q09_quality_stats" -> ((s, d) => {
+      Analysis.qualityStats(t(s, d, "documents"), "doc_id", "text")
+        .drop("fingerprint")
+    }),
+
+    // J7: exact kNN join, squared L2 (FAISS convention), rank 1..5
+    "q10_knn_l2" -> ((s, d) => {
+      knnL2(s, d, 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
+    // Similarity search: brute-force cosine top-5
+    "q11_knn_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5, KnnJoin.MetricCosine)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
+    // P9: sqrt-at-filter-time distance threshold (join_discoverer.py:318)
+    "q12_threshold_join" -> ((s, d) => {
+      Discovery.thresholdFilter(knnL2(s, d, 10), "dist", 1.19)
+        .select(col("query_id"), col("neighbor_id"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // A8: micro P/R/F1 with eps-in-denominator semantics
+    "q13_knn_eval_prf" -> ((s, d) => {
+      val discovered = knnL2(s, d, 5)
+        .select(col("query_id").as("query"), col("neighbor_id").as("candidate"))
+      Eval.microPrf1(discovered, sameLabelTruth(s, d))
+        .withColumnRenamed("precision", "prec")
+        .withColumnRenamed("recall", "rec")
+    }),
+
+    // A9: NDCG@5 vs same-label ground truth
+    "q14_knn_ndcg" -> ((s, d) => {
+      val ranked = knnL2(s, d, 5)
+        .select(col("query_id").as("query"), col("neighbor_id").as("candidate"),
+          col("rank"))
+      Eval.ndcgAtK(ranked, sameLabelTruth(s, d), 5)
+    }),
+
+    // Dedup (exact): hash-groupBy canonicalization
+    "q15_dedup_exact" -> ((s, d) => {
+      Dedup.exactDupGroups(t(s, d, "documents"), "doc_id", "text")
+    }),
+
+    // Dedup (n-gram Jaccard): token-blocked exact word-set similarity
+    "q16_jaccard_pairs" -> ((s, d) => {
+      Dedup.wordJaccardPairs(
+          t(s, d, "documents").filter(col("doc_id") < 1000), "doc_id", "text", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // SO4: canonical unordered pair key (least/greatest) + aggregation
+    "q17_pair_canon" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(least(col("l_partkey"), col("l_suppkey")).as("pair_lo"),
+          greatest(col("l_partkey"), col("l_suppkey")).as("pair_hi"))
+        .groupBy("pair_lo", "pair_hi")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // F9: multi-format date normalization → "dd MMMM yyyy"
+    "q18_date_normalize" -> ((s, d) => {
+      val m = col("o_orderkey") % 4
+      val raw = when(m === 0, date_format(col("o_orderdate"), "yyyy-MM"))
+        .when(m === 1, date_format(col("o_orderdate"), "yyyyMMdd"))
+        .when(m === 2, date_format(col("o_orderdate"), "MM/yyyy"))
+        .otherwise(concat(year(col("o_orderdate")), lit("-Q"),
+          quarter(col("o_orderdate"))))
+      t(s, d, "orders").select(col("o_orderkey"), raw.as("raw"),
+        DateNorm.normalizeDate(raw).as("normalized"))
+    }),
+
+    // Dedup (MinHash+LSH): banded candidate generation; exact copies are
+    // injected (doc_id+1000000) so recall is verifiable at every sf.
+    "q19_minhash_lsh" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val dups = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.minHashLshCandidates(docs.union(dups), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    }),
+
+    // Dedup (SimHash): pigeonhole-blocked Hamming-distance near-dups
+    "q20_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 1000)
+      val dups = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.simhashNearDups(docs.union(dups), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // Text analysis: heuristic language ID (stopword-ratio argmax)
+    "q21_langid" -> ((s, d) => {
+      Analysis.languageId(t(s, d, "documents"), "doc_id", "text")
+    }),
+
+    // Added-scope temporal: tumbling-window aggregation over events
+    "q22_event_windows" -> ((s, d) => {
+      Lake.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).cast("long").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — column names and arithmetic mirror the Spark
+  // side exactly (driver sorts columns by name before hashing).
+  // ------------------------------------------------------------------
+
+  /** Self-kNN distance + ranking CTE (squared L2 over `generate_series`
+    * indexing — double precision, same arithmetic as the Spark side).
+    */
+  private val knnL2Cte =
+    """WITH d AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         sum(power(CAST(a.embedding[i] AS DOUBLE) - b.embedding[i], 2)) AS dist
+      |  FROM embeddings a, embeddings b, generate_series(1, 64) t(i)
+      |  WHERE a.vec_id <> b.vec_id GROUP BY 1, 2),
+      |knn AS (
+      |  SELECT query_id, neighbor_id, dist,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+      |  FROM d)""".stripMargin
+
+  private val truthCte =
+    """rel AS (
+      |  SELECT a.vec_id AS query, b.vec_id AS candidate
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id)""".stripMargin
+
+  private def profileColSql(table: String, colName: String, typ: String,
+      withLens: Boolean): String = {
+    val base =
+      s"""SELECT '$table' AS table_name, '$colName' AS column_name,
+         | '$typ' AS inferred_type, CAST(count(*) AS BIGINT) AS row_count,
+         | CAST(count($colName) AS BIGINT) AS num_values,
+         | CAST(count(*) - count($colName) AS BIGINT) AS nulls""".stripMargin
+    val lens =
+      s""", CAST(min(length(CAST($colName AS VARCHAR))) AS BIGINT) AS min_len,
+         | CAST(max(length(CAST($colName AS VARCHAR))) AS BIGINT) AS max_len,
+         | round(avg(length(CAST($colName AS VARCHAR))), 2) AS avg_len""".stripMargin
+    base + (if (withLens) lens else "") + s" FROM $table"
+  }
+
+  /** Lake schemas (FIXTURES.md §A) for the generated profile oracles. */
+  private val lakeSchema: Seq[(String, Seq[(String, String)])] = Seq(
+    "region" -> Seq("r_regionkey" -> "integer", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer"),
+    "customer" -> Seq("c_custkey" -> "integer", "c_name" -> "string",
+      "c_nationkey" -> "integer", "c_acctbal" -> "float", "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "integer", "s_name" -> "string",
+      "s_nationkey" -> "integer", "s_acctbal" -> "float"),
+    "part" -> Seq("p_partkey" -> "integer", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "integer",
+      "p_retailprice" -> "float"),
+    "orders" -> Seq("o_orderkey" -> "integer", "o_custkey" -> "integer",
+      "o_orderstatus" -> "string", "o_totalprice" -> "float",
+      "o_orderdate" -> "datetime", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "integer", "l_partkey" -> "integer",
+      "l_suppkey" -> "integer", "l_linenumber" -> "integer",
+      "l_quantity" -> "float", "l_extendedprice" -> "float",
+      "l_discount" -> "float", "l_tax" -> "float", "l_returnflag" -> "string",
+      "l_linestatus" -> "string", "l_shipdate" -> "datetime"))
+
+  private val enStop = Analysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+
+  private def langScoreSql(lang: String): String = {
+    val dict = Analysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"""CASE WHEN n_tok > 0 THEN CAST(len(list_filter(toks, x -> x IN ($dict))) AS DOUBLE) / n_tok
+       | ELSE 0.0 END""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_segment" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q03_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) s
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q04_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * l_discount, 4) AS disc_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q05_setops_nation" ->
+      """SELECT 'both' AS tag, nationkey FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier) a
+        |UNION ALL
+        |SELECT 'customer_only' AS tag, nationkey FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier) b
+        |UNION ALL
+        |SELECT 'supplier_only' AS tag, nationkey FROM (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        |  EXCEPT
+        |  SELECT CAST(c_nationkey AS BIGINT) FROM customer) c""".stripMargin,
+
+    "q06_profile_customer" ->
+      lakeSchema.find(_._1 == "customer").get._2
+        .map { case (c, ty) => profileColSql("customer", c, ty, withLens = true) }
+        .mkString("\nUNION ALL\n"),
+
+    "q07_profile_lake" ->
+      lakeSchema.flatMap { case (tbl, cols) =>
+        cols.map { case (c, ty) => profileColSql(tbl, c, ty, withLens = false) }
+      }.mkString("\nUNION ALL\n"),
+
+    "q08_normalize_text" ->
+      """SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text
+        |FROM documents""".stripMargin,
+
+    "q09_quality_stats" ->
+      s"""WITH base AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents)
+         |SELECT id, CAST(n_tok AS BIGINT) AS n_tokens, n_chars,
+         |  CASE WHEN n_tok > 0
+         |    THEN round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 4)
+         |    ELSE 0.0 END AS avg_word_len,
+         |  CASE WHEN n_chars > 0
+         |    THEN round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars, 4)
+         |    ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN n_chars > 0
+         |    THEN round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars, 4)
+         |    ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN n_tok > 0
+         |    THEN round(CAST(len(list_filter(toks, x -> x IN ($enStop))) AS DOUBLE) / n_tok, 4)
+         |    ELSE 0.0 END AS stopword_ratio
+         |FROM base""".stripMargin,
+
+    "q10_knn_l2" ->
+      s"""$knnL2Cte
+         |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+         |FROM knn WHERE rnk <= 5""".stripMargin,
+
+    "q11_knn_cosine" ->
+      """WITH d AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(sum(power(CAST(a.embedding[i] AS DOUBLE), 2))) *
+        |              sqrt(sum(power(CAST(b.embedding[i] AS DOUBLE), 2))) > 0
+        |      THEN 1.0 - sum(CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]) /
+        |        (sqrt(sum(power(CAST(a.embedding[i] AS DOUBLE), 2))) *
+        |         sqrt(sum(power(CAST(b.embedding[i] AS DOUBLE), 2))))
+        |      ELSE 1.0 END AS dist
+        |  FROM embeddings a, embeddings b, generate_series(1, 64) t(i)
+        |  WHERE a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |knn AS (
+        |  SELECT query_id, neighbor_id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+        |  FROM d)
+        |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+        |FROM knn WHERE rnk <= 5""".stripMargin,
+
+    "q12_threshold_join" ->
+      s"""$knnL2Cte
+         |SELECT query_id, neighbor_id, round(dist, 6) AS dist
+         |FROM knn WHERE rnk <= 10 AND sqrt(dist) <= 1.19""".stripMargin,
+
+    "q13_knn_eval_prf" ->
+      s"""$knnL2Cte,
+         |$truthCte,
+         |dd AS (SELECT query_id AS query, neighbor_id AS candidate FROM knn WHERE rnk <= 5),
+         |c AS (SELECT
+         |  (SELECT count(*) FROM dd JOIN rel
+         |     ON dd.query = rel.query AND dd.candidate = rel.candidate) AS tp,
+         |  (SELECT count(*) FROM dd) AS nd,
+         |  (SELECT count(*) FROM rel) AS nt),
+         |m AS (SELECT tp, nd - tp AS fp, nt - tp AS fn,
+         |  tp / (tp + (nd - tp) + 1e-8) AS p0,
+         |  tp / (tp + (nt - tp) + 1e-8) AS r0 FROM c)
+         |SELECT tp, fp, fn, round(p0, 4) AS prec, round(r0, 4) AS rec,
+         |  round(2.0 * p0 * r0 / (p0 + r0 + 1e-8), 4) AS f1
+         |FROM m""".stripMargin,
+
+    "q14_knn_ndcg" ->
+      s"""$knnL2Cte,
+         |$truthCte,
+         |relc AS (SELECT query, count(*) AS n_relevant FROM rel GROUP BY query),
+         |dcg AS (
+         |  SELECT k.query_id AS query,
+         |    sum(CASE WHEN rel.query IS NOT NULL
+         |        THEN 1.0 / log2(k.rnk + 1.0) ELSE 0.0 END) AS dcg
+         |  FROM (SELECT * FROM knn WHERE rnk <= 5) k
+         |  LEFT JOIN rel ON k.query_id = rel.query AND k.neighbor_id = rel.candidate
+         |  GROUP BY 1),
+         |per AS (
+         |  SELECT dcg.query, dcg.dcg,
+         |    CASE WHEN least(5, relc.n_relevant) >= 5
+         |      THEN 1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0) + 1.0/log2(5.0) + 1.0/log2(6.0)
+         |    WHEN least(5, relc.n_relevant) = 4
+         |      THEN 1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0) + 1.0/log2(5.0)
+         |    WHEN least(5, relc.n_relevant) = 3
+         |      THEN 1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0)
+         |    WHEN least(5, relc.n_relevant) = 2 THEN 1.0/log2(2.0) + 1.0/log2(3.0)
+         |    WHEN least(5, relc.n_relevant) = 1 THEN 1.0/log2(2.0)
+         |    ELSE 0.0 END AS idcg
+         |  FROM dcg JOIN relc ON dcg.query = relc.query)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END), 4) AS ndcg
+         |FROM per""".stripMargin,
+
+    "q15_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        | count(*) AS dup_count, text
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q16_jaccard_pairs" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |toks AS (
+        |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM docs),
+        |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""".stripMargin,
+
+    "q17_pair_canon" ->
+      """SELECT least(l_partkey, l_suppkey) AS pair_lo,
+        | greatest(l_partkey, l_suppkey) AS pair_hi, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q18_date_normalize" ->
+      """SELECT o_orderkey, raw,
+        |  strftime(CASE m WHEN 0 THEN date_trunc('month', o_orderdate)
+        |                  WHEN 1 THEN CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+        |                  WHEN 2 THEN date_trunc('month', o_orderdate)
+        |                  ELSE date_trunc('quarter', o_orderdate) END,
+        |           '%d %B %Y') AS normalized
+        |FROM (
+        |  SELECT o_orderkey, o_orderkey % 4 AS m, o_orderdate,
+        |    CASE o_orderkey % 4
+        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m')
+        |      WHEN 1 THEN strftime(o_orderdate, '%Y%m%d')
+        |      WHEN 2 THEN strftime(o_orderdate, '%m/%Y')
+        |      ELSE strftime(o_orderdate, '%Y') || '-Q' ||
+        |           CAST(quarter(o_orderdate) AS INT)
+        |    END AS raw
+        |  FROM orders) s""".stripMargin,
+
+    "q21_langid" ->
+      s"""WITH base AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT id,
+         |    ${langScoreSql("de")} AS s_de,
+         |    ${langScoreSql("en")} AS s_en,
+         |    ${langScoreSql("es")} AS s_es,
+         |    ${langScoreSql("fr")} AS s_fr
+         |  FROM base)
+         |SELECT id, round(s_de, 4) AS score_de, round(s_en, 4) AS score_en,
+         |  round(s_es, 4) AS score_es, round(s_fr, 4) AS score_fr,
+         |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
+         |       ELSE 'und' END AS lang_pred
+         |FROM scored""".stripMargin,
+
+    "q22_event_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

@@ -1,0 +1,184 @@
+package graft.dedup
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for large-scale training-data pipelines (added
+  * scope — the reference has none, SURVEY.md §7.4). All shapes are
+  * shuffle-minimal: exact dedup is one hash aggregation on the text key;
+  * near-dup pipelines block first (LSH bands / shared tokens) so no
+  * all-pairs comparison ever happens.
+  */
+object Dedup {
+
+  /** Exact duplicate grouping: canonical id = min id per identical text.
+    * One hash aggregation; at 100 TB, group on a 128-bit text hash instead
+    * of the full text to shrink shuffle width ([[exactDupGroupsHashed]]).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol).as("text"))
+      .agg(
+        min(col(idCol)).cast("long").as("canonical_id"),
+        count(lit(1)).as("dup_count"))
+      .select("canonical_id", "dup_count", "text")
+
+  /** Shuffle-lean exact dedup: group on xxhash64(text) — at cluster scale
+    * the shuffle carries 8 bytes per row instead of the document.
+    */
+  def exactDupGroupsHashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min("id").cast("long").as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact word-set Jaccard similarity for all pairs sharing ≥1 token.
+    * Blocking = the shared-token inverted index (explode + self equi-join),
+    * so disjoint pairs are never materialized. Intended for bounded inputs
+    * or as the verification stage after LSH candidate generation.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def wordJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val toks = df.select(
+      col(idCol).cast("long").as("id"),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a")
+      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature UDF: `numHashes` permutations approximated by seeded
+    * MurmurHash3 over word shingles. Deterministic across JVMs.
+    */
+  private def minhashSignature(shingleSize: Int, numHashes: Int) =
+    F.udf { (text: String) =>
+      val sig = Array.fill(numHashes)(Int.MaxValue)
+      if (text != null) {
+        val toks = text.trim.toLowerCase.split("\\s+")
+        var i = 0
+        while (i + shingleSize <= toks.length) {
+          val sh = toks.slice(i, i + shingleSize).mkString(" ")
+          var h = 0
+          while (h < numHashes) {
+            val v = MurmurHash3.stringHash(sh, h * 0x9e3779b9 + 1)
+            if (v < sig(h)) sig(h) = v
+            h += 1
+          }
+          i += 1
+        }
+      }
+      sig
+    }
+
+  /** MinHash + LSH banding near-dup candidates
+    * (shingle → minhash → band → bucket-join; SURVEY.md north star).
+    * `numHashes = bands * rowsPerBand`. Two docs land in the same bucket iff
+    * one full band of their signatures agrees; the band self-join only
+    * touches same-bucket pairs — no all-pairs stage at any scale.
+    * Output: (id_a, id_b, est_jaccard) where est_jaccard is the fraction of
+    * agreeing signature positions (unbiased Jaccard estimate).
+    */
+  def minHashLshCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val signed = df.select(
+      col(idCol).cast("long").as("id"),
+      minhashSignature(shingleSize, numHashes)(col(textCol)).as("sig"))
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          .as("band_hash")))
+    val banded = signed.select(
+      col("id"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("sig"),
+        col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("est_jaccard",
+      aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (deterministic). */
+  def simhash64 = F.udf { (text: String) =>
+    val acc = new Array[Int](64)
+    if (text != null) {
+      text.trim.toLowerCase.split("\\s+").foreach { t =>
+        val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
+          (MurmurHash3.stringHash(t, 13).toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked by
+    * the pigeonhole principle: split the 64-bit hash into `maxHamming + 1`
+    * chunks — any pair within the bound agrees on ≥1 full chunk, so the
+    * chunk equi-join sees every true pair without an all-pairs scan.
+    */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val hashed = df.select(col(idCol).cast("long").as("id"),
+      simhash64(col(textCol)).as("sh"))
+    val chunkCols = (0 until chunks).map(i =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("sh"), i * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val")))
+    val blocked = hashed.select(col("id"), col("sh"),
+      explode(array(chunkCols: _*)).as("ck"))
+      .select(col("id"), col("sh"),
+        col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup: kNN join (cosine) + distance cutoff —
+    * composition of [[graft.knn.KnnJoin]] with a threshold filter; exposed
+    * in the discovery layer. Kept here as documentation of the fifth dedup
+    * modality (exact, jaccard, minhash-LSH, simhash, embedding-cosine).
+    */
+  def embeddingNearDups(knnPairs: DataFrame, maxCosineDistance: Double): DataFrame =
+    knnPairs.filter(col("dist") <= maxCosineDistance)
+}

@@ -1,0 +1,88 @@
+package graft.discover
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation (SemLink/join_discoverer.py:327–451;
+  * DeepJoin/search_query.py:69–117): micro Precision/Recall/F1 over pair
+  * sets and NDCG@k over ranked candidate lists. Pure built-in aggregations
+  * and windows — partial aggregation and AQE apply unchanged at scale.
+  */
+object Eval {
+
+  /** The reference adds eps to DENOMINATORS (join_discoverer.py:27;
+    * search_query.py:71, 104–106), so even perfect retrieval scores
+    * slightly below 1.0 — semantics kept exactly.
+    */
+  val Eps = 1e-8
+
+  /** Micro P/R/F1 over directed (query, candidate) pair sets.
+    * `discovered` and `truth` both two-column frames named
+    * (query, candidate). TP = |discovered ∩ truth|, FP = |discovered − truth|,
+    * FN = |truth − discovered| (set semantics: join_discoverer.py:417–423).
+    * One-row output, metrics rounded to 4 (search_query.py:108–111).
+    */
+  def microPrf1(discovered: DataFrame, truth: DataFrame): DataFrame = {
+    val d = discovered.select("query", "candidate").distinct()
+    val t = truth.select("query", "candidate").distinct()
+    val tp = d.join(t, Seq("query", "candidate"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    val fp = d.join(t, Seq("query", "candidate"), "left_anti")
+      .agg(count(lit(1)).as("fp"))
+    val fn = t.join(d, Seq("query", "candidate"), "left_anti")
+      .agg(count(lit(1)).as("fn"))
+    tp.crossJoin(fp).crossJoin(fn)
+      .withColumn("precision",
+        round(col("tp") / (col("tp") + col("fp") + lit(Eps)), 4))
+      .withColumn("recall",
+        round(col("tp") / (col("tp") + col("fn") + lit(Eps)), 4))
+      .withColumn("f1", round(
+        lit(2.0) * (col("tp") / (col("tp") + col("fp") + lit(Eps))) *
+          (col("tp") / (col("tp") + col("fn") + lit(Eps))) /
+          ((col("tp") / (col("tp") + col("fp") + lit(Eps))) +
+            (col("tp") / (col("tp") + col("fn") + lit(Eps))) + lit(Eps)), 4))
+  }
+
+  /** NDCG@k (join_discoverer.py:327–368): per query, candidates ordered by
+    * rank; DCG = Σ 1/log2(rank+1) over relevant hits at rank ≤ k
+    * (reference enumerates i from 0 with discount 1/log2(i+2));
+    * IDCG = Σ_{i=1..min(k,|relevant|)} 1/log2(i+1).
+    * Queries absent from the truth relation are skipped (SemLink semantics,
+    * join_discoverer.py:344–346); `zeroWhenNoTruth=true` gives the DeepJoin
+    * variant that scores them 0.0 (search_query.py:97).
+    * Output: one row (n_queries, ndcg) with ndcg = mean over queries,
+    * rounded to 4.
+    */
+  def ndcgAtK(
+      ranked: DataFrame, // (query, candidate, rank)
+      truth: DataFrame,  // (query, candidate)
+      k: Int,
+      zeroWhenNoTruth: Boolean = false): DataFrame = {
+    val t = truth.select("query", "candidate").distinct()
+    val relCounts = t.groupBy("query").agg(count(lit(1)).as("n_relevant"))
+
+    val dcg = ranked
+      .filter(col("rank") <= k)
+      .join(t.withColumn("__rel", lit(1)), Seq("query", "candidate"), "left")
+      .groupBy("query")
+      .agg(sum(when(col("__rel") === 1,
+        lit(1.0) / log2(col("rank") + lit(1.0))).otherwise(lit(0.0))).as("dcg"))
+
+    val joinType = if (zeroWhenNoTruth) "left" else "inner"
+    val perQuery = dcg.join(relCounts, Seq("query"), joinType)
+      .withColumn("idcg",
+        // Σ_{i=1..min(k, n_relevant)} 1/log2(i+1), n_relevant ≥ 1 by construction
+        when(col("n_relevant").isNull, lit(0.0)).otherwise(
+          aggregate(
+            sequence(lit(1), least(lit(k), col("n_relevant").cast("int"))),
+            lit(0.0),
+            (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))))
+      .withColumn("ndcg_q",
+        when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg("ndcg_q"), 4).as("ndcg"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Lake
+
+/** Column profiling — the reference's core aggregation
+  * (SchemaExtraction/extract_schema.py:40–77), re-expressed as a single
+  * melt + two hash aggregations so it scales to arbitrarily wide tables and
+  * arbitrarily many rows (the reference is per-column pandas loops).
+  *
+  * Output grain: one row per (table, column) with
+  *   inferred_type ∈ {integer, float, datetime, string}
+  *     (extract_schema.py:11–20 dtype mapping),
+  *   row_count, num_values (non-null count), nulls,
+  *   min_len / max_len / avg_len of the string-cast values
+  *     (stats on astype(str), extract_schema.py:49–72; avg rounded to 2),
+  *   values_sample: first `sampleSize` distinct values in first-seen order
+  *     (pandas unique() order, extract_schema.py:33, 74–77),
+  *   most_common_values: top `topK` by frequency — consumed by the embedding
+  *     prompt (join_discoverer.py:117–119) but never produced by the
+  *     reference profiler; we produce it properly (SURVEY.md §1.4).
+  */
+object Profiler {
+
+  /** Reference dtype → four-type system (extract_schema.py:11–20). */
+  def inferType(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "integer"
+    case FloatType | DoubleType | _: DecimalType       => "float"
+    case TimestampType | TimestampNTZType | DateType   => "datetime"
+    case _                                             => "string"
+  }
+
+  /** Long-form melt: one row per (column, value, rid). One narrow pass —
+    * no shuffle until the downstream aggregations.
+    */
+  private def melt(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    df.withColumn("__rid", monotonically_increasing_id())
+      .select(
+        col("__rid"),
+        explode(array(fields.map(f =>
+          struct(lit(f.name).as("column"), col(f.name).cast("string").as("value"))): _*)).as("kv"))
+      .select(col("__rid"), col("kv.column").as("column"), col("kv.value").as("value"))
+  }
+
+  /** Scalar per-column stats only (no samples): one melt + one hash agg. */
+  def profileStats(df: DataFrame, tableName: String): DataFrame = {
+    val types = typeMap(df)
+    melt(df)
+      .groupBy("column")
+      .agg(
+        count(lit(1)).as("row_count"),
+        count(col("value")).as("num_values"),
+        (count(lit(1)) - count(col("value"))).as("nulls"),
+        min(length(col("value"))).cast(LongType).as("min_len"),
+        max(length(col("value"))).cast(LongType).as("max_len"),
+        round(avg(length(col("value"))), 2).as("avg_len"))
+      .withColumn("table", lit(tableName))
+      .withColumn("inferred_type", typeExpr(types))
+      .select("table", "column", "inferred_type", "row_count",
+        "num_values", "nulls", "min_len", "max_len", "avg_len")
+  }
+
+  private def typeMap(df: DataFrame): Map[String, String] =
+    df.schema.fields.map(f => f.name -> inferType(f.dataType)).toMap
+
+  private def typeExpr(types: Map[String, String]): Column =
+    types.foldLeft(lit("string")) { case (acc, (name, t)) =>
+      when(col("column") === lit(name), lit(t)).otherwise(acc)
+    }
+
+  /** Full profile including values_sample (first-seen distinct order) and
+    * most_common_values (top-K by frequency, ties broken by value asc).
+    * Two hash aggs + two ranking windows partitioned by column.
+    */
+  def profileTable(
+      df: DataFrame,
+      tableName: String,
+      sampleSize: Int = 30,
+      topK: Int = 20): DataFrame = {
+    val stats = profileStats(df, tableName)
+
+    val valueCounts = melt(df)
+      .filter(col("value").isNotNull)
+      .groupBy("column", "value")
+      .agg(count(lit(1)).as("cnt"), min("__rid").as("first_rid"))
+
+    val wSeen = Window.partitionBy("column").orderBy(asc("first_rid"), asc("value"))
+    val wFreq = Window.partitionBy("column").orderBy(desc("cnt"), asc("value"))
+
+    // collect_list does not guarantee order → collect (rank, value) structs
+    // and array_sort them (struct ordering is field-ordinal, rank first).
+    val samples = valueCounts
+      .withColumn("rn", row_number().over(wSeen))
+      .filter(col("rn") <= sampleSize)
+      .groupBy("column")
+      .agg(transform(
+        array_sort(collect_list(struct(col("rn"), col("value")))),
+        x => x.getField("value")).as("values_sample"))
+
+    val mostCommon = valueCounts
+      .withColumn("rn", row_number().over(wFreq))
+      .filter(col("rn") <= topK)
+      .groupBy("column")
+      .agg(transform(
+        array_sort(collect_list(struct(col("rn"), col("value")))),
+        x => x.getField("value")).as("most_common_values"))
+
+    stats
+      .join(samples, Seq("column"), "left")
+      .join(mostCommon, Seq("column"), "left")
+      .select("table", "column", "inferred_type", "row_count", "num_values",
+        "nulls", "min_len", "max_len", "avg_len", "values_sample",
+        "most_common_values")
+  }
+
+  /** Profile every table of the lake (stats only — cheap, oracle-friendly). */
+  def profileLakeStats(spark: SparkSession, dir: String,
+      tables: Seq[String] = Lake.lakeTables): DataFrame =
+    tables.map(t => profileStats(Lake.table(spark, dir, t), t))
+      .reduce(_.unionByName(_))
+
+  /** Profile every table of the lake with samples (the SemLink input). */
+  def profileLake(spark: SparkSession, dir: String,
+      tables: Seq[String] = Lake.lakeTables,
+      sampleSize: Int = 30, topK: Int = 20): DataFrame =
+    tables.map(t => profileTable(Lake.table(spark, dir, t), t, sampleSize, topK))
+      .reduce(_.unionByName(_))
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Data-lake catalog: one parquet file per table (the driver testdata plays
+  * the role of the reference's CSV lake — reference folder-glob scan at
+  * SchemaExtraction/extract_schema.py:88–99). Table-per-file grain is kept
+  * because the profile grain is per file.
+  */
+object Lake {
+
+  /** The ten driver testdata tables (TESTDATA.md / FIXTURES.md §A). */
+  val allTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The relational star-schema slice (profiled as the "lake"; the three
+    * added-scope tables are consumed by their dedicated operators).
+    */
+  val lakeTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and floor
+    * to a microsecond TimestampType column (integer `div` — a double
+    * division would lose precision above 2^53 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Text-analysis operators for training-data pipelines (added scope,
+  * SURVEY.md §7.4): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All pure built-in expressions → whole-stage
+  * codegen, trivially data-parallel at 100 TB.
+  */
+object Analysis {
+
+  /** Stopword dictionaries for the n-gram/function-word language heuristic.
+    * Deliberately tiny — a heuristic signal, not a model.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"))
+
+  private def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  private def countIn(toks: Column, dict: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(dict.map(lit): _*), t))).cast("long")
+
+  /** Per-document quality statistics: token count, char count, average word
+    * length, punctuation ratio, digit ratio, English-stopword ratio, and a
+    * 64-bit content fingerprint (xxhash64 of the normalized text — the
+    * rolling-hash document fingerprint of the added scope).
+    */
+  def qualityStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val nTok = TextFns.tokenCount(c)
+    val nChar = length(c).cast("long")
+    val punct = (nChar - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("long")
+    val digits = (nChar - length(regexp_replace(c, "[0-9]", ""))).cast("long")
+    df.select(
+      col(idCol).cast("long").as("id"),
+      nTok.as("n_tokens"),
+      nChar.as("n_chars"),
+      when(nTok > 0, round((nChar - (nTok - 1)).cast("double") / nTok, 4))
+        .otherwise(lit(0.0)).as("avg_word_len"),
+      when(nChar > 0, round(punct.cast("double") / nChar, 4))
+        .otherwise(lit(0.0)).as("punct_ratio"),
+      when(nChar > 0, round(digits.cast("double") / nChar, 4))
+        .otherwise(lit(0.0)).as("digit_ratio"),
+      when(nTok > 0, round(countIn(toks, stopwords("en")).cast("double") / nTok, 4))
+        .otherwise(lit(0.0)).as("stopword_ratio"),
+      xxhash64(TextFns.normalizeText(c)).as("fingerprint"))
+  }
+
+  /** Heuristic language ID: per language, the fraction of tokens found in
+    * its function-word dictionary; argmax wins, ties and all-zero scores →
+    * "und" (undetermined). Deterministic tie-break: language code ascending.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = TextFns.tokenCount(col(textCol))
+    val scoreCols = stopwords.toSeq.sortBy(_._1).map { case (lang, dict) =>
+      when(nTok > 0, countIn(toks, dict).cast("double") / nTok)
+        .otherwise(lit(0.0)).as(s"score_$lang")
+    }
+    val scored = df.select(col(idCol).cast("long").as("id") +: scoreCols: _*)
+    val langs = stopwords.keys.toSeq.sorted
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pick = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight means earlier (ascending) languages win ties
+    scored.withColumn("lang_pred", pick)
+      .select((Seq(col("id")) ++ langs.map(l => round(col(s"score_$l"), 4).as(s"score_$l"))
+        :+ col("lang_pred")): _*)
+  }
+}
