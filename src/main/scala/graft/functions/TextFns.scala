@@ -67,13 +67,15 @@ object TextFns {
     when(length(trim(c)) === 0, lit(0L))
       .otherwise(size(split(trim(c), "\\s+")).cast("long"))
 
-  /** Word shingles (n-gram sequences of whitespace tokens) for dedup. */
+  /** Word shingles (n-gram sequences of whitespace tokens) for dedup.
+    * Empty array when fewer than n tokens (`sequence(1, 0)` would count
+    * DOWN in Spark, so the short case needs an explicit guard).
+    */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = split(trim(c), "\\s+")
-    // sequence is 1-based slice windows; empty when fewer than n tokens
-    filter(
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))),
-      s => length(s) > 0)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (4L, "completely different words entirely unrelated content here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min id") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .filter(col("dup_count") > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("canonical_id") == 1L)
+    assert(g.head.getAs[Long]("dup_count") == 2L)
+    val h = Dedup.exactDupGroupsHashed(docs, "doc_id", "text")
+      .filter(col("dup_count") > 1).collect()
+    assert(h.length == 1 && h.head.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("word jaccard: exact dup = 1.0, near dup high, unrelated filtered") {
+    val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // 1 vs 3: 8 shared distinct words of 9 union ("jumps"/"leaps" differ;
+    // "the" dedups) — jaccard 7/9
+    assert(math.abs(pairs((1L, 3L)) - 7.0 / 9.0) < 1e-9)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash LSH finds exact and near dups with est_jaccard ~ true jaccard") {
+    val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(cand((1L, 2L)) == 1.0)
+    assert(cand.get((1L, 3L)).exists(_ > 0.3)) // shingle-level overlap
+  }
+
+  test("simhash: exact dup has hamming 0 and survives the blocked join") {
+    val nd = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(nd((1L, 2L)) == 0L)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.discover.Eval
+
+/** Metric edge cases (FIXTURES.md §B8): eps-in-denominator, idcg=0,
+  * queries without truth, k > |relevant|.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(p: (String, String)*): DataFrame =
+    p.toDF("query", "candidate")
+
+  test("perfect retrieval: eps keeps denominators nonzero, rounds to 1.0 at 4dp") {
+    val d = pairs("q1" -> "a", "q1" -> "b")
+    val m = Eval.microPrf1(d, d).collect().head
+    // raw value is 2/(2+1e-8) ≈ 0.999999995; the reference reports round(·,4)
+    assert(m.getAs[Double]("precision") == 1.0)
+    assert(m.getAs[Double]("f1") == 1.0)
+    assert(m.getAs[Long]("tp") == 2 && m.getAs[Long]("fp") == 0)
+    // eps also guards the all-empty case: no divide-by-zero, scores 0
+    val empty = pairs().limit(0)
+    val z = Eval.microPrf1(empty, empty).collect().head
+    assert(z.getAs[Double]("f1") == 0.0)
+  }
+
+  test("disjoint sets: tp=0, precision=recall=f1=0") {
+    val m = Eval.microPrf1(pairs("q1" -> "a"), pairs("q1" -> "b")).collect().head
+    assert(m.getAs[Long]("tp") == 0)
+    assert(m.getAs[Double]("precision") == 0.0)
+    assert(m.getAs[Double]("f1") == 0.0)
+  }
+
+  test("NDCG perfect ranking = 1.0; relevant hit at worse rank scores lower") {
+    val truth = pairs("q1" -> "a", "q1" -> "b")
+    val perfect = Seq(("q1", "a", 1), ("q1", "b", 2), ("q1", "x", 3))
+      .toDF("query", "candidate", "rank")
+    val worse = Seq(("q1", "x", 1), ("q1", "a", 2), ("q1", "b", 3))
+      .toDF("query", "candidate", "rank")
+    val n1 = Eval.ndcgAtK(perfect, truth, 3).collect().head.getAs[Double]("ndcg")
+    val n2 = Eval.ndcgAtK(worse, truth, 3).collect().head.getAs[Double]("ndcg")
+    assert(n1 == 1.0)
+    assert(n2 < n1 && n2 > 0)
+  }
+
+  test("query with no truth entry: skipped (SemLink) vs scored 0 (DeepJoin)") {
+    val ranked = Seq(("q1", "a", 1), ("q2", "z", 1)).toDF("query", "candidate", "rank")
+    val truth = pairs("q1" -> "a")
+    val semlink = Eval.ndcgAtK(ranked, truth, 5).collect().head
+    assert(semlink.getAs[Long]("n_queries") == 1)
+    assert(semlink.getAs[Double]("ndcg") == 1.0)
+    val deepjoin = Eval.ndcgAtK(ranked, truth, 5, zeroWhenNoTruth = true).collect().head
+    assert(deepjoin.getAs[Long]("n_queries") == 2)
+    assert(deepjoin.getAs[Double]("ndcg") == 0.5)
+  }
+
+  test("k greater than |relevant|: idcg capped at |relevant|") {
+    val truth = pairs("q1" -> "a")
+    val ranked = Seq(("q1", "a", 1), ("q1", "b", 2)).toDF("query", "candidate", "rank")
+    val n = Eval.ndcgAtK(ranked, truth, 5).collect().head.getAs[Double]("ndcg")
+    assert(n == 1.0) // dcg = 1/log2(2) = idcg since only one relevant exists
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.profile.Profiler
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Option("aa"), Option(1.5)),
+    (2L, Option("bbb"), None),
+    (3L, Option("aa"), Option(22.25)),
+    (4L, None, Option(1.5))
+  ).toDF("id", "s", "x")
+
+  test("profileStats: counts, nulls, length stats per column") {
+    val p = Profiler.profileStats(df, "t").collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+
+    assert(p("s").getAs[Long]("row_count") == 4)
+    assert(p("s").getAs[Long]("num_values") == 3)
+    assert(p("s").getAs[Long]("nulls") == 1)
+    assert(p("s").getAs[Long]("min_len") == 2)
+    assert(p("s").getAs[Long]("max_len") == 3)
+    assert(p("s").getAs[Double]("avg_len") == 2.33) // round(7/3, 2)
+
+    assert(p("x").getAs[Long]("nulls") == 1)
+    assert(p("id").getAs[String]("inferred_type") == "integer")
+    assert(p("x").getAs[String]("inferred_type") == "float")
+    assert(p("s").getAs[String]("inferred_type") == "string")
+  }
+
+  test("profileTable: first-seen distinct sample and top-K most-common") {
+    val p = Profiler.profileTable(df, "t", sampleSize = 2, topK = 1).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    // first-seen distinct order for s: aa (rid 0), bbb (rid 1); cap 2
+    assert(p("s").getAs[scala.collection.Seq[String]]("values_sample").toSeq == Seq("aa", "bbb"))
+    // top-1 by frequency: aa (2 occurrences)
+    assert(p("s").getAs[scala.collection.Seq[String]]("most_common_values").toSeq == Seq("aa"))
+  }
+
+  test("row_count equals table count for every column") {
+    val lake = Profiler.profileStats(
+      spark.read.parquet(s"$sf0001/nation.parquet"), "nation")
+    assert(lake.collect().forall(_.getAs[Long]("row_count") == 25))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.dates.DateNorm
+import graft.discover.Eval
+
+/** Property-style invariants (SURVEY.md §5.3) over seeded random inputs
+  * (the scalatest↔scalacheck bridge isn't on the offline classpath, so
+  * generation is plain seeded Random — same coverage, deterministic).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  test("date normalizer is total: arbitrary strings never throw") {
+    val junkPool = Seq("2024-13", "9999-Q9", "00/0000", "///", "-", "\\", "%s",
+      "2023-01-15T99:99", "0000", "????", "", " ", "\t")
+    val ss = (1 to 60).map { _ =>
+      if (rnd.nextBoolean()) junkPool(rnd.nextInt(junkPool.length))
+      else rnd.alphanumeric.take(rnd.nextInt(14)).mkString
+    }
+    val out = ss.toDF("raw")
+      .select(DateNorm.normalizeDate(col("raw"))).as[String].collect()
+    assert(out.length == ss.length) // no throw; nulls allowed
+  }
+
+  test("P/R/F1 bounded in [0,1] and f1 <= 2*min(p,r) for random pair sets") {
+    for (_ <- 1 to 8) {
+      val d = (1 to 30).map(_ => (s"q${rnd.nextInt(6)}", s"c${rnd.nextInt(6)}"))
+      val t = (1 to 30).map(_ => (s"q${rnd.nextInt(6)}", s"c${rnd.nextInt(6)}"))
+      val m = Eval.microPrf1(d.toDF("query", "candidate"),
+        t.toDF("query", "candidate")).collect().head
+      val (p, r, f1) = (m.getAs[Double]("precision"), m.getAs[Double]("recall"),
+        m.getAs[Double]("f1"))
+      assert(p >= 0 && p <= 1 && r >= 0 && r <= 1 && f1 >= 0 && f1 <= 1)
+      assert(f1 <= 2 * math.min(p, r) + 1e-9)
+    }
+  }
+
+  test("NDCG bounded in [0,1] for random rankings") {
+    for (_ <- 1 to 8) {
+      val ranked = (1 to 4).map(_ => rnd.nextInt(10)).distinct.zipWithIndex
+        .map { case (c, i) => ("q", s"c$c", i + 1) }
+      val truth = (1 to 5).map(_ => rnd.nextInt(10)).distinct.map(c => ("q", s"c$c"))
+      val n = Eval.ndcgAtK(ranked.toDF("query", "candidate", "rank"),
+        truth.toDF("query", "candidate"), 5).collect().head.getAs[Double]("ndcg")
+      assert(n >= 0.0 && n <= 1.0)
+    }
+  }
+}

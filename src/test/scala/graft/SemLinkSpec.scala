@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.SemLink
+
+/** End-to-end golden check (SURVEY.md §5.4): the full discovery pipeline
+  * with the deterministic embedder must surface the lake's real key
+  * relationships (FIXTURES.md §A known joins).
+  */
+class SemLinkSpec extends SparkSpec {
+
+  test("flagship pipeline discovers the known key relationships at sf0.001") {
+    val pairs = SemLink.discover(spark, sf0001, k = 5, threshold = 1.3)
+      .select("t1", "c1", "t2", "c2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(pairs.nonEmpty)
+    // ground-truth relationships that the deterministic embedder must find
+    assert(pairs.contains(("nation", "n_regionkey", "region", "r_regionkey")))
+    assert(pairs.contains(("lineitem", "l_shipdate", "orders", "o_orderdate")))
+    // symmetric output (both directions present)
+    assert(pairs.contains(("region", "r_regionkey", "nation", "n_regionkey")))
+  }
+
+  test("threshold is honored: tighter threshold yields a subset") {
+    val loose = SemLink.discover(spark, sf0001, k = 5, threshold = 1.3)
+      .select("t1", "c1", "t2", "c2").collect().toSet
+    val tight = SemLink.discover(spark, sf0001, k = 5, threshold = 0.5)
+      .select("t1", "c1", "t2", "c2").collect().toSet
+    assert(tight.subsetOf(loose))
+    assert(tight.size < loose.size)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashEmbedder
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeText collapses whitespace and lowercases") {
+    val got = Seq("  Foo\t BAR \n baz  ").toDF("s")
+      .select(TextFns.normalizeText(col("s"))).as[String].head()
+    assert(got == "foo bar baz")
+  }
+
+  test("columnToText matches the reference sentence format (B6)") {
+    val df = Seq(("hdr", 3L, 2L, 5L, 3.4, Seq("a", "bb", "ccc"))).toDF(
+      "header", "n", "mn", "mx", "avg", "vals")
+    val got = df.select(TextFns.columnToText(lit(""), col("header"), col("n"),
+      col("mn"), col("mx"), col("avg"), col("vals"))).as[String].head()
+    assert(got == "hdr contains 3 values (min=2, max=5, avg=3.4): a, bb, ccc")
+    val withTitle = df.select(TextFns.columnToText(lit("My Table"), col("header"),
+      col("n"), col("mn"), col("mx"), col("avg"), col("vals"))).as[String].head()
+    assert(withTitle == "My Table hdr contains 3 values (min=2, max=5, avg=3.4): a, bb, ccc")
+  }
+
+  test("tokenCount: empty → 0, whitespace-separated words counted") {
+    val got = Seq("", "   ", "one", "one two\tthree").toDF("s")
+      .select(TextFns.tokenCount(col("s"))).as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 1L, 3L))
+  }
+
+  test("wordShingles produces n-token windows") {
+    val got = Seq("a b c d").toDF("s")
+      .select(TextFns.wordShingles(col("s"), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("s")
+      .select(TextFns.wordShingles(col("s"), 3)).as[Seq[String]].head()
+    assert(short == Seq.empty)
+  }
+
+  test("columnKey round-trips through keyTable/keyColumn") {
+    val df = Seq(("orders", "o_custkey")).toDF("t", "c")
+      .select(TextFns.columnKey(col("t"), col("c")).as("k"))
+      .select(TextFns.keyTable(col("k")), TextFns.keyColumn(col("k")))
+    assert(df.as[(String, String)].head() == ("orders", "o_custkey"))
+  }
+
+  test("HashEmbedder is deterministic, unit-norm, fixed-dim") {
+    val e = HashEmbedder()
+    val v1 = e.embed("hello world")
+    val v2 = e.embed("hello world")
+    assert(v1.toSeq == v2.toSeq)
+    assert(v1.length == 64)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // similar texts are closer than dissimilar ones
+    def d(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val near = d(e.embed("customer key id"), e.embed("customer key number"))
+    val far = d(e.embed("customer key id"), e.embed("zebra quark flux"))
+    assert(near < far)
+  }
+}
