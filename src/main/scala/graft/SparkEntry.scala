@@ -189,8 +189,9 @@ object SparkEntry {
         .when(m === 2, date_format(col("o_orderdate"), "MM/yyyy"))
         .otherwise(concat(year(col("o_orderdate")), lit("-Q"),
           quarter(col("o_orderdate"))))
-      t(s, d, "orders").select(col("o_orderkey"), raw.as("raw"),
-        DateNorm.normalizeDate(raw).as("normalized"))
+      graft.util.Par.balance(t(s, d, "orders").select("o_orderkey", "o_orderdate"))
+        .select(col("o_orderkey"), raw.as("raw"),
+          DateNorm.normalizeDate(raw).as("normalized"))
     }),
 
     // Dedup (MinHash+LSH): banded candidate generation; exact copies are

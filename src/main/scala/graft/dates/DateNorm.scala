@@ -25,17 +25,15 @@ object DateNorm {
     "november" -> "Nov", "december" -> "Dec")
 
   /** Normalize English month tokens (full or abbreviated, any case) to
-    * canonical 3-letter form so strict `MMM` parsing applies. Full names
-    * first, then case-fix of bare abbreviations.
+    * canonical 3-letter form so strict `MMM` parsing applies: initcap
+    * fixes the case, then full names collapse to abbreviations (12 rewrites
+    * — the chain is inlined into several parse branches, so size matters
+    * for codegen compile time).
     */
-  private def canonMonths(c: Column): Column = {
-    val fulls = monthNames.foldLeft(c) { case (acc, (full, abbr)) =>
-      regexp_replace(acc, s"(?i)\\b$full\\b", abbr)
+  private def canonMonths(c: Column): Column =
+    monthNames.foldLeft(initcap(lower(c))) { case (acc, (full, abbr)) =>
+      regexp_replace(acc, s"\\b${full.capitalize}\\b", abbr)
     }
-    monthNames.foldLeft(fulls) { case (acc, (_, abbr)) =>
-      regexp_replace(acc, s"(?i)\\b$abbr\\b", abbr)
-    }
-  }
 
   private def tryDates(c: Column, fmts: Seq[String]): Seq[Column] =
     fmts.map(f => try_to_date(c, f))
@@ -43,9 +41,16 @@ object DateNorm {
   private def tryTimestamps(c: Column, fmts: Seq[String]): Seq[Column] =
     fmts.map(f => try_to_timestamp(c, lit(f)).cast("date"))
 
-  /** Parse one date string to a DateType value (null when unparseable). */
+  /** Parse one date string to a DateType value (null when unparseable).
+    * Branch structure: cheap regex-guarded special forms first (quarter,
+    * semester, year-month, compact, month-year), then the numeric strptime
+    * fallback chain, and only for inputs containing letters the textual
+    * month forms (the canonMonths subtree is confined to those branches so
+    * the all-numeric path stays small — codegen compile time scales with
+    * tree size).
+    */
   def parseDate(raw: Column): Column = {
-    val s = canonMonths(trim(raw))
+    val s = trim(raw)
     val year4 = substring(s, 1, 4).cast("int")
 
     val quarter = when(s.rlike("^\\d{4}-[Qq][1-4]$"),
@@ -57,21 +62,27 @@ object DateNorm {
     val compact = when(s.rlike("^\\d{8}$"), try_to_date(s, "yyyyMMdd"))
     val monthSlashYear = when(s.rlike("^\\d{1,2}/\\d{4}$"), try_to_date(s, "M/yyyy"))
     val monthDashYear = when(s.rlike("^\\d{1,2}-\\d{4}$"), try_to_date(s, "M-yyyy"))
-    val textualMonthYear = when(s.rlike("^[A-Za-z]{3} \\d{4}$"),
-      try_to_date(s, "MMM yyyy"))
 
-    // strptime fallback chain (data_loader.py:88–110 order; FIXTURES.md §B7)
-    val fallback =
+    // numeric strptime fallback chain (data_loader.py:88–110 order)
+    val numericFallback =
       tryDates(s, Seq(
         "yyyy-M-d", "d/M/yyyy", "yyyy/M/d", "d-M-yyyy", "yyyy",
-        "d.M.yyyy", "M/d/yyyy", "yyyy.M.d",
-        "d MMM yyyy", "MMM d, yyyy")) ++
+        "d.M.yyyy", "M/d/yyyy", "yyyy.M.d")) ++
       tryTimestamps(s, Seq(
         "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm",
         "d/M/yyyy HH:mm", "d/M/yyyy HH:mm:ss"))
 
+    // textual month forms — single guarded branch holding the canon subtree
+    val textual = when(s.rlike("[A-Za-z]"), {
+      val c = canonMonths(s)
+      coalesce(
+        try_to_date(c, "MMM yyyy"),
+        try_to_date(c, "d MMM yyyy"),
+        try_to_date(c, "MMM d, yyyy"))
+    })
+
     coalesce((Seq(quarter, semester, yearMonth, compact, monthSlashYear,
-      monthDashYear, textualMonthYear) ++ fallback): _*)
+      monthDashYear) ++ numericFallback :+ textual): _*)
   }
 
   /** Full normalizer: string in, `"dd MMMM yyyy"` string (or null) out. */

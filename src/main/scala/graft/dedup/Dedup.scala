@@ -98,9 +98,10 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val signed = df.select(
-      col(idCol).cast("long").as("id"),
-      minhashSignature(shingleSize, numHashes)(col(textCol)).as("sig"))
+    val signed = graft.util.Par.balance(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        minhashSignature(shingleSize, numHashes)(col("__text")).as("sig"))
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
@@ -153,8 +154,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val hashed = df.select(col(idCol).cast("long").as("id"),
-      simhash64(col(textCol)).as("sh"))
+    val hashed = graft.util.Par.balance(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text")))
+      .select(col("id"), simhash64(col("__text")).as("sh"))
     val chunkCols = (0 until chunks).map(i =>
       struct(lit(i).as("chunk"),
         shiftright(col("sh"), i * bitsPer)

@@ -124,8 +124,8 @@ object KnnJoin {
     }
     val bc = spark.sparkContext.broadcast(qRows)
 
-    val partials = candidates
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    val partials = graft.util.Par.balance(
+      candidates.select(col(idCol).cast("long"), col(vecCol).cast("array<float>")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val q = bc.value
