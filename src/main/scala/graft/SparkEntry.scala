@@ -225,6 +225,66 @@ object SparkEntry {
         .select(unix_timestamp(col("w.start")).cast("long").as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
     }),
+
+    // J5: within-group self-join — column pairs sharing a semantic name
+    "q23_within_group_pairs" -> ((s, d) => {
+      val items = Profiler.profileLakeStats(s, d)
+        .select(col("table"), col("column"),
+          graft.annotate.RuleAnnotator.semanticName(col("column")).as("anno"),
+          TextFns.columnKey(col("table"), col("column")).as("key"))
+      graft.pairs.PairsBuilder.withinGroupPairs(items, "anno", "key")
+    }),
+
+    // J2/J3: annotation lookup + enrichment with conditional date override
+    "q24_annotation_enrich" -> ((s, d) => {
+      val profiles = Profiler.profileLakeStats(s, d)
+      val ann = graft.annotate.RuleAnnotator.annotate(profiles)
+      graft.annotate.Enrich.enrichProfiles(profiles, ann)
+        .select(col("table").as("table_name"), col("column").as("column_name"),
+          col("semantic_annotation"), col("enriched_type"))
+    }),
+
+    // Added-scope temporal: gap-based sessionization (batch twin of the
+    // flatMapGroupsWithState streaming operator)
+    "q25_sessionize" -> ((s, d) => {
+      graft.streaming.Streams.sessionizeBatch(Lake.events(s, d), gapMinutes = 30)
+    }),
+
+    // DeepJoin pair assembly (J1/J2/J6 + F6) from an inline GT of the
+    // lake's known key relationships (rows-only: the values_sample inside
+    // the rendered text is engine-ordering-specific)
+    "q26_deepjoin_pairs" -> ((s, d) => {
+      import s.implicits._
+      val gt = Seq(
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"))
+        .toDF("query_table", "query_column", "candidate_table", "candidate_column")
+      val profiles = Profiler.profileLake(s, d)
+      val texts = graft.pairs.PairsBuilder.columnTexts(
+        graft.pairs.PairsBuilder.withStats(
+          graft.pairs.PairsBuilder.gtColumns(gt), profiles),
+        Some(graft.annotate.RuleAnnotator.annotate(profiles)),
+        useAnnotation = true)
+      graft.pairs.PairsBuilder.buildPairs(gt, texts)
+    }),
+
+    // Multimodal plumbing: binary payloads → deterministic stub features
+    // (rows-only: checksum/features are JVM-hash-defined)
+    "q27_media_features" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"),
+          lit("text").as("media_type"))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
+        .toDF()
+        .select(col("id"), col("n_bytes"), col("checksum"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -286,6 +346,10 @@ object SparkEntry {
       "l_quantity" -> "float", "l_extendedprice" -> "float",
       "l_discount" -> "float", "l_tax" -> "float", "l_returnflag" -> "string",
       "l_linestatus" -> "string", "l_shipdate" -> "datetime"))
+
+  private val lakeColsValues: String = lakeSchema.flatMap { case (tbl, cols) =>
+    cols.map { case (c, ty) => s"('$tbl', '$c', '$ty')" }
+  }.mkString(", ")
 
   private val enStop = Analysis.stopwords("en").map(w => s"'$w'").mkString(", ")
 
@@ -523,5 +587,44 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q23_within_group_pairs" ->
+      s"""WITH cols(tbl, col, typ) AS (VALUES $lakeColsValues),
+         |items AS (
+         |  SELECT tbl, col,
+         |    regexp_replace(translate(lower(col), ' -', '__'), '^[a-z]_', '') AS anno,
+         |    tbl || ':' || col AS key
+         |  FROM cols)
+         |SELECT a.anno AS group_key, a.key AS id_a, b.key AS id_b
+         |FROM items a JOIN items b ON a.anno = b.anno AND a.key < b.key""".stripMargin,
+
+    "q24_annotation_enrich" ->
+      s"""WITH cols(table_name, column_name, inferred_type) AS (VALUES $lakeColsValues),
+         |ann AS (
+         |  SELECT table_name, column_name, inferred_type,
+         |    regexp_replace(translate(lower(column_name), ' -', '__'), '^[a-z]_', '')
+         |      AS semantic_annotation
+         |  FROM cols)
+         |SELECT table_name, column_name, semantic_annotation,
+         |  CASE WHEN contains(semantic_annotation, 'date') THEN 'date'
+         |       ELSE inferred_type END AS enriched_type
+         |FROM ann""".stripMargin,
+
+    "q25_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+        |x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sno
+        |  FROM x)
+        |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM y GROUP BY user_id, sno""".stripMargin,
   )
 }

@@ -1,0 +1,91 @@
+package graft.annotate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synonym canonicalization of semantic annotations — the reference's
+  * WordNet pass (SemanticAnnotation/json_parser.py:95–209): for each new
+  * term, look up its synonym set; the FIRST-SEEN term becomes canonical
+  * for its whole synset; later terms matching an existing group map to
+  * that canonical.
+  *
+  * This is an inherently order-dependent sequential fold (SURVEY.md §7.4)
+  * — forced into a distributed op it would lose first-seen semantics. The
+  * term vocabulary is metadata-sized, so the fold runs on the driver over
+  * a deterministically ordered collect; application back to the
+  * annotation frame is a broadcast map lookup (scales with data).
+  *
+  * For truly huge vocabularies the documented alternative is connected
+  * components over the synonym graph via iterative min-label propagation
+  * joins with lexicographic canonicals — same grouping, different (but
+  * deterministic) canonical choice.
+  */
+object Canonicalize {
+
+  /** Static synonym dictionary standing in for WordNet (the corpus isn't
+    * shippable offline; the reference consults `wordnet.synsets`,
+    * json_parser.py:99–126). Symmetric closure is applied at load.
+    */
+  val defaultSynonyms: Map[String, Set[String]] = {
+    val groups = Seq(
+      Set("id", "identifier", "key", "code"),
+      Set("name", "title", "label"),
+      Set("date", "day", "time"),
+      Set("price", "cost", "amount", "charge"),
+      Set("quantity", "count", "number"),
+      Set("description", "comment", "remark"),
+      Set("address", "location", "place"),
+      Set("balance", "credit"),
+      Set("status", "state", "flag"),
+      Set("type", "kind", "category", "class"))
+    groups.flatMap(g => g.map(t => t -> (g - t))).toMap
+  }
+
+  /** The sequential first-seen fold (json_parser.py:146–188): returns
+    * term → canonical for every input term.
+    */
+  def foldCanonical(
+      termsInOrder: Seq[String],
+      synonyms: Map[String, Set[String]] = defaultSynonyms): Map[String, String] = {
+    // canonical -> members (canonical included)
+    var groups = Vector.empty[(String, Set[String])]
+    var mapping = Map.empty[String, String]
+    termsInOrder.foreach { term =>
+      if (!mapping.contains(term)) {
+        groups.find { case (_, members) => members.contains(term) } match {
+          case Some((canon, _)) =>
+            mapping += term -> canon
+          case None =>
+            val synset = synonyms.getOrElse(term, Set.empty) + term
+            groups :+= (term, synset)
+            mapping += term -> term
+        }
+      }
+    }
+    mapping
+  }
+
+  /** Apply canonicalization to an annotation frame: collect the distinct
+    * terms in deterministic first-seen order (table, column ascending —
+    * the engine's defined scan order), fold on the driver, broadcast the
+    * mapping back as a literal map lookup.
+    * Returns (annotations with `canonical_annotation`, term → canonical).
+    */
+  def canonicalizeAnnotations(
+      annotations: DataFrame,
+      synonyms: Map[String, Set[String]] = defaultSynonyms)
+      : (DataFrame, Map[String, String]) = {
+    val terms = annotations
+      .select("table", "column", "semantic_annotation")
+      .orderBy("table", "column")
+      .collect()
+      .map(_.getString(2))
+      .toSeq
+    val mapping = foldCanonical(terms.distinct, synonyms)
+    val mapExpr = map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val out = annotations.withColumn("canonical_annotation",
+      coalesce(element_at(mapExpr, col("semantic_annotation")),
+        col("semantic_annotation")))
+    (out, mapping)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (added scope, SURVEY.md north star): treat
+  * image/audio/video payloads as opaque `binary` columns with a typed
+  * metadata struct, and run decode / feature-extract / frame-sample as
+  * per-partition batch operators.
+  *
+  * The decode step itself is STUBBED — media codecs are not in this
+  * environment — behind [[MediaDecoder]], with a deterministic fake
+  * implementation. Everything Spark-side is real and tested: the schema
+  * contract, the partition-balanced batch shape (one decoder instance per
+  * partition, amortized over its rows — the JVM analog of a vectorized
+  * Pandas-UDF batch), and the feature-vector output layout that feeds the
+  * kNN layer unchanged.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType), // image | audio | video
+    StructField("format", StringType),     // jpeg | wav | mp4 | ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  final case class MediaRow(id: Long, payload: Array[Byte], media_type: String)
+  final case class MediaFeatures(id: Long, n_bytes: Long, checksum: Long,
+      features: Array[Float])
+
+  /** Decoder contract — one instance per partition, called per row.
+    * A production implementation wraps a codec library; [[FakeDecoder]] is
+    * the deterministic stand-in (real decode is `???` territory offline).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake: hash-seeded pseudo-features. Same payload → same
+    * vector on every JVM, so the downstream pipeline is fully testable.
+    */
+  object FakeDecoder extends MediaDecoder {
+    override def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      if (payload != null && payload.nonEmpty) {
+        val h0 = MurmurHash3.bytesHash(payload, 42)
+        var i = 0
+        while (i < dim) {
+          // xorshift over the payload hash — cheap, stable, spread out
+          var x = h0 ^ (i * 0x9e3779b9)
+          x ^= x << 13; x ^= x >>> 17; x ^= x << 5
+          v(i) = (x.toDouble / Int.MaxValue).toFloat
+          i += 1
+        }
+      }
+      v
+    }
+  }
+
+  /** Feature extraction over a binary column: partition-balanced, one
+    * decoder per partition, output ready for the kNN/dedup layers.
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      dim: Int = 64,
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val d = decoder // one instance per partition (batch shape)
+      it.map { row =>
+        val payload = row.payload
+        val checksum =
+          if (payload == null) 0L else MurmurHash3.bytesHash(payload, 7).toLong
+        MediaFeatures(row.id,
+          if (payload == null) 0L else payload.length.toLong,
+          checksum, d.decodeFeatures(payload, dim))
+      }
+    }
+  }
+
+  /** Frame sampling contract for video payloads: every `everyMs` the
+    * decoder would emit one frame row — the stub emits deterministic frame
+    * indices from the metadata duration, exercising the explode shape.
+    */
+  def sampleFrames(media: DataFrame, durationMsCol: String, everyMs: Long): DataFrame =
+    media.withColumn("frame_idx",
+      explode(sequence(lit(0L),
+        greatest(floor((col(durationMsCol) - 1) / everyMs).cast("long"), lit(0L)))))
+}

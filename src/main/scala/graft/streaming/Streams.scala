@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table (added scope —
+  * the reference is purely batch, SURVEY.md §2.9). Each operator has a
+  * batch twin with identical semantics so correctness is DuckDB-checkable;
+  * the streaming form adds watermarks/state, nothing else.
+  */
+object Streams {
+
+  /** events.parquet carries TIMESTAMP(NANOS) → read ts as long
+    * (see [[graft.sources.Lake.events]]); streaming sources need the
+    * schema up front.
+    */
+  val eventsLongSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def tsToTimestamp(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Streaming source over a directory of events parquet files. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tsToTimestamp(spark.readStream.schema(eventsLongSchema).parquet(dir))
+  }
+
+  /** Tumbling/sliding window aggregation with watermark:
+    * counts + sum(value) per (window, event_type). `slide == size` →
+    * tumbling. Late data beyond the watermark is dropped.
+    */
+  def windowedAgg(events: DataFrame, size: String = "1 hour",
+      slide: Option[String] = None, watermark: String = "2 hours"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col("ts"), size, s)
+      case None    => window(col("ts"), size)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).cast("long").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionAgg(user_id: Long, session_start_us: Long,
+      n_events: Long, sum_value: Double)
+
+  // must be public: Spark's generated state-encoder code instantiates and
+  // reads this class reflectively from outside the enclosing object
+  final case class SessionState(startUs: Long, lastUs: Long, cnt: Long, total: Double)
+
+  /** Gap-based sessionization, BATCH form: a new session starts when the
+    * gap to the previous event of the same user exceeds `gapMinutes`.
+    * Window-function formulation — one shuffle by user, no state.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val us = unix_micros(col("ts"))
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withColumn("__prev", lag(us, 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull || us - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("__session_no",
+        sum("__new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "__session_no")
+      .agg(min(us).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select("user_id", "session_start_us", "n_events", "sum_value")
+  }
+
+  /** Gap-based sessionization, STREAMING form: custom state machine via
+    * flatMapGroupsWithState — emits a session when the gap closes it (same
+    * session boundaries as the batch twin for in-order input).
+    * `flushTimeout=true` adds a processing-time timeout so idle sessions
+    * eventually flush in production; leave it off for deterministic
+    * drain-and-stop tests (timeout batches otherwise keep the query busy
+    * forever).
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
+      flushTimeout: Boolean = false): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionAgg] = {
+      var out = List.empty[SessionAgg]
+      var cur = state.getOption
+      evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = us, cnt = s.cnt + 1, total = s.total + e.value))
+          case Some(s) =>
+            out ::= SessionAgg(userId, s.startUs, s.cnt,
+              math.rint(s.total * 100) / 100)
+            cur = Some(SessionState(us, us, 1, e.value))
+          case None =>
+            cur = Some(SessionState(us, us, 1, e.value))
+        }
+      }
+      cur.foreach(s => state.update(s))
+      if (flushTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+      out.reverseIterator
+    }
+
+    val timeoutConf =
+      if (flushTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.annotate.{Canonicalize, Enrich, LlmJson, RuleAnnotator}
+import graft.profile.Profiler
+
+class AnnotateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LlmJson extracts fenced, bare, and nested annotation objects") {
+    val fenced =
+      """Sure! Here is the annotation:
+        |```json
+        |{"table_name": "t1", "table_description": "d", "table_title": "T",
+        | "columns": {"a": "alpha", "b": "beta"}}
+        |```
+        |Hope that helps.""".stripMargin
+    val bare =
+      """{"table_name": "t2", "table_description": "d2", "table_title": "T2",
+        | "columns": {"x": "ex"}}""".stripMargin
+    val nested =
+      """{"response": {"result": {"table_name": "t3", "table_description": "d3",
+        | "table_title": "T3", "columns": {"y": "why"}}}}""".stripMargin
+    val junk = "I could not produce JSON, sorry."
+
+    val out = Seq(fenced, bare, nested, junk).toDF("raw")
+      .select(LlmJson.extractCleanJson(col("raw")).as("p"))
+      .select(col("p.table_name"), col("p.columns")).collect()
+    assert(out(0).getString(0) == "t1")
+    assert(out(0).getMap[String, String](1)("a") == "alpha")
+    assert(out(1).getString(0) == "t2")
+    assert(out(2).getString(0) == "t3") // recursive rescue
+    assert(out(3).isNullAt(0))
+  }
+
+  test("column-count validation (P12)") {
+    val raw = """{"table_name":"t","table_description":"d","table_title":"T","columns":{"a":"x","b":"y"}}"""
+    val df = Seq(raw).toDF("raw")
+      .select(LlmJson.extractCleanJson(col("raw")).as("p"))
+    assert(df.select(LlmJson.validColumnCount(col("p"), lit(2))).as[Boolean].head())
+    assert(!df.select(LlmJson.validColumnCount(col("p"), lit(3))).as[Boolean].head())
+  }
+
+  test("canonicalization fold: first-seen term owns its synset") {
+    val mapping = Canonicalize.foldCanonical(
+      Seq("title", "name", "label", "custkey", "identifier", "id"))
+    // 'title' seen first → canonical for {name, title, label}
+    assert(mapping("title") == "title")
+    assert(mapping("name") == "title")
+    assert(mapping("label") == "title")
+    // 'custkey' not in any synset → itself
+    assert(mapping("custkey") == "custkey")
+    // 'identifier' seen before 'id' → owns the id-group
+    assert(mapping("identifier") == "identifier")
+    assert(mapping("id") == "identifier")
+  }
+
+  test("canonicalizeAnnotations applies the mapping over the frame") {
+    val ann = Seq(
+      ("t1", "a", "title"), ("t1", "b", "name"), ("t2", "c", "custkey"))
+      .toDF("table", "column", "semantic_annotation")
+    val (out, mapping) = Canonicalize.canonicalizeAnnotations(ann)
+    val got = out.select("semantic_annotation", "canonical_annotation")
+      .as[(String, String)].collect().toMap
+    assert(got("name") == "title" && got("title") == "title")
+    assert(got("custkey") == "custkey")
+    assert(mapping("name") == "title")
+  }
+
+  test("enrichment join overrides type to date and reformats the sample") {
+    val profiles = Profiler.profileTable(
+      Seq(("2023-01-15", 1)).toDF("o_orderdate", "k"), "orders")
+    val ann = RuleAnnotator.annotate(profiles)
+    val enriched = Enrich.enrichProfiles(profiles, ann)
+      .filter(col("column") === "o_orderdate")
+      .select("semantic_annotation", "enriched_type", "values_sample")
+      .collect().head
+    assert(enriched.getString(0) == "orderdate")
+    assert(enriched.getString(1) == "date")
+    assert(enriched.getAs[scala.collection.Seq[String]](2).head == "15 January 2023")
+  }
+
+  test("missing annotation defaults to empty strings (reference intent, J2)") {
+    val profiles = Profiler.profileStats(Seq((1, "x")).toDF("a", "b"), "t")
+    val noAnn = spark.emptyDataFrame
+      .select(lit("zz").as("table"), lit("zz").as("column"),
+        lit("").as("table_title"), lit("").as("table_description"),
+        lit("").as("semantic_annotation")).limit(0)
+    val out = Enrich.enrichProfiles(profiles, noAnn)
+    assert(out.filter(col("semantic_annotation") === "").count() == 2)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Lake
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming windowed agg equals the batch result (complete mode)") {
+    val stream = Streams.eventsStream(spark, eventsDir)
+    val q = Streams.windowedAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("win_out")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val batch = Lake.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .select(unix_timestamp(col("w.start")).cast("long"), col("event_type"),
+        col("n"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    assert(got == batch)
+  }
+
+  test("batch sessionization: session boundaries honor the gap") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0), // same session (10 min gap)
+      (1L, "2024-01-01 11:00:00", 4.0), // new session (50 min gap)
+      (2L, "2024-01-01 10:05:00", 8.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val sessions = Streams.sessionizeBatch(events, gapMinutes = 30)
+      .orderBy("user_id", "session_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(sessions.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("streaming sessionization emits closed sessions with batch-equal boundaries") {
+    val events = Seq(
+      Streams.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7, "c", 1.0),
+      Streams.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 7, "c", 2.0),
+      Streams.Event(3, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 7, "c", 4.0))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    mem.addData(events: _*)
+    val q = Streams.sessionizeStream(mem.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    // the 10:00 session (2 events, sum 3.0) closed when the 12:00 event arrived
+    val got = spark.table("sess_out").as[Streams.SessionAgg].collect()
+    assert(got.exists(s => s.user_id == 7 && s.n_events == 2 && s.sum_value == 3.0))
+  }
+}
