@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.{DotProduct, Interop, SquaredL2}
+
+import graft.dates.DateNorm
+
+/** SQL surface for the engine's custom functions.
+  *
+  * Two registration paths (SURVEY.md §2.10):
+  *  - [[GraftExtensions]] via `spark.sql.extensions` /
+  *    `SparkSession.builder().withExtensions(...)` — cluster-wide;
+  *  - [[GraftFunctions.register]] on a live session — tests and notebooks.
+  *
+  * `squared_l2` / `dot_product` are native codegen expressions;
+  * `normalize_date` expands to the when/coalesce/try_to_date tree
+  * (RuntimeReplaceable-style: pure built-ins after expansion, so codegen
+  * and constant folding apply untouched).
+  */
+object GraftFunctions {
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "squared_l2" -> (es => SquaredL2(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "normalize_date" -> (es => Interop.expression(
+      DateNorm.normalizeDate(Interop.column(es.head)))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+/** `SparkSessionExtensions` hook: inject the graft SQL functions at session
+  * build time (`--conf spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftFunctions", name), builder))
+    }
+  }
+}

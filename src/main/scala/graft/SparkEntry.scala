@@ -273,6 +273,26 @@ object SparkEntry {
       graft.pairs.PairsBuilder.buildPairs(gt, texts)
     }),
 
+    // IVF kNN with nProbe == nList: probes every inverted list, so the
+    // result is exactly brute-force kNN — shares q10's oracle while
+    // exercising the IVF assign/probe machinery end-to-end
+    "q28_ivf_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.knn.ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", k = 5,
+        nList = 16, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
+    // Multi-probe LSH kNN (rows-only: the hyperplanes are JVM-seeded;
+    // recall vs exact is asserted in ApproxKnnSpec)
+    "q29_lsh_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.knn.ApproxKnn.lshKnn(emb, emb, "vec_id", "embedding", k = 5, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Multimodal plumbing: binary payloads → deterministic stub features
     // (rows-only: checksum/features are JVM-hash-defined)
     "q27_media_features" -> ((s, d) => {
@@ -444,6 +464,11 @@ object SparkEntry {
          |FROM base""".stripMargin,
 
     "q10_knn_l2" ->
+      s"""$knnL2Cte
+         |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+         |FROM knn WHERE rnk <= 5""".stripMargin,
+
+    "q28_ivf_knn" ->
       s"""$knnL2Cte
          |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
          |FROM knn WHERE rnk <= 5""".stripMargin,

@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{DotProduct, Interop, SquaredL2}
+
+/** Column API over the native Catalyst vector expressions (implementation
+  * in org.apache.spark.sql.graft — see the packaging note there). The
+  * higher-order-function forms in [[Dist]] are the interpreted correctness
+  * oracle; these generate tight primitive loops in whole-stage codegen.
+  */
+object VectorExpressions {
+
+  def squaredL2(a: Column, b: Column): Column =
+    Interop.column(SquaredL2(Interop.expression(a), Interop.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    Interop.column(DotProduct(Interop.expression(a), Interop.expression(b)))
+
+  /** Cosine distance composed from the codegen dot product. */
+  def cosineDistance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val denom = sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b))
+    when(denom > 0, lit(1.0) - dotProduct(a, b) / denom).otherwise(lit(1.0))
+  }
+}

@@ -1,0 +1,240 @@
+package graft.knn
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate kNN — the scale path beyond brute force (SURVEY.md §7.3.3;
+  * reference analogue: the hnswlib index, DeepJoin/annIndex.py — we keep
+  * the approximation CONTRACT (recall@k), not the algorithm, which is
+  * single-machine graph state).
+  *
+  * Two pruning strategies, same output contract as [[KnnJoin]]
+  * ((query_id, neighbor_id, dist, rank), ties by id):
+  *
+  *  - [[lshKnn]]: random-hyperplane signatures, `tables` independent hash
+  *    tables of `bits` bits. Only same-bucket pairs are scored — the join
+  *    is a bucket equi-join, so work scales with bucket occupancy, never
+  *    N². Good for cosine-like geometry.
+  *
+  *  - [[ivfKnn]]: inverted-file index. Coarse centroids are learned with
+  *    k-means on a bounded driver-side sample (the only driver
+  *    materialization, capped); every vector is assigned to its nearest
+  *    centroid (distributed), queries probe the `nProbe` nearest centroid
+  *    lists. Work scales with N·nProbe/nList.
+  *
+  * Both are deterministic (seeded) and verified against the exact kNN by
+  * recall tests.
+  */
+object ApproxKnn {
+
+  private def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Int)
+      : Array[Array[Array[Float]]] = {
+    val rnd = new Random(seed)
+    Array.fill(tables, bits, dim)((rnd.nextGaussian()).toFloat)
+  }
+
+  /** LSH-bucketed kNN. `queries`/`candidates`: (id, vec) frames. */
+  def lshKnn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      metric: String = KnnJoin.MetricL2Sq,
+      tables: Int = 8,
+      bits: Int = 6,
+      multiProbe: Boolean = true,
+      seed: Int = 42,
+      excludeSelf: Boolean = true): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim, seed)
+    // `probe=true` (query side only) additionally emits every signature at
+    // Hamming distance 1 — classic multi-probe LSH: recall per table goes
+    // from p^bits to P(≤1 bit differs) at the cost of (bits+1)× query rows
+    // (queries are the small side; candidate storage is unchanged).
+    def bucketsOf(probe: Boolean) = F.udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      planes.indices.flatMap { t =>
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          val p = planes(t)(b)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(p.length, arr.length)
+          while (i < n) { dot += p(i) * arr(i); i += 1 }
+          if (dot >= 0) sig |= (1L << b)
+          b += 1
+        }
+        if (probe) (t.toLong, sig) +: (0 until bits).map(fb => (t.toLong, sig ^ (1L << fb)))
+        else Seq((t.toLong, sig))
+      }
+    }
+
+    def bucketed(df: DataFrame, side: String, probe: Boolean) =
+      graft.util.Par.balance(
+        df.select(col(idCol).cast("long").as(s"${side}_id"),
+          col(vecCol).as(s"__${side}_vec")))
+        .withColumn("__tb", explode(bucketsOf(probe)(col(s"__${side}_vec"))))
+        .select(col(s"${side}_id"), col(s"__${side}_vec"),
+          col("__tb._1").as("table_no"), col("__tb._2").as("bucket"))
+
+    val q = bucketed(queries, "query", probe = multiProbe)
+    val c = bucketed(candidates, "neighbor", probe = false)
+    val joined = q.join(c, Seq("table_no", "bucket"))
+    val candPairs =
+      (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+       else joined)
+        .dropDuplicates("query_id", "neighbor_id")
+
+    val dist = metric match {
+      case KnnJoin.MetricL2Sq =>
+        graft.functions.VectorExpressions.squaredL2(col("__query_vec"), col("__neighbor_vec"))
+      case KnnJoin.MetricCosine =>
+        graft.functions.VectorExpressions.cosineDistance(col("__query_vec"), col("__neighbor_vec"))
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
+    candPairs
+      .withColumn("dist", dist)
+      .select("query_id", "neighbor_id", "dist")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Driver-side mini k-means over a bounded sample (Lloyd iterations).
+    * Deterministic: seeded sample, fixed iteration count.
+    */
+  private[knn] def kmeans(sample: Array[Array[Float]], nList: Int, iters: Int,
+      seed: Int): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    val dim = sample.head.length
+    var centroids = rnd.shuffle(sample.toVector).take(nList).map(_.clone()).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var cIdx = 0
+        while (cIdx < centroids.length) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) {
+            val x = v(i) - centroids(cIdx)(i); d += x * x; i += 1
+          }
+          if (d < bestD) { bestD = d; best = cIdx }
+          cIdx += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { cIdx =>
+        if (counts(cIdx) == 0) centroids(cIdx)
+        else {
+          val c = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { c(i) = (sums(cIdx)(i) / counts(cIdx)).toFloat; i += 1 }
+          c
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** IVF kNN: centroid training on a sampled subset, distributed assign +
+    * probe. `sampleCap` bounds the driver materialization.
+    */
+  def ivfKnn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      kmeansIters: Int = 5,
+      sampleCap: Int = 20000,
+      seed: Int = 42,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    val sample = candidates.select(col(vecCol).cast("array<float>"))
+      .limit(sampleCap).as[Array[Float]].collect()
+    require(sample.nonEmpty, "ivfKnn: empty candidate side")
+    val centroids = kmeans(sample, math.min(nList, sample.length), kmeansIters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val nearestCentroids = F.udf { (v: Seq[Float], n: Int) =>
+      val cs = bc.value
+      val arr = v.toArray
+      cs.indices.map { cIdx =>
+        val c = cs(cIdx)
+        var d = 0.0
+        var i = 0
+        val m = math.min(c.length, arr.length)
+        while (i < m) { val x = arr(i) - c(i); d += x * x; i += 1 }
+        (d, cIdx)
+      }.sortBy(identity).take(n).map(_._2)
+    }
+
+    val assigned = graft.util.Par.balance(
+      candidates.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__neighbor_vec")))
+      .withColumn("cid", nearestCentroids(col("__neighbor_vec"), lit(1)).getItem(0))
+
+    val probed = graft.util.Par.balance(
+      queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("__query_vec")))
+      .withColumn("cid", explode(nearestCentroids(col("__query_vec"), lit(nProbe))))
+
+    val joined = probed.join(assigned, Seq("cid"))
+    val pairs =
+      (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+       else joined)
+    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
+    pairs
+      .withColumn("dist", graft.functions.VectorExpressions.squaredL2(
+        col("__query_vec"), col("__neighbor_vec")))
+      .select("query_id", "neighbor_id", "dist")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Block-partitioned exact kNN for the case where BOTH sides are too
+    * large to broadcast at once: the query side is processed in bounded
+    * blocks, each block broadcast against the full candidate side, results
+    * unioned. Wall-clock scales linearly in blocks; memory stays bounded.
+    */
+  def blockKnn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      metric: String = KnnJoin.MetricL2Sq,
+      blockSize: Int = 100000,
+      excludeSelf: Boolean = true): DataFrame = {
+    val ids = queries.select(col(idCol).cast("long")).orderBy(idCol)
+    val total = ids.count()
+    val blocks = math.max(1, math.ceil(total.toDouble / blockSize).toInt)
+    val bounds = ids.withColumn("__rn",
+      row_number().over(Window.orderBy(idCol)))
+      .filter((col("__rn") - 1) % blockSize === 0)
+      .select(col(idCol)).collect().map(_.getLong(0))
+    val parts = bounds.zipWithIndex.map { case (lo, bIdx) =>
+      val hiOpt = if (bIdx + 1 < bounds.length) Some(bounds(bIdx + 1)) else None
+      val block = hiOpt match {
+        case Some(hi) => queries.filter(col(idCol) >= lo && col(idCol) < hi)
+        case None     => queries.filter(col(idCol) >= lo)
+      }
+      KnnJoin.broadcastKnn(block, candidates, idCol, vecCol, k, metric, excludeSelf)
+    }
+    parts.reduce(_.unionByName(_))
+  }
+}

@@ -33,9 +33,13 @@ object KnnJoin {
   val MetricL2Sq = "l2sq"
   val MetricCosine = "cosine"
 
+  /** Distances use the native codegen expressions
+    * ([[graft.functions.VectorExpressions]]); [[graft.functions.Dist]]'s
+    * higher-order-function forms are the interpreted correctness oracle.
+    */
   private def distExpr(metric: String, a: Column, b: Column): Column = metric match {
-    case MetricL2Sq   => Dist.squaredL2(a, b)
-    case MetricCosine => Dist.cosineDistance(a, b)
+    case MetricL2Sq   => graft.functions.VectorExpressions.squaredL2(a, b)
+    case MetricCosine => graft.functions.VectorExpressions.cosineDistance(a, b)
     case m            => throw new IllegalArgumentException(s"unknown metric: $m")
   }
 

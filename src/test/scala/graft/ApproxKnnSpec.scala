@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.knn.{ApproxKnn, KnnJoin}
+import graft.sources.Lake
+
+class ApproxKnnSpec extends SparkSpec {
+
+  private lazy val emb = Lake.embeddings(spark, sf0001).cache()
+
+  private lazy val exactPairs: Map[Long, Set[Long]] =
+    KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallAt5(approx: DataFrame): Double = {
+    val got = approx.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exactPairs.map { case (q, truth) =>
+      got.get(q).map(g => (g intersect truth).size).getOrElse(0)
+    }.sum
+    hits.toDouble / (exactPairs.size * 5)
+  }
+
+  test("LSH kNN: deterministic, well-formed, recall@5 above floor") {
+    val a1 = ApproxKnn.lshKnn(emb, emb, "vec_id", "embedding", k = 5, dim = 64)
+    val a2 = ApproxKnn.lshKnn(emb, emb, "vec_id", "embedding", k = 5, dim = 64)
+    assert(a1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      a2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(a1.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(a1.filter(col("rank") > 5).count() == 0)
+    val r = recallAt5(a1)
+    assert(r > 0.4, s"LSH recall@5 too low: $r")
+  }
+
+  test("IVF kNN: recall@5 above floor and ranks well-formed") {
+    val a = ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", k = 5,
+      nList = 16, nProbe = 6)
+    assert(a.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val r = recallAt5(a)
+    assert(r > 0.55, s"IVF recall@5 too low: $r")
+  }
+
+  test("IVF probing more lists improves recall monotonically-ish") {
+    val r1 = recallAt5(ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", 5,
+      nList = 16, nProbe = 1))
+    val r4 = recallAt5(ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", 5,
+      nList = 16, nProbe = 4))
+    val rAll = recallAt5(ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", 5,
+      nList = 16, nProbe = 16))
+    assert(r1 <= r4 + 1e-9 && r4 <= rAll + 1e-9)
+    assert(rAll > 0.99, s"probing every list must equal exact, got $rAll")
+  }
+
+  test("blockKnn equals broadcastKnn across block boundaries") {
+    val whole = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = ApproxKnn.blockKnn(emb, emb, "vec_id", "embedding", 3,
+      blockSize = 150)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == whole)
+  }
+}

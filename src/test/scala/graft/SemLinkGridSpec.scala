@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.SemLinkGrid
+import graft.profile.Sampling
+
+class SemLinkGridSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val gt = Seq(
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"))
+    .toDF("query_table", "query_column", "candidate_table", "candidate_column")
+
+  test("evaluation grid: one row per (k,t), metrics in range, monotone recall in t") {
+    val grid = SemLinkGrid.evaluationGrid(spark, sf0001, gt,
+      ks = Seq(5, 10), thresholds = Seq(0.8, 1.1, 1.4)).cache()
+    assert(grid.count() == 6)
+    val rows = grid.collect()
+    rows.foreach { r =>
+      val (p, rec, f1, ndcg) = (r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"), r.getAs[Double]("f1"), r.getAs[Double]("ndcg"))
+      assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1)
+      assert(f1 >= 0 && f1 <= 1 && ndcg >= 0 && ndcg <= 1)
+    }
+    // recall can only grow as the threshold loosens (same k)
+    val rec5 = rows.filter(_.getAs[Int]("k") == 5)
+      .sortBy(_.getAs[Double]("threshold")).map(_.getAs[Double]("recall"))
+    assert(rec5.sliding(2).forall(w => w(0) <= w(1) + 1e-9))
+    // the pipeline actually finds true pairs at a sane operating point
+    assert(rows.filter(r => r.getAs[Int]("k") == 5 &&
+      r.getAs[Double]("threshold") == 1.4).head.getAs[Long]("tp") > 0)
+  }
+
+  test("seeded sample: deterministic, exact size, subset of input") {
+    val df = (1 to 100).toDF("v")
+    val s1 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq
+    val s2 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq
+    assert(s1 == s2 && s1.size == 10)
+    assert(s1.forall((1 to 100).contains))
+    val s3 = Sampling.seededSample(df, 10, seed = 8).as[Int].collect().toSeq
+    assert(s1 != s3) // different seed, different sample (overwhelmingly)
+  }
+
+  test("test-space selection: tail rows, both sides, distinct") {
+    val tables = Sampling.testSpaceTables(gt,
+      "query_table", "candidate_table", splitRow = 3)
+      .as[String].collect().toSet
+    // rows 4..5 of the deterministic ordering remain
+    assert(tables.nonEmpty && tables.size <= 4)
+  }
+}
