@@ -226,9 +226,14 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
-    // J5: within-group self-join — column pairs sharing a semantic name
+    // J5: within-group self-join — column pairs sharing a semantic name.
+    // The tiny catalog is collected back as a local frame so the self-join
+    // doesn't re-run (or cache-materialize) the profiling pass per branch.
     "q23_within_group_pairs" -> ((s, d) => {
+      import s.implicits._
       val items = Profiler.profileLakeStats(s, d)
+        .select(col("table"), col("column")).as[(String, String)].collect().toSeq
+        .toDF("table", "column")
         .select(col("table"), col("column"),
           graft.annotate.RuleAnnotator.semanticName(col("column")).as("anno"),
           TextFns.columnKey(col("table"), col("column")).as("key"))
@@ -291,6 +296,26 @@ object SparkEntry {
       graft.knn.ApproxKnn.lshKnn(emb, emb, "vec_id", "embedding", k = 5, dim = 64)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
           round(col("dist"), 6).as("dist"))
+    }),
+
+    // F7: conditional multi-line embedding-prompt assembly (sample-free
+    // variant — sample ordering is engine-specific, covered in unit tests)
+    "q30_embedding_prompt" -> ((s, d) => {
+      val p = Profiler.profileStats(t(s, d, "customer"), "customer")
+      p.select(col("table").as("table_name"), col("column").as("column_name"),
+        TextFns.embeddingPrompt(
+          col("column"),
+          graft.annotate.RuleAnnotator.semanticName(col("column")),
+          format_string("Table %s", col("table")),
+          col("num_values"), col("min_len"), col("max_len"), col("avg_len"),
+          lit(null).cast("array<string>"),
+          lit(null).cast("array<string>")).as("prompt"))
+    }),
+
+    // BPE-ish token counting (GPT-2-style pre-tokenizer regex)
+    "q31_token_bpe" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextFns.bpeIshTokenCount(col("text")).as("n_bpe_tokens"))
     }),
 
     // Multimodal plumbing: binary payloads → deterministic stub features
@@ -634,6 +659,32 @@ object SparkEntry {
          |  CASE WHEN contains(semantic_annotation, 'date') THEN 'date'
          |       ELSE inferred_type END AS enriched_type
          |FROM ann""".stripMargin,
+
+    "q30_embedding_prompt" ->
+      (lakeSchema.find(_._1 == "customer").get._2
+        .map { case (c, ty) => profileColSql("customer", c, ty, withLens = true) }
+        .mkString("WITH s AS (\n", "\nUNION ALL\n", ")\n") +
+      """SELECT table_name, column_name,
+        |  'The attribute with header: ''' || column_name ||
+        |  ''' has semantic annotation: ''' ||
+        |  regexp_replace(translate(lower(column_name), ' -', '__'), '^[a-z]_', '') ||
+        |  ''' and belongs to a table which is described as: ''Table ' || table_name ||
+        |  '''' || chr(10) ||
+        |  'The dataset for column ''' || column_name || ''' contains ' ||
+        |  num_values || ' entries.' || chr(10) ||
+        |  'Key statistics for the column:' || chr(10) ||
+        |  '- Maximum value length: ' || max_len || ' characters.' || chr(10) ||
+        |  '- Minimum value length: ' || min_len || ' characters.' || chr(10) ||
+        |  '- Average value length: ' || CAST(round(avg_len, 1) AS VARCHAR) ||
+        |  ' characters.' AS prompt
+        |FROM s""".stripMargin),
+
+    "q31_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+        |    AS n_bpe_tokens
+        |FROM documents""".stripMargin,
 
     "q25_sessionize" ->
       """WITH e AS (

@@ -54,6 +54,67 @@ object TextFns {
           coalesce(avgLen, lit(0.0))),
         concat_ws(", ", valuesSample)))
 
+  /** Embedding-prompt builder (F7 — reference:
+    * SemLink/join_discoverer.py:64–127): multi-line prompt with
+    * conditional sections, joined by newlines —
+    *  - annotation line (only when the annotation is not the 'NA'
+    *    sentinel), optionally extended with the table description;
+    *  - value examples (when the sample is non-empty);
+    *  - entry count (when > 0);
+    *  - length statistics block (when min and max are both > 0;
+    *    avg rendered with one decimal);
+    *  - top-20 most frequent values (when present).
+    */
+  def embeddingPrompt(
+      header: Column,
+      semanticAnnotation: Column,
+      tableDescription: Column,
+      numValues: Column,
+      minLen: Column,
+      maxLen: Column,
+      avgLen: Column,
+      valuesSample: Column,
+      mostCommonValues: Column): Column = {
+    val ann = coalesce(semanticAnnotation, lit("NA"))
+    val desc = coalesce(tableDescription, lit(""))
+    val examples = concat_ws(", ", coalesce(valuesSample, array()))
+    val topVals = concat_ws(", ",
+      slice(coalesce(mostCommonValues, array()), 1, 20))
+
+    val annotationLine = when(ann =!= "NA",
+      concat(
+        format_string("The attribute with header: '%s' has semantic annotation: '%s'",
+          header, ann),
+        when(length(desc) > 0,
+          format_string(" and belongs to a table which is described as: '%s'", desc))
+          .otherwise(lit("."))))
+    val examplesLine = when(length(examples) > 0,
+      format_string("Examples of values for this attribute include: '%s'.", examples))
+    val entriesLine = when(coalesce(numValues, lit(0L)) > 0,
+      format_string("The dataset for column '%s' contains %d entries.",
+        header, numValues))
+    val statsBlock = when(coalesce(maxLen, lit(0L)) > 0 && coalesce(minLen, lit(0L)) > 0,
+      concat_ws("\n",
+        lit("Key statistics for the column:"),
+        format_string("- Maximum value length: %d characters.", maxLen),
+        format_string("- Minimum value length: %d characters.", minLen),
+        format_string("- Average value length: %.1f characters.", avgLen)))
+    val topBlock = when(size(coalesce(mostCommonValues, array())) > 0,
+      concat_ws("\n", lit("Top 20 most frequent values in the column:"), topVals))
+
+    concat_ws("\n", annotationLine, examplesLine, entriesLine, statsBlock, topBlock)
+  }
+
+  /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex (contraction
+    * suffixes, letter runs, digit runs, punctuation runs, whitespace) —
+    * the added-scope approximation of subword token counts without a
+    * vocabulary.
+    */
+  def bpeIshTokenCount(c: Column): Column =
+    size(regexp_extract_all(c,
+      lit("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
+      .cast("long")
+
   /** Approximate token-cap truncation. The reference truncates to 2048
     * tiktoken cl100k tokens (SemLink/join_discoverer.py:34–62, 209); no
     * tiktoken exists on the JVM, so we cap by characters at the documented

@@ -85,10 +85,9 @@ object ApproxKnn {
     val q = bucketed(queries, "query", probe = multiProbe)
     val c = bucketed(candidates, "neighbor", probe = false)
     val joined = q.join(c, Seq("table_no", "bucket"))
-    val candPairs =
-      (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
-       else joined)
-        .dropDuplicates("query_id", "neighbor_id")
+    val filtered =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
 
     val dist = metric match {
       case KnnJoin.MetricL2Sq =>
@@ -97,10 +96,13 @@ object ApproxKnn {
         graft.functions.VectorExpressions.cosineDistance(col("__query_vec"), col("__neighbor_vec"))
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
+    // score INSIDE the bucket join projection, then dedupe the multi-table /
+    // multi-probe collisions on scalars only — the dedup shuffle carries
+    // (q, c, dist), never the vectors (they'd dominate shuffle bytes)
     val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
-    candPairs
+    filtered
       .withColumn("dist", dist)
-      .select("query_id", "neighbor_id", "dist")
+      .groupBy("query_id", "neighbor_id").agg(min("dist").as("dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -40,6 +40,40 @@ class TextFnsSpec extends SparkSpec {
     assert(short == Seq.empty)
   }
 
+  test("embeddingPrompt assembles all conditional sections (F7)") {
+    val df = Seq(("col_a", "alpha", "desc here", 3L, 2L, 5L, 3.42,
+      Seq("x", "y"), Seq("x"))).toDF(
+      "h", "ann", "desc", "nv", "mn", "mx", "av", "vs", "mc")
+    val got = df.select(TextFns.embeddingPrompt(col("h"), col("ann"), col("desc"),
+      col("nv"), col("mn"), col("mx"), col("av"), col("vs"), col("mc")))
+      .as[String].head()
+    assert(got ==
+      """The attribute with header: 'col_a' has semantic annotation: 'alpha' and belongs to a table which is described as: 'desc here'
+        |Examples of values for this attribute include: 'x, y'.
+        |The dataset for column 'col_a' contains 3 entries.
+        |Key statistics for the column:
+        |- Maximum value length: 5 characters.
+        |- Minimum value length: 2 characters.
+        |- Average value length: 3.4 characters.
+        |Top 20 most frequent values in the column:
+        |x""".stripMargin)
+    // NA annotation and empty metadata drop their sections entirely
+    val sparse = Seq(("c", "NA", "", 0L, 0L, 0L, 0.0,
+      Seq.empty[String], Seq.empty[String])).toDF(
+      "h", "ann", "desc", "nv", "mn", "mx", "av", "vs", "mc")
+    val got2 = sparse.select(TextFns.embeddingPrompt(col("h"), col("ann"),
+      col("desc"), col("nv"), col("mn"), col("mx"), col("av"), col("vs"), col("mc")))
+      .as[String].head()
+    assert(got2 == "")
+  }
+
+  test("bpeIshTokenCount counts contraction suffixes and runs") {
+    val got = Seq("it's 42 dogs, no-cats!", "").toDF("s")
+      .select(TextFns.bpeIshTokenCount(col("s"))).as[Long].collect().toSeq
+    // it|'s| 42| dogs|,| no|-|cats|! → 9
+    assert(got == Seq(9L, 0L))
+  }
+
   test("columnKey round-trips through keyTable/keyColumn") {
     val df = Seq(("orders", "o_custkey")).toDF("t", "c")
       .select(TextFns.columnKey(col("t"), col("c")).as("k"))
