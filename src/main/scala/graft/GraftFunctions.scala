@@ -26,11 +26,18 @@ object GraftFunctions {
     "normalize_date" -> (es => Interop.expression(
       DateNorm.normalizeDate(Interop.column(es.head)))))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // whole-operator kNN join plan node (org.apache.spark.sql.graft)
+    if (!spark.experimental.extraStrategies.contains(
+        org.apache.spark.sql.graft.KnnJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          org.apache.spark.sql.graft.KnnJoinStrategy
+  }
 }
 
 /** `SparkSessionExtensions` hook: inject the graft SQL functions at session
@@ -44,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftFunctions", name), builder))
     }
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.KnnJoinStrategy)
   }
 }

@@ -318,6 +318,54 @@ object SparkEntry {
         TextFns.bpeIshTokenCount(col("text")).as("n_bpe_tokens"))
     }),
 
+    // Sliding windows: each event lands in size/slide overlapping windows
+    "q32_sliding_windows" -> ((s, d) => {
+      Lake.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).cast("long").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // Native session windows (session_window) — same gap semantics as the
+    // explicit q25 sessionization, different operator
+    "q33_session_window" -> ((s, d) => {
+      Lake.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // A10: per-query macro metrics at k=5 vs label ground truth
+    "q34_per_query_prf" -> ((s, d) => {
+      val ranked = knnL2(s, d, 5)
+        .select(col("query_id").as("query"), col("neighbor_id").as("candidate"),
+          col("rank"))
+      Eval.perQueryPrf(ranked, sameLabelTruth(s, d), 5)
+    }),
+
+    // Skew-mitigation: salted hot-key aggregation (two-phase) — results
+    // must equal the plain aggregation
+    "q35_salted_agg" -> ((s, d) => {
+      graft.util.Skew.saltedCountSum(
+        t(s, d, "lineitem"), "l_returnflag", "l_quantity", salt = 8)
+        .select(col("l_returnflag"), col("n"), round(col("sum_value"), 2).as("sum_qty"))
+    }),
+
+    // Custom Catalyst operator: KnnJoinPlan logical node + KnnJoinStrategy
+    // + KnnJoinExec (broadcast + partial top-k + single buffer shuffle) —
+    // exact semantics, so it shares the brute-force oracle
+    "q36_knn_plan" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      org.apache.spark.sql.graft.KnnJoinOp
+        .knnJoin(emb, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Multimodal plumbing: binary payloads → deterministic stub features
     // (rows-only: checksum/features are JVM-hash-defined)
     "q27_media_features" -> ((s, d) => {
@@ -494,6 +542,11 @@ object SparkEntry {
          |FROM knn WHERE rnk <= 5""".stripMargin,
 
     "q28_ivf_knn" ->
+      s"""$knnL2Cte
+         |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+         |FROM knn WHERE rnk <= 5""".stripMargin,
+
+    "q36_knn_plan" ->
       s"""$knnL2Cte
          |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
          |FROM knn WHERE rnk <= 5""".stripMargin,
@@ -685,6 +738,54 @@ object SparkEntry {
         |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
         |    AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q32_sliding_windows" ->
+      """SELECT CAST((epoch_us(ts) // 1800000000 - k) * 1800 AS BIGINT) AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events, (VALUES (0), (1)) t(k)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q33_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+        |x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sno
+        |  FROM x)
+        |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM y GROUP BY user_id, sno""".stripMargin,
+
+    "q34_per_query_prf" ->
+      s"""$knnL2Cte,
+         |$truthCte,
+         |relc AS (SELECT query, count(*) AS n_relevant FROM rel GROUP BY query),
+         |ret AS (SELECT query_id AS query, count(*) AS n_retrieved
+         |        FROM knn WHERE rnk <= 5 GROUP BY 1),
+         |h AS (SELECT k.query_id AS query, count(*) AS tp
+         |      FROM (SELECT * FROM knn WHERE rnk <= 5) k
+         |      JOIN rel ON k.query_id = rel.query AND k.neighbor_id = rel.candidate
+         |      GROUP BY 1),
+         |m AS (SELECT ret.query, coalesce(h.tp, 0) AS tp, ret.n_retrieved,
+         |        relc.n_relevant,
+         |        coalesce(h.tp, 0) / (ret.n_retrieved + 1e-8) AS p0,
+         |        coalesce(h.tp, 0) / (relc.n_relevant + 1e-8) AS r0
+         |      FROM ret JOIN relc ON ret.query = relc.query
+         |      LEFT JOIN h ON ret.query = h.query)
+         |SELECT query, tp, n_retrieved, n_relevant,
+         |  round(p0, 4) AS p_at_k, round(r0, 4) AS r_at_k,
+         |  round(2.0 * p0 * r0 / (p0 + r0 + 1e-8), 4) AS f1_at_k
+         |FROM m""".stripMargin,
+
+    "q35_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q25_sessionize" ->
       """WITH e AS (

@@ -44,6 +44,36 @@ object Eval {
             (col("tp") / (col("tp") + col("fn") + lit(Eps))) + lit(Eps)), 4))
   }
 
+  /** A10: per-query (macro) metrics at k — precision@k, recall@k, f1@k per
+    * query (search_query.py:89–102; the reference computes these per query
+    * and reports only aggregate means — we expose the per-query grain,
+    * from which any aggregate derives).
+    * `ranked`: (query, candidate, rank); `truth`: (query, candidate).
+    * Queries with no truth entry are skipped (inner join, SemLink
+    * semantics). Eps-in-denominator kept.
+    */
+  def perQueryPrf(ranked: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val t = truth.select("query", "candidate").distinct()
+    val relCounts = t.groupBy("query").agg(count(lit(1)).as("n_relevant"))
+    val topK = ranked.filter(col("rank") <= k)
+    val retrieved = topK.groupBy("query").agg(count(lit(1)).as("n_retrieved"))
+    val hits = topK.join(t, Seq("query", "candidate"), "left_semi")
+      .groupBy("query").agg(count(lit(1)).as("tp"))
+    retrieved
+      .join(relCounts, Seq("query"), "inner")
+      .join(hits, Seq("query"), "left")
+      .na.fill(0L, Seq("tp"))
+      .withColumn("p_at_k", round(col("tp") / (col("n_retrieved") + lit(Eps)), 4))
+      .withColumn("r_at_k", round(col("tp") / (col("n_relevant") + lit(Eps)), 4))
+      .withColumn("f1_at_k", round(
+        lit(2.0) * (col("tp") / (col("n_retrieved") + lit(Eps))) *
+          (col("tp") / (col("n_relevant") + lit(Eps))) /
+          ((col("tp") / (col("n_retrieved") + lit(Eps))) +
+            (col("tp") / (col("n_relevant") + lit(Eps))) + lit(Eps)), 4))
+      .select("query", "tp", "n_retrieved", "n_relevant",
+        "p_at_k", "r_at_k", "f1_at_k")
+  }
+
   /** NDCG@k (join_discoverer.py:327–368): per query, candidates ordered by
     * rank; DCG = Σ 1/log2(rank+1) over relevant hits at rank ≤ k
     * (reference enumerates i from 0 with discount 1/log2(i+2));

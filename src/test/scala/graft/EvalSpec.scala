@@ -56,6 +56,22 @@ class EvalSpec extends SparkSpec {
     assert(deepjoin.getAs[Double]("ndcg") == 0.5)
   }
 
+  test("per-query macro metrics (A10): hits, misses, skipped queries") {
+    val truth = pairs("q1" -> "a", "q1" -> "b", "q2" -> "z")
+    val ranked = Seq(
+      ("q1", "a", 1), ("q1", "x", 2), // 1 of 2 relevant retrieved
+      ("q2", "z", 1),                  // perfect
+      ("q3", "y", 1))                  // no truth → skipped
+      .toDF("query", "candidate", "rank")
+    val got = Eval.perQueryPrf(ranked, truth, 5).collect()
+      .map(r => r.getAs[String]("query") -> r).toMap
+    assert(got.keySet == Set("q1", "q2"))
+    assert(got("q1").getAs[Long]("tp") == 1)
+    assert(got("q1").getAs[Double]("p_at_k") == 0.5)
+    assert(got("q1").getAs[Double]("r_at_k") == 0.5)
+    assert(got("q2").getAs[Double]("f1_at_k") == 1.0)
+  }
+
   test("k greater than |relevant|: idcg capped at |relevant|") {
     val truth = pairs("q1" -> "a")
     val ranked = Seq(("q1", "a", 1), ("q1", "b", 2)).toDF("query", "candidate", "rank")

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.KnnJoinOp
+
+import graft.knn.KnnJoin
+import graft.sources.Lake
+
+class KnnPlanSpec extends SparkSpec {
+
+  private lazy val emb = Lake.embeddings(spark, sf0001).cache()
+
+  test("KnnJoinPlan physical operator equals broadcastKnn exactly") {
+    GraftFunctions.register(spark)
+    val planned = KnnJoinOp.knnJoin(emb, emb, "vec_id", "embedding", 5)
+    val got = planned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val expected = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
+  test("KnnJoinPlan cosine metric and downstream composition") {
+    GraftFunctions.register(spark)
+    val planned = KnnJoinOp.knnJoin(emb, emb, "vec_id", "embedding", 3, "cosine")
+    // the node composes inside a larger plan: filter + agg downstream
+    val counts = planned.filter(col("rank") <= 3)
+      .groupBy("query_id").count()
+    assert(counts.filter(col("count") =!= 3).count() == 0)
+    val expected = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 3,
+      KnnJoin.MetricCosine)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = planned.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("physical plan contains the custom exec node, no cartesian product") {
+    GraftFunctions.register(spark)
+    val planned = KnnJoinOp.knnJoin(emb, emb, "vec_id", "embedding", 2)
+    planned.collect()
+    // TreeNode renders KnnJoinExec as "KnnJoin" (Exec suffix stripped)
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnJoin ") || plan.contains("KnnJoin\n") ||
+      plan.contains("KnnJoin ["))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"))
+  }
+}
