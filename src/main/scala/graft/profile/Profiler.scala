@@ -130,6 +130,18 @@ object Profiler {
         "most_common_values")
   }
 
+  /** A4: head-rows sample as records (`sample_rows` in the reference's
+    * table summary, extract_schema.py:45 — first `n` rows as string maps).
+    */
+  def sampleRows(df: DataFrame, n: Int = 3): Seq[Map[String, String]] = {
+    val cols = df.columns
+    df.limit(n).collect().map { r =>
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> Option(r.get(i)).map(_.toString).orNull
+      }.toMap
+    }.toSeq
+  }
+
   /** Profile every table of the lake (stats only — cheap, oracle-friendly). */
   def profileLakeStats(spark: SparkSession, dir: String,
       tables: Seq[String] = Lake.lakeTables): DataFrame =

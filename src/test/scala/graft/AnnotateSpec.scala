@@ -81,6 +81,30 @@ class AnnotateSpec extends SparkSpec {
     assert(enriched.getAs[scala.collection.Seq[String]](2).head == "15 January 2023")
   }
 
+  test("LLM prompt prep: dedup, seeded sample, null fill, markdown render") {
+    val df = Seq(
+      (Some(1), Some("x")), (Some(1), Some("x")), // dup row
+      (Some(2), None), (Some(3), Some("z")))
+      .toDF("a", "b")
+    val sample = graft.annotate.LlmPrompt.prepareSample(df, numRows = 10, seed = 42)
+    assert(sample.count() == 3) // dup collapsed
+    assert(sample.filter(col("b").isNull).count() == 0) // nulls filled
+    val prompt = graft.annotate.LlmPrompt.tablePrompt(df, "t1", numRows = 10)
+    assert(prompt.contains("Table name: t1"))
+    assert(prompt.contains("| a | b |"))
+    assert(prompt.contains("| --- | --- |"))
+    assert(prompt.contains("table_name, table_description, table_title, columns"))
+    // deterministic
+    assert(prompt == graft.annotate.LlmPrompt.tablePrompt(df, "t1", numRows = 10))
+  }
+
+  test("head-rows sample as string records (A4)") {
+    val rows = graft.profile.Profiler.sampleRows(
+      spark.read.parquet(s"$sf0001/region.parquet"), 3)
+    assert(rows.size == 3)
+    assert(rows.head.keySet == Set("r_regionkey", "r_name"))
+  }
+
   test("missing annotation defaults to empty strings (reference intent, J2)") {
     val profiles = Profiler.profileStats(Seq((1, "x")).toDF("a", "b"), "t")
     val noAnn = spark.emptyDataFrame
