@@ -1,0 +1,57 @@
+package graft
+
+import graft.profile.Profiler
+
+/** Scale-posture assertions (SURVEY.md §4.2): the plans must KEEP the
+  * shapes that make them survive a 100× scale-up — pushdown into the scan,
+  * broadcast for metadata joins, map-side partial aggregation. A refactor
+  * that silently loses one of these still passes value checks; these tests
+  * catch the plan regression itself.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q04: filters and projection reach the parquet scan") {
+    val plan = executedPlan("q04_filter_project")
+    // toString truncates the filter list — assert on its (untruncated) head
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // column pruning: the 11-column lineitem scan reads only what q04 needs
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"))
+  }
+
+  test("q02: the customer dim side is broadcast, not shuffled") {
+    val plan = executedPlan("q02_revenue_by_segment")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("profiler stats: single aggregation, no melt explosion") {
+    val df = Profiler.profileStats(
+      spark.read.parquet(s"$sf0001/lineitem.parquet"), "lineitem")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // hash agg directly over the scan; any exchange carries only the tiny
+    // partial-agg rows (shuffle is O(columns), not O(rows)), and the
+    // explode back to catalog grain runs AFTER the aggregation on its
+    // single stats row
+    assert(plan.contains("HashAggregate"))
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2)
+    val genIdx = plan.indexOf("Generate")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx > genIdx) // agg is BELOW the explode in the tree
+  }
+
+  test("kNN queries never plan a cartesian/nested-loop join") {
+    val df = SparkEntry.queries("q10_knn_l2")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
