@@ -37,6 +37,11 @@ object SemLink {
   /** Full discovery run at (k, t): JoinablePair frame
     * (t1, c1, t2, c2, distance_anns), globally sorted by distance
     * (join_discoverer.py:299).
+    *
+    * The kNN stage runs on the broadcast + partial-top-k scale path: the
+    * string column keys are mapped to dense ids over a ranking window
+    * (catalog-sized), searched as longs, and mapped back — the same shape
+    * that holds when the catalog has 10⁶ columns.
     */
   def discover(
       spark: SparkSession,
@@ -45,18 +50,22 @@ object SemLink {
       threshold: Double = 1.0,
       embedder: Embedder = HashEmbedder(),
       tables: Seq[String] = Lake.lakeTables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val profiles = Profiler.profileLake(spark, dir, tables)
     val embedded = columnTexts(profiles)
       .withColumn("vec", embedder.embedColumn(col("text")))
-      .select("key", "vec")
+      .withColumn("id", row_number().over(Window.orderBy("key")).cast("long"))
+      .select("id", "key", "vec")
       .cache()
-    val knn = KnnJoin.windowKnn(embedded, embedded, "key", "vec", k,
+    val keys = embedded.select("id", "key")
+    val knn = KnnJoin.broadcastKnn(embedded, embedded, "id", "vec", k,
       KnnJoin.MetricL2Sq, excludeSelf = true)
-    val filtered = Discovery.thresholdFilter(
-      knn.withColumnRenamed("query_id", "column_1")
-        .withColumnRenamed("neighbor_id", "column_2")
-        .withColumnRenamed("dist", "distance_anns"),
-      "distance_anns", threshold)
+      .join(broadcast(keys.withColumnRenamed("id", "query_id")
+        .withColumnRenamed("key", "column_1")), Seq("query_id"))
+      .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("key", "column_2")), Seq("neighbor_id"))
+      .withColumnRenamed("dist", "distance_anns")
+    val filtered = Discovery.thresholdFilter(knn, "distance_anns", threshold)
     Discovery.toJoinablePairs(filtered, "column_1", "column_2", "distance_anns")
       .orderBy("distance_anns", "t1", "c1", "t2", "c2")
   }
