@@ -23,7 +23,7 @@ import graft.sources.Lake
 object SemLink {
 
   /** Column catalog with the `"table:column"` key and the serialized
-    * column sentence (F6).
+    * column sentence (F6 — header mode).
     */
   def columnTexts(profiles: DataFrame): DataFrame =
     profiles.select(
@@ -33,6 +33,28 @@ object SemLink {
           lit(""), col("column"), col("num_values"),
           col("min_len"), col("max_len"), col("avg_len"),
           col("values_sample"))).as("text"))
+
+  /** Semantic-mode catalog: the full F7 embedding prompt — annotation line,
+    * examples, entry count, length stats, top-20 most-common values
+    * (join_discoverer.py:64–127). The reference never produced
+    * `most_common_values` (latent schema mismatch, SURVEY.md §1.4); our
+    * profiler does, so the prompt path is complete.
+    */
+  def columnPrompts(profiles: DataFrame, annotations: DataFrame): DataFrame = {
+    val ann = org.apache.spark.sql.functions.broadcast(
+      annotations.select(col("table"), col("column"),
+        col("table_description"), col("semantic_annotation")))
+    profiles.join(ann, Seq("table", "column"), "left")
+      .select(
+        TextFns.columnKey(col("table"), col("column")).as("key"),
+        TextFns.truncateTokens(
+          TextFns.embeddingPrompt(
+            col("column"),
+            coalesce(col("semantic_annotation"), lit("NA")),
+            coalesce(col("table_description"), lit("")),
+            col("num_values"), col("min_len"), col("max_len"), col("avg_len"),
+            col("values_sample"), col("most_common_values"))).as("text"))
+  }
 
   /** Full discovery run at (k, t): JoinablePair frame
     * (t1, c1, t2, c2, distance_anns), globally sorted by distance

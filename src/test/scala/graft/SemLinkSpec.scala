@@ -23,6 +23,20 @@ class SemLinkSpec extends SparkSpec {
     assert(pairs.contains(("region", "r_regionkey", "nation", "n_regionkey")))
   }
 
+  test("semantic-mode prompts carry annotation, samples, and most-common values") {
+    import graft.annotate.RuleAnnotator
+    import graft.pipeline.SemLink
+    import graft.profile.Profiler
+    val profiles = Profiler.profileLake(spark, sf0001, Seq("nation"))
+    val prompts = SemLink.columnPrompts(profiles, RuleAnnotator.annotate(profiles))
+    val t = prompts.filter(org.apache.spark.sql.functions.col("key") === "nation:n_regionkey")
+      .select("text").collect().head.getString(0)
+    assert(t.contains("has semantic annotation: 'regionkey'"))
+    assert(t.contains("Examples of values for this attribute include:"))
+    assert(t.contains("The dataset for column 'n_regionkey' contains 25 entries."))
+    assert(t.contains("Top 20 most frequent values in the column:"))
+  }
+
   test("threshold is honored: tighter threshold yields a subset") {
     val loose = SemLink.discover(spark, sf0001, k = 5, threshold = 1.3)
       .select("t1", "c1", "t2", "c2").collect().toSet
