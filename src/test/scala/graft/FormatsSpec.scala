@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Formats
+
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("fmt").toString
+
+  test("CSV scan: header + inferSchema; TSV all-string scan keeps strings") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "t.csv"),
+      "id,name,price\n1,alpha,1.5\n2,beta,2.5\n")
+    val df = Formats.csvScan(spark, s"$dir/t.csv")
+    assert(df.schema("id").dataType == IntegerType)
+    assert(df.count() == 2)
+
+    val tsv = tmp()
+    Files.writeString(java.nio.file.Paths.get(tsv, "t.tsv"),
+      "id\tname\n1\talpha\n")
+    val allStr = Formats.csvScanAllString(spark, s"$tsv/t.tsv")
+    assert(allStr.schema.fields.forall(_.dataType == StringType))
+    assert(allStr.collect().head.getString(0) == "1")
+  }
+
+  test("folder glob scan recovers table identity per file (S3)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "alpha.csv"), "a,b\n1,2\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "beta.csv"), "a,b\n3,4\n")
+    val df = Formats.csvFolderScan(spark, dir)
+    val tables = df.select("__table").as[String].collect().toSet
+    assert(tables == Set("alpha", "beta"))
+  }
+
+  test("multiline JSON metadata source with explicit schema (S5)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "m.json"),
+      """[{"file": "t1", "row_count": 10}, {"file": "t2", "row_count": 20}]""")
+    val schema = StructType(Seq(
+      StructField("file", StringType), StructField("row_count", LongType)))
+    val df = Formats.jsonScan(spark, s"$dir/m.json", schema)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set("t1" -> 10L, "t2" -> 20L))
+  }
+
+  test("JSON and CSV sinks round-trip (S7–S9)") {
+    val data = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val j = tmp() + "/j"
+    Formats.jsonSink(data, j, singleFile = true)
+    assert(Formats.jsonlScan(spark, j).count() == 2)
+    val c = tmp() + "/c"
+    Formats.csvSink(data, c, singleFile = true)
+    val back = spark.read.option("header", "true").csv(c)
+    assert(back.columns.toSeq == Seq("id", "v") && back.count() == 2)
+  }
+
+  test("parquet checkpoint memoization computes once, then loads (S10)") {
+    val path = tmp() + "/ckpt"
+    var computations = 0
+    def compute = {
+      computations += 1
+      Seq((1L, "a")).toDF("id", "v")
+    }
+    val first = Formats.checkpoint(spark, path)(compute)
+    assert(first.count() == 1 && computations == 1)
+    val second = Formats.checkpoint(spark, path)(compute)
+    assert(second.count() == 1)
+    assert(computations == 1) // by-name block not re-evaluated on cache hit
+  }
+}
