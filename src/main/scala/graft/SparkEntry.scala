@@ -227,12 +227,12 @@ object SparkEntry {
     }),
 
     // J5: within-group self-join — column pairs sharing a semantic name.
-    // The tiny catalog is collected back as a local frame so the self-join
-    // doesn't re-run (or cache-materialize) the profiling pass per branch.
+    // The (table, column) catalog comes straight from the parquet footers
+    // (schema read, zero jobs) — grouping needs names, not statistics.
     "q23_within_group_pairs" -> ((s, d) => {
       import s.implicits._
-      val items = Profiler.profileLakeStats(s, d)
-        .select(col("table"), col("column")).as[(String, String)].collect().toSeq
+      val items = Lake.lakeTables
+        .flatMap(tbl => t(s, d, tbl).schema.fieldNames.map(tbl -> _))
         .toDF("table", "column")
         .select(col("table"), col("column"),
           graft.annotate.RuleAnnotator.semanticName(col("column")).as("anno"),
