@@ -81,7 +81,7 @@ object Canonicalize {
       .collect()
       .map(_.getString(2))
       .toSeq
-    val mapping = foldCanonical(terms.distinct, synonyms)
+    val mapping = foldCanonical(terms, synonyms) // fold itself skips repeats
     val mapExpr = map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val out = annotations.withColumn("canonical_annotation",
       coalesce(element_at(mapExpr, col("semantic_annotation")),

@@ -223,8 +223,6 @@ object ApproxKnn {
       blockSize: Int = 100000,
       excludeSelf: Boolean = true): DataFrame = {
     val ids = queries.select(col(idCol).cast("long")).orderBy(idCol)
-    val total = ids.count()
-    val blocks = math.max(1, math.ceil(total.toDouble / blockSize).toInt)
     val bounds = ids.withColumn("__rn",
       row_number().over(Window.orderBy(idCol)))
       .filter((col("__rn") - 1) % blockSize === 0)

@@ -82,26 +82,8 @@ object KnnJoin {
 
   private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
 
-  /** Bounded per-query top-k accumulator: parallel arrays kept sorted
-    * ascending by (dist, id); O(k) insert, k is small (≤ ~50).
-    */
-  private final class TopK(k: Int) {
-    val dists = new Array[Double](k)
-    val ids = new Array[Long](k)
-    var size = 0
-    def offer(d: Double, id: Long): Unit = {
-      if (size < k || d < dists(size - 1) ||
-        (d == dists(size - 1) && id < ids(size - 1))) {
-        var pos = if (size < k) size else size - 1
-        while (pos > 0 && (dists(pos - 1) > d ||
-          (dists(pos - 1) == d && ids(pos - 1) > id))) {
-          dists(pos) = dists(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
-        }
-        dists(pos) = d; ids(pos) = id
-        if (size < k) size += 1
-      }
-    }
-  }
+  // bounded per-query top-k accumulator — shared with the plan-node exec
+  private type TopK = org.apache.spark.sql.graft.TopKBuf
 
   /** Scalable exact kNN: broadcast queries, partial top-k per candidate
     * partition, window merge. Same contract as [[windowKnn]].
