@@ -36,6 +36,19 @@ class SemLinkGridSpec extends SparkSpec {
       r.getAs[Double]("threshold") == 1.4).head.getAs[Long]("tp") > 0)
   }
 
+  test("golden metrics: exact P/R/F1/NDCG for the deterministic pipeline (SURVEY §5.4)") {
+    val row = SemLinkGrid.evaluationGrid(spark, sf0001, gt,
+      ks = Seq(5), thresholds = Seq(1.1)).collect().head
+    // 8 of the 10 symmetric GT pairs discovered at (k=5, t=1.1)
+    assert(row.getAs[Long]("tp") == 8L)
+    assert(row.getAs[Long]("fp") == 127L)
+    assert(row.getAs[Long]("fn") == 2L)
+    assert(row.getAs[Double]("precision") == 0.0593)
+    assert(row.getAs[Double]("recall") == 0.8)
+    assert(row.getAs[Double]("f1") == 0.1103)
+    assert(row.getAs[Double]("ndcg") == 0.693)
+  }
+
   test("seeded sample: deterministic, exact size, subset of input") {
     val df = (1 to 100).toDF("v")
     val s1 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq
