@@ -22,17 +22,21 @@ object Eval {
     * (query, candidate). TP = |discovered ∩ truth|, FP = |discovered − truth|,
     * FN = |truth − discovered| (set semantics: join_discoverer.py:417–423).
     * One-row output, metrics rounded to 4 (search_query.py:108–111).
+    *
+    * Single pass: one full-outer join + conditional counts, so the
+    * (potentially expensive) `discovered` plan — a whole kNN job in the
+    * SemLink pipeline — is evaluated exactly once, not once per set op.
     */
   def microPrf1(discovered: DataFrame, truth: DataFrame): DataFrame = {
     val d = discovered.select("query", "candidate").distinct()
+      .withColumn("__d", lit(1))
     val t = truth.select("query", "candidate").distinct()
-    val tp = d.join(t, Seq("query", "candidate"), "left_semi")
-      .agg(count(lit(1)).as("tp"))
-    val fp = d.join(t, Seq("query", "candidate"), "left_anti")
-      .agg(count(lit(1)).as("fp"))
-    val fn = t.join(d, Seq("query", "candidate"), "left_anti")
-      .agg(count(lit(1)).as("fn"))
-    tp.crossJoin(fp).crossJoin(fn)
+      .withColumn("__t", lit(1))
+    d.join(t, Seq("query", "candidate"), "full_outer")
+      .agg(
+        count(when(col("__d").isNotNull && col("__t").isNotNull, lit(1))).as("tp"),
+        count(when(col("__d").isNotNull && col("__t").isNull, lit(1))).as("fp"),
+        count(when(col("__d").isNull && col("__t").isNotNull, lit(1))).as("fn"))
       .withColumn("precision",
         round(col("tp") / (col("tp") + col("fp") + lit(Eps)), 4))
       .withColumn("recall",

@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{BoundedTopK, Interop}
+
+/** Column API over the custom aggregate expressions (implementation in
+  * org.apache.spark.sql.graft — see the packaging note there).
+  */
+object AggExpressions {
+
+  /** Top-k values by `(key ASC, value ASC)` as a sorted `array<string>`,
+    * with bounded per-partition state (map-side partial aggregation) —
+    * the scalable replacement for a ranking-window + filter + collect.
+    */
+  def boundedTopK(key: Column, value: Column, k: Int): Column =
+    Interop.column(
+      BoundedTopK(Interop.expression(key), Interop.expression(value), k)
+        .toAggregateExpression())
+}

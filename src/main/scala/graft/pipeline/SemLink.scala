@@ -61,9 +61,11 @@ object SemLink {
     * (join_discoverer.py:299).
     *
     * The kNN stage runs on the broadcast + partial-top-k scale path: the
-    * string column keys are mapped to dense ids over a ranking window
-    * (catalog-sized), searched as longs, and mapped back — the same shape
-    * that holds when the catalog has 10⁶ columns.
+    * string column keys are mapped to per-partition-unique long ids
+    * (`monotonically_increasing_id` — ids need only be distinct, not
+    * dense, and a dense `row_number` over a global window would sort the
+    * whole catalog through one task), searched as longs, and mapped back —
+    * the same shape that holds when the catalog has 10⁶ columns.
     */
   def discover(
       spark: SparkSession,
@@ -72,11 +74,10 @@ object SemLink {
       threshold: Double = 1.0,
       embedder: Embedder = HashEmbedder(),
       tables: Seq[String] = Lake.lakeTables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val profiles = Profiler.profileLake(spark, dir, tables)
     val embedded = columnTexts(profiles)
       .withColumn("vec", embedder.embedColumn(col("text")))
-      .withColumn("id", row_number().over(Window.orderBy("key")).cast("long"))
+      .withColumn("id", monotonically_increasing_id())
       .select("id", "key", "vec")
       .cache()
     val keys = embedded.select("id", "key")

@@ -1,7 +1,6 @@
 package graft.profile
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -87,13 +86,21 @@ object Profiler {
 
   /** Full profile including values_sample (first-seen distinct order) and
     * most_common_values (top-K by frequency, ties broken by value asc).
-    * Two hash aggs + two ranking windows partitioned by column.
+    *
+    * Both samples come from ONE partial-top-k aggregation pass over the
+    * distinct-value counts ([[graft.functions.AggExpressions.boundedTopK]]):
+    * each task keeps a k-sized buffer per column and the final merge sees
+    * only |partitions| × |columns| such buffers. A ranking window here
+    * (`Window.partitionBy("column")`) would route every distinct value of a
+    * column through a single reducer — O(N) rows in one task for a
+    * near-unique column, the profiler's scale-killer at 100 TB.
     */
   def profileTable(
       df: DataFrame,
       tableName: String,
       sampleSize: Int = 30,
       topK: Int = 20): DataFrame = {
+    import graft.functions.AggExpressions.boundedTopK
     val stats = profileStats(df, tableName)
 
     val valueCounts = melt(df)
@@ -101,30 +108,18 @@ object Profiler {
       .groupBy("column", "value")
       .agg(count(lit(1)).as("cnt"), min("__rid").as("first_rid"))
 
-    val wSeen = Window.partitionBy("column").orderBy(asc("first_rid"), asc("value"))
-    val wFreq = Window.partitionBy("column").orderBy(desc("cnt"), asc("value"))
-
-    // collect_list does not guarantee order → collect (rank, value) structs
-    // and array_sort them (struct ordering is field-ordinal, rank first).
+    // first-seen order = (first_rid ASC, value ASC); top-by-frequency =
+    // (cnt DESC, value ASC) ≡ (-cnt ASC, value ASC)
     val samples = valueCounts
-      .withColumn("rn", row_number().over(wSeen))
-      .filter(col("rn") <= sampleSize)
       .groupBy("column")
-      .agg(transform(
-        array_sort(collect_list(struct(col("rn"), col("value")))),
-        x => x.getField("value")).as("values_sample"))
-
-    val mostCommon = valueCounts
-      .withColumn("rn", row_number().over(wFreq))
-      .filter(col("rn") <= topK)
-      .groupBy("column")
-      .agg(transform(
-        array_sort(collect_list(struct(col("rn"), col("value")))),
-        x => x.getField("value")).as("most_common_values"))
+      .agg(
+        boundedTopK(col("first_rid"), col("value"), sampleSize)
+          .as("values_sample"),
+        boundedTopK(-col("cnt"), col("value"), topK)
+          .as("most_common_values"))
 
     stats
       .join(samples, Seq("column"), "left")
-      .join(mostCommon, Seq("column"), "left")
       .select("table", "column", "inferred_type", "row_count", "num_values",
         "nulls", "min_len", "max_len", "avg_len", "values_sample",
         "most_common_values")
