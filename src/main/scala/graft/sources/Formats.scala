@@ -68,9 +68,12 @@ object Formats {
     * semlink.py:12–16). Existence check on the _SUCCESS marker.
     */
   def checkpoint(spark: SparkSession, path: String)(compute: => DataFrame): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    // resolve the filesystem FROM the path — FileSystem.get(conf) returns
+    // the default FS, which is wrong for e.g. an s3a:// checkpoint when
+    // the default is file:// (Wrong-FS error or a miss on the marker)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
     if (fs.exists(marker)) spark.read.parquet(path)
     else {
       compute.write.mode(SaveMode.Overwrite).parquet(path)

@@ -96,34 +96,48 @@ object Streams {
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
       flushTimeout: Boolean = false): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
-    val gapUs = gapMinutes.toLong * 60 * 1000000
-
-    def update(userId: Long, evs: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[SessionAgg] = {
-      var out = List.empty[SessionAgg]
-      var cur = state.getOption
-      evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val us = e.ts.getTime * 1000
-        cur match {
-          case Some(s) if us - s.lastUs <= gapUs =>
-            cur = Some(s.copy(lastUs = us, cnt = s.cnt + 1, total = s.total + e.value))
-          case Some(s) =>
-            out ::= SessionAgg(userId, s.startUs, s.cnt,
-              math.rint(s.total * 100) / 100)
-            cur = Some(SessionState(us, us, 1, e.value))
-          case None =>
-            cur = Some(SessionState(us, us, 1, e.value))
-        }
-      }
-      cur.foreach(s => state.update(s))
-      if (flushTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
-      out.reverseIterator
-    }
-
     val timeoutConf =
       if (flushTimeout) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        sessionUpdate(gapMinutes, flushTimeout))
+  }
+
+  /** The sessionization state machine (extracted so the timeout path is
+    * unit-testable with `TestGroupState` — a ProcessingTimeTimeout query
+    * never drains under `processAllAvailable`).
+    */
+  private[graft] def sessionUpdate(gapMinutes: Int, flushTimeout: Boolean)(
+      userId: Long, evs: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionAgg] = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    // processing-time timeout fired with no new events: flush the idle
+    // session and clear state — otherwise the timeout would be re-armed
+    // below and the session would never be emitted
+    if (state.hasTimedOut) {
+      val flushed = state.getOption.map(s =>
+        SessionAgg(userId, s.startUs, s.cnt, math.rint(s.total * 100) / 100))
+      state.remove()
+      return flushed.iterator
+    }
+    var out = List.empty[SessionAgg]
+    var cur = state.getOption
+    evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val us = e.ts.getTime * 1000
+      cur match {
+        case Some(s) if us - s.lastUs <= gapUs =>
+          cur = Some(s.copy(lastUs = us, cnt = s.cnt + 1, total = s.total + e.value))
+        case Some(s) =>
+          out ::= SessionAgg(userId, s.startUs, s.cnt,
+            math.rint(s.total * 100) / 100)
+          cur = Some(SessionState(us, us, 1, e.value))
+        case None =>
+          cur = Some(SessionState(us, us, 1, e.value))
+      }
+    }
+    cur.foreach(s => state.update(s))
+    if (flushTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+    out.reverseIterator
   }
 }

@@ -24,6 +24,11 @@ object Skew {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    // right/full outer would emit `salt` null-padded duplicates for every
+    // unmatched `other` row (it is exploded salt times) — silently wrong
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     val left = skewed.withColumn("__salt",
       (rand(42) * salt).cast("int"))
     val right = other.withColumn("__salt",

@@ -73,4 +73,36 @@ class StreamsSpec extends SparkSpec {
     val got = spark.table("sess_out").as[Streams.SessionAgg].collect()
     assert(got.exists(s => s.user_id == 7 && s.n_events == 2 && s.sum_value == 3.0))
   }
+
+  test("sessionUpdate flushes and clears the buffered session on timeout") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val buffered = Streams.SessionState(startUs = 1000L, lastUs = 2000L,
+      cnt = 3L, total = 6.125)
+    val state = TestGroupState.create[Streams.SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(buffered),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = Streams.sessionUpdate(gapMinutes = 30, flushTimeout = true)(
+      7L, Iterator.empty, state).toList
+    assert(out == List(Streams.SessionAgg(7L, 1000L, 3L, 6.12)))
+    assert(state.isRemoved) // no state left, timeout not re-armed
+  }
+
+  test("sessionUpdate with timeout and fresh events keeps buffering, no flush") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val state = TestGroupState.create[Streams.SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        Streams.SessionState(0L, 0L, 1L, 1.0)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val ev = Streams.Event(1, new java.sql.Timestamp(1000L), 7, "c", 2.0)
+    val out = Streams.sessionUpdate(gapMinutes = 30, flushTimeout = true)(
+      7L, Iterator(ev), state).toList
+    assert(out.isEmpty) // gap not exceeded: session extends, nothing emitted
+    assert(state.exists && state.get.cnt == 2L)
+  }
 }
