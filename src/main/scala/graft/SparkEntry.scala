@@ -30,6 +30,18 @@ object SparkEntry {
 
   // ---- shared kNN building blocks (embeddings table, self-kNN) ----
 
+  /** Inline ground truth of the lake's key relationships (all integer key
+    * columns — their string-cast stats agree byte-for-byte across engines).
+    */
+  private val deepjoinGt: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"))
+
   private def knnL2(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", k, KnnJoin.MetricL2Sq)
@@ -194,22 +206,32 @@ object SparkEntry {
           DateNorm.normalizeDate(raw).as("normalized"))
     }),
 
-    // Dedup (MinHash+LSH): banded candidate generation; exact copies are
-    // injected (doc_id+1000000) so recall is verifiable at every sf.
+    // Dedup (MinHash+LSH): banded candidate generation with injected exact
+    // copies (doc_id+1000000). The output is the recovered injected-pair
+    // set: identical text → identical signatures → every pair MUST surface
+    // with est_jaccard exactly 1.0, which the DuckDB oracle asserts row by
+    // row (recall 100% on exact dups, hash-checked — no blind spot).
     "q19_minhash_lsh" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val dups = docs.withColumn("doc_id", col("doc_id") + 1000000)
       Dedup.minHashLshCandidates(docs.union(dups), "doc_id", "text")
         .filter(col("est_jaccard") >= 0.9)
+        .join(docs.select(col("doc_id").cast("long").as("id_a")), Seq("id_a"))
+        .filter(col("id_b") === col("id_a") + 1000000)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
-    // Dedup (SimHash): pigeonhole-blocked Hamming-distance near-dups
+    // Dedup (SimHash): pigeonhole-blocked Hamming near-dups with injected
+    // exact copies — recovered injected pairs carry hamming 0 and are
+    // hash-checked against the oracle (same recall-gate pattern as q19)
     "q20_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
         .filter(col("doc_id") < 1000)
       val dups = docs.withColumn("doc_id", col("doc_id") + 1000000)
       Dedup.simhashNearDups(docs.union(dups), "doc_id", "text", maxHamming = 3)
+        .join(docs.select(col("doc_id").cast("long").as("id_a")), Seq("id_a"))
+        .filter(col("id_b") === col("id_a") + 1000000)
+        .select("id_a", "id_b", "hamming")
     }),
 
     // Text analysis: heuristic language ID (stopword-ratio argmax)
@@ -256,25 +278,20 @@ object SparkEntry {
     }),
 
     // DeepJoin pair assembly (J1/J2/J6 + F6) from an inline GT of the
-    // lake's known key relationships (rows-only: the values_sample inside
-    // the rendered text is engine-ordering-specific)
+    // lake's known key relationships. Sample-free text variant: the stats
+    // prefix is byte-deterministic (all GT columns are integers, whose
+    // string-cast agrees across engines), so the full rendered pair text
+    // hash-matches the DuckDB oracle.
     "q26_deepjoin_pairs" -> ((s, d) => {
       import s.implicits._
-      val gt = Seq(
-        ("customer", "c_nationkey", "nation", "n_nationkey"),
-        ("supplier", "s_nationkey", "nation", "n_nationkey"),
-        ("nation", "n_regionkey", "region", "r_regionkey"),
-        ("orders", "o_custkey", "customer", "c_custkey"),
-        ("lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("lineitem", "l_orderkey", "orders", "o_orderkey"))
+      val gt = deepjoinGt
         .toDF("query_table", "query_column", "candidate_table", "candidate_column")
-      val profiles = Profiler.profileLake(s, d)
+      val profiles = Profiler.profileLakeStats(s, d)
       val texts = graft.pairs.PairsBuilder.columnTexts(
         graft.pairs.PairsBuilder.withStats(
           graft.pairs.PairsBuilder.gtColumns(gt), profiles),
         Some(graft.annotate.RuleAnnotator.annotate(profiles)),
-        useAnnotation = true)
+        useAnnotation = true, includeSamples = false)
       graft.pairs.PairsBuilder.buildPairs(gt, texts)
     }),
 
@@ -289,13 +306,23 @@ object SparkEntry {
           round(col("dist"), 6).as("dist"))
     }),
 
-    // Multi-probe LSH kNN (rows-only: the hyperplanes are JVM-seeded;
-    // recall vs exact is asserted in ApproxKnnSpec)
+    // Multi-probe LSH kNN, recall-gated: the hyperplane signatures are not
+    // reproducible in SQL, so the query itself compares the LSH result
+    // against the exact kNN (one left join, evaluated once) and emits the
+    // aggregate recall floor check the oracle CAN assert — n_exact is
+    // 5·|embeddings| by construction and the floor (0.4, the ApproxKnnSpec
+    // floor for these angularly-diffuse vectors) must hold.
     "q29_lsh_knn" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      graft.knn.ApproxKnn.lshKnn(emb, emb, "vec_id", "embedding", k = 5, dim = 64)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
-          round(col("dist"), 6).as("dist"))
+      val approx = graft.knn.ApproxKnn.lshKnn(emb, emb, "vec_id", "embedding",
+          k = 5, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__a"))
+      val exact = knnL2(s, d, 5).select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__a")).as("n_hits"))
+        .select(col("n_exact"),
+          when(col("n_hits") * 10 >= col("n_exact") * 4, 1L).otherwise(0L)
+            .as("recall_floor_met"))
     }),
 
     // F7: conditional multi-line embedding-prompt assembly (sample-free
@@ -366,8 +393,10 @@ object SparkEntry {
           round(col("dist"), 6).as("dist"))
     }),
 
-    // Multimodal plumbing: binary payloads → deterministic stub features
-    // (rows-only: checksum/features are JVM-hash-defined)
+    // Multimodal plumbing: binary payloads → per-partition feature
+    // extraction. The oracle-checked slice is the deterministic part
+    // (UTF-8 byte length + feature dimension); checksum/feature VALUES are
+    // JVM-hash-defined and covered by MultimodalSpec instead.
     "q27_media_features" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents")
@@ -376,7 +405,8 @@ object SparkEntry {
         .as[graft.multimodal.Multimodal.MediaRow]
       graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
         .toDF()
-        .select(col("id"), col("n_bytes"), col("checksum"))
+        .select(col("id"), col("n_bytes"),
+          size(col("features")).cast("long").as("n_features"))
     }),
   )
 
@@ -452,7 +482,73 @@ object SparkEntry {
        | ELSE 0.0 END""".stripMargin
   }
 
+  /** q26 oracle: reproduce the sample-free DeepJoin pair texts. Per GT
+    * column (all integers): count + length stats of the string-cast values,
+    * rendered with the exact `columnToText` format, assembled per GT row.
+    */
+  private val deepjoinOracle: String = {
+    val gtValues = deepjoinGt.map { case (qt, qc, ct, cc) =>
+      s"('$qt', '$qc', '$ct', '$cc')"
+    }.mkString(", ")
+    val involved = deepjoinGt.flatMap { case (qt, qc, ct, cc) =>
+      Seq(qt -> qc, ct -> cc)
+    }.distinct
+    val statsSql = involved.map { case (tbl, c) =>
+      s"""SELECT '$tbl' AS tbl, '$c' AS col,
+         | CAST(count($c) AS BIGINT) AS num_values,
+         | CAST(min(length(CAST($c AS VARCHAR))) AS BIGINT) AS min_len,
+         | CAST(max(length(CAST($c AS VARCHAR))) AS BIGINT) AS max_len,
+         | round(avg(length(CAST($c AS VARCHAR))), 2) AS avg_len
+         |FROM $tbl""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH gt(query_table, query_column, candidate_table, candidate_column)
+       |  AS (VALUES $gtValues),
+       |stats AS (
+       |$statsSql),
+       |texts AS (
+       |  SELECT tbl, col,
+       |    tbl || ' ' ||
+       |    regexp_replace(translate(lower(col), ' -', '__'), '^[a-z]_', '') ||
+       |    ' contains ' || num_values || ' values (min=' || min_len ||
+       |    ', max=' || max_len || ', avg=' ||
+       |    CAST(round(avg_len, 1) AS VARCHAR) || '): ' AS text
+       |  FROM stats)
+       |SELECT qt.text AS text_a, ct.text AS text_b
+       |FROM gt
+       |JOIN texts qt ON qt.tbl = gt.query_table AND qt.col = gt.query_column
+       |JOIN texts ct ON ct.tbl = gt.candidate_table AND ct.col = gt.candidate_column""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q26_deepjoin_pairs" -> deepjoinOracle,
+
+    // recall gates: every injected exact-dup pair must be recovered —
+    // identical text gives identical MinHash signatures (est_jaccard 1.0)
+    // and identical SimHash (hamming 0)
+    "q19_minhash_lsh" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a,
+        | CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+        | 1.0 AS est_jaccard
+        |FROM documents""".stripMargin,
+
+    "q20_simhash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a,
+        | CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+        | CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
+
+    // LSH kNN recall floor: n_exact = 5·|embeddings| (every query has
+    // exactly 5 exact neighbors), and recall@5 ≥ 0.4 must hold
+    "q29_lsh_knn" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
+
+    "q27_media_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(16 AS BIGINT) AS n_features
+        |FROM documents""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

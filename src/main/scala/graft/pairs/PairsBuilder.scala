@@ -36,11 +36,17 @@ object PairsBuilder {
   /** J2 + F6: attach annotations (left, empty-string defaults —
     * implementing the reference's intent, repositoryLoader.py:113–132) and
     * serialize each column to its text sentence.
+    *
+    * `includeSamples = false` renders the sample-free variant (stats prefix
+    * only): byte-deterministic across engines, so exact-comparable against
+    * a SQL oracle — and it only needs the cheap stats profile, not the
+    * value-sample pass.
     */
   def columnTexts(
       withStats: DataFrame,
       annotations: Option[DataFrame],
-      useAnnotation: Boolean): DataFrame = {
+      useAnnotation: Boolean,
+      includeSamples: Boolean = true): DataFrame = {
     val annotated = annotations match {
       case Some(ann) =>
         withStats.join(
@@ -59,9 +65,12 @@ object PairsBuilder {
         when(length(col("semantic_annotation")) > 0, col("semantic_annotation"))
           .otherwise(col("column"))
       else col("column")
+    val sample =
+      if (includeSamples) col("values_sample")
+      else lit(null).cast("array<string>")
     annotated.withColumn("text",
       TextFns.columnToText(col("table_title"), header, col("num_values"),
-        col("min_len"), col("max_len"), col("avg_len"), col("values_sample")))
+        col("min_len"), col("max_len"), col("avg_len"), sample))
   }
 
   /** J6: GT pair assembly — each GT row joined to both sides' column texts,
