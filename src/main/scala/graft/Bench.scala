@@ -13,10 +13,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session once (scan machinery, codegen infra, shuffle JIT) so
-    // per-query timings aren't dominated by whichever query runs first.
+    // Warm the session once so first-use machinery isn't billed to
+    // whichever query touches it first: parquet scan + shuffle agg, local
+    // relations, broadcast hash join, regex codegen, ranking windows.
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().count()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val w = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      w.join(broadcast(w.select(col("id"), col("s").as("s2"))), Seq("id"))
+        .withColumn("r", regexp_replace(col("s"), "a", "b"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy("s")))
+        .count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -253,8 +253,8 @@ object SparkEntry {
     // (schema read, zero jobs) — grouping needs names, not statistics.
     "q23_within_group_pairs" -> ((s, d) => {
       import s.implicits._
-      val items = Lake.lakeTables
-        .flatMap(tbl => t(s, d, tbl).schema.fieldNames.map(tbl -> _))
+      val items = Lake.tables(s, d, Lake.lakeTables)
+        .flatMap { case (tbl, df) => df.schema.fieldNames.map(tbl -> _) }
         .toDF("table", "column")
         .select(col("table"), col("column"),
           graft.annotate.RuleAnnotator.semanticName(col("column")).as("anno"),
@@ -391,6 +391,23 @@ object SparkEntry {
         .knnJoin(emb, emb, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
           round(col("dist"), 6).as("dist"))
+    }),
+
+    // IVF kNN at a PRUNED probe config (nProbe=4 of 16 lists): work scales
+    // with N·nProbe/nList instead of N² — this is the configuration a real
+    // deployment runs, recall-gated against the exact kNN the same way as
+    // q29 (floor 0.5; ApproxKnnSpec asserts 0.55 on the same data)
+    "q37_ivf_pruned" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val approx = graft.knn.ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding",
+          k = 5, nList = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__a"))
+      val exact = knnL2(s, d, 5).select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__a")).as("n_hits"))
+        .select(col("n_exact"),
+          when(col("n_hits") * 2 >= col("n_exact"), 1L).otherwise(0L)
+            .as("recall_floor_met"))
     }),
 
     // Multimodal plumbing: binary payloads → per-partition feature
@@ -540,6 +557,12 @@ object SparkEntry {
     // LSH kNN recall floor: n_exact = 5·|embeddings| (every query has
     // exactly 5 exact neighbors), and recall@5 ≥ 0.4 must hold
     "q29_lsh_knn" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
+
+    // pruned-IVF recall floor: same contract as q29 (recall@5 ≥ 0.5)
+    "q37_ivf_pruned" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,

@@ -137,16 +137,21 @@ object Profiler {
     }.toSeq
   }
 
-  /** Profile every table of the lake (stats only — cheap, oracle-friendly). */
+  /** Profile every table of the lake (stats only — cheap, oracle-friendly).
+    * Tables load concurrently ([[Lake.tables]]) — the serial footer reads
+    * otherwise dominate the catalog pass.
+    */
   def profileLakeStats(spark: SparkSession, dir: String,
       tables: Seq[String] = Lake.lakeTables): DataFrame =
-    tables.map(t => profileStats(Lake.table(spark, dir, t), t))
+    Lake.tables(spark, dir, tables)
+      .map { case (t, df) => profileStats(df, t) }
       .reduce(_.unionByName(_))
 
   /** Profile every table of the lake with samples (the SemLink input). */
   def profileLake(spark: SparkSession, dir: String,
       tables: Seq[String] = Lake.lakeTables,
       sampleSize: Int = 30, topK: Int = 20): DataFrame =
-    tables.map(t => profileTable(Lake.table(spark, dir, t), t, sampleSize, topK))
+    Lake.tables(spark, dir, tables)
+      .map { case (t, df) => profileTable(df, t, sampleSize, topK) }
       .reduce(_.unionByName(_))
 }

@@ -20,8 +20,33 @@ object Lake {
   val lakeTables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
+  // Memoize resolved table plans per (session, dir, table): footer reads +
+  // file listing cost ~hundreds of ms on the driver, and catalog-wide
+  // operators re-touch the same immutable tables many times per session.
+  // (events is only ever loaded via [[events]], which sets nanosAsLong
+  // before the first — and therefore the cached — resolution.)
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Load several tables concurrently. Plan construction reads parquet
+    * footers on the DRIVER (~hundreds of ms per table including file
+    * listing); done serially that dominates catalog-wide metadata
+    * operations, so fan the footer reads out.
+    */
+  def tables(spark: SparkSession, dir: String,
+      names: Seq[String]): Seq[(String, DataFrame)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.traverse(names)(n => Future(n -> table(spark, dir, n))),
+      5.minutes)
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
