@@ -32,6 +32,31 @@ object LlmPrompt {
     (head +: sep +: body).mkString("\n")
   }
 
+  /** Catalog-shaped annotation prompt: rendered from profile metadata
+    * (column, inferred type, sample values) instead of raw table rows —
+    * the executor-side prompt for [[LlmAnnotator]], which only sees the
+    * profile catalog. Pure string function, safe inside mapPartitions.
+    */
+  def catalogPrompt(table: String, columns: Seq[String], types: Seq[String],
+      samples: Seq[Seq[String]] = Nil): String = {
+    def fmt(cells: Seq[String]) = cells.mkString("| ", " | ", " |")
+    val header = Seq("column", "type", "sample_values")
+    val body = columns.indices.map { i =>
+      val s = samples.lift(i).flatMap(Option(_))
+        .map(_.take(5).mkString(", ")).getOrElse("")
+      fmt(Seq(columns(i), types.lift(i).getOrElse(""), s))
+    }
+    (Seq(
+      s"Table name: $table",
+      "Columns:",
+      fmt(header),
+      fmt(header.map(_ => "---"))) ++ body ++ Seq(
+      "Assign a meaningful snake_case semantic annotation to every column,",
+      "a table_title and a table_description. Respond with a JSON object",
+      "with keys table_name, table_description, table_title, columns."))
+      .mkString("\n")
+  }
+
   /** Full per-table annotation prompt (system prompt + sample table) —
     * the string handed to an [[Annotator]]'s LLM backend.
     */
