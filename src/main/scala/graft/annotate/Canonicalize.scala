@@ -22,23 +22,51 @@ import org.apache.spark.sql.functions._
   */
 object Canonicalize {
 
-  /** Static synonym dictionary standing in for WordNet (the corpus isn't
+  /** Fallback groups if the bundled dictionary resource is missing. */
+  private val builtinGroups: Seq[Set[String]] = Seq(
+    Set("id", "identifier", "key", "code"),
+    Set("name", "title", "label"),
+    Set("date", "day", "time"),
+    Set("price", "cost", "amount", "charge"),
+    Set("quantity", "count", "number"),
+    Set("description", "comment", "remark"),
+    Set("address", "location", "place"),
+    Set("balance", "credit"),
+    Set("status", "state", "flag"),
+    Set("type", "kind", "category", "class"))
+
+  /** term → synset union across every group containing the term — the
+    * shape `wordnet.synsets(term)` gives the reference (a term belongs to
+    * ALL its synsets, json_parser.py:99–126).
+    */
+  private def mergeGroups(groups: Seq[Set[String]]): Map[String, Set[String]] =
+    groups.flatMap(g => g.map(t => t -> (g - t)))
+      .groupMapReduce(_._1)(_._2)(_ ++ _)
+
+  /** Parse a synonym export: one comma-separated group per line,
+    * `#` comments and blanks skipped, terms lowercased.
+    */
+  def parseSynonymGroups(lines: Iterator[String]): Seq[Set[String]] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .filter(_.size >= 2)
+      .toSeq
+
+  /** Synonym dictionary standing in for WordNet (the corpus itself isn't
     * shippable offline; the reference consults `wordnet.synsets`,
-    * json_parser.py:99–126). Symmetric closure is applied at load.
+    * json_parser.py:95–209): loaded from the bundled public-vocabulary
+    * export `graft/synonyms.txt` (~230 curated groups, schema-vocabulary
+    * weighted), symmetric closure + per-term union applied at load.
     */
   val defaultSynonyms: Map[String, Set[String]] = {
-    val groups = Seq(
-      Set("id", "identifier", "key", "code"),
-      Set("name", "title", "label"),
-      Set("date", "day", "time"),
-      Set("price", "cost", "amount", "charge"),
-      Set("quantity", "count", "number"),
-      Set("description", "comment", "remark"),
-      Set("address", "location", "place"),
-      Set("balance", "credit"),
-      Set("status", "state", "flag"),
-      Set("type", "kind", "category", "class"))
-    groups.flatMap(g => g.map(t => t -> (g - t))).toMap
+    val groups = Option(getClass.getResourceAsStream("/graft/synonyms.txt")) match {
+      case Some(in) =>
+        try parseSynonymGroups(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+        finally in.close()
+      case None => builtinGroups
+    }
+    mergeGroups(groups)
   }
 
   /** The sequential first-seen fold (json_parser.py:146–188): returns

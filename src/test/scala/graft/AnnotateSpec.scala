@@ -56,6 +56,28 @@ class AnnotateSpec extends SparkSpec {
     assert(mapping("id") == "identifier")
   }
 
+  test("bundled synonym dictionary: broad, unioned per term, fold-compatible") {
+    val dict = Canonicalize.defaultSynonyms
+    assert(dict.size > 400, s"dictionary too small: ${dict.size} terms")
+    // schema-vocabulary groups beyond the original ten
+    assert(dict("vendor").contains("supplier"))
+    assert(dict("salary").contains("wage"))
+    assert(dict("zipcode").contains("postcode"))
+    // a term in several groups gets the UNION of its synsets
+    assert(dict("amount").contains("price") && dict("amount").contains("total"))
+    // fold semantics over new groups: vendor's unioned synset covers
+    // {seller, merchant, retailer, supplier, provider, purveyor}, so the
+    // first-seen "vendor" owns them all
+    val m = Canonicalize.foldCanonical(Seq("vendor", "seller", "merchant", "supplier"))
+    assert(m("vendor") == "vendor")
+    assert(m("seller") == "vendor")
+    assert(m("merchant") == "vendor")
+    assert(m("supplier") == "vendor")
+    // disjoint groups stay separate: student is nowhere near vendor
+    val m2 = Canonicalize.foldCanonical(Seq("vendor", "student", "pupil"))
+    assert(m2("student") == "student" && m2("pupil") == "student")
+  }
+
   test("canonicalizeAnnotations applies the mapping over the frame") {
     val ann = Seq(
       ("t1", "a", "title"), ("t1", "b", "name"), ("t2", "c", "custkey"))
