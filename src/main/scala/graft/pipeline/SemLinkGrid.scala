@@ -20,17 +20,24 @@ import graft.sources.Lake
   */
 object SemLinkGrid {
 
-  /** One grid cell row:
-    * (k, threshold, tp, fp, fn, precision, recall, f1, ndcg).
+  /** One grid cell: the discovered (query, candidate, dist) pairs and the
+    * one-row metrics frame (k, threshold, tp, fp, fn, precision, recall,
+    * f1, ndcg).
     */
-  def evaluationGrid(
+  final case class GridCell(k: Int, threshold: Double,
+      discovered: DataFrame, metrics: DataFrame)
+
+  /** The shared grid plumbing: one kNN pass at max(k), cached; every
+    * (k, threshold) cell is a pure filter over it.
+    */
+  def gridCells(
       spark: SparkSession,
       dir: String,
       groundTruth: DataFrame, // (query_table, query_column, candidate_table, candidate_column)
       ks: Seq[Int] = Seq(5, 10, 25),
       thresholds: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.4),
       embedder: Embedder = HashEmbedder(),
-      tables: Seq[String] = Lake.lakeTables): DataFrame = {
+      tables: Seq[String] = Lake.lakeTables): Seq[GridCell] = {
     import graft.functions.TextFns
 
     val profiles = Profiler.profileLake(spark, dir, tables)
@@ -51,21 +58,65 @@ object SemLinkGrid {
     val knn = KnnJoin.windowKnn(embedded, embedded, "key", "vec", kMax).cache()
     knn.count() // materialize once
 
-    val cells = for (k <- ks; t <- thresholds) yield {
+    for (k <- ks; t <- thresholds) yield {
       val topK = knn.filter(col("rank") <= k)
       val discovered = Discovery.thresholdFilter(topK, "dist", t)
-        .select(col("query_id").as("query"), col("neighbor_id").as("candidate"))
+        .select(col("query_id").as("query"), col("neighbor_id").as("candidate"),
+          col("dist"))
       val prf = Eval.microPrf1(discovered, truth)
       val ndcg = Eval.ndcgAtK(
         topK.select(col("query_id").as("query"),
           col("neighbor_id").as("candidate"), col("rank")),
         truth, k)
-      prf.crossJoin(ndcg.select("ndcg"))
+      val metrics = prf.crossJoin(ndcg.select("ndcg"))
         .withColumn("k", lit(k))
         .withColumn("threshold", lit(t))
         .select("k", "threshold", "tp", "fp", "fn",
           "precision", "recall", "f1", "ndcg")
+      GridCell(k, t, discovered, metrics)
     }
-    cells.reduce(_.unionByName(_))
+  }
+
+  /** One grid cell row per (k, threshold):
+    * (k, threshold, tp, fp, fn, precision, recall, f1, ndcg).
+    */
+  def evaluationGrid(
+      spark: SparkSession,
+      dir: String,
+      groundTruth: DataFrame,
+      ks: Seq[Int] = Seq(5, 10, 25),
+      thresholds: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.4),
+      embedder: Embedder = HashEmbedder(),
+      tables: Seq[String] = Lake.lakeTables): DataFrame =
+    gridCells(spark, dir, groundTruth, ks, thresholds, embedder, tables)
+      .map(_.metrics).reduce(_.unionByName(_))
+
+  /** Reference-parity export (join_discoverer.py:491–517): one CSV of
+    * discovered joinable pairs per cell (`pairs_k<k>_t<t>`, JoinablePair
+    * shape, sorted by distance) plus the grid summary as
+    * `evaluation_results`. Single-file CSVs — these are evaluation
+    * artifacts, metadata-sized by construction. Returns the grid frame.
+    */
+  def exportGrid(
+      spark: SparkSession,
+      dir: String,
+      groundTruth: DataFrame,
+      outDir: String,
+      ks: Seq[Int] = Seq(5, 10, 25),
+      thresholds: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.4),
+      embedder: Embedder = HashEmbedder(),
+      tables: Seq[String] = Lake.lakeTables): DataFrame = {
+    val cells = gridCells(spark, dir, groundTruth, ks, thresholds, embedder, tables)
+    cells.foreach { cell =>
+      val pairs = Discovery
+        .toJoinablePairs(cell.discovered, "query", "candidate", "dist")
+        .orderBy("distance_anns", "t1", "c1", "t2", "c2")
+      graft.sources.Formats.csvSink(pairs,
+        s"$outDir/pairs_k${cell.k}_t${cell.threshold}", singleFile = true)
+    }
+    val grid = cells.map(_.metrics).reduce(_.unionByName(_))
+    graft.sources.Formats.csvSink(grid, s"$outDir/evaluation_results",
+      singleFile = true)
+    grid
   }
 }

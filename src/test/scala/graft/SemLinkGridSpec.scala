@@ -49,6 +49,27 @@ class SemLinkGridSpec extends SparkSpec {
     assert(row.getAs[Double]("ndcg") == 0.693)
   }
 
+  test("exportGrid writes per-cell pair CSVs + evaluation_results (reference parity)") {
+    val out = java.nio.file.Files.createTempDirectory("grid_export").toString
+    val grid = SemLinkGrid.exportGrid(spark, sf0001, gt, out,
+      ks = Seq(5), thresholds = Seq(1.1, 1.4))
+    // summary round-trips with one row per cell
+    val summary = spark.read.option("header", "true").csv(s"$out/evaluation_results")
+    assert(summary.count() == 2)
+    assert(summary.columns.toSeq == Seq("k", "threshold", "tp", "fp", "fn",
+      "precision", "recall", "f1", "ndcg"))
+    // per-cell pair files exist and carry the JoinablePair shape
+    val pairs = spark.read.option("header", "true").csv(s"$out/pairs_k5_t1.1")
+    assert(pairs.columns.toSeq == Seq("t1", "c1", "t2", "c2", "distance_anns"))
+    assert(pairs.count() > 0)
+    // looser threshold discovers at least as many pairs
+    val pairs14 = spark.read.option("header", "true").csv(s"$out/pairs_k5_t1.4")
+    assert(pairs14.count() >= pairs.count())
+    // the returned grid matches the golden (k=5, t=1.1) metrics
+    val row = grid.filter(col("threshold") === 1.1).collect().head
+    assert(row.getAs[Long]("tp") == 8L && row.getAs[Double]("recall") == 0.8)
+  }
+
   test("seeded sample: deterministic, exact size, subset of input") {
     val df = (1 to 100).toDF("v")
     val s1 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq
