@@ -37,6 +37,9 @@ object GraftFunctions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+
           org.apache.spark.sql.graft.KnnJoinStrategy
+    // SQL TVF surface: FROM knn_join('q_view', 'c_view', 'id', 'vec', k)
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "knn_join", org.apache.spark.sql.graft.KnnJoinTvf.builder, "scala_udf")
   }
 }
 

@@ -393,6 +393,18 @@ object SparkEntry {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // SQL TVF surface over the custom Catalyst operator: the same plan
+    // node planted by the parser path — exact semantics, shares the
+    // brute-force oracle
+    "q38_knn_tvf" -> ((s, d) => {
+      GraftFunctions.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_tvf")
+      s.sql("""SELECT query_id, neighbor_id, rank AS rnk,
+              |       round(dist, 6) AS dist
+              |FROM knn_join('embeddings_tvf', 'embeddings_tvf',
+              |              'vec_id', 'embedding', 5)""".stripMargin)
+    }),
+
     // IVF kNN at a PRUNED probe config (nProbe=4 of 16 lists): work scales
     // with N·nProbe/nList instead of N² — this is the configuration a real
     // deployment runs, recall-gated against the exact kNN the same way as
@@ -666,6 +678,11 @@ object SparkEntry {
          |FROM knn WHERE rnk <= 5""".stripMargin,
 
     "q36_knn_plan" ->
+      s"""$knnL2Cte
+         |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+         |FROM knn WHERE rnk <= 5""".stripMargin,
+
+    "q38_knn_tvf" ->
       s"""$knnL2Cte
          |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
          |FROM knn WHERE rnk <= 5""".stripMargin,

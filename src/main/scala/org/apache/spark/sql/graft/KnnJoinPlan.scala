@@ -46,9 +46,12 @@ case class KnnJoinPlan(
 
   // the exec reads BOTH child columns positionally — without declared
   // references, column pruning would rewrite the children and break the
-  // (id, vec) positional contract
+  // (id, vec) positional contract. Guarded: the TVF path constructs this
+  // node over UNRESOLVED children, whose .output would throw.
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+    if (childrenResolved)
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): KnnJoinPlan =
@@ -182,6 +185,56 @@ object KnnJoinStrategy extends SparkStrategy {
       KnnJoinExec(p.output, planLater(p.left), planLater(p.right),
         p.k, p.metric, p.excludeSelf) :: Nil
     case _ => Nil
+  }
+}
+
+/** SQL table-valued-function surface over the plan node:
+  *
+  * {{{
+  *   SELECT * FROM knn_join('queries_view', 'candidates_view',
+  *                          'id_col', 'vec_col', k [, metric [, exclude_self]])
+  * }}}
+  *
+  * The builder plants [[KnnJoinPlan]] over UNRESOLVED relations/attributes;
+  * the analyzer resolves the views from the catalog and the (id, vec)
+  * normalization projections exactly as it would for hand-written SQL.
+  * Registered by graft.GraftFunctions.register via the session's
+  * TableFunctionRegistry.
+  */
+object KnnJoinTvf {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  private def asString(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"knn_join: $what must be a string literal, got $e")
+  }
+
+  private def asInt(e: Expression, what: String): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"knn_join: $what must be an integer literal, got $other")
+  }
+
+  def builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 7,
+      "usage: knn_join(queries, candidates, id_col, vec_col, k[, metric[, exclude_self]])")
+    val idCol = asString(args(2), "id_col")
+    val vecCol = asString(args(3), "vec_col")
+    val k = asInt(args(4), "k")
+    val metric = if (args.length >= 6) asString(args(5), "metric") else "l2sq"
+    val excludeSelf =
+      if (args.length >= 7) args(6).eval().asInstanceOf[Boolean] else true
+
+    def child(tableArg: Expression, what: String): LogicalPlan = Project(Seq(
+      Alias(Cast(UnresolvedAttribute.quoted(idCol), LongType), "id")(),
+      Alias(Cast(UnresolvedAttribute.quoted(vecCol), ArrayType(FloatType)), "vec")()),
+      UnresolvedRelation(asString(tableArg, what).split('.').toSeq))
+
+    KnnJoinPlan(child(args(0), "queries"), child(args(1), "candidates"),
+      k, metric, excludeSelf)
   }
 }
 

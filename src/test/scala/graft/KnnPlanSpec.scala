@@ -37,6 +37,38 @@ class KnnPlanSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("SQL TVF: FROM knn_join(...) over temp views equals the Dataset operator") {
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_view")
+    val viaSql = spark.sql(
+      "SELECT query_id, neighbor_id, dist, rank " +
+        "FROM knn_join('emb_view', 'emb_view', 'vec_id', 'embedding', 3)")
+    val got = viaSql.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val expected = KnnJoinOp.knnJoin(emb, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == expected)
+    // composes in plain SQL downstream
+    val agg = spark.sql(
+      "SELECT query_id, count(*) AS n FROM knn_join('emb_view', 'emb_view', " +
+        "'vec_id', 'embedding', 3) GROUP BY query_id")
+    assert(agg.filter(col("n") =!= 3).count() == 0)
+  }
+
+  test("SQL TVF: cosine metric argument is honored") {
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_view")
+    val viaSql = spark.sql(
+      "SELECT query_id, neighbor_id FROM knn_join('emb_view', 'emb_view', " +
+        "'vec_id', 'embedding', 2, 'cosine')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 2,
+        KnnJoin.MetricCosine)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == expected)
+  }
+
   test("physical plan contains the custom exec node, no cartesian product") {
     GraftFunctions.register(spark)
     val planned = KnnJoinOp.knnJoin(emb, emb, "vec_id", "embedding", 2)
