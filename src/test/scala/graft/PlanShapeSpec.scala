@@ -47,6 +47,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(genIdx >= 0 && aggIdx > genIdx) // agg is BELOW the explode in the tree
   }
 
+  test("profileTable: bounded top-k aggregation, no ranking window anywhere") {
+    val df = Profiler.profileTable(
+      spark.read.parquet(s"$sf0001/lineitem.parquet"), "lineitem")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the samples come from the partial bounded_topk aggregate
+    // (ObjectHashAggregate with a partial phase), NOT from a per-column
+    // ranking window — a Window here puts every distinct value of a column
+    // through one reducer, the 100 TB scale-killer this test pins down
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_boundedtopk") || plan.contains("partial_bounded_topk"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("microPrf1 evaluates the discovered input exactly once") {
+    val df = SparkEntry.queries("q13_knn_eval_prf")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // one kNN subtree, not one per set-op branch: the embeddings table is
+    // scanned once for the kNN side and once per truth self-join side.
+    // (AQE's toString repeats the tree as "Initial Plan" — cut it off.)
+    val current = plan.split("== Initial Plan ==").head
+    val scanCount = current.linesIterator.count(
+      _.matches(".*FileScan parquet.*embeddings.*"))
+    assert(scanCount <= 3,
+      s"embeddings scanned $scanCount times — discovered side re-evaluated:\n$current")
+  }
+
   test("kNN queries never plan a cartesian/nested-loop join") {
     val df = SparkEntry.queries("q10_knn_l2")(spark, sf0001)
     df.collect()
