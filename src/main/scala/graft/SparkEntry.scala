@@ -422,6 +422,22 @@ object SparkEntry {
             .as("recall_floor_met"))
     }),
 
+    // PII scrubbing (training-corpus hygiene): emails/URLs/IPs/phones →
+    // typed placeholders. Deterministic PII is injected from doc_id so the
+    // masking is exercised on every row; patterns are Java-regex ∩ RE2, so
+    // DuckDB replays the exact chain.
+    "q39_pii_scrub" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val withPii = t(s, d, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), id, lit("@mail.example.com via https://ex.example/p/"), id,
+          lit(" or 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 tel 555-010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      withPii.select(col("doc_id"), Analysis.scrubPii(col("text")).as("clean"))
+    }),
+
     // Multimodal plumbing: binary payloads → per-partition feature
     // extraction. The oracle-checked slice is the deterministic part
     // (UTF-8 byte length + feature dimension); checksum/feature VALUES are
@@ -578,6 +594,23 @@ object SparkEntry {
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,
+
+    "q39_pii_scrub" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com via https://ex.example/p/' ||
+        |    CAST(doc_id AS VARCHAR) || ' or 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-010-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM withpii""".stripMargin,
 
     "q27_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,

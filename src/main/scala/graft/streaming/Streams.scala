@@ -85,6 +85,18 @@ object Streams {
       .select("user_id", "session_start_us", "n_events", "sum_value")
   }
 
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` over the key
+    * columns — the streaming twin of the batch exact-dedup canonicalization
+    * (dedup/Dedup.exactDupGroups). State is bounded by the watermark: a
+    * duplicate arriving within the delay is dropped, and the key's state is
+    * evicted once the watermark passes — the only dedup contract that holds
+    * on an unbounded stream without an external store.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization, STREAMING form: custom state machine via
     * flatMapGroupsWithState — emits a session when the gap closes it (same
     * session boundaries as the batch twin for in-order input).

@@ -53,6 +53,24 @@ object Analysis {
       xxhash64(TextFns.normalizeText(c)).as("fingerprint"))
   }
 
+  /** PII scrubbing for training corpora (added scope): masks emails, URLs,
+    * IPv4 addresses and US-style phone numbers with typed placeholder
+    * tokens. Pure `regexp_replace` chain — whole-stage codegen, and the
+    * patterns are deliberately restricted to syntax shared by Java regex
+    * and RE2 so a SQL oracle can replay them verbatim. URL runs first
+    * (emails/IPs may be embedded in URLs), then email, IP, phone.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>")
+
+  def scrubPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Heuristic language ID: per language, the fraction of tokens found in
     * its function-word dictionary; argmax wins, ties and all-zero scores →
     * "und" (undetermined). Deterministic tie-break: language code ascending.

@@ -74,6 +74,26 @@ class StreamsSpec extends SparkSpec {
     assert(got.exists(s => s.user_id == 7 && s.n_events == 2 && s.sum_value == 3.0))
   }
 
+  test("streaming dedup within watermark drops duplicate keys, keeps distinct") {
+    val mk = (id: Long, t: String, v: Double) =>
+      Streams.Event(id, java.sql.Timestamp.valueOf(t), 7, "c", v)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    mem.addData(
+      mk(1, "2024-01-01 10:00:00", 1.0),
+      mk(1, "2024-01-01 10:05:00", 1.0), // duplicate event_id within watermark
+      mk(2, "2024-01-01 10:10:00", 2.0))
+    val q = Streams.dedupStream(mem.toDS().toDF(), Seq("event_id"),
+        delay = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("sessionUpdate flushes and clears the buffered session on timeout") {
     import org.apache.spark.sql.streaming.TestGroupState
     val buffered = Streams.SessionState(startUs = 1000L, lastUs = 2000L,

@@ -1,3 +1,4 @@
+// (PII scrub test appended at the bottom of this spec)
 package graft
 
 import org.apache.spark.sql.functions._
@@ -95,5 +96,26 @@ class TextFnsSpec extends SparkSpec {
     val near = d(e.embed("customer key id"), e.embed("customer key number"))
     val far = d(e.embed("customer key id"), e.embed("zebra quark flux"))
     assert(near < far)
+  }
+
+  test("scrubPii masks emails, URLs, IPs and phones; clean text untouched") {
+    import graft.text.Analysis
+    val rows = Seq(
+      "write to jane.doe+x@corp.example.org today",
+      "docs at https://docs.example.com/a?b=1 and more",
+      "host 192.168.1.254 went down",
+      "call 555-123-4567 or 555.123.4568",
+      "a plain sentence, version 1.2 stays, v10.20.30 too",
+      "mixed: bob@ex.io at http://ex.io/u/bob from 10.0.0.1 tel 555 123 4567")
+      .toDF("text")
+    val got = rows.select(Analysis.scrubPii(col("text")).as("c"))
+      .as[String].collect().toSeq
+    assert(got(0) == "write to <EMAIL> today")
+    assert(got(1) == "docs at <URL> and more")
+    assert(got(2) == "host <IP> went down")
+    assert(got(3) == "call <PHONE> or <PHONE>")
+    // short dotted versions are NOT IPs (need 4 octets), text unchanged
+    assert(got(4) == "a plain sentence, version 1.2 stays, v10.20.30 too")
+    assert(got(5) == "mixed: <EMAIL> at <URL> from <IP> tel <PHONE>")
   }
 }
