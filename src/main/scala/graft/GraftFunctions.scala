@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{DotProduct, Interop, SquaredL2}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.{BoundedTopK, DotProduct, Interop, SquaredL2}
 
 import graft.dates.DateNorm
 
@@ -24,7 +24,20 @@ object GraftFunctions {
     "squared_l2" -> (es => SquaredL2(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "normalize_date" -> (es => Interop.expression(
-      DateNorm.normalizeDate(Interop.column(es.head)))))
+      DateNorm.normalizeDate(Interop.column(es.head)))),
+    // partial top-k aggregate: bounded_topk(longKey, stringValue, k) —
+    // the analyzer wraps the bare AggregateFunction in AggregateExpression
+    "bounded_topk" -> (es => {
+      val k = es(2) match {
+        case Literal(v: Int, _) => v
+        case e => e.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"bounded_topk: k must be an integer literal, got $other")
+        }
+      }
+      BoundedTopK(es(0), es(1), k)
+    }))
 
   def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>

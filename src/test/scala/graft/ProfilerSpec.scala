@@ -43,4 +43,16 @@ class ProfilerSpec extends SparkSpec {
       spark.read.parquet(s"$sf0001/nation.parquet"), "nation")
     assert(lake.collect().forall(_.getAs[Long]("row_count") == 25))
   }
+
+  test("bounded_topk is callable from SQL and keeps (key, value) order") {
+    GraftFunctions.register(spark)
+    Seq(("a", 3L, "x"), ("a", 1L, "y"), ("a", 2L, "z"), ("b", 5L, "q"))
+      .toDF("g", "k", "v").createOrReplaceTempView("btk_in")
+    val got = spark.sql(
+      "SELECT g, bounded_topk(k, v, 2) AS top FROM btk_in GROUP BY g")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]]("top").toSeq).toMap
+    assert(got("a") == Seq("y", "z")) // keys 1, 2 win; 3 evicted
+    assert(got("b") == Seq("q"))
+  }
 }
