@@ -212,6 +212,16 @@ object ApproxKnn {
     * large to broadcast at once: the query side is processed in bounded
     * blocks, each block broadcast against the full candidate side, results
     * unioned. Wall-clock scales linearly in blocks; memory stays bounded.
+    *
+    * Block boundaries come from a distributed `approxQuantile` sketch over
+    * the id column — NOT a global ranking window, which would sort every
+    * query id through one reducer. Boundaries partition the id line
+    * exactly (every id lands in exactly one block), so the result is still
+    * EXACT kNN; only the per-block row counts are approximate (quantile
+    * error), which affects memory headroom, not correctness. Ids above
+    * 2^53 lose precision through the Double quantile API — the id space
+    * contract here is the same as Spark's own sampling-based range
+    * partitioner.
     */
   def blockKnn(
       queries: DataFrame,
@@ -222,16 +232,23 @@ object ApproxKnn {
       metric: String = KnnJoin.MetricL2Sq,
       blockSize: Int = 100000,
       excludeSelf: Boolean = true): DataFrame = {
-    val ids = queries.select(col(idCol).cast("long")).orderBy(idCol)
-    val bounds = ids.withColumn("__rn",
-      row_number().over(Window.orderBy(idCol)))
-      .filter((col("__rn") - 1) % blockSize === 0)
-      .select(col(idCol)).collect().map(_.getLong(0))
-    val parts = bounds.zipWithIndex.map { case (lo, bIdx) =>
-      val hiOpt = if (bIdx + 1 < bounds.length) Some(bounds(bIdx + 1)) else None
-      val block = hiOpt match {
-        case Some(hi) => queries.filter(col(idCol) >= lo && col(idCol) < hi)
-        case None     => queries.filter(col(idCol) >= lo)
+    val n = queries.count()
+    val nBlocks = math.max(1L, (n + blockSize - 1) / blockSize).toInt
+    if (nBlocks == 1)
+      return KnnJoin.broadcastKnn(queries, candidates, idCol, vecCol, k,
+        metric, excludeSelf)
+    val probs = (1 until nBlocks).map(_.toDouble / nBlocks).toArray
+    val cuts = queries.select(col(idCol).cast("double").as("__id"))
+      .stat.approxQuantile("__id", probs, 0.001)
+      .map(math.ceil(_).toLong).distinct.sorted
+    val lowers: Seq[Option[Long]] = None +: cuts.map(Some(_)).toSeq
+    val uppers: Seq[Option[Long]] = cuts.map(Some(_)).toSeq :+ None
+    val parts = lowers.zip(uppers).map { case (lo, hi) =>
+      val block = (lo, hi) match {
+        case (None, Some(h))    => queries.filter(col(idCol) < h)
+        case (Some(l), Some(h)) => queries.filter(col(idCol) >= l && col(idCol) < h)
+        case (Some(l), None)    => queries.filter(col(idCol) >= l)
+        case (None, None)       => queries
       }
       KnnJoin.broadcastKnn(block, candidates, idCol, vecCol, k, metric, excludeSelf)
     }
