@@ -104,15 +104,29 @@ object PairsBuilder {
     * the train part (pairsBuilder.py:131–145 — the split happens before the
     * shuffle; `randomSplit` would be random membership, which is NOT the
     * reference behavior).
+    *
+    * The global position comes from `zipWithIndex` over the range-sorted
+    * rows — a distributed pass that only collects per-partition counts to
+    * size the offsets. A `row_number` over an unpartitioned window would
+    * funnel every pair through one reducer; this keeps the exact
+    * positional contract at any scale.
     */
   def splitPairs(pairs: DataFrame, trainRatio: Double = 0.8, seed: Int = 42)
       : (DataFrame, DataFrame) = {
-    val w = Window.orderBy("text_a", "text_b")
-    val numbered = pairs.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-    val train = numbered.filter(col("__rn") <= ceil(col("__n") * trainRatio))
+    val spark = pairs.sparkSession
+    val sorted = pairs.select("text_a", "text_b").sort("text_a", "text_b")
+    val schema = sorted.schema
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), i)
+    }
+    val withIdx = spark.createDataFrame(indexed,
+      schema.add("__idx", org.apache.spark.sql.types.LongType))
+      .cache()
+    val n = withIdx.count()
+    val cut = math.ceil(n * trainRatio).toLong
+    val train = withIdx.filter(col("__idx") < cut)
       .orderBy(rand(seed)).select("text_a", "text_b")
-    val test = numbered.filter(col("__rn") > ceil(col("__n") * trainRatio))
+    val test = withIdx.filter(col("__idx") >= cut)
       .select("text_a", "text_b")
     (train, test)
   }

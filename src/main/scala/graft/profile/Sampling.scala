@@ -28,6 +28,10 @@ object Sampling {
   /** T6: test-space selection — GT rows from `splitRow` on (the
     * `iloc[split_number:]` tail, semantic_annotation.py:140–147), then the
     * distinct union of both table-name sides (P2).
+    *
+    * The unpartitioned ranking window is deliberate and safe here: the
+    * input is the ground-truth RELATION (catalog metadata, thousands of
+    * rows at most), never a data-sized frame.
     */
   def testSpaceTables(gt: DataFrame, qTableCol: String, cTableCol: String,
       splitRow: Long): DataFrame = {
