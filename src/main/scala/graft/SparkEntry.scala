@@ -262,9 +262,12 @@ object SparkEntry {
       graft.pairs.PairsBuilder.withinGroupPairs(items, "anno", "key")
     }),
 
-    // J2/J3: annotation lookup + enrichment with conditional date override
+    // J2/J3: annotation lookup + enrichment with conditional date override.
+    // The profile catalog feeds BOTH the annotator and the enrichment join;
+    // uncached, each reference re-runs the whole 7-table profile pass
+    // (re-scans the lake at 100 TB) — cache the catalog-sized result.
     "q24_annotation_enrich" -> ((s, d) => {
-      val profiles = Profiler.profileLakeStats(s, d)
+      val profiles = Profiler.profileLakeStats(s, d).cache()
       val ann = graft.annotate.RuleAnnotator.annotate(profiles)
       graft.annotate.Enrich.enrichProfiles(profiles, ann)
         .select(col("table").as("table_name"), col("column").as("column_name"),
@@ -286,7 +289,8 @@ object SparkEntry {
       import s.implicits._
       val gt = deepjoinGt
         .toDF("query_table", "query_column", "candidate_table", "candidate_column")
-      val profiles = Profiler.profileLakeStats(s, d)
+      // cached: referenced by both the stats join and the annotator (see q24)
+      val profiles = Profiler.profileLakeStats(s, d).cache()
       val texts = graft.pairs.PairsBuilder.columnTexts(
         graft.pairs.PairsBuilder.withStats(
           graft.pairs.PairsBuilder.gtColumns(gt), profiles),
