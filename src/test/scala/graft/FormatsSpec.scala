@@ -59,6 +59,29 @@ class FormatsSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id", "v") && back.count() == 2)
   }
 
+  test("CSV lake ingestion end-to-end: profile catalog equals the parquet path") {
+    import scala.jdk.CollectionConverters._
+    import graft.profile.Profiler
+    val lakeDir = java.nio.file.Files.createTempDirectory("csvlake")
+    for (t <- Seq("region", "nation")) {
+      val df = spark.read.parquet(s"$sf0001/$t.parquet")
+      val lines = df.columns.mkString(",") +:
+        df.collect().toSeq.map(_.toSeq
+          .map(v => Option(v).map(_.toString).getOrElse("")).mkString(","))
+      java.nio.file.Files.write(lakeDir.resolve(s"$t.csv"), lines.asJava)
+    }
+    for (t <- Seq("region", "nation")) {
+      val viaCsv = Profiler.profileStats(
+        Formats.csvScan(spark, s"$lakeDir/$t.csv"), t)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val viaParquet = Profiler.profileStats(
+        spark.read.parquet(s"$sf0001/$t.parquet"), t)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(viaCsv.toSeq == viaParquet.toSeq,
+        s"CSV and parquet profile catalogs diverge for $t")
+    }
+  }
+
   test("parquet checkpoint memoization computes once, then loads (S10)") {
     val path = tmp() + "/ckpt"
     var computations = 0
