@@ -59,14 +59,16 @@ object Eval {
   def perQueryPrf(ranked: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val t = truth.select("query", "candidate").distinct()
     val relCounts = t.groupBy("query").agg(count(lit(1)).as("n_relevant"))
+    // ONE pass over the (expensive — usually a kNN job) ranked side: a
+    // left join against the truth flag feeds both counts, instead of the
+    // separate retrieved/hits aggregations that would evaluate topK twice
     val topK = ranked.filter(col("rank") <= k)
-    val retrieved = topK.groupBy("query").agg(count(lit(1)).as("n_retrieved"))
-    val hits = topK.join(t, Seq("query", "candidate"), "left_semi")
-      .groupBy("query").agg(count(lit(1)).as("tp"))
-    retrieved
+    val perQ = topK
+      .join(t.withColumn("__rel", lit(1)), Seq("query", "candidate"), "left")
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_retrieved"), count(col("__rel")).as("tp"))
+    perQ
       .join(relCounts, Seq("query"), "inner")
-      .join(hits, Seq("query"), "left")
-      .na.fill(0L, Seq("tp"))
       .withColumn("p_at_k", round(col("tp") / (col("n_retrieved") + lit(Eps)), 4))
       .withColumn("r_at_k", round(col("tp") / (col("n_relevant") + lit(Eps)), 4))
       .withColumn("f1_at_k", round(
