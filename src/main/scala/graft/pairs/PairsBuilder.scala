@@ -131,6 +131,32 @@ object PairsBuilder {
     (train, test)
   }
 
+  /** End-to-end DeepJoin training-set build (pairsBuilder.py main flow):
+    * GT → profile-stats join → column texts (annotated) → positive pairs →
+    * positional 80/20 split (train side seeded-shuffled) → JSONL files
+    * `train/` and `test/` under `outDir`. Returns (train, test).
+    */
+  def buildTrainingSet(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      gt: DataFrame,
+      outDir: String,
+      annotator: graft.annotate.Annotator = graft.annotate.RuleAnnotator,
+      useAnnotation: Boolean = true,
+      trainRatio: Double = 0.8,
+      seed: Int = 42): (DataFrame, DataFrame) = {
+    // cached: the catalog feeds both the stats join and the annotator
+    val profiles = graft.profile.Profiler.profileLake(spark, dir).cache()
+    val texts = columnTexts(
+      withStats(gtColumns(gt), profiles),
+      Some(annotator.annotate(profiles)), useAnnotation)
+    val pairs = buildPairs(gt, texts)
+    val (train, test) = splitPairs(pairs, trainRatio, seed)
+    writePairsJsonl(train, s"$outDir/train")
+    writePairsJsonl(test, s"$outDir/test")
+    (train, test)
+  }
+
   /** S8: JSONL pairs sink — one JSON array per line
     * (pairsBuilder.py:120–129: `["<query text>", "<candidate text>"]`).
     */

@@ -75,7 +75,38 @@ object SemLink {
       embedder: Embedder = HashEmbedder(),
       tables: Seq[String] = Lake.lakeTables): DataFrame = {
     val profiles = Profiler.profileLake(spark, dir, tables)
-    val embedded = columnTexts(profiles)
+    knnPairs(columnTexts(profiles), embedder, k, threshold)
+  }
+
+  /** Semantic-mode discovery (join_discoverer.py semantic path + SURVEY.md
+    * §3.1): columns are annotated first (rule-based by default; plug an
+    * [[graft.annotate.LlmAnnotator]] for the reference's LLM flow), then
+    * embedded from the full F7 prompt instead of the bare header sentence.
+    * Same kNN + threshold + JoinablePair tail as [[discover]].
+    */
+  def discoverSemantic(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      threshold: Double = 1.0,
+      annotator: graft.annotate.Annotator = graft.annotate.RuleAnnotator,
+      embedder: Embedder = HashEmbedder(),
+      tables: Seq[String] = Lake.lakeTables): DataFrame = {
+    // cached: the catalog feeds both the annotator and the prompt builder
+    val profiles = Profiler.profileLake(spark, dir, tables).cache()
+    val annotations = annotator.annotate(profiles)
+    knnPairs(columnPrompts(profiles, annotations), embedder, k, threshold)
+  }
+
+  /** Shared tail: embed the (key, text) catalog, self-kNN on the broadcast
+    * scale path, threshold, map ids back to keys, JoinablePair output.
+    */
+  private def knnPairs(
+      catalog: DataFrame,
+      embedder: Embedder,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val embedded = catalog
       .withColumn("vec", embedder.embedColumn(col("text")))
       .withColumn("id", monotonically_increasing_id())
       .select("id", "key", "vec")

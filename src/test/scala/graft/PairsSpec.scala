@@ -64,6 +64,28 @@ class PairsSpec extends SparkSpec {
     assert(train.intersect(test).count() == 0)
   }
 
+  test("buildTrainingSet end-to-end: texts, split, JSONL files round-trip") {
+    val out = Files.createTempDirectory("trainset").toString
+    val gt = Seq(
+      ("nation", "n_regionkey", "region", "r_regionkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"))
+      .toDF("query_table", "query_column", "candidate_table", "candidate_column")
+    val (train, test) = PairsBuilder.buildTrainingSet(spark, sf0001, gt, out)
+    assert(train.count() == 4 && test.count() == 1) // ceil(5 * 0.8) = 4
+    val backTrain = PairsBuilder.readPairsJsonl(spark, s"$out/train")
+    val backTest = PairsBuilder.readPairsJsonl(spark, s"$out/test")
+    assert(backTrain.count() == 4 && backTest.count() == 1)
+    // every pair text is the annotated column sentence, not a bare name
+    val all = backTrain.union(backTest).collect()
+      .flatMap(r => Seq(r.getString(0), r.getString(1)))
+    assert(all.forall(_.contains(" contains ")))
+    // no overlap between the splits
+    assert(backTrain.intersect(backTest).count() == 0)
+  }
+
   test("JSONL pairs sink/source round-trip (S8/S6)") {
     val dir = Files.createTempDirectory("pairs_jsonl").toString
     val pairs = Seq(("alpha text", "beta text"), ("g1", "g2"))

@@ -37,6 +37,18 @@ class SemLinkSpec extends SparkSpec {
     assert(t.contains("Top 20 most frequent values in the column:"))
   }
 
+  test("semantic-mode discovery runs end-to-end and finds a key relationship") {
+    val pairs = SemLink.discoverSemantic(spark, sf0001, k = 5, threshold = 1.35)
+      .select("t1", "c1", "t2", "c2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(pairs.nonEmpty)
+    // prompts put the shared 'regionkey'/'nationkey' annotations front and
+    // center, so the key relationships must surface in semantic mode too
+    assert(pairs.contains(("nation", "n_regionkey", "region", "r_regionkey")))
+    assert(pairs.contains(("customer", "c_nationkey", "nation", "n_nationkey")))
+  }
+
   test("threshold is honored: tighter threshold yields a subset") {
     val loose = SemLink.discover(spark, sf0001, k = 5, threshold = 1.3)
       .select("t1", "c1", "t2", "c2").collect().toSet
