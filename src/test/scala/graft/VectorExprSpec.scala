@@ -58,6 +58,40 @@ class VectorExprSpec extends SparkSpec {
     assert(r.getString(2) == "01 July 2024")
   }
 
+  test("int8 quantization: 4x smaller payload, bounded error, kNN-compatible") {
+    import spark.implicits._
+    import graft.functions.VectorQuant
+    import graft.knn.KnnJoin
+    import graft.sources.Lake
+    val emb = Lake.embeddings(spark, sf0001).limit(200).cache()
+    val q = emb.select(col("vec_id"),
+      VectorQuant.quantizeVec(col("embedding")).as("qv"))
+    val deq = q.select(col("vec_id"),
+      VectorQuant.dequantizeVec(col("qv")).as("embedding")).cache()
+    // per-element error bounded by scale/2 = max|x|/254
+    val worst = emb.join(deq.withColumnRenamed("embedding", "emb2"), "vec_id")
+      .select(array_max(transform(
+        arrays_zip(col("embedding"), col("emb2")),
+        p => abs(p.getField("embedding") - p.getField("emb2")))).as("err"),
+        array_max(transform(col("embedding"), abs(_))).as("maxabs"))
+      .select(max(col("err") / (col("maxabs") / 254.0 + 1e-9))).as[Double].head()
+    assert(worst <= 1.02, s"quantization error beyond scale/2 bound: $worst")
+    // kNN over dequantized vectors recovers most exact neighbors
+    val exact = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = KnnJoin.broadcastKnn(deq, deq, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 kNN recall too low: $recall")
+    // all-zero vectors survive the round trip
+    val z = Seq((1L, Array(0f, 0f))).toDF("id", "v")
+      .select(VectorQuant.dequantizeVec(VectorQuant.quantizeVec(col("v"))))
+      .as[Array[Float]].head()
+    assert(z.toSeq == Seq(0f, 0f))
+  }
+
   test("plan stays inside whole-stage codegen (no fallback)") {
     val df = pairs.select(VectorExpressions.squaredL2(col("x"), col("y")))
     df.collect() // AQE finalizes the physical plan only on execution
