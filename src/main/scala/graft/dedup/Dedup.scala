@@ -34,21 +34,53 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min("id").cast("long").as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** Exact word-set Jaccard similarity for all pairs sharing ≥1 token.
-    * Blocking = the shared-token inverted index (explode + self equi-join),
-    * so disjoint pairs are never materialized. Intended for bounded inputs
-    * or as the verification stage after LSH candidate generation.
-    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+  /** EXACT word-set Jaccard similarity join via prefix filtering
+    * (the AllPairs/SSJoin family): under a global token order by
+    * (doc-frequency ASC, token ASC), any pair with J ≥ t shares its
+    * lexicographically-smallest common token inside BOTH prefixes of
+    * length |x| − ⌈t·|x|⌉ + 1 — if J ≥ t then |x∩y| ≥ ⌈t·|x|⌉ tokens of x,
+    * which cannot all fit in the ⌈t·|x|⌉ − 1 positions after the prefix
+    * (and symmetrically for y). So the prefix-token equi-join finds every
+    * qualifying pair, and exact Jaccard verification of the candidates
+    * filters false positives — same output as a full inverted index.
+    *
+    * Scale property: frequent tokens order LAST and fall out of the
+    * prefixes, so the inverted index holds only rare tokens — no hot
+    * buckets, candidate volume shrinks with t, and the exact verification
+    * touches candidates only. Output: (id_a, id_b, jaccard), id_a < id_b.
     */
   def wordJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     val toks = df.select(
       col(idCol).cast("long").as("id"),
       explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+      .cache() // small (id, tok) pairs reused by df/prefix/verification
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = toks.as("a")
-      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // per-doc prefix under the (df ASC, tok ASC) global order; the window
+    // partitions by doc, so state is one document's token list
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(asc("df"), asc("tok"))
+    val prefix = toks
+      .join(dfreq, "tok")
+      .withColumn("pos", row_number().over(wDoc))
+      .join(sizes, "id")
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "tok")
+
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // exact verification restricted to candidates: |x ∩ y| via the full
+    // token lists of both sides
+    val inter = cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
