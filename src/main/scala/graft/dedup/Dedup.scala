@@ -75,8 +75,9 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // exact verification restricted to candidates: |x ∩ y| via the full
-    // token lists of both sides
+    // exact verification restricted to candidates: |x ∩ y| via the token
+    // equi-join of both sides' full token lists — shuffles only narrow
+    // (pair, tok) rows, never materialized arrays
     val inter = cand
       .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
