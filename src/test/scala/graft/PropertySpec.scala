@@ -41,6 +41,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bounded_topk equals sort-take-k on random groups across partitions") {
+    import graft.functions.AggExpressions.boundedTopK
+    for (_ <- 1 to 4) {
+      val rows = (1 to 200).map(_ =>
+        (s"g${rnd.nextInt(5)}", rnd.nextInt(50).toLong, s"v${rnd.nextInt(40)}"))
+      val got = rows.toDF("g", "k", "v")
+        .repartition(7) // force partial buffers + merge path
+        .groupBy("g").agg(boundedTopK(col("k"), col("v"), 6).as("top"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[String]]("top").toSeq)
+        .toMap
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sorted.take(6).map(_._2)
+      }
+      assert(got == expected)
+    }
+  }
+
   test("NDCG bounded in [0,1] for random rankings") {
     for (_ <- 1 to 8) {
       val ranked = (1 to 4).map(_ => rnd.nextInt(10)).distinct.zipWithIndex
