@@ -87,6 +87,20 @@ final case class HttpLlmTransport(
     resp.body()
   }
 
+  /** Connectivity probe (reference: ollama_health_check.py — lists the
+    * server's models and reports up/down). True iff `GET {baseUrl}/models`
+    * answers 2xx; any connect/timeout/HTTP failure is DOWN, never a throw.
+    */
+  def healthCheck(): Boolean =
+    try {
+      val req = HttpRequest.newBuilder()
+        .uri(URI.create(s"$baseUrl/models"))
+        .timeout(Duration.ofSeconds(timeoutSec))
+        .header("Authorization", s"Bearer ${sys.env.getOrElse(apiKeyEnv, "")}")
+        .GET().build()
+      client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() / 100 == 2
+    } catch { case _: Exception => false }
+
   override def complete(prompt: String): String = {
     val root = mapper.createObjectNode()
     root.put("model", model)

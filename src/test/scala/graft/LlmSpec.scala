@@ -153,4 +153,10 @@ class LlmSpec extends SparkSpec {
     val t = HttpLlmTransport("http://localhost:9", "some-model")
     assert(t.baseUrl.nonEmpty && t.model == "some-model")
   }
+
+  test("healthCheck reports DOWN (not a throw) when the server is unreachable") {
+    // port 9 (discard) refuses immediately — no egress, deterministic
+    val t = HttpLlmTransport("http://127.0.0.1:9", "some-model", timeoutSec = 2)
+    assert(!t.healthCheck())
+  }
 }
