@@ -442,6 +442,14 @@ object SparkEntry {
       withPii.select(col("doc_id"), Analysis.scrubPii(col("text")).as("clean"))
     }),
 
+    // Composed corpus-cleaning pipeline: PII scrub → quality floor →
+    // language filter → exact dedup, one call — the canonical
+    // training-data prep flow, fully hash-checked end to end
+    "q40_clean_corpus" -> ((s, d) => {
+      Analysis.cleanCorpus(t(s, d, "documents"), "doc_id", "text",
+        minTokens = 3, maxPunctRatio = 0.5, lang = "en")
+    }),
+
     // Multimodal plumbing: binary payloads → per-partition feature
     // extraction. The oracle-checked slice is the deterministic part
     // (UTF-8 byte length + feature dimension); checksum/feature VALUES are
@@ -615,6 +623,46 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean
         |FROM withpii""".stripMargin,
+
+    // composed cleaning pipeline: scrub → quality/lang filters → dedup;
+    // fragments mirror the proven q39/q09/q21 oracles exactly
+    "q40_clean_corpus" ->
+      s"""WITH scrub AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |      '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS text
+         |  FROM documents),
+         |base AS (
+         |  SELECT id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM scrub),
+         |scored AS (
+         |  SELECT id, text, n_tok,
+         |    CASE WHEN n_chars > 0
+         |      THEN round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars, 4)
+         |      ELSE 0.0 END AS punct_ratio,
+         |    ${langScoreSql("de")} AS s_de,
+         |    ${langScoreSql("en")} AS s_en,
+         |    ${langScoreSql("es")} AS s_es,
+         |    ${langScoreSql("fr")} AS s_fr
+         |  FROM base),
+         |keep AS (
+         |  SELECT id FROM scored
+         |  WHERE n_tok >= 3 AND punct_ratio <= 0.5
+         |    AND CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
+         |             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
+         |             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
+         |             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
+         |             ELSE 'und' END = 'en'),
+         |canon AS (SELECT min(id) AS id FROM scrub GROUP BY text)
+         |SELECT s.id, s.text AS clean_text
+         |FROM scrub s JOIN keep USING (id) JOIN canon USING (id)""".stripMargin,
 
     "q27_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,

@@ -71,6 +71,41 @@ object Analysis {
       regexp_replace(acc, pat, repl)
     }
 
+  /** Composed corpus-cleaning pipeline — the canonical training-data prep
+    * flow: PII scrub → quality floor (token count, punctuation ratio) →
+    * language filter → exact dedup (canonical doc per identical cleaned
+    * text). Returns (id, clean_text) for the surviving documents.
+    *
+    * Each stage is the already-tested operator; the composition is three
+    * corpus scans (stats, language, dedup) + semi-joins on the id — no
+    * corpus-sized cache required, and the dedup shuffle is the only
+    * full-text movement (swap in [[graft.dedup.Dedup.exactDupGroupsHashed]]
+    * keyed on xxhash64 to carry 8 bytes/row instead at cluster scale).
+    */
+  def cleanCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Long = 5,
+      maxPunctRatio: Double = 0.3,
+      lang: String = "en"): DataFrame = {
+    val scrubbed = df.select(col(idCol).cast("long").as("id"),
+      scrubPii(col(textCol)).as("text"))
+    val keep = qualityStats(scrubbed, "id", "text")
+      .select("id", "n_tokens", "punct_ratio")
+      .join(languageId(scrubbed, "id", "text").select("id", "lang_pred"), "id")
+      .filter(col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("lang_pred") === lang)
+      .select("id")
+    val canon = graft.dedup.Dedup.exactDupGroups(scrubbed, "id", "text")
+      .select(col("canonical_id").as("id"))
+    scrubbed
+      .join(keep, Seq("id"), "left_semi")
+      .join(canon, Seq("id"), "left_semi")
+      .select(col("id"), col("text").as("clean_text"))
+  }
+
   /** Heuristic language ID: per language, the fraction of tokens found in
     * its function-word dictionary; argmax wins, ties and all-zero scores →
     * "und" (undetermined). Deterministic tie-break: language code ascending.
