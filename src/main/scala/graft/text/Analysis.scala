@@ -89,8 +89,13 @@ object Analysis {
       minTokens: Long = 5,
       maxPunctRatio: Double = 0.3,
       lang: String = "en"): DataFrame = {
-    val scrubbed = df.select(col(idCol).cast("long").as("id"),
-      scrubPii(col(textCol)).as("text"))
+    // the exchange is a materialization barrier: without it, projection
+    // collapse inlines the 4-pattern scrub chain into EVERY downstream
+    // regex-derived stat column (~15 recomputations per row); one narrow
+    // (id, text) shuffle beats re-scrubbing the corpus per column
+    val scrubbed = graft.util.Par.balance(
+      df.select(col(idCol).cast("long").as("id"),
+        scrubPii(col(textCol)).as("text")))
     val keep = qualityStats(scrubbed, "id", "text")
       .select("id", "n_tokens", "punct_ratio")
       .join(languageId(scrubbed, "id", "text").select("id", "lang_pred"), "id")
