@@ -76,11 +76,14 @@ object Analysis {
     * language filter → exact dedup (canonical doc per identical cleaned
     * text). Returns (id, clean_text) for the surviving documents.
     *
-    * Each stage is the already-tested operator; the composition is three
-    * corpus scans (stats, language, dedup) + semi-joins on the id — no
-    * corpus-sized cache required, and the dedup shuffle is the only
-    * full-text movement (swap in [[graft.dedup.Dedup.exactDupGroupsHashed]]
-    * keyed on xxhash64 to carry 8 bytes/row instead at cluster scale).
+    * ONE corpus scan + ONE shuffle. Identical scrubbed text yields
+    * identical stats, so every duplicate of a kept document is also kept —
+    * dedup-within-keepers equals dedup-then-intersect, and the whole
+    * pipeline is a filtered projection followed by a min-id group on the
+    * text key. The repartition between the scrub and the stat filter is a
+    * materialization barrier: projection collapse would otherwise inline
+    * the 4-pattern scrub chain into every regex-derived stat expression
+    * (~15 recomputations per row).
     */
   def cleanCorpus(
       df: DataFrame,
@@ -89,25 +92,31 @@ object Analysis {
       minTokens: Long = 5,
       maxPunctRatio: Double = 0.3,
       lang: String = "en"): DataFrame = {
-    // the exchange is a materialization barrier: without it, projection
-    // collapse inlines the 4-pattern scrub chain into EVERY downstream
-    // regex-derived stat column (~15 recomputations per row); one narrow
-    // (id, text) shuffle beats re-scrubbing the corpus per column
     val scrubbed = graft.util.Par.balance(
       df.select(col(idCol).cast("long").as("id"),
         scrubPii(col(textCol)).as("text")))
-    val keep = qualityStats(scrubbed, "id", "text")
-      .select("id", "n_tokens", "punct_ratio")
-      .join(languageId(scrubbed, "id", "text").select("id", "lang_pred"), "id")
-      .filter(col("n_tokens") >= minTokens &&
-        col("punct_ratio") <= maxPunctRatio &&
-        col("lang_pred") === lang)
-      .select("id")
-    val canon = graft.dedup.Dedup.exactDupGroups(scrubbed, "id", "text")
-      .select(col("canonical_id").as("id"))
+    val c = col("text")
+    val nTok = TextFns.tokenCount(c)
+    val nChar = length(c).cast("long")
+    val punctRatio = when(nChar > 0,
+      round((nChar - length(regexp_replace(c, "[\\p{Punct}]", "")))
+        .cast("double") / nChar, 4)).otherwise(lit(0.0))
+    // lang_pred exactly as in [[languageId]]: unrounded argmax, ties to the
+    // lexicographically-first language, all-zero → "und"
+    val toks = tokens(c)
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l =>
+      when(nTok > 0, countIn(toks, stopwords(l)).cast("double") / nTok)
+        .otherwise(lit(0.0)))
+    val best = greatest(scores: _*)
+    val pick = langs.zip(scores).foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
     scrubbed
-      .join(keep, Seq("id"), "left_semi")
-      .join(canon, Seq("id"), "left_semi")
+      .filter(nTok >= minTokens && punctRatio <= maxPunctRatio &&
+        pick === lang)
+      .groupBy("text")
+      .agg(min("id").as("id"))
       .select(col("id"), col("text").as("clean_text"))
   }
 
