@@ -55,6 +55,22 @@ class KnnPlanSpec extends SparkSpec {
     assert(agg.filter(col("n") =!= 3).count() == 0)
   }
 
+  test("SQL TVF: bad arguments are rejected with usage errors") {
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_view")
+    val tooFew = intercept[Exception] {
+      spark.sql("SELECT * FROM knn_join('emb_view', 'emb_view', 'vec_id', 'embedding')")
+        .collect()
+    }
+    assert(tooFew.getMessage.contains("knn_join") ||
+      tooFew.getCause != null) // usage error surfaces through the analyzer
+    val badK = intercept[Exception] {
+      spark.sql("SELECT * FROM knn_join('emb_view', 'emb_view', 'vec_id', 'embedding', 'five')")
+        .collect()
+    }
+    assert(badK != null)
+  }
+
   test("SQL TVF: cosine metric argument is honored") {
     GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_view")

@@ -75,6 +75,25 @@ class PlanShapeSpec extends SparkSpec {
       s"embeddings scanned $scanCount times — discovered side re-evaluated:\n$current")
   }
 
+  test("cleanCorpus plans one corpus scan and no joins") {
+    val df = SparkEntry.queries("q40_clean_corpus")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the identical-text⇒identical-keep fold: filtered projection + one
+    // min-id-by-text aggregation — no second pass, no semi-joins
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1)
+    assert(!plan.contains("Join"))
+  }
+
+  test("prefix-filtered Jaccard join never plans a cartesian product") {
+    val df = SparkEntry.queries("q16_jaccard_pairs")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("kNN queries never plan a cartesian/nested-loop join") {
     val df = SparkEntry.queries("q10_knn_l2")(spark, sf0001)
     df.collect()
