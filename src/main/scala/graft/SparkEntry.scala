@@ -442,6 +442,20 @@ object SparkEntry {
       withPii.select(col("doc_id"), Analysis.scrubPii(col("text")).as("clean"))
     }),
 
+    // S11 persistent IVF index: build writes centroids + cid-partitioned
+    // inverted lists as parquet; search probes with a static partition
+    // filter. nProbe == nList probes every list → exact kNN, shares the
+    // brute-force oracle (build is seeded → deterministic layout).
+    "q41_ivf_index" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxDir = s"/tmp/graft_ivf_index_${new java.io.File(d).getName}"
+      graft.knn.IvfIndex.build(emb, "vec_id", "embedding", idxDir, nList = 16)
+      graft.knn.IvfIndex.search(s, idxDir, emb, "vec_id", "embedding",
+          k = 5, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -768,6 +782,11 @@ object SparkEntry {
          |FROM knn WHERE rnk <= 5""".stripMargin,
 
     "q38_knn_tvf" ->
+      s"""$knnL2Cte
+         |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+         |FROM knn WHERE rnk <= 5""".stripMargin,
+
+    "q41_ivf_index" ->
       s"""$knnL2Cte
          |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
          |FROM knn WHERE rnk <= 5""".stripMargin,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.knn.{IvfIndex, KnnJoin}
+import graft.sources.Lake
+
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = Lake.embeddings(spark, sf0001).cache()
+
+  private def exactTop5 = KnnJoin
+    .broadcastKnn(emb, emb, "vec_id", "embedding", 5)
+    .select("query_id", "neighbor_id").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("persisted index probed at nProbe=nList equals brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val nUsed = IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 8)
+    assert(nUsed == 8)
+    val got = IvfIndex
+      .search(spark, dir, emb, "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactTop5)
+  }
+
+  test("pruned probe reads only the probed list partitions, recall holds") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx2").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 8)
+    // single-query search: few probes → few partitions
+    val oneQuery = emb.filter(col("vec_id") === 0)
+    val res = IvfIndex.search(spark, dir, oneQuery, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    val rows = res.collect()
+    assert(rows.length == 5)
+    // the assignments scan carries a static partition filter on cid —
+    // unprobed inverted lists are pruned at file-listing level
+    val plan = res.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("assignments"))
+    assert(scanLine.isDefined)
+    assert(scanLine.get.contains("PartitionFilters: [cid#") ||
+      scanLine.get.contains("cid IN") || plan.contains("PartitionFilters"),
+      s"no partition filter on the assignments scan:\n$plan")
+    // full-corpus pruned search keeps a sane recall floor
+    val pruned = IvfIndex.search(spark, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pruned.intersect(exactTop5).size.toDouble / exactTop5.size
+    assert(recall > 0.5, s"pruned recall too low: $recall")
+  }
+
+  test("index survives a fresh read: search works from paths alone") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx3").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 4)
+    // no handle carried over — the directory IS the index
+    val res = IvfIndex.search(spark, dir, emb.limit(10), "vec_id", "embedding",
+      k = 3, nProbe = 4)
+    assert(res.groupBy("query_id").count()
+      .filter(col("count") =!= 3).count() == 0)
+  }
+}
