@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.knn.{ApproxKnn, IvfIndex, KnnJoin}
+import graft.sources.Lake
+import graft.text.Analysis
+
+/** Edge cases a library user hits first: degenerate sizes, empty inputs,
+  * k larger than the candidate side.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Lake.embeddings(spark, sf0001).cache()
+
+  test("kNN with k larger than the candidate count returns all candidates") {
+    val tiny = emb.limit(4).cache()
+    val got = KnnJoin.broadcastKnn(tiny, tiny, "vec_id", "embedding", k = 10)
+    // excludeSelf: each of the 4 queries gets the other 3
+    assert(got.groupBy("query_id").count()
+      .filter(col("count") =!= 3).count() == 0)
+    assert(got.count() == 12)
+  }
+
+  test("blockKnn with a block smaller than the data still matches broadcast") {
+    val tiny = emb.limit(10).cache()
+    val blocked = ApproxKnn.blockKnn(tiny, tiny, "vec_id", "embedding",
+        k = 3, blockSize = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = KnnJoin.broadcastKnn(tiny, tiny, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == flat)
+  }
+
+  test("cleanCorpus on an empty corpus returns an empty frame, same schema") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Analysis.cleanCorpus(empty, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("id", "clean_text"))
+    assert(out.count() == 0)
+  }
+
+  test("cleanCorpus keeps exactly one canonical row per duplicated text") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat for a while that day"),
+      (2L, "the cat sat on the mat for a while that day"), // dup of 1
+      (3L, "ein kleiner deutscher satz ohne englische woerter"),
+      (4L, "the quick brown fox is one of the usual examples"))
+      .toDF("doc_id", "text")
+    val out = Analysis.cleanCorpus(docs, "doc_id", "text",
+      minTokens = 3, maxPunctRatio = 0.5, lang = "en")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 4L)) // dup collapsed to min id; German doc dropped
+  }
+
+  test("scrubPii is null-safe and empty-safe") {
+    val out = Seq[(Long, String)]((1L, ""), (2L, null))
+      .toDF("id", "text")
+      .select(Analysis.scrubPii(col("text")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some(""), None))
+  }
+
+  test("IvfIndex.search with an empty query side returns an empty frame") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_empty").toString
+    IvfIndex.build(emb.limit(20), "vec_id", "embedding", dir, nList = 4)
+    val none = IvfIndex.search(spark, dir,
+      emb.filter(col("vec_id") < 0), "vec_id", "embedding", k = 3)
+    assert(none.count() == 0)
+  }
+}
