@@ -23,8 +23,14 @@ object Analysis {
 
   private def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  private def countIn(toks: Column, dict: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(dict.map(lit): _*), t))).cast("long")
+  /** Dictionary-hit count as a native codegen expression (one hash probe
+    * per token) — the HOF-lambda form is interpreted per element and
+    * blocks codegen subexpression elimination in argmax trees.
+    */
+  private def countIn(toks: Column, dict: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.{Interop, StopwordCount}
+    Interop.column(StopwordCount(Interop.expression(toks), dict))
+  }
 
   /** Per-document quality statistics: token count, char count, average word
     * length, punctuation ratio, digit ratio, English-stopword ratio, and a

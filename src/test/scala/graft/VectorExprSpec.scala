@@ -92,6 +92,31 @@ class VectorExprSpec extends SparkSpec {
     assert(z.toSeq == Seq(0f, 0f))
   }
 
+  test("stopword_count: codegen span, null handling, and hit counting") {
+    import org.apache.spark.sql.graft.{Interop, StopwordCount}
+    import spark.implicits._
+    def cnt(c: org.apache.spark.sql.Column) =
+      Interop.column(StopwordCount(Interop.expression(c), Seq("the", "a", "of")))
+    val df = Seq(
+      Seq("the", "cat", "of", "the"),   // 3 hits (repeats count)
+      Seq("dog"),                        // 0 hits
+      Seq[String]()                      // empty → 0
+    ).toDF("toks").select(cnt(col("toks")).as("n"))
+    assert(df.as[Long].collect().toSeq == Seq(3L, 0L, 0L))
+    // codegen span needs a real scan under the Project (a literal input is
+    // constant-folded away before the physical plan)
+    val scanDf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(cnt(split(lower(col("text")), "\\s+")).as("n"))
+    scanDf.collect()
+    val plan = scanDf.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("stopword_count") && l.contains("*(")))
+    // null array propagates null
+    val nul = Seq((1, null: Seq[String])).toDF("id", "toks")
+      .select(cnt(col("toks"))).collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("plan stays inside whole-stage codegen (no fallback)") {
     val df = pairs.select(VectorExpressions.squaredL2(col("x"), col("y")))
     df.collect() // AQE finalizes the physical plan only on execution
