@@ -448,7 +448,10 @@ object SparkEntry {
     // brute-force oracle (build is seeded → deterministic layout).
     "q41_ivf_index" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val idxDir = s"/tmp/graft_ivf_index_${new java.io.File(d).getName}"
+      // per-process path: a shared fixed dir would let concurrent runs
+      // overwrite each other's index mid-search
+      val idxDir = s"/tmp/graft_ivf_index_${new java.io.File(d).getName}" +
+        s"_${ProcessHandle.current().pid()}"
       graft.knn.IvfIndex.build(emb, "vec_id", "embedding", idxDir, nList = 16)
       graft.knn.IvfIndex.search(s, idxDir, emb, "vec_id", "embedding",
           k = 5, nProbe = 16)
@@ -599,7 +602,7 @@ object SparkEntry {
     "q19_minhash_lsh" ->
       """SELECT CAST(doc_id AS BIGINT) AS id_a,
         | CAST(doc_id + 1000000 AS BIGINT) AS id_b,
-        | 1.0 AS est_jaccard
+        | CAST(1.0 AS DOUBLE) AS est_jaccard
         |FROM documents""".stripMargin,
 
     "q20_simhash" ->

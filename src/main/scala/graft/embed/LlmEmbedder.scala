@@ -35,7 +35,12 @@ final case class LlmEmbedder(
     val t = transport
     val p = policy
     val bs = batchSize
+    // localCheckpoint materializes the id assignment ONCE: both join sides
+    // read the same evaluated RDD, so ids cannot diverge between them
+    // (monotonically_increasing_id is not stable across re-evaluations of
+    // a shuffled input — a silent row/vector mispairing otherwise)
     val withId = df.withColumn("__eid", monotonically_increasing_id())
+      .localCheckpoint()
     val vecs = withId
       .select(col("__eid"), col(textCol).cast("string"))
       .as[(Long, String)]

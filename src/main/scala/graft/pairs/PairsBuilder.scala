@@ -154,6 +154,7 @@ object PairsBuilder {
     val (train, test) = splitPairs(pairs, trainRatio, seed)
     writePairsJsonl(train, s"$outDir/train")
     writePairsJsonl(test, s"$outDir/test")
+    profiles.unpersist() // terminal writes done — release the cached catalog
     (train, test)
   }
 

@@ -106,9 +106,16 @@ object SemLink {
       embedder: Embedder,
       k: Int,
       threshold: Double): DataFrame = {
+    // ids must be DETERMINISTIC, not merely distinct: the keys mapping and
+    // the kNN sides are separate evaluations of this frame, and a cache
+    // eviction would recompute monotonically_increasing_id with different
+    // values — silently mapping neighbors to wrong columns. xxhash64 of
+    // the (unique) key is stable by construction; a 64-bit collision over
+    // a catalog-sized key set is ~|K|²/2⁶⁵ — negligible, and it would
+    // only merge two columns' candidates, not corrupt unrelated rows.
     val embedded = catalog
       .withColumn("vec", embedder.embedColumn(col("text")))
-      .withColumn("id", monotonically_increasing_id())
+      .withColumn("id", xxhash64(col("key")))
       .select("id", "key", "vec")
       .cache()
     val keys = embedded.select("id", "key")

@@ -23,15 +23,27 @@ object Lake {
   // Memoize resolved table plans per (session, dir, table): footer reads +
   // file listing cost ~hundreds of ms on the driver, and catalog-wide
   // operators re-touch the same immutable tables many times per session.
-  // (events is only ever loaded via [[events]], which sets nanosAsLong
-  // before the first — and therefore the cached — resolution.)
+  // Weak session keys: a stopped, dereferenced session GCs together with
+  // its cached plans (an identity-hash key could collide with a later
+  // session and would pin dead sessions forever). (events is only ever
+  // loaded via [[events]], which sets nanosAsLong before the first — and
+  // therefore the cached — resolution.)
   private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = tableCache.synchronized {
+      var m = tableCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        tableCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Load several tables concurrently. Plan construction reads parquet
     * footers on the DRIVER (~hundreds of ms per table including file

@@ -98,9 +98,11 @@ object Analysis {
       minTokens: Long = 5,
       maxPunctRatio: Double = 0.3,
       lang: String = "en"): DataFrame = {
-    val scrubbed = graft.util.Par.balance(
-      df.select(col(idCol).cast("long").as("id"),
-        scrubPii(col(textCol)).as("text")))
+    // unconditional exchange (Par.balance no-ops on well-partitioned
+    // input, which would let projection collapse re-inline the scrub)
+    val scrubbed = df.select(col(idCol).cast("long").as("id"),
+        scrubPii(col(textCol)).as("text"))
+      .repartition(col("id"))
     val c = col("text")
     val nTok = TextFns.tokenCount(c)
     val nChar = length(c).cast("long")

@@ -6,10 +6,10 @@ package org.apache.spark.sql.graft
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k buffer over (longKey, stringValue) entries, kept sorted
@@ -61,11 +61,15 @@ case class BoundedTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKStrBuf] {
+  extends TypedImperativeAggregate[TopKStrBuf] with ExpectsInputTypes {
 
   require(k > 0, s"bounded_topk requires k > 0, got $k")
 
   override def children: Seq[Expression] = Seq(key, value)
+
+  // declared input types let the analyzer coerce (int → bigint) or fail
+  // with a clean error naming the function — update() casts unchecked
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, StringType)
 
   override def createAggregationBuffer(): TopKStrBuf = new TopKStrBuf(k)
 
