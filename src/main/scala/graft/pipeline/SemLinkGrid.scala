@@ -54,8 +54,8 @@ object SemLinkGrid {
       "q", "c").cache()
 
     val kMax = ks.max
-    // ONE kNN pass at kMax; every (k, t) cell is a filter over it
-    val knn = KnnJoin.windowKnn(embedded, embedded, "key", "vec", kMax).cache()
+    // ONE kNN pass at kMax; every (k, t) cell is a pure filter over it
+    val knn = gridKnn(embedded, kMax).cache()
     knn.count() // materialize once
 
     for (k <- ks; t <- thresholds) yield {
@@ -75,6 +75,29 @@ object SemLinkGrid {
           "precision", "recall", "f1", "ndcg")
       GridCell(k, t, discovered, metrics)
     }
+  }
+
+  /** The grid's single kNN pass on the broadcast + partial-top-k scale
+    * path — the same shape as `SemLink.knnPairs`: string column keys are
+    * mapped to deterministic `xxhash64` longs, searched as longs, and
+    * mapped back via two broadcast joins. The former windowKnn shape
+    * (cross join + ranking window partitioned by STRING keys) pushed N²
+    * rows through a shuffle — fine at 10⁴ columns, fatal at a 10⁶-column
+    * catalog. Output: (query_id, neighbor_id, dist, rank) on string keys.
+    */
+  private[graft] def gridKnn(embedded: DataFrame, kMax: Int): DataFrame = {
+    val withId = embedded
+      .withColumn("id", xxhash64(col("key")))
+      .select("id", "key", "vec")
+    val keys = withId.select("id", "key")
+    KnnJoin.broadcastKnn(withId, withId, "id", "vec", kMax,
+        KnnJoin.MetricL2Sq, excludeSelf = true)
+      .join(broadcast(keys.withColumnRenamed("id", "query_id")
+        .withColumnRenamed("key", "__qkey")), Seq("query_id"))
+      .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("key", "__nkey")), Seq("neighbor_id"))
+      .select(col("__qkey").as("query_id"), col("__nkey").as("neighbor_id"),
+        col("dist"), col("rank"))
   }
 
   /** One grid cell row per (k, threshold):

@@ -94,6 +94,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("evaluation grid kNN runs the broadcast path, not the N² cross-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val embedded = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .limit(200)
+      .select(concat(lit("t:"), col("vec_id")).as("key"),
+        col("embedding").cast("array<float>").as("vec"))
+    val knn = graft.pipeline.SemLinkGrid.gridKnn(embedded, 5)
+    knn.collect()
+    val plan = knn.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the scale path: broadcast queries + mapPartitions partial top-k;
+    // the only window is the |parts|·|Q|·k partial merge, never an N² join
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("MapPartitions"))
+  }
+
   test("kNN queries never plan a cartesian/nested-loop join") {
     val df = SparkEntry.queries("q10_knn_l2")(spark, sf0001)
     df.collect()
