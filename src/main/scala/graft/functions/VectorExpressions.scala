@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{DotProduct, Interop, SquaredL2}
+import org.apache.spark.sql.graft.{CentroidKernel, DotProduct, Interop, LshBuckets, LshKernel, NearestCentroid, NearestCentroids, SquaredL2}
 
 /** Column API over the native Catalyst vector expressions (implementation
   * in org.apache.spark.sql.graft — see the packaging note there). The
@@ -22,4 +22,16 @@ object VectorExpressions {
     val denom = sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b))
     when(denom > 0, lit(1.0) - dotProduct(a, b) / denom).otherwise(lit(1.0))
   }
+
+  /** Nearest centroid index (IVF assign) over a broadcast codebook. */
+  def nearestCentroid(v: Column, kernel: CentroidKernel): Column =
+    Interop.column(NearestCentroid(Interop.expression(v), kernel))
+
+  /** The `n` nearest centroid indices by (distance, index) (IVF probe). */
+  def nearestCentroids(v: Column, kernel: CentroidKernel, n: Int): Column =
+    Interop.column(NearestCentroids(Interop.expression(v), kernel, n))
+
+  /** Combined LSH bucket keys (`(table << 48) | signature`). */
+  def lshBuckets(v: Column, kernel: LshKernel, probe: Boolean): Column =
+    Interop.column(LshBuckets(Interop.expression(v), kernel, probe))
 }

@@ -2,7 +2,7 @@ package graft.knn
 
 import scala.util.Random
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,41 +50,27 @@ object ApproxKnn {
       multiProbe: Boolean = true,
       seed: Int = 42,
       excludeSelf: Boolean = true): DataFrame = {
-    val planes = hyperplanes(tables, bits, dim, seed)
     // `probe=true` (query side only) additionally emits every signature at
     // Hamming distance 1 — classic multi-probe LSH: recall per table goes
     // from p^bits to P(≤1 bit differs) at the cost of (bits+1)× query rows
     // (queries are the small side; candidate storage is unchanged).
-    def bucketsOf(probe: Boolean) = F.udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      planes.indices.flatMap { t =>
-        var sig = 0L
-        var b = 0
-        while (b < bits) {
-          val p = planes(t)(b)
-          var dot = 0.0
-          var i = 0
-          val n = math.min(p.length, arr.length)
-          while (i < n) { dot += p(i) * arr(i); i += 1 }
-          if (dot >= 0) sig |= (1L << b)
-          b += 1
-        }
-        if (probe) (t.toLong, sig) +: (0 until bits).map(fb => (t.toLong, sig ^ (1L << fb)))
-        else Seq((t.toLong, sig))
-      }
-    }
+    // Signatures come from the native codegen LshBuckets expression (one
+    // combined (table<<48)|sig long per bucket — table and signature were
+    // only ever a compound join key); the former per-row Scala UDF boxed
+    // every vector into Seq[Float] on the one path that touches all rows.
+    val kernel = new org.apache.spark.sql.graft.LshKernel(
+      hyperplanes(tables, bits, dim, seed))
 
     def bucketed(df: DataFrame, side: String, probe: Boolean) =
       graft.util.Par.balance(
         df.select(col(idCol).cast("long").as(s"${side}_id"),
           col(vecCol).as(s"__${side}_vec")))
-        .withColumn("__tb", explode(bucketsOf(probe)(col(s"__${side}_vec"))))
-        .select(col(s"${side}_id"), col(s"__${side}_vec"),
-          col("__tb._1").as("table_no"), col("__tb._2").as("bucket"))
+        .withColumn("tb", explode(graft.functions.VectorExpressions
+          .lshBuckets(col(s"__${side}_vec"), kernel, probe)))
 
     val q = bucketed(queries, "query", probe = multiProbe)
     val c = bucketed(candidates, "neighbor", probe = false)
-    val joined = q.join(c, Seq("table_no", "bucket"))
+    val joined = q.join(c, Seq("tb"))
     val filtered =
       if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
       else joined
@@ -170,30 +156,24 @@ object ApproxKnn {
       .limit(sampleCap).as[Array[Float]].collect()
     require(sample.nonEmpty, "ivfKnn: empty candidate side")
     val centroids = kmeans(sample, math.min(nList, sample.length), kmeansIters, seed)
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    val nearestCentroids = F.udf { (v: Seq[Float], n: Int) =>
-      val cs = bc.value
-      val arr = v.toArray
-      cs.indices.map { cIdx =>
-        val c = cs(cIdx)
-        var d = 0.0
-        var i = 0
-        val m = math.min(c.length, arr.length)
-        while (i < m) { val x = arr(i) - c(i); d += x * x; i += 1 }
-        (d, cIdx)
-      }.sortBy(identity).take(n).map(_._2)
-    }
+    // assign/probe run the native codegen nearest-centroid expressions over
+    // the broadcast codebook — the assign touches EVERY candidate row, so
+    // the former Scala UDF (boxed Seq[Float], interpreted, codegen barrier)
+    // was the layer's one interpreter-bound inner loop
+    val kernel = new org.apache.spark.sql.graft.CentroidKernel(
+      spark.sparkContext.broadcast(centroids))
 
     val assigned = graft.util.Par.balance(
       candidates.select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).as("__neighbor_vec")))
-      .withColumn("cid", nearestCentroids(col("__neighbor_vec"), lit(1)).getItem(0))
+      .withColumn("cid",
+        graft.functions.VectorExpressions.nearestCentroid(col("__neighbor_vec"), kernel))
 
     val probed = graft.util.Par.balance(
       queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("__query_vec")))
-      .withColumn("cid", explode(nearestCentroids(col("__query_vec"), lit(nProbe))))
+      .withColumn("cid", explode(graft.functions.VectorExpressions
+        .nearestCentroids(col("__query_vec"), kernel, nProbe)))
 
     val joined = probed.join(assigned, Seq("cid"))
     val pairs =

@@ -1,6 +1,6 @@
 package graft.knn
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,39 +39,74 @@ object IvfIndex {
     require(sample.nonEmpty, "IvfIndex.build: empty candidate side")
     val centroids = ApproxKnn.kmeans(sample,
       math.min(nList, sample.length), kmeansIters, seed)
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    val nearest = F.udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      val arr = v.toArray
-      var best = 0
-      var bestD = Double.MaxValue
-      var cIdx = 0
-      while (cIdx < cs.length) {
-        val c = cs(cIdx)
-        var d = 0.0
-        var i = 0
-        val m = math.min(c.length, arr.length)
-        while (i < m) { val x = arr(i) - c(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = cIdx }
-        cIdx += 1
-      }
-      best
-    }
 
     centroids.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "vec")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
 
+    writeAssignments(candidates, idCol, vecCol, dir, centroids,
+      SaveMode.Overwrite)
+    centroids.length
+  }
+
+  /** Distributed assign + partitioned write shared by [[build]] and
+    * [[append]]. The nearest-centroid assign runs the native codegen
+    * expression over the broadcast codebook — it touches EVERY row, the
+    * one loop that matters at 100 TB build time.
+    */
+  private def writeAssignments(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      centroids: Array[Array[Float]],
+      mode: SaveMode): Unit = {
+    val spark = vectors.sparkSession
+    val kernel = new org.apache.spark.sql.graft.CentroidKernel(
+      spark.sparkContext.broadcast(centroids))
     graft.util.Par.balance(
-      candidates.select(col(idCol).cast("long").as("id"),
+      vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec")))
-      .withColumn("cid", nearest(col("vec")))
-      .write.mode(SaveMode.Overwrite)
+      .withColumn("cid",
+        graft.functions.VectorExpressions.nearestCentroid(col("vec"), kernel))
+      .write.mode(mode)
       .partitionBy("cid")
       .parquet(s"$dir/assignments")
-    centroids.length
+  }
+
+  /** Append new vectors into the existing index WITHOUT retraining: each
+    * vector is assigned against the persisted centroids and written into
+    * its cid partition directory (parquet append adds files, never
+    * rewrites lists). This is the 100 TB maintenance story — ingesting a
+    * new batch costs one assign pass over the batch, not an index rebuild.
+    * The coarse quantizer stays fixed, exactly like FAISS `IndexIVF.add`
+    * after training (reference keeps a build-once index the same way,
+    * DeepJoin/annIndex.py:42–51). Returns the appended row count.
+    *
+    * Centroid drift: appended data from a shifted distribution degrades
+    * list balance, not correctness (search stays exact within probed
+    * lists). Rebuild via [[build]] when drift warrants it.
+    */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String): Long = {
+    val centroids = loadCentroids(spark, dir)
+    val n = newVectors.count()
+    writeAssignments(newVectors, idCol, vecCol, dir, centroids, SaveMode.Append)
+    n
+  }
+
+  private def loadCentroids(spark: SparkSession, dir: String): Array[Array[Float]] = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid"), col("vec").cast("array<float>"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    require(centroids.nonEmpty, s"IvfIndex: no centroids under $dir")
+    centroids
   }
 
   /** Probe the persisted index: for each query, the `nProbe` nearest
@@ -90,28 +125,17 @@ object IvfIndex {
       nProbe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .select(col("cid"), col("vec").cast("array<float>"))
-      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
-    require(centroids.nonEmpty, s"IvfIndex.search: no centroids under $dir")
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probeCids = F.udf { (v: Seq[Float], n: Int) =>
-      val cs = bc.value
-      val arr = v.toArray
-      cs.indices.map { cIdx =>
-        val c = cs(cIdx)
-        var d = 0.0
-        var i = 0
-        val m = math.min(c.length, arr.length)
-        while (i < m) { val x = arr(i) - c(i); d += x * x; i += 1 }
-        (d, cIdx)
-      }.sortBy(identity).take(n).map(_._2)
-    }
+    val centroids = loadCentroids(spark, dir)
+    // probe-cid selection via the native codegen expression (broadcast
+    // codebook, no boxed Seq[Float] per query row)
+    val kernel = new org.apache.spark.sql.graft.CentroidKernel(
+      spark.sparkContext.broadcast(centroids))
 
     val probed = graft.util.Par.balance(
       queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<float>").as("__query_vec")))
-      .withColumn("cid", explode(probeCids(col("__query_vec"), lit(nProbe))))
+      .withColumn("cid", explode(graft.functions.VectorExpressions
+        .nearestCentroids(col("__query_vec"), kernel, nProbe)))
 
     // static IN-filter on the partition column: the probed cid UNION is at
     // most nList values (collect is bounded by the centroid count, never

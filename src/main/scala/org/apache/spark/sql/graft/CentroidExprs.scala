@@ -1,0 +1,192 @@
+/* Hosted in org.apache.spark.sql (see GraftExprs.scala). */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, IntegerType, LongType}
+
+/** Shared nearest-centroid kernel for the IVF assign/probe expressions.
+  *
+  * Holds the coarse-quantizer matrix as a Spark `Broadcast` — the
+  * expression serializes as a broadcast handle (bytes, not the matrix), so
+  * a large codebook (e.g. 65k × 768-d ≈ 200 MB at IVF-64k scale) ships to
+  * each executor once via the torrent protocol instead of riding every
+  * serialized task binary. Distance arithmetic is bit-identical to the
+  * replaced Scala UDFs (float subtraction in double accumulation, short
+  * dimension wins), but reads primitives straight off `ArrayData` —
+  * no per-row `Seq[Float]` conversion, no boxing, and the call stays
+  * inside the whole-stage-codegen span.
+  */
+final class CentroidKernel(bc: Broadcast[Array[Array[Float]]]) extends Serializable {
+
+  @transient private lazy val cs: Array[Array[Float]] = bc.value
+
+  def numCentroids: Int = bc.value.length
+
+  private def distTo(c: Array[Float], v: ArrayData): Double = {
+    val m = math.min(c.length, v.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < m) { val x = v.getFloat(i) - c(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Index of the nearest centroid; ties keep the lowest index. */
+  def nearestOne(v: ArrayData): Int = {
+    val local = cs
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < local.length) {
+      val d = distTo(local(ci), v)
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** The `n` nearest centroid indices ordered by (distance, index) — the
+    * same lexicographic contract as sorting all (dist, idx) pairs.
+    */
+  def nearestN(v: ArrayData, n: Int): ArrayData = {
+    val local = cs
+    val cap = math.min(n, local.length)
+    val ds = new Array[Double](cap)
+    val ids = new Array[Int](cap)
+    var size = 0
+    var ci = 0
+    while (ci < local.length) {
+      val d = distTo(local(ci), v)
+      if (size < cap || d < ds(cap - 1)) {
+        var p = if (size < cap) size else cap - 1
+        while (p > 0 && (ds(p - 1) > d || (ds(p - 1) == d && ids(p - 1) > ci))) {
+          ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        ds(p) = d; ids(p) = ci
+        if (size < cap) size += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(ids, size))
+  }
+}
+
+/** IVF assign: nearest centroid index for a float vector. Replaces the
+  * per-row Scala UDF (boxed Seq[Float], interpreted, codegen barrier) that
+  * previously sat on the one code path that touches EVERY row at build
+  * time (knn/IvfIndex build + ApproxKnn.ivfKnn assign).
+  */
+case class NearestCentroid(child: Expression, kernel: CentroidKernel)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.nearestOne(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidKernel", kernel,
+      classOf[CentroidKernel].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.nearestOne($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** IVF probe: the `n` nearest centroid indices, ordered by (dist, index).
+  * Output is `array<int>` with non-null elements, matching the replaced
+  * UDF's schema.
+  */
+case class NearestCentroids(child: Expression, kernel: CentroidKernel, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.nearestN(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidKernel", kernel,
+      classOf[CentroidKernel].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.nearestN($arr, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature kernel. The plane tensor is tiny
+  * (tables × bits × dim floats) and immutable, so it rides the task-binary
+  * broadcast directly — no explicit Broadcast needed. Signature arithmetic
+  * is bit-identical to the replaced UDF (float multiply accumulated in
+  * double, sign test at ≥ 0).
+  */
+final class LshKernel(planes: Array[Array[Array[Float]]]) extends Serializable {
+
+  private val tables = planes.length
+  private val bits = if (tables == 0) 0 else planes(0).length
+  require(bits <= 48, s"LshKernel: bits=$bits exceeds the 48-bit signature budget")
+
+  /** Buckets as combined `(table << 48) | signature` longs — table and
+    * signature were only ever used together as a compound equi-join key,
+    * so one long key halves the join-key width. With `probe` each table
+    * additionally emits every signature at Hamming distance 1 (classic
+    * multi-probe on the query side).
+    */
+  def buckets(v: ArrayData, probe: Boolean): ArrayData = {
+    val out = new Array[Long](if (probe) tables * (bits + 1) else tables)
+    var o = 0
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val p = planes(t)(b)
+        var dot = 0.0
+        var i = 0
+        val m = math.min(p.length, v.numElements())
+        while (i < m) { dot += p(i) * v.getFloat(i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      val base = t.toLong << 48
+      out(o) = base | sig; o += 1
+      if (probe) {
+        var fb = 0
+        while (fb < bits) { out(o) = base | (sig ^ (1L << fb)); o += 1; fb += 1 }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** LSH bucket keys for a float vector: `array<long>` of combined
+  * table/signature keys (see [[LshKernel.buckets]]). Replaces the hot
+  * per-row signature UDF in the LSH candidate generation.
+  */
+case class LshBuckets(child: Expression, kernel: LshKernel, probe: Boolean)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.buckets(input.asInstanceOf[ArrayData], probe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshKernel", kernel, classOf[LshKernel].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.buckets($arr, $probe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}

@@ -52,6 +52,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall > 0.5, s"pruned recall too low: $recall")
   }
 
+  test("append without retrain: build(half) + append(rest) ≡ build(all)") {
+    import spark.implicits._
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dirInc = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("ivf_all").toString
+    // same sampled training set on both sides: train on the SAME half so
+    // the coarse quantizers are identical, then append the other half
+    val nInc = IvfIndex.build(first, "vec_id", "embedding", dirInc, nList = 8)
+    val appended = IvfIndex.append(spark, dirInc, rest, "vec_id", "embedding")
+    assert(appended == rest.count())
+    IvfIndex.build(first, "vec_id", "embedding", dirAll, nList = 8)
+    IvfIndex.append(spark, dirAll, rest, "vec_id", "embedding")
+    // the incremental index holds every vector exactly once
+    val stored = spark.read.parquet(s"$dirInc/assignments")
+    assert(stored.count() == emb.count())
+    assert(stored.select("id").distinct().count() == emb.count())
+    // probed at nProbe=nList, search over the appended index is EXACT
+    val got = IvfIndex
+      .search(spark, dirInc, emb, "vec_id", "embedding", k = 5, nProbe = nInc)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactTop5)
+    // appended rows landed in the same cid partitions the quantizer assigns
+    val cidOf = spark.read.parquet(s"$dirAll/assignments")
+      .select("id", "cid").as[(Long, Int)].collect().toMap
+    val cidInc = stored.select("id", "cid").as[(Long, Int)].collect().toMap
+    assert(cidInc == cidOf)
+  }
+
   test("index survives a fresh read: search works from paths alone") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx3").toString
     IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 4)
