@@ -172,9 +172,10 @@ object SparkEntry {
       Eval.ndcgAtK(ranked, sameLabelTruth(s, d), 5)
     }),
 
-    // Dedup (exact): hash-groupBy canonicalization
+    // Dedup (exact): canonicalization on the 8-byte xxhash64 shuffle key
+    // (text rides as min_by payload, not as the group key)
     "q15_dedup_exact" -> ((s, d) => {
-      Dedup.exactDupGroups(t(s, d, "documents"), "doc_id", "text")
+      Dedup.exactDupGroupsByHash(t(s, d, "documents"), "doc_id", "text")
     }),
 
     // Dedup (n-gram Jaccard): token-blocked exact word-set similarity

@@ -34,6 +34,24 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min("id").cast("long").as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** [[exactDupGroups]] output shape on the [[exactDupGroupsHashed]] shuffle
+    * plan: the GROUP KEY is the 8-byte xxhash64 of the text, and one text
+    * copy rides along as an aggregation payload (`min_by`), so map-side
+    * partial aggregation collapses duplicates before the exchange and the
+    * shuffle key stays fixed-width no matter how long the documents are.
+    * Same (canonical_id, dup_count, text) rows as [[exactDupGroups]] up to
+    * 64-bit hash collisions (~n²/2⁶⁵ — negligible below ~10⁹ distinct
+    * documents; beyond that, widen to a 128-bit key).
+    */
+  def exactDupGroupsByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .groupBy(xxhash64(col("text")).as("text_hash"))
+      .agg(
+        min(col("id")).as("canonical_id"),
+        count(lit(1)).as("dup_count"),
+        min_by(col("text"), col("id")).as("text"))
+      .select("canonical_id", "dup_count", "text")
+
   /** EXACT word-set Jaccard similarity join via prefix filtering
     * (the AllPairs/SSJoin family): under a global token order by
     * (doc-frequency ASC, token ASC), any pair with J ≥ t shares its

@@ -85,11 +85,15 @@ object Analysis {
     * ONE corpus scan + ONE shuffle. Identical scrubbed text yields
     * identical stats, so every duplicate of a kept document is also kept —
     * dedup-within-keepers equals dedup-then-intersect, and the whole
-    * pipeline is a filtered projection followed by a min-id group on the
-    * text key. The repartition between the scrub and the stat filter is a
-    * materialization barrier: projection collapse would otherwise inline
-    * the 4-pattern scrub chain into every regex-derived stat expression
-    * (~15 recomputations per row).
+    * pipeline is a filtered projection followed by a min-id group keyed on
+    * xxhash64(text) (8-byte shuffle key; one text copy rides as `min_by`
+    * payload, collapsed map-side before the exchange).
+    *
+    * The scrub is evaluated exactly ONCE per row: its projection is wrapped
+    * in [[org.apache.spark.sql.graft.OptimizerBarrier]], which stops both
+    * optimizer moves that would re-inline the 4-regex chain into every
+    * stat expression (~15 recomputations per row) — see the barrier's doc
+    * for why an exchange or a `rand()` guard does not work.
     */
   def cleanCorpus(
       df: DataFrame,
@@ -98,11 +102,12 @@ object Analysis {
       minTokens: Long = 5,
       maxPunctRatio: Double = 0.3,
       lang: String = "en"): DataFrame = {
-    // unconditional exchange (Par.balance no-ops on well-partitioned
-    // input, which would let projection collapse re-inline the scrub)
+    val scrubOnce = {
+      import org.apache.spark.sql.graft.{Interop, OptimizerBarrier}
+      Interop.column(OptimizerBarrier(Interop.expression(scrubPii(col(textCol)))))
+    }
     val scrubbed = df.select(col(idCol).cast("long").as("id"),
-        scrubPii(col(textCol)).as("text"))
-      .repartition(col("id"))
+        scrubOnce.as("text"))
     val c = col("text")
     val nTok = TextFns.tokenCount(c)
     val nChar = length(c).cast("long")
@@ -123,9 +128,9 @@ object Analysis {
     scrubbed
       .filter(nTok >= minTokens && punctRatio <= maxPunctRatio &&
         pick === lang)
-      .groupBy("text")
-      .agg(min("id").as("id"))
-      .select(col("id"), col("text").as("clean_text"))
+      .groupBy(xxhash64(col("text")).as("text_hash"))
+      .agg(min("id").as("id"), min_by(col("text"), col("id")).as("clean_text"))
+      .select(col("id"), col("clean_text"))
   }
 
   /** Heuristic language ID: per language, the fraction of tokens found in

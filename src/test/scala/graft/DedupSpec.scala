@@ -25,6 +25,23 @@ class DedupSpec extends SparkSpec {
     assert(h.length == 1 && h.head.getAs[Long]("canonical_id") == 1L)
   }
 
+  test("hash-keyed exact dedup returns the same rows as the text-keyed plan") {
+    val byText = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .orderBy("canonical_id").collect().toSeq
+    val byHash = Dedup.exactDupGroupsByHash(docs, "doc_id", "text")
+      .orderBy("canonical_id").collect().toSeq
+    assert(byText == byHash)
+    // and the shuffle key is the 8-byte hash, not the document text: the
+    // exchange partitions on the xxhash64 grouping expression (a long),
+    // never on the string column's attribute
+    val df = Dedup.exactDupGroupsByHash(docs, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exch = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exch.nonEmpty && exch.forall(!_.contains("text#")), exch.mkString("\n"))
+  }
+
   test("word jaccard: exact dup = 1.0, near dup high, unrelated filtered") {
     val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.5).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))

@@ -75,15 +75,22 @@ class PlanShapeSpec extends SparkSpec {
       s"embeddings scanned $scanCount times — discovered side re-evaluated:\n$current")
   }
 
-  test("cleanCorpus plans one corpus scan and no joins") {
+  test("cleanCorpus plans one corpus scan, no joins, and scrubs exactly once") {
     val df = SparkEntry.queries("q40_clean_corpus")(spark, sf0001)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     // the identical-text⇒identical-keep fold: filtered projection + one
-    // min-id-by-text aggregation — no second pass, no semi-joins
+    // min-id-by-hash aggregation — no second pass, no semi-joins
     assert(plan.linesIterator.count(_.contains("FileScan")) == 1)
     assert(!plan.contains("Join"))
+    // the non-deterministic scrub barrier holds: the 4-regex chain must NOT
+    // be re-inlined into the scan's data filters (PushDownPredicate) — the
+    // quality/lang filter evaluates the already-scrubbed attribute
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).get
+    assert(!scanLine.contains("regexp_replace"),
+      s"scrub chain pushed into the scan:\n$scanLine")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1)
   }
 
   test("prefix-filtered Jaccard join never plans a cartesian product") {
