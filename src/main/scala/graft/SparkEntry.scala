@@ -249,6 +249,22 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    // §2.9 streaming, EXECUTED: the q22 window aggregation run through an
+    // actual readStream → watermarked agg → memory-sink drain, so the
+    // oracle checks a real Structured Streaming execution — not the batch
+    // twin (which q22 already covers)
+    "q42_stream_windows" -> ((s, d) => {
+      graft.streaming.Streams.windowedAggOnce(s, s"$d/events.parquet")
+    }),
+
+    // J4/F16 end-to-end: the corruption-robustness experiment — all three
+    // schema-noise regimes applied to the lake catalog, clean + corrupted
+    // names pushed through annotate → canonicalize, per-regime survival
+    "q43_corruption_robustness" -> ((s, d) => {
+      graft.corrupt.Robustness.annotationSurvival(
+        s, Lake.tables(s, d, Lake.lakeTables))
+    }),
+
     // J5: within-group self-join — column pairs sharing a semantic name.
     // The (table, column) catalog comes straight from the parquet footers
     // (schema read, zero jobs) — grouping needs names, not statistics.
@@ -301,12 +317,15 @@ object SparkEntry {
     }),
 
     // IVF kNN with nProbe == nList: probes every inverted list, so the
-    // result is exactly brute-force kNN — shares q10's oracle while
-    // exercising the IVF assign/probe machinery end-to-end
+    // result is exactly brute-force kNN — an oracle-shareable config that
+    // exercises the IVF assign/probe machinery end-to-end. The query side
+    // is capped (vec_id < 500) so the deliberately-exhaustive probe stays
+    // an oracle fixture, not a bench-dominating N² plan — the production
+    // pruned config is benched as q37.
     "q28_ivf_knn" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      graft.knn.ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", k = 5,
-        nList = 16, nProbe = 16)
+      graft.knn.ApproxKnn.ivfKnn(emb.filter(col("vec_id") < 500), emb,
+        "vec_id", "embedding", k = 5, nList = 16, nProbe = 16)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
           round(col("dist"), 6).as("dist"))
     }),
@@ -450,9 +469,11 @@ object SparkEntry {
     "q41_ivf_index" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       // per-process path: a shared fixed dir would let concurrent runs
-      // overwrite each other's index mid-search
-      val idxDir = s"/tmp/graft_ivf_index_${new java.io.File(d).getName}" +
-        s"_${ProcessHandle.current().pid()}"
+      // overwrite each other's index mid-search; registered for recursive
+      // deletion at JVM exit so repeated runs don't accumulate under /tmp
+      val idxDir = graft.util.TempDirs.register(
+        s"/tmp/graft_ivf_index_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
       graft.knn.IvfIndex.build(emb, "vec_id", "embedding", idxDir, nList = 16)
       graft.knn.IvfIndex.search(s, idxDir, emb, "vec_id", "embedding",
           k = 5, nProbe = 16)
@@ -778,7 +799,7 @@ object SparkEntry {
     "q28_ivf_knn" ->
       s"""$knnL2Cte
          |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
-         |FROM knn WHERE rnk <= 5""".stripMargin,
+         |FROM knn WHERE rnk <= 5 AND query_id < 500""".stripMargin,
 
     "q36_knn_plan" ->
       s"""$knnL2Cte
@@ -931,6 +952,13 @@ object SparkEntry {
          |FROM scored""".stripMargin,
 
     "q22_event_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical contract to q22 — the Spark side differs only in executing
+    // through the streaming engine
+    "q42_stream_windows" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,

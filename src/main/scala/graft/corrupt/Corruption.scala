@@ -55,16 +55,21 @@ object Corruption {
   def charNoiseRename(df: DataFrame, p: Double = 0.65, seed: Int = 42): DataFrame =
     df.toDF(df.columns.map(c => charNoise(c, p, seed)): _*)
 
+  /** The per-name operation of [[poolSubstitution]]: replaced (with prob
+    * p) by a seeded pick from the pool of all lake column names.
+    */
+  def poolPick(name: String, pool: Seq[String], p: Double = 0.65,
+      seed: Int = 42): String = {
+    val rnd = new Random(MurmurHash3.stringHash(name, seed ^ 0x5bd1e995))
+    if (pool.nonEmpty && rnd.nextDouble() < p) pool(rnd.nextInt(pool.size)) else name
+  }
+
   /** corrupt_3: random substitution from a global name pool
-    * (corruption.py:33–35) — each column name replaced (with prob p) by a
-    * seeded pick from the pool of all lake column names.
+    * (corruption.py:33–35).
     */
   def poolSubstitution(df: DataFrame, pool: Seq[String], p: Double = 0.65,
       seed: Int = 42): DataFrame =
-    df.toDF(df.columns.map { c =>
-      val rnd = new Random(MurmurHash3.stringHash(c, seed ^ 0x5bd1e995))
-      if (pool.nonEmpty && rnd.nextDouble() < p) pool(rnd.nextInt(pool.size)) else c
-    }: _*)
+    df.toDF(df.columns.map(poolPick(_, pool, p, seed)): _*)
 
   /** Seeded value-level corruption column (for data-noise experiments):
     * corrupts string values in-flight with the same char operations.

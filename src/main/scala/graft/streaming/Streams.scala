@@ -36,6 +36,25 @@ object Streams {
     tsToTimestamp(spark.readStream.schema(eventsLongSchema).parquet(dir))
   }
 
+  /** The file stream source requires a DIRECTORY; a single-file input is
+    * staged into a scratch dir (symlink when the filesystem allows, copy
+    * otherwise) registered for JVM-exit cleanup.
+    */
+  private def stageDir(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) path
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      graft.util.TempDirs.register(dir.toString)
+      val target = dir.resolve(f.getName)
+      try java.nio.file.Files.createSymbolicLink(target, f.toPath)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(f.toPath, target)
+      }
+      dir.toString
+    }
+  }
+
   /** Tumbling/sliding window aggregation with watermark:
     * counts + sum(value) per (window, event_type). `slide == size` →
     * tumbling. Late data beyond the watermark is dropped.
@@ -52,6 +71,37 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(unix_timestamp(col("w.start")).cast("long").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  private val memorySinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run [[windowedAgg]] as an ACTUAL streaming execution — `readStream` →
+    * watermarked window agg → memory sink, drained with `AvailableNow` —
+    * and return the materialized result. This is the correctness harness
+    * for the streaming path itself (the batch twin checks semantics; this
+    * checks the streaming EXECUTION produces them): `Complete` output mode
+    * keeps every window in the sink, so a bounded replay equals the batch
+    * aggregation row-for-row.
+    *
+    * Bounded-input harness by design — a production deployment writes
+    * `Append` with the watermark evicting state to a durable sink; the
+    * memory sink here is the oracle-comparable surface.
+    */
+  def windowedAggOnce(spark: SparkSession, eventsPath: String,
+      size: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    // unique sink name: memory-sink table names are session-global and a
+    // repeated invocation (bench reruns) must not collide with a finished one
+    val name = s"graft_stream_win_${memorySinkSeq.incrementAndGet()}"
+    val query = windowedAgg(eventsStream(spark, stageDir(eventsPath)), size,
+        slide = None, watermark = watermark)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
   }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

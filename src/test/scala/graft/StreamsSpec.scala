@@ -42,6 +42,18 @@ class StreamsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("windowedAggOnce (q42 surface) drains a real stream to batch-equal rows") {
+    // points at the single parquet FILE, exactly as the q42 entry does
+    val got = Streams.windowedAggOnce(spark, s"$sf0001/events.parquet")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q22_event_windows")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == batch)
+  }
+
   test("batch sessionization: session boundaries honor the gap") {
     val events = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),
