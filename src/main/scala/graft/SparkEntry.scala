@@ -615,8 +615,62 @@ object SparkEntry {
        |JOIN texts ct ON ct.tbl = gt.candidate_table AND ct.col = gt.candidate_column""".stripMargin
   }
 
+  /** q43 oracle: the corrupted catalog and the canonical synonym mapping
+    * are computed statically from the same `lakeSchema` the q23/q24
+    * oracles embed (the corruption fixtures are seeded-deterministic —
+    * CorruptionSpec proves charNoise/poolPick stability — and the
+    * first-seen fold is AnnotateSpec-verified), then embedded as VALUES;
+    * everything downstream — the semantic-annotation regexp, the mapping
+    * application with its unmapped-term fallback, and the per-regime
+    * survival aggregation — is recomputed INDEPENDENTLY by DuckDB.
+    */
+  private val robustnessOracle: String = {
+    val pool = lakeSchema.flatMap(_._2.map(_._1))
+    val cat = lakeSchema.flatMap { case (tbl, cols) =>
+      cols.map(_._1).zipWithIndex.flatMap { case (c, i) => Seq(
+        (tbl, c, 1, s"attribute_$i"),
+        (tbl, c, 2, graft.corrupt.Corruption.charNoise(c, 0.65, 42)),
+        (tbl, c, 3, graft.corrupt.Corruption.poolPick(c, pool, 1.0, 42)))
+      }
+    }
+    // the production first-seen fold over the clean vocabulary in
+    // (table, column) ascending order — same contract as
+    // Canonicalize.canonicalizeAnnotations' ordered collect
+    def anno(name: String): String =
+      name.toLowerCase.map(ch => if (ch == ' ' || ch == '-') '_' else ch)
+        .replaceFirst("^[a-z]_", "")
+    val terms = cat.filter(_._3 == 1).map { case (t, c, _, _) => (t, c) }
+      .sorted.map { case (_, c) => anno(c) }
+    val mapping = graft.annotate.Canonicalize.foldCanonical(terms)
+    val catValues = cat
+      .map { case (t, c, r, k) => s"('$t', '$c', $r, '$k')" }.mkString(", ")
+    val mapValues = mapping.toSeq.sorted
+      .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+    s"""WITH cat(tbl, col, regime, corrupted) AS (VALUES $catValues),
+       |cmap(term, canon) AS (VALUES $mapValues),
+       |ann AS (
+       |  SELECT CAST(regime AS BIGINT) AS regime,
+       |    regexp_replace(translate(lower(col), ' -', '__'), '^[a-z]_', '') AS clean_anno,
+       |    regexp_replace(translate(lower(corrupted), ' -', '__'), '^[a-z]_', '') AS corrupt_anno
+       |  FROM cat),
+       |canon AS (
+       |  SELECT regime,
+       |    coalesce(mc.canon, clean_anno) AS clean_canon,
+       |    coalesce(mk.canon, corrupt_anno) AS corrupt_canon
+       |  FROM ann
+       |  LEFT JOIN cmap mc ON mc.term = ann.clean_anno
+       |  LEFT JOIN cmap mk ON mk.term = ann.corrupt_anno)
+       |SELECT regime, CAST(count(*) AS BIGINT) AS n_cols,
+       |  CAST(sum(CASE WHEN clean_canon = corrupt_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  round(CAST(sum(CASE WHEN clean_canon = corrupt_canon THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 4) AS match_rate
+       |FROM canon GROUP BY regime""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q26_deepjoin_pairs" -> deepjoinOracle,
+
+    "q43_corruption_robustness" -> robustnessOracle,
 
     // recall gates: every injected exact-dup pair must be recovered —
     // identical text gives identical MinHash signatures (est_jaccard 1.0)

@@ -22,7 +22,10 @@ object Robustness {
 
   /** (table, cleanName, regime, corruptedName) for the three regimes,
     * obtained by zipping each regime-renamed DataFrame's schema against
-    * the clean one.
+    * the clean one. `p` gates regime 2 only: the reference's corrupt_3
+    * substitutes EVERY column name unconditionally (corruption.py:35,
+    * a bare random.choice with no probability gate), so regime 3 runs at
+    * p = 1.0 regardless.
     */
   def corruptedCatalog(
       tables: Seq[(String, DataFrame)],
@@ -33,7 +36,7 @@ object Robustness {
       val clean = df.columns
       val r1 = Corruption.positionalRename(df).columns
       val r2 = Corruption.charNoiseRename(df, p, seed).columns
-      val r3 = Corruption.poolSubstitution(df, pool, p, seed).columns
+      val r3 = Corruption.poolSubstitution(df, pool, 1.0, seed).columns
       clean.indices.flatMap(i => Seq(
         (tbl, clean(i), 1, r1(i)),
         (tbl, clean(i), 2, r2(i)),
