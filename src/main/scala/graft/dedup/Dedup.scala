@@ -1,11 +1,7 @@
 package graft.dedup
 
-import scala.util.hashing.MurmurHash3
-
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-
-import graft.functions.TextFns
 
 /** Deduplication operators for large-scale training-data pipelines (added
   * scope — the reference has none, SURVEY.md §7.4). All shapes are
@@ -110,29 +106,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature UDF: `numHashes` permutations approximated by seeded
-    * MurmurHash3 over word shingles. Deterministic across JVMs.
-    */
-  private def minhashSignature(shingleSize: Int, numHashes: Int) =
-    F.udf { (text: String) =>
-      val sig = Array.fill(numHashes)(Int.MaxValue)
-      if (text != null) {
-        val toks = text.trim.toLowerCase.split("\\s+")
-        var i = 0
-        while (i + shingleSize <= toks.length) {
-          val sh = toks.slice(i, i + shingleSize).mkString(" ")
-          var h = 0
-          while (h < numHashes) {
-            val v = MurmurHash3.stringHash(sh, h * 0x9e3779b9 + 1)
-            if (v < sig(h)) sig(h) = v
-            h += 1
-          }
-          i += 1
-        }
-      }
-      sig
-    }
-
   /** MinHash + LSH banding near-dup candidates
     * (shingle → minhash → band → bucket-join; SURVEY.md north star).
     * `numHashes = bands * rowsPerBand`. Two docs land in the same bucket iff
@@ -149,10 +122,15 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // signatures via the native codegen MinHashSig expression — the
+    // per-row shingle loop was the last interpreted UDF on this
+    // every-document path (see sql/graft/SignatureExprs.scala)
     val signed = graft.util.Par.balance(
       df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text")))
       .select(col("id"),
-        minhashSignature(shingleSize, numHashes)(col("__text")).as("sig"))
+        graft.functions.VectorExpressions.minhashSig(col("__text"),
+          new org.apache.spark.sql.graft.MinHashKernel(shingleSize, numHashes))
+          .as("sig"))
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
@@ -176,25 +154,11 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens (deterministic). */
-  def simhash64 = F.udf { (text: String) =>
-    val acc = new Array[Int](64)
-    if (text != null) {
-      text.trim.toLowerCase.split("\\s+").foreach { t =>
-        val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
-          (MurmurHash3.stringHash(t, 13).toLong & 0xffffffffL)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-          b += 1
-        }
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  /** 64-bit SimHash over whitespace tokens (deterministic) — the native
+    * codegen SimHash64 expression (sql/graft/SignatureExprs.scala).
+    */
+  def simhash64(text: Column): Column =
+    graft.functions.VectorExpressions.simhash64(text)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked by
     * the pigeonhole principle: split the 64-bit hash into `maxHamming + 1`

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CentroidKernel, DotProduct, Interop, LshBuckets, LshKernel, NearestCentroid, NearestCentroids, SquaredL2}
+import org.apache.spark.sql.graft.{CentroidKernel, DotProduct, Interop, LshBuckets, LshKernel, MinHashKernel, MinHashSig, NearestCentroid, NearestCentroids, SimHash64, SimHashKernel, SquaredL2}
 
 /** Column API over the native Catalyst vector expressions (implementation
   * in org.apache.spark.sql.graft — see the packaging note there). The
@@ -34,4 +34,12 @@ object VectorExpressions {
   /** Combined LSH bucket keys (`(table << 48) | signature`). */
   def lshBuckets(v: Column, kernel: LshKernel, probe: Boolean): Column =
     Interop.column(LshBuckets(Interop.expression(v), kernel, probe))
+
+  /** MinHash signature of a document (`array<int>`, non-nullable). */
+  def minhashSig(text: Column, kernel: MinHashKernel): Column =
+    Interop.column(MinHashSig(Interop.expression(text), kernel))
+
+  /** 64-bit SimHash of a document (non-nullable). */
+  def simhash64(text: Column): Column =
+    Interop.column(SimHash64(Interop.expression(text), new SimHashKernel))
 }

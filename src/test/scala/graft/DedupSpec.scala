@@ -68,4 +68,87 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(nd((1L, 2L)) == 0L)
   }
+
+  // ---- native signature expressions (sql/graft/SignatureExprs.scala) ----
+
+  // plain-Scala replicas of the REPLACED UDFs — the expressions must be
+  // bit-identical (same trim/lower/split, same seeded MurmurHash3)
+  private def refMinhash(text: String, shingleSize: Int, numHashes: Int): Seq[Int] = {
+    import scala.util.hashing.MurmurHash3
+    val sig = Array.fill(numHashes)(Int.MaxValue)
+    if (text != null) {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      var i = 0
+      while (i + shingleSize <= toks.length) {
+        val sh = toks.slice(i, i + shingleSize).mkString(" ")
+        var h = 0
+        while (h < numHashes) {
+          val v = MurmurHash3.stringHash(sh, h * 0x9e3779b9 + 1)
+          if (v < sig(h)) sig(h) = v
+          h += 1
+        }
+        i += 1
+      }
+    }
+    sig.toSeq
+  }
+
+  private def refSimhash(text: String): Long = {
+    import scala.util.hashing.MurmurHash3
+    val acc = new Array[Int](64)
+    if (text != null) {
+      text.trim.toLowerCase.split("\\s+").foreach { t =>
+        val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
+          (MurmurHash3.stringHash(t, 13).toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  test("native signature expressions are bit-identical to the replaced UDFs") {
+    import graft.functions.VectorExpressions
+    val kernel = new org.apache.spark.sql.graft.MinHashKernel(3, 16)
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  Mixed CASE   with\t tabs and  runs of   spaces "),
+      (3L, "short"),
+      (4L, ""),
+      (5L, null: String))
+    val got = texts.toDF("id", "text")
+      .select(col("id"), col("text"),
+        VectorExpressions.minhashSig(col("text"), kernel).as("mh"),
+        VectorExpressions.simhash64(col("text")).as("sh"))
+      .collect()
+    got.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(r.getAs[scala.collection.Seq[Int]]("mh").toSeq == refMinhash(t, 3, 16),
+        s"minhash for '$t'")
+      assert(r.getAs[Long]("sh") == refSimhash(t), s"simhash for '$t'")
+      assert(!r.isNullAt(2) && !r.isNullAt(3), "signatures are non-nullable")
+    }
+  }
+
+  test("signature expressions stay inside whole-stage codegen over a real scan") {
+    import graft.functions.VectorExpressions
+    val kernel = new org.apache.spark.sql.graft.MinHashKernel(3, 64)
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(VectorExpressions.minhashSig(col("text"), kernel).as("mh"),
+        VectorExpressions.simhash64(col("text")).as("sh"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("minhash_sig") && l.contains("*(")),
+      s"minhash_sig fell out of the codegen span:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("simhash64") && l.contains("*(")),
+      s"simhash64 fell out of the codegen span:\n$plan")
+  }
 }
