@@ -108,8 +108,8 @@ final case class HttpLlmTransport(
     val m = msgs.addObject()
     m.put("role", "user")
     m.put("content", prompt)
-    val parsed = mapper.readTree(post("/chat/completions", mapper.writeValueAsString(root)))
-    parsed.path("choices").path(0).path("message").path("content").asText()
+    HttpLlmTransport.parseCompletion(mapper,
+      post("/chat/completions", mapper.writeValueAsString(root)))
   }
 
   override def embed(texts: Seq[String]): Seq[Array[Float]] = {
@@ -117,10 +117,39 @@ final case class HttpLlmTransport(
     root.put("model", model)
     val in = root.putArray("input")
     texts.foreach(in.add)
-    val parsed = mapper.readTree(post("/embeddings", mapper.writeValueAsString(root)))
-    val data = parsed.path("data")
-    (0 until data.size()).map { i =>
+    HttpLlmTransport.parseEmbeddings(mapper,
+      post("/embeddings", mapper.writeValueAsString(root)), texts.length)
+  }
+}
+
+object HttpLlmTransport {
+
+  /** Strict wire-shape validation. A 2xx response with a malformed body
+    * must THROW — [[LlmPolicy]]'s retry contract keys on exceptions, and
+    * Jackson `path()` chains would otherwise yield ""/empty silently,
+    * bypassing the retry and surfacing the failure later as an unrelated
+    * `require()` in a downstream operator.
+    */
+  private[graft] def parseCompletion(mapper: ObjectMapper, body: String): String = {
+    val content = mapper.readTree(body)
+      .path("choices").path(0).path("message").path("content")
+    if (!content.isTextual)
+      throw new RuntimeException(
+        s"LLM malformed completion body (no choices[0].message.content): ${body.take(200)}")
+    content.asText()
+  }
+
+  private[graft] def parseEmbeddings(
+      mapper: ObjectMapper, body: String, n: Int): Seq[Array[Float]] = {
+    val data = mapper.readTree(body).path("data")
+    if (!data.isArray || data.size() != n)
+      throw new RuntimeException(
+        s"LLM malformed embeddings body (data size ${data.size()}, expected $n): ${body.take(200)}")
+    (0 until n).map { i =>
       val emb = data.path(i).path("embedding")
+      if (!emb.isArray || emb.size() == 0)
+        throw new RuntimeException(
+          s"LLM malformed embeddings body (data[$i].embedding missing/empty): ${body.take(200)}")
       Array.tabulate(emb.size())(j => emb.path(j).floatValue())
     }
   }

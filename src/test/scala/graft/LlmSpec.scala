@@ -149,6 +149,33 @@ class LlmSpec extends SparkSpec {
     assert(e.embed(null).toSeq == Seq(0f, 1f, 2f))
   }
 
+  test("malformed 2xx bodies throw so the retry-once contract applies") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import graft.llm.HttpLlmTransport.{parseCompletion, parseEmbeddings}
+    // well-formed bodies parse
+    assert(parseCompletion(mapper,
+      """{"choices":[{"message":{"content":"hi"}}]}""") == "hi")
+    assert(parseEmbeddings(mapper,
+      """{"data":[{"embedding":[1.0,2.0]}]}""", 1).head.toSeq == Seq(1f, 2f))
+    // malformed 2xx bodies throw instead of yielding ""/empty
+    intercept[RuntimeException](parseCompletion(mapper, """{"ok":true}"""))
+    intercept[RuntimeException](parseCompletion(mapper,
+      """{"choices":[{"message":{}}]}"""))
+    intercept[RuntimeException](parseEmbeddings(mapper, """{"data":"x"}""", 1))
+    intercept[RuntimeException](parseEmbeddings(mapper,
+      """{"data":[{"embedding":[1.0]}]}""", 2)) // count mismatch
+    intercept[RuntimeException](parseEmbeddings(mapper,
+      """{"data":[{"embedding":[]}]}""", 1))    // empty vector
+    // end to end: a transport whose 2xx body is garbage now drives the
+    // policy's retry-once, then the failure propagates
+    var calls = 0
+    val policy = LlmPolicy(throttleMs = 0, retries = 1, sleep = _ => ())
+    intercept[RuntimeException] {
+      policy.call { calls += 1; parseCompletion(mapper, "{}") }
+    }
+    assert(calls == 2)
+  }
+
   test("HttpLlmTransport builds without touching the network") {
     val t = HttpLlmTransport("http://localhost:9", "some-model")
     assert(t.baseUrl.nonEmpty && t.model == "some-model")
