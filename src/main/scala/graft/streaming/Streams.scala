@@ -42,6 +42,9 @@ object Streams {
     */
   private def stageDir(path: String): String = {
     val f = new java.io.File(path)
+    // fail fast: a symlink to a missing target succeeds at creation time
+    // and the stream would silently drain zero rows
+    require(f.isFile || f.isDirectory, s"no such path: $path")
     if (f.isDirectory) path
     else {
       val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
@@ -92,15 +95,31 @@ object Streams {
     // unique sink name: memory-sink table names are session-global and a
     // repeated invocation (bench reruns) must not collide with a finished one
     val name = s"graft_stream_win_${memorySinkSeq.incrementAndGet()}"
-    val query = windowedAgg(eventsStream(spark, stageDir(eventsPath)), size,
-        slide = None, watermark = watermark)
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // explicit checkpoint under JVM-exit cleanup (the engine would
+    // otherwise warn and create an unmanaged temp checkpoint), and the
+    // nanosAsLong flag eventsStream flips is restored afterwards — a
+    // shared bench session must not see an order-dependent conf change
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    graft.util.TempDirs.register(checkpoint.toString)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    try {
+      val query = windowedAgg(eventsStream(spark, stageDir(eventsPath)), size,
+          slide = None, watermark = watermark)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint.toString)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
+    }
     spark.table(name)
   }
 
