@@ -206,27 +206,54 @@ object KnnJoinTvf {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, Literal}
   import org.apache.spark.sql.catalyst.plans.logical.Project
 
+  /** Analysis-time argument errors surface as AnalysisException (the
+    * class SQL frontends render with position/sqlState), never as raw
+    * require/ClassCastException from builder internals.
+    */
+  private def fail(detail: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> s"knn_join: $detail"), None)
+
   private def asString(e: Expression, what: String): String = e match {
     case Literal(v, StringType) if v != null => v.toString
-    case _ => throw new IllegalArgumentException(
-      s"knn_join: $what must be a string literal, got $e")
+    case _ => fail(s"argument '$what' must be a non-null string literal, got $e")
   }
 
-  private def asInt(e: Expression, what: String): Int = e.eval() match {
-    case n: Number => n.intValue()
-    case other => throw new IllegalArgumentException(
-      s"knn_join: $what must be an integer literal, got $other")
+  private def asInt(e: Expression, what: String): Int = {
+    if (!e.resolved || !e.foldable)
+      fail(s"argument '$what' must be a foldable integer literal, got $e")
+    e.eval() match {
+      case n: Byte  => n.toInt
+      case n: Short => n.toInt
+      case n: Int   => n
+      case n: Long if n.isValidInt => n.toInt
+      case null  => fail(s"argument '$what' must not be NULL")
+      case other => fail(s"argument '$what' must be an integer literal, " +
+        s"got $other of type ${e.dataType.simpleString}")
+    }
+  }
+
+  private def asBoolean(e: Expression, what: String): Boolean = {
+    if (!e.resolved || !e.foldable)
+      fail(s"argument '$what' must be a foldable boolean literal, got $e")
+    if (e.dataType != org.apache.spark.sql.types.BooleanType)
+      fail(s"argument '$what' must be a boolean literal, " +
+        s"got type ${e.dataType.simpleString}")
+    e.eval() match {
+      case b: Boolean => b
+      case _ => fail(s"argument '$what' must not be NULL")
+    }
   }
 
   def builder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 5 && args.length <= 7,
-      "usage: knn_join(queries, candidates, id_col, vec_col, k[, metric[, exclude_self]])")
+    if (args.length < 5 || args.length > 7)
+      fail("usage: knn_join(queries, candidates, id_col, vec_col, k[, metric[, exclude_self]])")
     val idCol = asString(args(2), "id_col")
     val vecCol = asString(args(3), "vec_col")
     val k = asInt(args(4), "k")
     val metric = if (args.length >= 6) asString(args(5), "metric") else "l2sq"
     val excludeSelf =
-      if (args.length >= 7) args(6).eval().asInstanceOf[Boolean] else true
+      if (args.length >= 7) asBoolean(args(6), "exclude_self") else true
 
     def child(tableArg: Expression, what: String): LogicalPlan = Project(Seq(
       Alias(Cast(UnresolvedAttribute.quoted(idCol), LongType), "id")(),

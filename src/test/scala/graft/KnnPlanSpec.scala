@@ -71,6 +71,41 @@ class KnnPlanSpec extends SparkSpec {
     assert(badK != null)
   }
 
+  test("SQL TVF: argument errors are AnalysisExceptions naming knn_join and the argument") {
+    import org.apache.spark.sql.AnalysisException
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_view")
+    def analysisError(sql: String): String = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      // the analyzer may wrap the builder's error; unwrap to the root
+      val root = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).toSeq.last
+      assert(root.isInstanceOf[AnalysisException] ||
+        e.isInstanceOf[AnalysisException], s"got ${e.getClass}: ${e.getMessage}")
+      Option(root.getMessage).getOrElse(e.getMessage)
+    }
+    // non-boolean 7th arg: previously a raw ClassCastException
+    val m1 = analysisError("SELECT * FROM knn_join('emb_view', 'emb_view', " +
+      "'vec_id', 'embedding', 2, 'l2sq', 'yes')")
+    assert(m1.contains("knn_join") && m1.contains("exclude_self"))
+    // non-literal (unfoldable) k — rand() resolves but cannot fold
+    val m2 = analysisError("SELECT * FROM knn_join('emb_view', 'emb_view', " +
+      "'vec_id', 'embedding', CAST(rand() * 10 AS INT))")
+    assert(m2.contains("knn_join") && m2.contains("'k'"))
+    // NULL k
+    val m3 = analysisError("SELECT * FROM knn_join('emb_view', 'emb_view', " +
+      "'vec_id', 'embedding', CAST(NULL AS INT))")
+    assert(m3.contains("knn_join") && m3.contains("NULL"))
+    // fractional k
+    val m4 = analysisError("SELECT * FROM knn_join('emb_view', 'emb_view', " +
+      "'vec_id', 'embedding', 2.5)")
+    assert(m4.contains("knn_join") && m4.contains("'k'"))
+    // boolean literal 7th arg still works
+    val ok = spark.sql("SELECT count(*) AS n FROM knn_join('emb_view', 'emb_view', " +
+      "'vec_id', 'embedding', 2, 'l2sq', false)").collect().head.getLong(0)
+    assert(ok > 0)
+  }
+
   test("SQL TVF: cosine metric argument is honored") {
     GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_view")
