@@ -25,25 +25,42 @@ object Lake {
   // operators re-touch the same immutable tables many times per session.
   // Weak session keys: a stopped, dereferenced session GCs together with
   // its cached plans (an identity-hash key could collide with a later
-  // session and would pin dead sessions forever). (events is only ever
+  // session and would pin dead sessions forever). The VALUE is held via a
+  // SoftReference: a strongly-held map would pin its own key forever
+  // (DataFrame → session → key — the classic WeakHashMap value chain),
+  // so no dead session could ever be collected. Soft values keep the
+  // memoization alive under normal operation (cleared only under memory
+  // pressure, unlike weak ones that every minor GC flushes) and the cost
+  // of a cleared entry is one footer re-read. (events is only ever
   // loaded via [[events]], which sets nanosAsLong before the first — and
   // therefore the cached — resolution.)
+  private type TableMap =
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
   private val tableCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[TableMap]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = tableCache.synchronized {
-      var m = tableCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        tableCache.put(spark, m)
+      val live = Option(tableCache.get(spark)).flatMap(r => Option(r.get()))
+      live.getOrElse {
+        val m = new TableMap()
+        tableCache.put(spark, new java.lang.ref.SoftReference(m))
+        m
       }
-      m
     }
     perSession.computeIfAbsent((dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Test hooks: the live per-session map (if the soft value survives) and
+    * its reference (so specs can simulate a memory-pressure clear).
+    */
+  private[graft] def cachedMap(spark: SparkSession): Option[TableMap] =
+    tableCache.synchronized(
+      Option(tableCache.get(spark)).flatMap(r => Option(r.get())))
+  private[graft] def cachedRef(
+      spark: SparkSession): Option[java.lang.ref.SoftReference[TableMap]] =
+    tableCache.synchronized(Option(tableCache.get(spark)))
 
   /** Load several tables concurrently. Plan construction reads parquet
     * footers on the DRIVER (~hundreds of ms per table including file

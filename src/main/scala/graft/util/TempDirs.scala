@@ -25,8 +25,12 @@ object TempDirs {
       try {
         val p = Paths.get(d)
         if (Files.exists(p)) {
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          // the walk stream holds a directory handle — close it even on
+          // the exit path (the hook may outlive many registered dirs)
+          val walk = Files.walk(p)
+          try walk.sorted(Comparator.reverseOrder[Path]())
             .forEach(f => { try Files.deleteIfExists(f) catch { case _: Exception => () } })
+          finally walk.close()
         }
       } catch { case _: Exception => () }
     }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.Formats
+import graft.sources.{Formats, Lake}
 
 class FormatsSpec extends SparkSpec {
   import spark.implicits._
@@ -94,5 +94,43 @@ class FormatsSpec extends SparkSpec {
     val second = Formats.checkpoint(spark, path)(compute)
     assert(second.count() == 1)
     assert(computations == 1) // by-name block not re-evaluated on cache hit
+  }
+
+  test("Lake cache memoizes per session and survives ordinary GC (soft values)") {
+    val df1 = Lake.table(spark, sf0001, "nation")
+    System.gc() // soft references must NOT be flushed by a routine GC
+    val df2 = Lake.table(spark, sf0001, "nation")
+    assert(df1 eq df2, "memoized plan must be returned while the value is live")
+  }
+
+  test("Lake cache does not pin a dropped session once its soft value clears") {
+    // the round-4 leak: WeakHashMap VALUES held the per-session map
+    // strongly, and map → DataFrame → session → key pinned every dead
+    // session forever. With soft values, clearing the value reference
+    // (what the JVM does under memory pressure) must leave the session
+    // weakly reachable and the stale entry must not resurface.
+    def makeAndClear(): java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession] = {
+      val s2 = spark.newSession()
+      Lake.table(s2, sf0001, "nation")
+      assert(Lake.cachedMap(s2).exists(_.size() == 1))
+      Lake.cachedRef(s2).get.clear() // simulate memory-pressure collection
+      assert(Lake.cachedMap(s2).isEmpty, "cleared value must read as a miss")
+      // a re-read repopulates rather than resurrecting the cleared map
+      Lake.table(s2, sf0001, "region")
+      assert(Lake.cachedMap(s2).exists(_.size() == 1))
+      Lake.cachedRef(s2).get.clear()
+      new java.lang.ref.WeakReference(s2)
+    }
+    val ref = makeAndClear()
+    var cleared = false
+    var i = 0
+    while (!cleared && i < 30) {
+      System.gc()
+      Thread.sleep(20)
+      cleared = ref.get() == null
+      i += 1
+    }
+    assert(cleared,
+      "a dereferenced session must become collectable once its cache value is gone")
   }
 }
