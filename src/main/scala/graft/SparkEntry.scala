@@ -369,6 +369,29 @@ object SparkEntry {
         TextFns.bpeIshTokenCount(col("text")).as("n_bpe_tokens"))
     }),
 
+    // F8 token-exact BPE truncation, contract-gated (the merge loop is
+    // not SQL-expressible, so the query emits the invariants the oracle
+    // CAN assert must all hold corpus-wide): the truncation is a prefix,
+    // re-encoding it stays under the cap, below-cap texts pass through
+    // unchanged, above-cap texts are cut
+    "q44_bpe_truncate" -> ((s, d) => {
+      val cap = 16
+      t(s, d, "documents")
+        .select(col("text"),
+          TextFns.bpeTokenCountExact(col("text")).as("n_tok"),
+          TextFns.truncateTokensExact(col("text"), cap).as("trunc"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(when(col("text").startsWith(col("trunc")), 1L).otherwise(0L))
+            .as("is_prefix"),
+          min(when(TextFns.bpeTokenCountExact(col("trunc")) <= cap, 1L)
+            .otherwise(0L)).as("under_cap"),
+          min(when(col("n_tok") > cap || col("trunc") === col("text"), 1L)
+            .otherwise(0L)).as("noop_below_cap"),
+          min(when(col("n_tok") <= cap || length(col("trunc")) < length(col("text")),
+            1L).otherwise(0L)).as("cut_above_cap"))
+    }),
+
     // Sliding windows: each event lands in size/slide overlapping windows
     "q32_sliding_windows" -> ((s, d) => {
       Lake.events(s, d)
@@ -1057,6 +1080,13 @@ object SparkEntry {
         |  '- Average value length: ' || CAST(round(avg_len, 1) AS VARCHAR) ||
         |  ' characters.' AS prompt
         |FROM s""".stripMargin),
+
+    // token-exact truncation contract flags (see the q44 query comment)
+    "q44_bpe_truncate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(1 AS BIGINT) AS is_prefix, CAST(1 AS BIGINT) AS under_cap,
+        | CAST(1 AS BIGINT) AS noop_below_cap, CAST(1 AS BIGINT) AS cut_above_cap
+        |FROM documents""".stripMargin,
 
     "q31_token_bpe" ->
       """SELECT doc_id,

@@ -1,0 +1,190 @@
+package graft.functions
+
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
+import java.util.regex.Pattern
+
+/** Byte-level BPE tokenizer — the public GPT-2 algorithm (Sennrich BPE
+  * over a 256-symbol byte alphabet with the GPT-2 pre-tokenizer): the
+  * token-exact backend for F8 truncation (the reference truncates prompts
+  * to tiktoken caps, SemLink/join_discoverer.py:34–62, :209).
+  *
+  * The engine is vocabulary-agnostic: it loads any merges export in the
+  * standard GPT-2 `merges.txt` format (one space-separated pair per line,
+  * rank = line order, optional `#version` header), so a deployment drops
+  * in its model's published merge table and gets that model's token
+  * boundaries bit-for-bit. A small bundled demo vocabulary
+  * (`graft/bpe_merges.txt`) backs the specs; the char-estimate
+  * [[TextFns.truncateTokens]] remains the vocabulary-free default.
+  *
+  * Determinism/scale notes: tokenization is per pre-token with an
+  * executor-local memo cache (natural-language corpora repeat pre-tokens
+  * heavily); merges ship in the task binary (a 50k-merge table is ~1 MB).
+  */
+final class BpeTokenizer(merges: Seq[(String, String)]) extends Serializable {
+
+  private val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
+  /** Executor-local pre-token memo (bounded; cleared when full). */
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val cacheMax = 65536
+
+  import BpeTokenizer.{byteDecoder, byteEncoder, pretokenPattern}
+
+  /** BPE merge loop for one pre-token: greedily merge the lowest-ranked
+    * adjacent pair until none applies (GPT-2 `bpe()`); symbols live in the
+    * byte-to-unicode alphabet.
+    */
+  private def bpe(pretoken: String): Array[String] = {
+    val cached = cache.get(pretoken)
+    if (cached != null) return cached
+    val bytes = pretoken.getBytes(StandardCharsets.UTF_8)
+    var word = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      word(i) = String.valueOf(byteEncoder(bytes(i) & 0xff)); i += 1
+    }
+    var done = word.length <= 1
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < word.length - 1) {
+        val r = ranks.getOrElse((word(j), word(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = j }
+        j += 1
+      }
+      if (best < 0 || bestRank == Int.MaxValue) done = true
+      else {
+        val a = word(best)
+        val b = word(best + 1)
+        val merged = a + b
+        val out = Array.newBuilder[String]
+        var k = 0
+        while (k < word.length) {
+          if (k < word.length - 1 && word(k) == a && word(k + 1) == b) {
+            out += merged; k += 2
+          } else { out += word(k); k += 1 }
+        }
+        word = out.result()
+        done = word.length <= 1
+      }
+    }
+    if (cache.size() >= cacheMax) cache.clear()
+    cache.put(pretoken, word)
+    word
+  }
+
+  /** Exact BPE token count. */
+  def countTokens(text: String): Long = {
+    val m = pretokenPattern.matcher(text)
+    var n = 0L
+    while (m.find()) n += bpe(m.group()).length
+    n
+  }
+
+  /** The token strings (byte-alphabet) in order — spec/debug surface. */
+  def tokens(text: String): Seq[String] = {
+    val m = pretokenPattern.matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out ++= bpe(m.group())
+    out.result()
+  }
+
+  /** Token-exact truncation: keeps exactly the first `maxTokens` tokens of
+    * the text's tokenization and decodes them back to a string. A cut that
+    * lands inside a multi-byte UTF-8 sequence (byte-level tokens may split
+    * characters, as in tiktoken) drops the dangling fragment, so the
+    * result is always valid text and a prefix of the input.
+    */
+  def truncate(text: String, maxTokens: Int): String = {
+    if (maxTokens <= 0) return ""
+    val m = pretokenPattern.matcher(text)
+    val bytes = new java.io.ByteArrayOutputStream(math.min(text.length, 4096))
+    var used = 0L
+    var more = true
+    while (more && m.find()) {
+      val pt = m.group()
+      val toks = bpe(pt)
+      if (used + toks.length <= maxTokens) {
+        bytes.write(pt.getBytes(StandardCharsets.UTF_8))
+        used += toks.length
+        more = used < maxTokens
+      } else {
+        val keep = (maxTokens - used).toInt
+        var i = 0
+        while (i < keep) {
+          val t = toks(i)
+          var c = 0
+          while (c < t.length) { bytes.write(byteDecoder(t.charAt(c))); c += 1 }
+          i += 1
+        }
+        more = false
+      }
+    }
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.IGNORE)
+      .onUnmappableCharacter(CodingErrorAction.IGNORE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes.toByteArray)).toString
+  }
+}
+
+object BpeTokenizer {
+
+  /** The GPT-2 pre-tokenizer (public pattern): contractions, optionally
+    * space-prefixed letter/digit/punctuation runs, then whitespace
+    * (non-final whitespace keeps its last char for the next token via the
+    * lookahead). BPE merges never cross pre-token boundaries.
+    */
+  private[functions] val pretokenPattern: Pattern = Pattern.compile(
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+  /** GPT-2 bytes-to-unicode: printable latin bytes map to themselves, the
+    * rest to 256+n — every byte gets a distinct printable char so merges
+    * files stay text.
+    */
+  private[functions] val byteEncoder: Array[Char] = {
+    val printable = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+
+  private[functions] val byteDecoder: Map[Char, Byte] =
+    byteEncoder.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** Parse the standard `merges.txt` format: one `left right` pair per
+    * line in rank order; `#`-prefixed headers and blanks skipped.
+    */
+  def fromMergesLines(lines: Iterator[String]): BpeTokenizer = {
+    val merges = lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ")
+        require(sp.length == 2, s"malformed merges line: '$l'")
+        (sp(0), sp(1))
+      }
+      .toSeq
+    new BpeTokenizer(merges)
+  }
+
+  def fromMergesFile(path: String): BpeTokenizer = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try fromMergesLines(src.getLines()) finally src.close()
+  }
+
+  /** Bundled demo vocabulary (common English merges) — spec backend and
+    * working out-of-the-box default; production swaps in a model's real
+    * merges via [[fromMergesFile]].
+    */
+  lazy val bundled: BpeTokenizer = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "bundled /graft/bpe_merges.txt missing")
+    try fromMergesLines(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+}

@@ -115,13 +115,40 @@ object TextFns {
       lit("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
       .cast("long")
 
-  /** Approximate token-cap truncation. The reference truncates to 2048
-    * tiktoken cl100k tokens (SemLink/join_discoverer.py:34–62, 209); no
-    * tiktoken exists on the JVM, so we cap by characters at the documented
-    * ~4 chars/token heuristic. Relational semantics are unaffected.
+  /** Approximate token-cap truncation — the vocabulary-free estimator
+    * (~4 chars/token for English text). The reference truncates to 2048
+    * tiktoken cl100k tokens (SemLink/join_discoverer.py:34–62, 209); for
+    * token-EXACT truncation against a loaded BPE merge table use
+    * [[truncateTokensExact]]. Error bound of the estimate: with the GPT-2
+    * pre-tokenizer every token covers ≥ 1 character, so a `maxTokens`
+    * cap is guaranteed only by `charsPerToken = 1`; the default 4 targets
+    * the observed English average instead (a soft cap).
     */
   def truncateTokens(c: Column, maxTokens: Int = 2048, charsPerToken: Int = 4): Column =
     substring(c, 1, maxTokens * charsPerToken)
+
+  /** Token-EXACT BPE token count under the tokenizer's merge table
+    * (default: the bundled demo vocabulary; load a model's published
+    * `merges.txt` via [[BpeTokenizer.fromMergesFile]] for that model's
+    * exact boundaries). Native codegen expression, memoized per
+    * pre-token.
+    */
+  def bpeTokenCountExact(
+      c: Column, tokenizer: BpeTokenizer = BpeTokenizer.bundled): Column =
+    org.apache.spark.sql.graft.Interop.column(
+      org.apache.spark.sql.graft.BpeTokenCount(
+        org.apache.spark.sql.graft.Interop.expression(c), tokenizer))
+
+  /** Token-EXACT truncation: keeps exactly the first `maxTokens` BPE
+    * tokens (F8 — the tiktoken-cap contract of join_discoverer.py:34–62,
+    * re-expressed over a loadable merge table).
+    */
+  def truncateTokensExact(
+      c: Column, maxTokens: Int,
+      tokenizer: BpeTokenizer = BpeTokenizer.bundled): Column =
+    org.apache.spark.sql.graft.Interop.column(
+      org.apache.spark.sql.graft.BpeTruncate(
+        org.apache.spark.sql.graft.Interop.expression(c), tokenizer, maxTokens))
 
   /** Whitespace token count (text-analysis added scope). */
   def tokenCount(c: Column): Column =
