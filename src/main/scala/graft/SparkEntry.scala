@@ -452,6 +452,25 @@ object SparkEntry {
               |              'vec_id', 'embedding', 5)""".stripMargin)
     }),
 
+    // Graph ANN (sharded HNSW — the reference's hnswlib contract),
+    // recall-gated like q29/q37: per-partition navigable-small-world
+    // graphs, broadcast queries beam through every shard, one window
+    // merge. Floor 0.8 (measured 1.0 at sf0.001/0.01/0.1 — the beam is
+    // near-exhaustive at these shard sizes; the floor leaves margin for
+    // partition-layout shifts).
+    "q45_hnsw_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val approx = graft.knn.ApproxKnn.hnswKnn(emb, emb, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__a"))
+      val exact = knnL2(s, d, 5).select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__a")).as("n_hits"))
+        .select(col("n_exact"),
+          when(col("n_hits") * 10 >= col("n_exact") * 8, 1L).otherwise(0L)
+            .as("recall_floor_met"))
+    }),
+
     // IVF kNN at a PRUNED probe config (nProbe=4 of 16 lists): work scales
     // with N·nProbe/nList instead of N² — this is the configuration a real
     // deployment runs, recall-gated against the exact kNN the same way as
@@ -713,6 +732,12 @@ object SparkEntry {
     // LSH kNN recall floor: n_exact = 5·|embeddings| (every query has
     // exactly 5 exact neighbors), and recall@5 ≥ 0.4 must hold
     "q29_lsh_knn" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
+
+    // sharded-HNSW recall floor: same contract as q29 (recall@5 ≥ 0.8)
+    "q45_hnsw_knn" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,

@@ -234,4 +234,66 @@ object ApproxKnn {
     }
     parts.reduce(_.unionByName(_))
   }
+
+  /** Graph-based ANN: sharded HNSW (the reference's hnswlib contract,
+    * DeepJoin/annIndex.py:12–40, distributed the standard way). Each
+    * candidate PARTITION builds an independent [[HnswGraph]] in one
+    * `mapPartitions` pass — graphs are memory-bounded by partition size
+    * and never serialized or shuffled — the broadcast query set beams
+    * through every shard (`efSearch`), and the per-shard top-k partials
+    * merge in one ranking window, exactly the broadcastKnn shuffle shape.
+    * Per-shard search is sublinear in partition size, so total query work
+    * scales with `partitions · ef · log n_p` instead of N.
+    *
+    * Deterministic (seeded levels, index-tie-broken heaps, same contract
+    * as the other strategies): (query_id, neighbor_id, dist, rank).
+    */
+  def hnswKnn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      metric: String = KnnJoin.MetricL2Sq,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      efSearch: Int = 64,
+      seed: Int = 42,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cosine = metric match {
+      case KnnJoin.MetricCosine => true
+      case KnnJoin.MetricL2Sq   => false
+      case other                => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    require(qRows.nonEmpty, "hnswKnn: empty query side")
+    val bc = spark.sparkContext.broadcast(qRows)
+    val (mL, efC, efS, kL, ex) = (m, efConstruction, efSearch, k, excludeSelf)
+
+    val partials = graft.util.Par.balance(
+      candidates.select(col(idCol).cast("long"), col(vecCol).cast("array<float>")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val g = new HnswGraph(mL, efC, cosine, seed)
+        it.foreach { case (id, v) => g.insert(id, v) }
+        if (g.size == 0) Iterator.empty
+        else bc.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, kL + (if (ex) 1 else 0), math.max(efS, kL + 1))
+            .iterator
+            .filter { case (nid, _) => !(ex && nid == qid) }
+            .take(kL)
+            .map { case (nid, d) => (qid, nid, d) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "dist")
+
+    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

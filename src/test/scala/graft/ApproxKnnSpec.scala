@@ -54,6 +54,44 @@ class ApproxKnnSpec extends SparkSpec {
     assert(rAll > 0.99, s"probing every list must equal exact, got $rAll")
   }
 
+  test("HNSW kNN: deterministic, well-formed, recall@5 above floor") {
+    val a1 = ApproxKnn.hnswKnn(emb, emb, "vec_id", "embedding", k = 5)
+    val a2 = ApproxKnn.hnswKnn(emb, emb, "vec_id", "embedding", k = 5)
+    assert(a1.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet ==
+      a2.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+    assert(a1.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(a1.filter(col("rank") > 5).count() == 0)
+    // every query present with exactly k ranked neighbors
+    assert(a1.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    val r = recallAt5(a1)
+    assert(r > 0.8, s"HNSW recall@5 too low: $r")
+  }
+
+  test("HNSW: wider beam improves recall monotonically-ish") {
+    val r8 = recallAt5(ApproxKnn.hnswKnn(emb, emb, "vec_id", "embedding", 5,
+      efSearch = 8))
+    val r64 = recallAt5(ApproxKnn.hnswKnn(emb, emb, "vec_id", "embedding", 5,
+      efSearch = 64))
+    assert(r8 <= r64 + 0.02, s"ef=8 recall $r8 vs ef=64 recall $r64")
+    assert(r64 > 0.8)
+  }
+
+  test("HNSW cosine metric agrees with exact cosine kNN above floor") {
+    val exactCos = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5,
+        KnnJoin.MetricCosine)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val got = ApproxKnn.hnswKnn(emb, emb, "vec_id", "embedding", 5,
+        metric = KnnJoin.MetricCosine)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exactCos.map { case (q, truth) =>
+      got.get(q).map(g => (g intersect truth).size).getOrElse(0)
+    }.sum
+    val r = hits.toDouble / (exactCos.size * 5)
+    assert(r > 0.8, s"HNSW cosine recall@5 too low: $r")
+  }
+
   test("blockKnn equals broadcastKnn across block boundaries") {
     val whole = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 3)
       .select("query_id", "neighbor_id", "rank").collect()
