@@ -70,4 +70,31 @@ class EdgeCaseSpec extends SparkSpec {
       emb.filter(col("vec_id") < 0), "vec_id", "embedding", k = 3)
     assert(none.count() == 0)
   }
+
+  test("hnswKnn: k beyond candidates, empty partitions, singleton graph") {
+    import graft.knn.ApproxKnn
+    // 3 candidates over more partitions than rows: some shards are empty,
+    // some hold a single node; k exceeds the candidate count
+    val tiny = emb.limit(3).repartition(8)
+    val out = ApproxKnn.hnswKnn(emb.limit(5), tiny, "vec_id", "embedding",
+      k = 10, efSearch = 16, excludeSelf = false)
+    val counts = out.groupBy("query_id").count().collect()
+      .map(_.getLong(1)).toSet
+    assert(counts == Set(3L), "every query must see all 3 candidates")
+    // direct graph edge cases
+    val g = new graft.knn.HnswGraph(m = 4, efConstruction = 8)
+    assert(g.search(Array(0f, 0f), 3, 8).isEmpty, "empty graph yields nothing")
+    g.insert(7L, Array(1f, 1f))
+    assert(g.search(Array(0f, 0f), 3, 8).map(_._1) == Seq(7L))
+  }
+
+  test("BPE truncation degenerate inputs") {
+    val bpe = graft.functions.BpeTokenizer.bundled
+    assert(bpe.truncate("", 5) == "")
+    assert(bpe.truncate("anything", 0) == "")
+    assert(bpe.countTokens("   ") == 3)       // one pre-token, three byte tokens
+    val noMerges = new graft.functions.BpeTokenizer(Seq.empty)
+    assert(noMerges.countTokens("ab cd") == 5) // byte-level fallback [a b Ġc d]
+    assert(noMerges.truncate("ab cd", 3) == "ab ")
+  }
 }
