@@ -507,7 +507,12 @@ object SparkEntry {
     // S11 persistent IVF index: build writes centroids + cid-partitioned
     // inverted lists as parquet; search probes with a static partition
     // filter. nProbe == nList probes every list → exact kNN, shares the
-    // brute-force oracle (build is seeded → deterministic layout).
+    // brute-force oracle (build is seeded → deterministic layout). The
+    // BUILD runs over the full table (the part S11 is about); the
+    // exhaustive-probe search side is capped (vec_id < 500) so the
+    // deliberately-N² oracle config stays a fixture, not a bench
+    // dominator — same bench-role split as q28, with the production
+    // pruned probe benched by q37.
     "q41_ivf_index" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       // per-process path: a shared fixed dir would let concurrent runs
@@ -517,8 +522,8 @@ object SparkEntry {
         s"/tmp/graft_ivf_index_${new java.io.File(d).getName}" +
           s"_${ProcessHandle.current().pid()}")
       graft.knn.IvfIndex.build(emb, "vec_id", "embedding", idxDir, nList = 16)
-      graft.knn.IvfIndex.search(s, idxDir, emb, "vec_id", "embedding",
-          k = 5, nProbe = 16)
+      graft.knn.IvfIndex.search(s, idxDir, emb.filter(col("vec_id") < 500),
+          "vec_id", "embedding", k = 5, nProbe = 16)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
           round(col("dist"), 6).as("dist"))
     }),
@@ -916,7 +921,7 @@ object SparkEntry {
     "q41_ivf_index" ->
       s"""$knnL2Cte
          |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
-         |FROM knn WHERE rnk <= 5""".stripMargin,
+         |FROM knn WHERE rnk <= 5 AND query_id < 500""".stripMargin,
 
     "q11_knn_cosine" ->
       """WITH d AS (

@@ -70,6 +70,12 @@ object IvfIndex {
         col(vecCol).cast("array<float>").as("vec")))
       .withColumn("cid",
         graft.functions.VectorExpressions.nearestCentroid(col("vec"), kernel))
+      // cluster by list before writing: without this every task writes a
+      // sliver into every cid directory (tasks × nList small files — slow
+      // to commit here, slow to list/read at scale). One shuffle buys one
+      // well-sized file per list per write; for petabyte lists, salt the
+      // partition key to split a hot list across writers
+      .repartition(col("cid"))
       .write.mode(mode)
       .partitionBy("cid")
       .parquet(s"$dir/assignments")
