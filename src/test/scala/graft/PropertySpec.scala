@@ -69,4 +69,52 @@ class PropertySpec extends SparkSpec {
       assert(n >= 0.0 && n <= 1.0)
     }
   }
+
+  test("BPE invariants over random unicode strings") {
+    val bpe = graft.functions.BpeTokenizer.bundled
+    // code-point pool (not chars: picking half a surrogate pair would
+    // make invalid UTF-16 that is lossy through UTF-8 by definition)
+    val pool = "the and that is of for in staïé日本語🙂 \t\n'sd12,.-"
+      .codePoints().toArray.map(Character.toChars(_).mkString)
+    for (_ <- 1 to 60) {
+      val text = (1 to rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+      val n = bpe.countTokens(text)
+      assert(n >= 0 && (text.isEmpty || n >= 1))
+      // token decode round-trips: full-cap truncation is the identity
+      assert(bpe.truncate(text, Int.MaxValue) == text)
+      val k = rnd.nextInt(8)
+      val trunc = bpe.truncate(text, k)
+      assert(text.startsWith(trunc), s"not a prefix: '$text' -> '$trunc'")
+      if (n <= k) assert(trunc == text)
+      // the kept tokens are exactly the first k of the tokenization
+      if (k > 0 && n > 0) assert(bpe.countTokens(trunc) <= k || trunc == text)
+    }
+  }
+
+  test("HNSW with a fully-connected graph is exhaustive (equals brute force)") {
+    import graft.knn.HnswGraph
+    for (trial <- 1 to 4) {
+      val n = 40
+      val dim = 8
+      val vecs = (0 until n).map(i =>
+        (i * 7L + trial, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      // m >= n: every layer-0 node links to everyone -> beam of ef = n
+      // visits the whole graph and search must equal exact kNN
+      val g = new HnswGraph(m = n, efConstruction = n)
+      vecs.foreach { case (id, v) => g.insert(id, v) }
+      val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      def l2(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).map { case (x, y) =>
+          val d = x.toDouble - y.toDouble; d * d
+        }.sum
+      val exact = vecs.map { case (id, v) => (l2(v, q), id) }.sorted.take(5)
+        .map { case (d, id) => (id, d) }
+      val got = g.search(q, 5, ef = n)
+      assert(got.map(_._1) == exact.map(_._1),
+        s"trial $trial: got ${got.map(_._1)} expected ${exact.map(_._1)}")
+      got.zip(exact).foreach { case ((_, gd), (_, ed)) =>
+        assert(math.abs(gd - ed) < 1e-9)
+      }
+    }
+  }
 }
