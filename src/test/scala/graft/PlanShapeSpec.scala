@@ -126,4 +126,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dedup signature paths carry no interpreted UDF: native expressions only") {
+    // the round-4 ask: MinHash/SimHash signatures were the last per-row
+    // Scala UDFs on an every-document path — pin their absence
+    for (q <- Seq("q19_minhash_lsh", "q20_simhash")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$q still plans an interpreted UDF:\n$plan")
+      val expected = if (q == "q19_minhash_lsh") "minhash_sig" else "simhash64"
+      assert(plan.contains(expected), s"$q missing native $expected:\n$plan")
+    }
+  }
+
+  test("q44: one corpus scan feeds every BPE contract flag") {
+    val df = SparkEntry.queries("q44_bpe_truncate")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1, plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
