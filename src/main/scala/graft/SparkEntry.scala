@@ -257,6 +257,14 @@ object SparkEntry {
       graft.streaming.Streams.windowedAggOnce(s, s"$d/events.parquet")
     }),
 
+    // §2.9 streaming, EXECUTED: stream-static enrichment — the event
+    // stream joins the broadcast customer dimension per micro-batch and
+    // aggregates per segment; oracle = the plain batch join
+    "q46_stream_enrich" -> ((s, d) => {
+      graft.streaming.Streams.enrichBySegmentOnce(
+        s, s"$d/events.parquet", t(s, d, "customer"))
+    }),
+
     // J4/F16 end-to-end: the corruption-robustness experiment — all three
     // schema-noise regimes applied to the lake catalog, clean + corrupted
     // names pushed through annotate → canonicalize, per-regime survival
@@ -1069,6 +1077,14 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // stream-static enrichment twin: the batch join the streaming
+    // execution must reproduce
+    "q46_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q23_within_group_pairs" ->
       s"""WITH cols(tbl, col, typ) AS (VALUES $lakeColsValues),

@@ -78,6 +78,40 @@ object Streams {
 
   private val memorySinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Drain a streaming frame into a Complete-mode memory sink with
+    * `AvailableNow` and return the materialized table — the
+    * oracle-comparable surface for streaming-EXECUTED correctness
+    * entries. Unique sink name (memory-sink tables are session-global;
+    * bench reruns must not collide), explicit checkpoint under JVM-exit
+    * cleanup (the engine would otherwise warn and create an unmanaged
+    * temp checkpoint), and the nanosAsLong flag [[eventsStream]] flips is
+    * restored afterwards — a shared bench session must not see an
+    * order-dependent conf change.
+    */
+  private def drainToMemorySink(spark: SparkSession, streamed: DataFrame): DataFrame = {
+    val name = s"graft_stream_sink_${memorySinkSeq.incrementAndGet()}"
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    graft.util.TempDirs.register(checkpoint.toString)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    try {
+      streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint.toString)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
+    }
+    spark.table(name)
+  }
+
   /** Run [[windowedAgg]] as an ACTUAL streaming execution — `readStream` →
     * watermarked window agg → memory sink, drained with `AvailableNow` —
     * and return the materialized result. This is the correctness harness
@@ -91,37 +125,25 @@ object Streams {
     * memory sink here is the oracle-comparable surface.
     */
   def windowedAggOnce(spark: SparkSession, eventsPath: String,
-      size: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
-    // unique sink name: memory-sink table names are session-global and a
-    // repeated invocation (bench reruns) must not collide with a finished one
-    val name = s"graft_stream_win_${memorySinkSeq.incrementAndGet()}"
-    // explicit checkpoint under JVM-exit cleanup (the engine would
-    // otherwise warn and create an unmanaged temp checkpoint), and the
-    // nanosAsLong flag eventsStream flips is restored afterwards — a
-    // shared bench session must not see an order-dependent conf change
-    val checkpoint = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    graft.util.TempDirs.register(checkpoint.toString)
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prevNanos = spark.conf.getOption(nanosKey)
-    try {
-      val query = windowedAgg(eventsStream(spark, stageDir(eventsPath)), size,
-          slide = None, watermark = watermark)
-        .writeStream
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint.toString)
-        .outputMode(OutputMode.Complete())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    } finally {
-      prevNanos match {
-        case Some(v) => spark.conf.set(nanosKey, v)
-        case None    => spark.conf.unset(nanosKey)
-      }
-    }
-    spark.table(name)
-  }
+      size: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    drainToMemorySink(spark,
+      windowedAgg(eventsStream(spark, stageDir(eventsPath)), size,
+        slide = None, watermark = watermark))
+
+  /** Stream-static enrichment, EXECUTED: the event stream joins a static
+    * dimension (resolved fresh per micro-batch; Catalyst broadcasts the
+    * dim exactly as in batch) and aggregates per segment — the canonical
+    * production streaming-enrichment pattern, drained like
+    * [[windowedAggOnce]] so the result is batch-oracle-comparable.
+    */
+  def enrichBySegmentOnce(spark: SparkSession, eventsPath: String,
+      customers: DataFrame): DataFrame =
+    drainToMemorySink(spark,
+      eventsStream(spark, stageDir(eventsPath))
+        .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value")))
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

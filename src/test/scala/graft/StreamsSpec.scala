@@ -54,6 +54,19 @@ class StreamsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("enrichBySegmentOnce (q46 surface) equals the batch stream-static join") {
+    val customers = graft.sources.Lake.table(spark, sf0001, "customer")
+    val got = Streams.enrichBySegmentOnce(spark, s"$sf0001/events.parquet", customers)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.sources.Lake.events(spark, sf0001)
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("batch sessionization: session boundaries honor the gap") {
     val events = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),
