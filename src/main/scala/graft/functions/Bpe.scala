@@ -92,26 +92,33 @@ final class BpeTokenizer(merges: Seq[(String, String)]) extends Serializable {
   }
 
   /** Token-exact truncation: keeps exactly the first `maxTokens` tokens of
-    * the text's tokenization and decodes them back to a string. A cut that
-    * lands inside a multi-byte UTF-8 sequence (byte-level tokens may split
-    * characters, as in tiktoken) drops the dangling fragment, so the
-    * result is always valid text and a prefix of the input.
+    * the text's tokenization. Whole kept pre-tokens are appended as the
+    * ORIGINAL characters (the pre-tokenizer tiles the string, so their
+    * concatenation is a char-exact prefix — no byte round-trip that could
+    * rewrite unpaired surrogates); only the final, partially-kept
+    * pre-token is decoded from its token bytes, with a cut inside a
+    * multi-byte UTF-8 sequence dropping the dangling fragment (byte-level
+    * tokens may split characters, as in tiktoken). If that decoded
+    * fragment is not a char-prefix of its pre-token (possible only for
+    * invalid UTF-16 input), the fragment is dropped entirely — the result
+    * is ALWAYS a prefix of the input and below-cap inputs pass through
+    * identically.
     */
   def truncate(text: String, maxTokens: Int): String = {
     if (maxTokens <= 0) return ""
     val m = pretokenPattern.matcher(text)
-    val bytes = new java.io.ByteArrayOutputStream(math.min(text.length, 4096))
+    val out = new java.lang.StringBuilder(math.min(text.length, 4096))
     var used = 0L
-    var more = true
-    while (more && m.find()) {
+    while (m.find()) {
       val pt = m.group()
       val toks = bpe(pt)
       if (used + toks.length <= maxTokens) {
-        bytes.write(pt.getBytes(StandardCharsets.UTF_8))
+        out.append(pt)
         used += toks.length
-        more = used < maxTokens
+        if (used == maxTokens) return out.toString
       } else {
         val keep = (maxTokens - used).toInt
+        val bytes = new java.io.ByteArrayOutputStream(pt.length * 2)
         var i = 0
         while (i < keep) {
           val t = toks(i)
@@ -119,13 +126,15 @@ final class BpeTokenizer(merges: Seq[(String, String)]) extends Serializable {
           while (c < t.length) { bytes.write(byteDecoder(t.charAt(c))); c += 1 }
           i += 1
         }
-        more = false
+        val dec = StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.IGNORE)
+          .onUnmappableCharacter(CodingErrorAction.IGNORE)
+        val frag = dec.decode(java.nio.ByteBuffer.wrap(bytes.toByteArray)).toString
+        if (pt.startsWith(frag)) out.append(frag)
+        return out.toString
       }
     }
-    val dec = StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(CodingErrorAction.IGNORE)
-      .onUnmappableCharacter(CodingErrorAction.IGNORE)
-    dec.decode(java.nio.ByteBuffer.wrap(bytes.toByteArray)).toString
+    out.toString // every pre-token kept: identity by construction
   }
 }
 

@@ -88,11 +88,15 @@ object Streams {
     * restored afterwards — a shared bench session must not see an
     * order-dependent conf change.
     */
-  private def drainToMemorySink(spark: SparkSession, streamed: DataFrame): DataFrame = {
+  private def drainToMemorySink(spark: SparkSession, streamed: => DataFrame): DataFrame = {
     val name = s"graft_stream_sink_${memorySinkSeq.incrementAndGet()}"
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
     graft.util.TempDirs.register(checkpoint.toString)
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    // `streamed` is BY-NAME and must only be forced after this capture:
+    // constructing it calls eventsStream, which flips the flag — an eager
+    // parameter would capture the already-flipped value and make the
+    // restore below a no-op
     val prevNanos = spark.conf.getOption(nanosKey)
     try {
       streamed.writeStream

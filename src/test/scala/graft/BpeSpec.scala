@@ -50,6 +50,18 @@ class BpeSpec extends SparkSpec {
     assert(bpe.truncate("café", 5) == "café")
   }
 
+  test("invalid UTF-16 input: truncation contracts still hold") {
+    // an unpaired surrogate is lossy through UTF-8 by definition; the
+    // truncation must still be a char-exact prefix and below-cap inputs
+    // must pass through byte-identically (no surrogate rewritten to '?')
+    val bad = "the \uD800 theme" // lone high surrogate mid-text
+    assert(bpe.truncate(bad, Int.MaxValue) == bad)
+    for (k <- 0 to 10) {
+      val trunc = bpe.truncate(bad, k)
+      assert(bad.startsWith(trunc), s"k=$k: '$trunc' not a prefix")
+    }
+  }
+
   test("merges-format parsing and custom tables") {
     val custom = BpeTokenizer.fromMergesLines(Iterator(
       "#version: demo", "", "a b", "ab c"))

@@ -67,6 +67,18 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("drain restores the nanosAsLong conf to its pre-call state") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key) // registered conf: getOption now yields the default
+    val before = spark.conf.get(key)
+    assert(before == "false")
+    Streams.windowedAggOnce(spark, s"$sf0001/events.parquet")
+    // the capture must happen BEFORE eventsStream flips the flag — an
+    // eager capture would see "true" and the restore would be a no-op
+    assert(spark.conf.get(key) == before,
+      "the flag must be back to its effective pre-call value after the drain")
+  }
+
   test("batch sessionization: session boundaries honor the gap") {
     val events = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),
