@@ -185,6 +185,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Dedup (n-gram Jaccard): the same exact prefix-filter join at
+    // 3-shingle grain — shared phrases, not shared vocabulary
+    "q47_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(
+          t(s, d, "documents").filter(col("doc_id") < 1000),
+          "doc_id", "text", n = 3, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // SO4: canonical unordered pair key (least/greatest) + aggregation
     "q17_pair_canon" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -1019,6 +1028,30 @@ object SparkEntry {
         |JOIN sizes sa ON sa.id = id_a
         |JOIN sizes sb ON sb.id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5""".stripMargin,
+
+    "q47_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT DISTINCT id, unnest(
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) - 2),
+        |                          i -> array_to_string(w[i:i+2], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END) AS tok
+        |  FROM docs),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.3""".stripMargin,
 
     "q17_pair_canon" ->
       """SELECT least(l_partkey, l_suppkey) AS pair_lo,

@@ -64,10 +64,31 @@ object Dedup {
     * touches candidates only. Output: (id_a, id_b, jaccard), id_a < id_b.
     */
   def wordJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =
+    setJaccardPairs(df, idCol,
+      array_distinct(split(trim(col(textCol)), "\\s+")), threshold)
+
+  /** n-gram (word-shingle) Jaccard similarity join — the same EXACT
+    * prefix-filter algorithm over the distinct n-gram set of each
+    * document. Shingles are far more selective than single tokens
+    * (shared phrases, not shared vocabulary), the standard near-dup
+    * grain for training-corpus dedup.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame =
+    setJaccardPairs(df, idCol,
+      array_distinct(graft.functions.TextFns.wordShingles(col(textCol), n)),
+      threshold)
+
+  /** Shared exact similarity-join core over any per-document element-set
+    * column (see [[wordJaccardPairs]] for the prefix-filter argument).
+    */
+  private def setJaccardPairs(
+      df: DataFrame, idCol: String, elemsCol: Column, threshold: Double): DataFrame = {
     val toks = df.select(
       col(idCol).cast("long").as("id"),
-      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+      explode(elemsCol).as("tok"))
       .cache() // small (id, tok) pairs reused by df/prefix/verification
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))

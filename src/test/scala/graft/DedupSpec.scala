@@ -53,6 +53,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("ngram jaccard: exact dup = 1.0, shingle grain separates near dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, 0.2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // 1 vs 3 share 4 of 7 distinct 3-shingles each (the window around
+    // jumps/leaps breaks 3), union 10 → 0.4: shingles punish the edit
+    // harder than the 7/9 word-set score
+    assert(math.abs(pairs((1L, 3L)) - 0.4) < 1e-9)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
   test("minhash LSH finds exact and near dups with est_jaccard ~ true jaccard") {
     val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
       shingleSize = 2, bands = 16, rowsPerBand = 4).collect()
