@@ -244,6 +244,31 @@ object SparkEntry {
         .select("id_a", "id_b", "hamming")
     }),
 
+    // Winnowing fingerprints (MOSS local fingerprinting) as a dedup
+    // blocking key, recovery-gated like q19/q20: injected exact copies
+    // have identical fingerprint sets, so every pair MUST surface from
+    // the shared-fingerprint join — hash-checked row by row
+    "q48_winnow_fingerprint" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 1000)
+      val dups = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      val fp = docs.union(dups).select(col("doc_id").cast("long").as("id"),
+        explode(Analysis.winnowingFingerprint(col("text"))).as("fp"))
+      // the recovery constraint rides IN the equi-join key: common
+      // 8-grams are hot fingerprints on this dense synthetic corpus, and
+      // an unconstrained fp self-join would enumerate every co-occurring
+      // pair — the gate only asks whether each injected pair shares ≥ 1
+      // fingerprint
+      fp.as("a")
+        .join(fp.as("b"),
+          col("a.fp") === col("b.fp") &&
+            col("b.id") === col("a.id") + 1000000)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+        .join(docs.select(col("doc_id").cast("long").as("id_a")), Seq("id_a"))
+        .select("id_a", "id_b")
+    }),
+
     // Text analysis: heuristic language ID (stopword-ratio argmax)
     "q21_langid" -> ((s, d) => {
       Analysis.languageId(t(s, d, "documents"), "doc_id", "text")
@@ -749,6 +774,13 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS id_a,
         | CAST(doc_id + 1000000 AS BIGINT) AS id_b,
         | CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
+
+    // winnowing recovery gate: identical text ⇒ identical fingerprint
+    // set ⇒ every injected pair surfaces from the blocked join
+    "q48_winnow_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a,
+        | CAST(doc_id + 1000000 AS BIGINT) AS id_b
         |FROM documents WHERE doc_id < 1000""".stripMargin,
 
     // LSH kNN recall floor: n_exact = 5·|embeddings| (every query has

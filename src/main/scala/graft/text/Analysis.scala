@@ -72,6 +72,26 @@ object Analysis {
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>")
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * local fingerprinting algorithm): a TRUE rolling hash over char
+    * `k`-grams of the normalized text, keeping the minimum of each
+    * sliding window of `w` consecutive grams — distinct, sorted.
+    * Guarantee: any two documents sharing a substring of at least
+    * `w + k - 1` chars share at least one fingerprint, with ~2/(w+1) of
+    * grams retained. Native codegen kernel expression
+    * (sql/graft/SignatureExprs.scala), O(n) per document — the
+    * Column-HOF formulation is O(n²) (UTF8String.substring seeks char
+    * boundaries linearly; lambda bodies are excluded from codegen CSE).
+    * Fingerprint sets are the natural blocking key for containment-style
+    * near-dup at corpus scale; texts shorter than `k` fall back to the
+    * whole-text hash.
+    */
+  def winnowingFingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graft.Interop.column(
+      org.apache.spark.sql.graft.WinnowFingerprints(
+        org.apache.spark.sql.graft.Interop.expression(TextFns.normalizeText(c)),
+        new org.apache.spark.sql.graft.WinnowKernel(k, w)))
+
   def scrubPii(c: Column): Column =
     piiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
       regexp_replace(acc, pat, repl)

@@ -102,6 +102,96 @@ abstract class SignatureExpression extends UnaryExpression with ExpectsInputType
   }
 }
 
+/** Winnowing fingerprint kernel (Schleimer/Wilkerson/Aiken — the MOSS
+  * local fingerprinting algorithm) with a TRUE rolling hash: polynomial
+  * 64-bit char hash updated in O(1) per gram, window minima via a
+  * monotonic deque — O(n) per document end to end (the Column-HOF
+  * formulation is O(n²): `UTF8String.substring` seeks char boundaries
+  * linearly and lambda bodies are excluded from codegen CSE).
+  * Guarantee (any hash): two documents sharing a substring of
+  * ≥ `w + k - 1` chars share ≥ 1 fingerprint.
+  */
+final class WinnowKernel(val k: Int, val w: Int) extends Serializable {
+  require(k >= 2 && w >= 1, s"WinnowKernel: k=$k w=$w out of range")
+
+  private val B = 0x100000001b3L // FNV-1a prime as the polynomial base
+  private val powK1 = { // B^(k-1) for the rolling drop term
+    var p = 1L; var i = 0
+    while (i < k - 1) { p *= B; i += 1 }
+    p
+  }
+
+  private def fullHash(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * B; i += 1 }
+    h
+  }
+
+  /** Sorted distinct window minima of the rolling k-gram hashes; texts
+    * shorter than `k` yield the whole-text hash.
+    */
+  def fingerprints(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array(fullHash(s)))
+    val nGrams = n - (k - 1)
+    // rolling polynomial hash per gram
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = h
+    var g = 1
+    while (g < nGrams) {
+      h = (h - s.charAt(g - 1) * powK1) * B + s.charAt(g + k - 1)
+      hashes(g) = h
+      g += 1
+    }
+    // sliding-window minima (monotonic deque of candidate indices); a
+    // window min is emitted once j reaches each window's end — for
+    // nGrams < w that is the single all-grams window at j = nGrams - 1
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // deque content: indices in [head, tail)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nGrams) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= math.min(w, nGrams) - 1) out.add(hashes(deque(head)))
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Winnowing fingerprints of a document: sorted-distinct `array<long>`. */
+case class WinnowFingerprints(child: Expression, kernel: WinnowKernel)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.fingerprints(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowKernel", kernel,
+      classOf[WinnowKernel].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.fingerprints($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** MinHash signature: `array<int>` of `numHashes` minima. */
 case class MinHashSig(child: Expression, kernel: MinHashKernel)
   extends SignatureExpression {

@@ -118,4 +118,36 @@ class TextFnsSpec extends SparkSpec {
     assert(got(4) == "a plain sentence, version 1.2 stays, v10.20.30 too")
     assert(got(5) == "mixed: <EMAIL> at <URL> from <IP> tel <PHONE>")
   }
+
+  test("winnowing fingerprints: guarantee, determinism, sparsity, short-text fallback") {
+    import graft.text.Analysis
+    val k = 8; val w = 4
+    val common = "a very distinctive shared passage of text" // >> w+k-1 chars
+    val rows = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"completely different opening $common and another tail"),
+      (3L, "no overlap with anything else here at all whatsoever"),
+      (4L, s"prefix one $common suffix alpha"), // exact dup of 1
+      (5L, "tiny")) // shorter than k
+    val got = rows.toDF("id", "text")
+      .select(col("id"), Analysis.winnowingFingerprint(col("text"), k, w).as("fp"),
+        length(col("text")).as("len"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[scala.collection.Seq[Long]]("fp").toSeq, r.getInt(2)))
+      .toMap
+    // winnowing guarantee: a shared substring of >= w+k-1 chars forces a
+    // shared fingerprint
+    assert((got(1L)._1.toSet intersect got(2L)._1.toSet).nonEmpty)
+    // identical text -> identical fingerprint set (deterministic)
+    assert(got(1L)._1 == got(4L)._1)
+    // unrelated text: no shared fingerprints with either
+    assert((got(3L)._1.toSet intersect got(1L)._1.toSet).isEmpty)
+    // sparsity: far fewer fingerprints than k-grams
+    assert(got(1L)._1.size < got(1L)._2 - (k - 1))
+    // short-text fallback: one whole-text hash
+    assert(got(5L)._1.size == 1)
+    // sorted-distinct contract
+    got.values.foreach { case (fp, _) => assert(fp == fp.distinct.sorted) }
+  }
 }
