@@ -513,6 +513,27 @@ object SparkEntry {
             .as("recall_floor_met"))
     }),
 
+    // Persistent sharded-HNSW index (graph counterpart of q41's IVF
+    // layout): build writes the graph state as node rows, search restores
+    // each shard exactly and beams the broadcast queries — recall-gated
+    // like q45 (floor 0.8)
+    "q49_hnsw_index" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxDir = graft.util.TempDirs.register(
+        s"/tmp/graft_hnsw_index_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      graft.knn.HnswIndex.build(emb, "vec_id", "embedding", idxDir)
+      val approx = graft.knn.HnswIndex.search(s, idxDir, emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__a"))
+      val exact = knnL2(s, d, 5).select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__a")).as("n_hits"))
+        .select(col("n_exact"),
+          when(col("n_hits") * 10 >= col("n_exact") * 8, 1L).otherwise(0L)
+            .as("recall_floor_met"))
+    }),
+
     // IVF kNN at a PRUNED probe config (nProbe=4 of 16 lists): work scales
     // with N·nProbe/nList instead of N² — this is the configuration a real
     // deployment runs, recall-gated against the exact kNN the same way as
@@ -792,6 +813,12 @@ object SparkEntry {
 
     // sharded-HNSW recall floor: same contract as q29 (recall@5 ≥ 0.8)
     "q45_hnsw_knn" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
+
+    // persisted-HNSW recall floor: same contract as q45
+    "q49_hnsw_index" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,

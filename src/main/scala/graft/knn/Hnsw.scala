@@ -196,4 +196,37 @@ final class HnswGraph(
       .sortBy { case (nid, d) => (d, nid) }
       .take(k)
   }
+
+  /** Persistence snapshot: one (id, vec, links-per-level) per node in
+    * insertion order — the graph state [[HnswGraph.restore]] rebuilds
+    * exactly (index-as-data, no re-insertion).
+    */
+  def nodes: IndexedSeq[(Long, Array[Float], Seq[Seq[Int]])] =
+    ids.indices.map(i => (ids(i), vecs(i), links(i).toSeq.map(_.toSeq)))
+}
+
+object HnswGraph {
+
+  /** Exact graph restoration from a [[HnswGraph.nodes]] snapshot (rows in
+    * original insertion order): adjacency, entry point and top level are
+    * reconstructed directly — search behavior is identical to the graph
+    * that was persisted. `entryPoint` is derivable: insertion only
+    * replaces it when a node EXCEEDS the current top level, so it is the
+    * earliest node holding the maximum level.
+    */
+  def restore(m: Int, cosine: Boolean,
+      nodes: Seq[(Long, Array[Float], Seq[Seq[Int]])]): HnswGraph = {
+    val g = new HnswGraph(m = m, efConstruction = 1, cosine = cosine)
+    nodes.foreach { case (id, vec, ls) =>
+      g.ids += id
+      g.vecs += vec
+      g.norms += (if (cosine) math.sqrt(g.dot(vec, vec)) else 0.0)
+      g.links += ls.map(l => mutable.ArrayBuffer.from(l)).toArray
+    }
+    if (g.ids.nonEmpty) {
+      g.topLevel = g.links.iterator.map(_.length - 1).max
+      g.entryPoint = g.links.indexWhere(_.length - 1 == g.topLevel)
+    }
+    g
+  }
 }

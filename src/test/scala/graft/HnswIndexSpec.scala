@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.knn.{HnswGraph, HnswIndex, KnnJoin}
+import graft.sources.Lake
+
+class HnswIndexSpec extends SparkSpec {
+
+  private lazy val emb = Lake.embeddings(spark, sf0001).cache()
+
+  private def tempDir(tag: String): String =
+    graft.util.TempDirs.register(
+      java.nio.file.Files.createTempDirectory(s"hnsw_idx_$tag").toString)
+
+  test("restore rebuilds the exact graph: identical search results") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 120).map(i => (i * 3L, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val g = new HnswGraph(m = 8, efConstruction = 32)
+    vecs.foreach { case (id, v) => g.insert(id, v) }
+    val restored = HnswGraph.restore(m = 8, cosine = false, g.nodes)
+    (1 to 10).foreach { _ =>
+      val q = Array.fill(16)(rnd.nextGaussian().toFloat)
+      assert(restored.search(q, 5, 32) == g.search(q, 5, 32))
+    }
+  }
+
+  test("persisted index: well-formed search, recall floor, repeat-search identity") {
+    val dir = tempDir("e2e")
+    val n = HnswIndex.build(emb, "vec_id", "embedding", dir, shards = 8)
+    assert(n == emb.count())
+    val s1 = HnswIndex.search(spark, dir, emb, "vec_id", "embedding", k = 5)
+    val got = s1.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSet ==
+      HnswIndex.search(spark, dir, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+    assert(s1.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(s1.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    // recall vs exact kNN
+    val exact = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val approx = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = exact.map { case (q, t) =>
+      approx.get(q).map(a => (a intersect t).size).getOrElse(0)
+    }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall > 0.8, s"persisted-HNSW recall@5 too low: $recall")
+  }
+
+  test("index build is layout-independent: rebuild from shuffled input answers identically") {
+    val d1 = tempDir("a")
+    val d2 = tempDir("b")
+    HnswIndex.build(emb, "vec_id", "embedding", d1, shards = 4)
+    // different source partitioning/order must yield the same persisted
+    // answers: shard = hash(id), insertion id-ascending within shard
+    HnswIndex.build(emb.repartition(13).sortWithinPartitions(desc("vec_id")),
+      "vec_id", "embedding", d2, shards = 4)
+    def res(d: String) =
+      HnswIndex.search(spark, d, emb.limit(50), "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(res(d1) == res(d2))
+  }
+}
