@@ -252,21 +252,23 @@ object SparkEntry {
       val docs = t(s, d, "documents").select("doc_id", "text")
         .filter(col("doc_id") < 1000)
       val dups = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      // cached: the self-join references fp on both sides and would
+      // otherwise run the scan + winnowing kernel + explode twice
       val fp = docs.union(dups).select(col("doc_id").cast("long").as("id"),
         explode(Analysis.winnowingFingerprint(col("text"))).as("fp"))
+        .cache()
       // the recovery constraint rides IN the equi-join key: common
       // 8-grams are hot fingerprints on this dense synthetic corpus, and
       // an unconstrained fp self-join would enumerate every co-occurring
       // pair — the gate only asks whether each injected pair shares ≥ 1
-      // fingerprint
+      // fingerprint. The id-offset key also restricts id_a to original
+      // docs by construction (only doc_id < 1000 has a +1000000 twin).
       fp.as("a")
         .join(fp.as("b"),
           col("a.fp") === col("b.fp") &&
             col("b.id") === col("a.id") + 1000000)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
-        .join(docs.select(col("doc_id").cast("long").as("id_a")), Seq("id_a"))
-        .select("id_a", "id_b")
     }),
 
     // Text analysis: heuristic language ID (stopword-ratio argmax)

@@ -262,16 +262,9 @@ object ApproxKnn {
       excludeSelf: Boolean = true): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val cosine = metric match {
-      case KnnJoin.MetricCosine => true
-      case KnnJoin.MetricL2Sq   => false
-      case other                => throw new IllegalArgumentException(s"unknown metric: $other")
-    }
-    val qRows: Array[(Long, Array[Float])] = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])].collect()
-    require(qRows.nonEmpty, "hnswKnn: empty query side")
-    val bc = spark.sparkContext.broadcast(qRows)
+    val cosine = HnswSearch.isCosine(metric)
+    val bc = spark.sparkContext.broadcast(
+      HnswSearch.collectQueries(queries, idCol, vecCol, "hnswKnn"))
     val (mL, efC, efS, kL, ex) = (m, efConstruction, efSearch, k, excludeSelf)
 
     val partials = graft.util.Par.balance(
@@ -281,16 +274,52 @@ object ApproxKnn {
         val g = new HnswGraph(mL, efC, cosine, seed)
         it.foreach { case (id, v) => g.insert(id, v) }
         if (g.size == 0) Iterator.empty
-        else bc.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, kL + (if (ex) 1 else 0), math.max(efS, kL + 1))
-            .iterator
-            .filter { case (nid, _) => !(ex && nid == qid) }
-            .take(kL)
-            .map { case (nid, d) => (qid, nid, d) }
-        }
+        else HnswSearch.beamAll(g, bc.value, kL, efS, ex)
       }
       .toDF("query_id", "neighbor_id", "dist")
 
+    HnswSearch.topKMerge(partials, k)
+  }
+}
+
+/** Shared query-side machinery for the in-memory ([[ApproxKnn.hnswKnn]])
+  * and persisted ([[HnswIndex.search]]) HNSW paths — one implementation
+  * of the beam body, the query broadcast, and the partial merge, so the
+  * two paths cannot drift.
+  */
+private[knn] object HnswSearch {
+
+  def isCosine(metric: String): Boolean = metric match {
+    case KnnJoin.MetricCosine => true
+    case KnnJoin.MetricL2Sq   => false
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  def collectQueries(queries: DataFrame, idCol: String, vecCol: String,
+      what: String): Array[(Long, Array[Float])] = {
+    import queries.sparkSession.implicits._
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    require(qRows.nonEmpty, s"$what: empty query side")
+    qRows
+  }
+
+  /** Beam every query through one shard's graph: per-query top-k partials
+    * with self-exclusion (search k+1, drop self, keep k).
+    */
+  def beamAll(g: HnswGraph, queries: Array[(Long, Array[Float])], k: Int,
+      efSearch: Int, excludeSelf: Boolean): Iterator[(Long, Long, Double)] =
+    queries.iterator.flatMap { case (qid, qv) =>
+      g.search(qv, k + (if (excludeSelf) 1 else 0), math.max(efSearch, k + 1))
+        .iterator
+        .filter { case (nid, _) => !(excludeSelf && nid == qid) }
+        .take(k)
+        .map { case (nid, d) => (qid, nid, d) }
+    }
+
+  /** Merge per-shard partials into the global per-query top-k. */
+  def topKMerge(partials: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
     partials
       .withColumn("rank", row_number().over(w))

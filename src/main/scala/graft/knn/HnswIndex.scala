@@ -1,7 +1,6 @@
 package graft.knn
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persistent sharded HNSW index — the graph-ANN counterpart of
@@ -12,24 +11,21 @@ import org.apache.spark.sql.functions._
   *  - `nodes/` — one parquet row per graph node:
   *    (shard, pos, id, vec, links: array<array<int>>), `pos` the
   *    insertion position within its shard, links holding neighbor
-  *    positions per level.
+  *    positions per level;
+  *  - `params/` — one row (m, metric, shards, ef_construction): the
+  *    hyperparameters the graphs were built under. Search reads them
+  *    from the index itself — a caller cannot mismatch the build.
   *
   * Shard assignment is a deterministic hash of the id (stable across
   * builds and loads, independent of input partitioning), and insertion
   * order within a shard is id-ascending — so the persisted index is
   * byte-deterministic for a given dataset. Search restores each shard's
   * graph EXACTLY ([[HnswGraph.restore]] — adjacency, entry point, top
-  * level) and runs the same broadcast-query beam as
+  * level) and runs the same [[HnswSearch]] broadcast-query beam as
   * [[ApproxKnn.hnswKnn]]; a restored index answers identically to the
   * index that was saved.
   */
 object HnswIndex {
-
-  private def normalized(df: DataFrame, idCol: String, vecCol: String,
-      shards: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vec"))
-      .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
 
   /** Build the per-shard graphs and persist them as node rows. Returns
     * the node count written.
@@ -46,8 +42,11 @@ object HnswIndex {
       seed: Int = 42): Long = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val cosine = metric == KnnJoin.MetricCosine
-    val n = normalized(candidates, idCol, vecCol, shards)
+    val cosine = HnswSearch.isCosine(metric)
+    candidates
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
       // one builder sees one shard's rows contiguously, in id order —
       // deterministic graphs regardless of source layout
       .repartition(shards, col("shard"))
@@ -65,13 +64,26 @@ object HnswIndex {
       .toDF("shard", "pos", "id", "vec", "links")
       .repartition(col("shard"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes")
+    Seq((m, metric, shards, efConstruction))
+      .toDF("m", "metric", "shards", "ef_construction")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
     spark.read.parquet(s"$dir/nodes").count()
+  }
+
+  private def loadParams(spark: SparkSession, dir: String): (Int, String) = {
+    val rows = spark.read.parquet(s"$dir/params")
+      .select("m", "metric").collect()
+    require(rows.length == 1, s"HnswIndex: malformed params under $dir")
+    (rows.head.getInt(0), rows.head.getString(1))
   }
 
   /** Probe the persisted index: every shard's graph is restored in place
     * (one pass over `nodes/`, no re-insertion), the broadcast query set
     * beams through it, and per-shard top-k partials merge in one ranking
     * window — the [[ApproxKnn.hnswKnn]] execution over restored state.
+    * `m` and the metric come from the persisted `params/`, never from the
+    * caller.
     */
   def search(
       spark: SparkSession,
@@ -81,16 +93,12 @@ object HnswIndex {
       vecCol: String,
       k: Int,
       efSearch: Int = 64,
-      m: Int = 16,
-      metric: String = KnnJoin.MetricL2Sq,
       excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
-    val cosine = metric == KnnJoin.MetricCosine
-    val qRows: Array[(Long, Array[Float])] = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])].collect()
-    require(qRows.nonEmpty, "HnswIndex.search: empty query side")
-    val bc = spark.sparkContext.broadcast(qRows)
+    val (m, metric) = loadParams(spark, dir)
+    val cosine = HnswSearch.isCosine(metric)
+    val bc = spark.sparkContext.broadcast(
+      HnswSearch.collectQueries(queries, idCol, vecCol, "HnswIndex.search"))
     val (kL, efS, ex) = (k, efSearch, excludeSelf)
 
     val partials = spark.read.parquet(s"$dir/nodes")
@@ -103,20 +111,11 @@ object HnswIndex {
         it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
           val g = HnswGraph.restore(m, cosine,
             rows.map { case (_, id, vec, links) => (id, vec, links) })
-          bc.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, kL + (if (ex) 1 else 0), math.max(efS, kL + 1))
-              .iterator
-              .filter { case (nid, _) => !(ex && nid == qid) }
-              .take(kL)
-              .map { case (nid, d) => (qid, nid, d) }
-          }
+          HnswSearch.beamAll(g, bc.value, kL, efS, ex)
         }
       }
       .toDF("query_id", "neighbor_id", "dist")
 
-    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
-    partials
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    HnswSearch.topKMerge(partials, k)
   }
 }

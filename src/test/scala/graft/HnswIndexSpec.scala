@@ -48,6 +48,28 @@ class HnswIndexSpec extends SparkSpec {
     assert(recall > 0.8, s"persisted-HNSW recall@5 too low: $recall")
   }
 
+  test("params ride the index: cosine build searches as cosine; bad metric throws") {
+    val dir = tempDir("cos")
+    HnswIndex.build(emb, "vec_id", "embedding", dir, shards = 4,
+      metric = KnnJoin.MetricCosine)
+    val exactCos = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5,
+        KnnJoin.MetricCosine)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // search takes NO metric argument — it must come back cosine from params/
+    val got = HnswIndex.search(spark, dir, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exactCos.map { case (q, t) =>
+      got.get(q).map(g => (g intersect t).size).getOrElse(0)
+    }.sum
+    val recall = hits.toDouble / (exactCos.size * 5)
+    assert(recall > 0.8, s"persisted cosine recall@5 too low: $recall")
+    intercept[IllegalArgumentException](
+      HnswIndex.build(emb.limit(5), "vec_id", "embedding", tempDir("bad"),
+        metric = "manhattan"))
+  }
+
   test("index build is layout-independent: rebuild from shuffled input answers identically") {
     val d1 = tempDir("a")
     val d2 = tempDir("b")
