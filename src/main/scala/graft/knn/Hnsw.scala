@@ -212,11 +212,16 @@ object HnswGraph {
     * reconstructed directly — search behavior is identical to the graph
     * that was persisted. `entryPoint` is derivable: insertion only
     * replaces it when a node EXCEEDS the current top level, so it is the
-    * earliest node holding the maximum level.
+    * earliest node holding the maximum level. Pass the build-time
+    * `efConstruction`/`seed` when the restored graph will receive further
+    * [[HnswGraph.insert]]s (append): they govern new elements' beam width
+    * and level assignment.
     */
   def restore(m: Int, cosine: Boolean,
-      nodes: Seq[(Long, Array[Float], Seq[Seq[Int]])]): HnswGraph = {
-    val g = new HnswGraph(m = m, efConstruction = 1, cosine = cosine)
+      nodes: Seq[(Long, Array[Float], Seq[Seq[Int]])],
+      efConstruction: Int = 1, seed: Int = 42): HnswGraph = {
+    val g = new HnswGraph(m = m, efConstruction = efConstruction,
+      cosine = cosine, seed = seed)
     nodes.foreach { case (id, vec, ls) =>
       g.ids += id
       g.vecs += vec

@@ -63,19 +63,85 @@ object HnswIndex {
       }
       .toDF("shard", "pos", "id", "vec", "links")
       .repartition(col("shard"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes")
-    Seq((m, metric, shards, efConstruction))
-      .toDF("m", "metric", "shards", "ef_construction")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard") // one directory per shard: append rewrites
+      .parquet(s"$dir/nodes") // only the shards it touches
+    Seq((m, metric, shards, efConstruction, seed))
+      .toDF("m", "metric", "shards", "ef_construction", "seed")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
     spark.read.parquet(s"$dir/nodes").count()
   }
 
-  private def loadParams(spark: SparkSession, dir: String): (Int, String) = {
+  private def loadParams(spark: SparkSession, dir: String)
+      : (Int, String, Int, Int, Int) = {
     val rows = spark.read.parquet(s"$dir/params")
-      .select("m", "metric").collect()
+      .select("m", "metric", "shards", "ef_construction", "seed").collect()
     require(rows.length == 1, s"HnswIndex: malformed params under $dir")
-    (rows.head.getInt(0), rows.head.getString(1))
+    (rows.head.getInt(0), rows.head.getString(1), rows.head.getInt(2),
+      rows.head.getInt(3), rows.head.getInt(4))
+  }
+
+  /** Append new vectors WITHOUT rebuilding the whole index: each new
+    * vector routes to its deterministic shard, the affected shards'
+    * graphs are restored and the new elements inserted incrementally
+    * (hnswlib `add_items` semantics — graph insertion is order-dependent,
+    * so an appended index is a valid HNSW over the union but not
+    * byte-identical to a from-scratch build), and ONLY those shard
+    * directories are rewritten — untouched shards' files are not read or
+    * written. Hyperparameters come from `params/`. Returns the appended
+    * row count.
+    */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String): Long = {
+    import spark.implicits._
+    val (m, metric, shards, efConstruction, seed) = loadParams(spark, dir)
+    val cosine = HnswSearch.isCosine(metric)
+    val fresh = newVectors
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
+      .cache()
+    val touched = fresh.select("shard").distinct().as[Int].collect().sorted
+    if (touched.isEmpty) return 0L
+    val nNew = fresh.count()
+
+    val existing = spark.read.parquet(s"$dir/nodes")
+      .filter(col("shard").isin(touched.map(Integer.valueOf).toSeq: _*))
+      .select(col("shard"), col("pos"), col("id"), col("vec").cast("array<float>"),
+        col("links").cast("array<array<int>>"))
+      .as[(Int, Int, Long, Array[Float], Seq[Seq[Int]])]
+    val rebuilt = existing
+      .groupByKey(_._1)
+      .cogroup(fresh.select(col("shard"), col("id"), col("vec"))
+        .as[(Int, Long, Array[Float])].groupByKey(_._1)) {
+        (shard, oldIt, newIt) =>
+          val olds = oldIt.toSeq.sortBy(_._2) // original insertion order
+          val g = HnswGraph.restore(m, cosine,
+            olds.map { case (_, _, id, vec, links) => (id, vec, links) },
+            efConstruction, seed)
+          newIt.toSeq.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
+          g.nodes.iterator.zipWithIndex.map { case ((id, vec, links), pos) =>
+            (shard, pos, id, vec, links)
+          }
+      }
+      .toDF("shard", "pos", "id", "vec", "links")
+      .repartition(col("shard"))
+    // rewrite ONLY the touched shard directories
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rebuilt.write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$dir/nodes")
+    finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    fresh.unpersist()
+    nNew
   }
 
   /** Probe the persisted index: every shard's graph is restored in place
@@ -95,7 +161,7 @@ object HnswIndex {
       efSearch: Int = 64,
       excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (m, metric) = loadParams(spark, dir)
+    val (m, metric, _, _, _) = loadParams(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     val bc = spark.sparkContext.broadcast(
       HnswSearch.collectQueries(queries, idCol, vecCol, "HnswIndex.search"))

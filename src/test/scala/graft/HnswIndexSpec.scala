@@ -70,6 +70,43 @@ class HnswIndexSpec extends SparkSpec {
         metric = "manhattan"))
   }
 
+  test("append inserts into affected shards only; appended index searches the union") {
+    val dir = tempDir("app")
+    val base = emb.filter(col("vec_id") < 300)
+    val extra = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    HnswIndex.build(base, "vec_id", "embedding", dir, shards = 8)
+    val before = spark.read.parquet(s"$dir/nodes")
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = HnswIndex.append(spark, dir, extra, "vec_id", "embedding")
+    assert(n == extra.count())
+    val after = spark.read.parquet(s"$dir/nodes")
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after.values.sum == before.values.sum + n)
+    // every persisted node row is intact and searchable: appended ids are
+    // reachable with perfect self-recall at the ef used for the beam
+    val got = HnswIndex.search(spark, dir, extra, "vec_id", "embedding",
+        k = 1, excludeSelf = false)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == extra.count())
+    got.foreach { case (q, nbr, d) => assert(q == nbr && d == 0.0) }
+    // recall floor over the union
+    val all = emb.filter(col("vec_id") < 400)
+    val exact = KnnJoin.broadcastKnn(all, all, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val approx = HnswIndex.search(spark, dir, all, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.map { case (q, t) =>
+      approx.get(q).map(g => (g intersect t).size).getOrElse(0)
+    }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall > 0.8, s"post-append recall@5 too low: $recall")
+  }
+
   test("index build is layout-independent: rebuild from shuffled input answers identically") {
     val d1 = tempDir("a")
     val d2 = tempDir("b")
