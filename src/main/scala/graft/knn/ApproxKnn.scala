@@ -134,8 +134,29 @@ object ApproxKnn {
     centroids
   }
 
+  /** Unit-normalize a (id, vec) projection — the cosine→L2 reduction:
+    * for unit vectors, cosine distance = squared L2 / 2 (exactly, up to
+    * float rounding), with identical ranking. The norm is materialized as
+    * its own column BEFORE the division lambda (codegen CSE skips lambda
+    * bodies — an inline norm would recompute the dot product per
+    * element). Zero vectors pass through unnormalized.
+    */
+  private def unitNormalized(df: DataFrame, idCol: String, vecCol: String,
+      idAlias: String, vecAlias: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idAlias),
+        col(vecCol).cast("array<float>").as(vecAlias))
+      .withColumn("__norm", sqrt(
+        graft.functions.VectorExpressions.dotProduct(col(vecAlias), col(vecAlias))))
+      .withColumn(vecAlias,
+        when(col("__norm") > 0,
+          transform(col(vecAlias), x => (x / col("__norm")).cast("float")))
+          .otherwise(col(vecAlias)))
+      .drop("__norm")
+
   /** IVF kNN: centroid training on a sampled subset, distributed assign +
-    * probe. `sampleCap` bounds the driver materialization.
+    * probe. `sampleCap` bounds the driver materialization. Cosine runs as
+    * spherical IVF — both sides unit-normalized, centroids trained on the
+    * sphere, `dist` emitted as true cosine distance (normalized-L2 / 2).
     */
   def ivfKnn(
       queries: DataFrame,
@@ -145,14 +166,25 @@ object ApproxKnn {
       k: Int,
       nList: Int = 16,
       nProbe: Int = 4,
+      metric: String = KnnJoin.MetricL2Sq,
       kmeansIters: Int = 5,
       sampleCap: Int = 20000,
       seed: Int = 42,
       excludeSelf: Boolean = true): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    val cosine = HnswSearch.isCosine(metric)
 
-    val sample = candidates.select(col(vecCol).cast("array<float>"))
+    val cand =
+      if (cosine) unitNormalized(candidates, idCol, vecCol, "neighbor_id", "__neighbor_vec")
+      else candidates.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__neighbor_vec"))
+    val qry =
+      if (cosine) unitNormalized(queries, idCol, vecCol, "query_id", "__query_vec")
+      else queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("__query_vec"))
+
+    val sample = cand.select(col("__neighbor_vec").cast("array<float>"))
       .limit(sampleCap).as[Array[Float]].collect()
     require(sample.nonEmpty, "ivfKnn: empty candidate side")
     val centroids = kmeans(sample, math.min(nList, sample.length), kmeansIters, seed)
@@ -163,15 +195,11 @@ object ApproxKnn {
     val kernel = new org.apache.spark.sql.graft.CentroidKernel(
       spark.sparkContext.broadcast(centroids))
 
-    val assigned = graft.util.Par.balance(
-      candidates.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("__neighbor_vec")))
+    val assigned = graft.util.Par.balance(cand)
       .withColumn("cid",
         graft.functions.VectorExpressions.nearestCentroid(col("__neighbor_vec"), kernel))
 
-    val probed = graft.util.Par.balance(
-      queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).as("__query_vec")))
+    val probed = graft.util.Par.balance(qry)
       .withColumn("cid", explode(graft.functions.VectorExpressions
         .nearestCentroids(col("__query_vec"), kernel, nProbe)))
 
@@ -179,10 +207,11 @@ object ApproxKnn {
     val pairs =
       (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
        else joined)
+    val l2 = graft.functions.VectorExpressions.squaredL2(
+      col("__query_vec"), col("__neighbor_vec"))
     val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
     pairs
-      .withColumn("dist", graft.functions.VectorExpressions.squaredL2(
-        col("__query_vec"), col("__neighbor_vec")))
+      .withColumn("dist", if (cosine) l2 / 2.0 else l2)
       .select("query_id", "neighbor_id", "dist")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -43,6 +43,33 @@ class ApproxKnnSpec extends SparkSpec {
     assert(r > 0.55, s"IVF recall@5 too low: $r")
   }
 
+  test("IVF cosine (spherical): recall@5 vs exact cosine kNN") {
+    val exactCos = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5,
+        KnnJoin.MetricCosine)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(a: org.apache.spark.sql.DataFrame): Double = {
+      val got = a.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      exactCos.map { case (q, t) =>
+        got.get(q).map(g => (g intersect t).size).getOrElse(0)
+      }.sum.toDouble / (exactCos.size * 5)
+    }
+    // probing every list = brute force over unit vectors: ranking equals
+    // exact cosine up to float rounding at ties
+    val full = recall(ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", 5,
+      nList = 16, nProbe = 16, metric = KnnJoin.MetricCosine))
+    assert(full > 0.95, s"spherical IVF full-probe recall too low: $full")
+    val pruned = recall(ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", 5,
+      nList = 16, nProbe = 6, metric = KnnJoin.MetricCosine))
+    assert(pruned > 0.5, s"spherical IVF pruned recall too low: $pruned")
+    // dist is true cosine distance: bounded in [0, 2]
+    val ds = ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", 3,
+        nList = 16, nProbe = 16, metric = KnnJoin.MetricCosine)
+      .select(min("dist"), max("dist")).collect().head
+    assert(ds.getDouble(0) >= 0.0 && ds.getDouble(1) <= 2.0 + 1e-9)
+  }
+
   test("IVF probing more lists improves recall monotonically-ish") {
     val r1 = recallAt5(ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", 5,
       nList = 16, nProbe = 1))
