@@ -293,6 +293,15 @@ object SparkEntry {
       graft.streaming.Streams.windowedAggOnce(s, s"$d/events.parquet")
     }),
 
+    // §2.9 streaming, EXECUTED: exact dedup — every event arrives twice
+    // (the source file staged twice), dropDuplicatesWithinWatermark keeps
+    // the first; the drained sink must equal the ORIGINAL table
+    "q50_stream_dedup" -> ((s, d) => {
+      graft.streaming.Streams.dedupEventsOnce(s, s"$d/events.parquet")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), round(col("value"), 2).as("value"))
+    }),
+
     // §2.9 streaming, EXECUTED: stream-static enrichment — the event
     // stream joins the broadcast customer dimension per micro-batch and
     // aggregates per segment; oracle = the plain batch join
@@ -1171,6 +1180,13 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // streaming dedup twin: duplicates injected by the query itself, so
+    // the oracle is simply the original events table
+    "q50_stream_dedup" ->
+      """SELECT event_id, CAST(epoch_us(date_trunc('microseconds', ts)) AS BIGINT) AS ts_us,
+        | user_id, event_type, round(value, 2) AS value
+        |FROM events""".stripMargin,
 
     // stream-static enrichment twin: the batch join the streaming
     // execution must reproduce

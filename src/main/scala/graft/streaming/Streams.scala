@@ -88,7 +88,8 @@ object Streams {
     * restored afterwards — a shared bench session must not see an
     * order-dependent conf change.
     */
-  private def drainToMemorySink(spark: SparkSession, streamed: => DataFrame): DataFrame = {
+  private def drainToMemorySink(spark: SparkSession, streamed: => DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val name = s"graft_stream_sink_${memorySinkSeq.incrementAndGet()}"
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
     graft.util.TempDirs.register(checkpoint.toString)
@@ -103,7 +104,7 @@ object Streams {
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", checkpoint.toString)
-        .outputMode(OutputMode.Complete())
+        .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
@@ -148,6 +149,30 @@ object Streams {
           col("user_id") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value")))
+
+  /** Streaming exact dedup, EXECUTED: the events file is staged TWICE
+    * into the source directory, so every event genuinely arrives as a
+    * duplicate; `dropDuplicatesWithinWatermark` on the key keeps the
+    * first arrival, and the drained Append-mode sink must equal the
+    * ORIGINAL table row-for-row — a batch-oracle-checkable execution of
+    * the streaming dedup state machine.
+    */
+  def dedupEventsOnce(spark: SparkSession, eventsPath: String,
+      delay: String = "2 hours"): DataFrame = {
+    val f = new java.io.File(eventsPath)
+    require(f.isFile, s"dedupEventsOnce: not a file: $eventsPath")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+    graft.util.TempDirs.register(dir.toString)
+    Seq("dup_a.parquet", "dup_b.parquet").foreach { n =>
+      val target = dir.resolve(n)
+      try java.nio.file.Files.createSymbolicLink(target, f.toPath)
+      catch { case _: Exception => java.nio.file.Files.copy(f.toPath, target) }
+    }
+    drainToMemorySink(spark,
+      dedupStream(eventsStream(spark, dir.toString), Seq("event_id"),
+        delay = delay),
+      OutputMode.Append())
+  }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

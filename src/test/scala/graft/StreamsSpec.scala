@@ -67,6 +67,15 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dedupEventsOnce (q50 surface): doubled input drains to the original rows") {
+    val got = Streams.dedupEventsOnce(spark, s"$sf0001/events.parquet")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val batch = graft.sources.Lake.events(spark, sf0001)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.length == batch.length, "every duplicate must be dropped")
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("drain restores the nanosAsLong conf to its pre-call state") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(key) // registered conf: getOption now yields the default
