@@ -139,16 +139,20 @@ object ApproxKnn {
     * float rounding), with identical ranking. The norm is materialized as
     * its own column BEFORE the division lambda (codegen CSE skips lambda
     * bodies — an inline norm would recompute the dot product per
-    * element). Zero vectors pass through unnormalized.
+    * element). Zero vectors pass through unnormalized and keep a
+    * `zeroAlias` flag: the engine-wide convention (cosineDistance,
+    * HnswGraph) scores any pair involving a zero vector at distance 1.0,
+    * which the normalized-L2 form cannot express (it would yield 0.5).
     */
   private def unitNormalized(df: DataFrame, idCol: String, vecCol: String,
-      idAlias: String, vecAlias: String): DataFrame =
+      idAlias: String, vecAlias: String, zeroAlias: String): DataFrame =
     df.select(col(idCol).cast("long").as(idAlias),
         col(vecCol).cast("array<float>").as(vecAlias))
       .withColumn("__norm", sqrt(
         graft.functions.VectorExpressions.dotProduct(col(vecAlias), col(vecAlias))))
+      .withColumn(zeroAlias, !(col("__norm") > 0))
       .withColumn(vecAlias,
-        when(col("__norm") > 0,
+        when(!col(zeroAlias),
           transform(col(vecAlias), x => (x / col("__norm")).cast("float")))
           .otherwise(col(vecAlias)))
       .drop("__norm")
@@ -176,11 +180,13 @@ object ApproxKnn {
     val cosine = HnswSearch.isCosine(metric)
 
     val cand =
-      if (cosine) unitNormalized(candidates, idCol, vecCol, "neighbor_id", "__neighbor_vec")
+      if (cosine) unitNormalized(candidates, idCol, vecCol,
+        "neighbor_id", "__neighbor_vec", "__neighbor_zero")
       else candidates.select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).as("__neighbor_vec"))
     val qry =
-      if (cosine) unitNormalized(queries, idCol, vecCol, "query_id", "__query_vec")
+      if (cosine) unitNormalized(queries, idCol, vecCol,
+        "query_id", "__query_vec", "__query_zero")
       else queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("__query_vec"))
 
@@ -209,9 +215,12 @@ object ApproxKnn {
        else joined)
     val l2 = graft.functions.VectorExpressions.squaredL2(
       col("__query_vec"), col("__neighbor_vec"))
+    val cosDist = // zero-vector convention: distance 1.0 (see unitNormalized)
+      when(col("__query_zero") || col("__neighbor_zero"), lit(1.0))
+        .otherwise(l2 / 2.0)
     val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
     pairs
-      .withColumn("dist", if (cosine) l2 / 2.0 else l2)
+      .withColumn("dist", if (cosine) cosDist else l2)
       .select("query_id", "neighbor_id", "dist")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -106,42 +106,49 @@ object HnswIndex {
         col(vecCol).cast("array<float>").as("vec"))
       .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
       .cache()
-    val touched = fresh.select("shard").distinct().as[Int].collect().sorted
-    if (touched.isEmpty) return 0L
-    val nNew = fresh.count()
+    try {
+      val touched = fresh.select("shard").distinct().as[Int].collect().sorted
+      if (touched.isEmpty) return 0L
+      val nNew = fresh.count()
+      // duplicate labels are rejected, matching hnswlib add_items: a
+      // silent double-insert would persist two nodes with one external id
+      // and search would return that neighbor twice within top-k
+      require(fresh.groupBy("id").count().filter(col("count") > 1).isEmpty,
+        "HnswIndex.append: duplicate ids within the appended batch")
 
-    val existing = spark.read.parquet(s"$dir/nodes")
-      .filter(col("shard").isin(touched.map(Integer.valueOf).toSeq: _*))
-      .select(col("shard"), col("pos"), col("id"), col("vec").cast("array<float>"),
-        col("links").cast("array<array<int>>"))
-      .as[(Int, Int, Long, Array[Float], Seq[Seq[Int]])]
-    val rebuilt = existing
-      .groupByKey(_._1)
-      .cogroup(fresh.select(col("shard"), col("id"), col("vec"))
-        .as[(Int, Long, Array[Float])].groupByKey(_._1)) {
-        (shard, oldIt, newIt) =>
-          val olds = oldIt.toSeq.sortBy(_._2) // original insertion order
-          val g = HnswGraph.restore(m, cosine,
-            olds.map { case (_, _, id, vec, links) => (id, vec, links) },
-            efConstruction, seed)
-          newIt.toSeq.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
-          g.nodes.iterator.zipWithIndex.map { case ((id, vec, links), pos) =>
-            (shard, pos, id, vec, links)
-          }
-      }
-      .toDF("shard", "pos", "id", "vec", "links")
-      .repartition(col("shard"))
-    // rewrite ONLY the touched shard directories
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rebuilt.write.mode(SaveMode.Overwrite).partitionBy("shard")
-      .parquet(s"$dir/nodes")
-    finally prevMode match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    fresh.unpersist()
-    nNew
+      val existing = spark.read.parquet(s"$dir/nodes")
+        .filter(col("shard").isin(touched.map(Integer.valueOf).toSeq: _*))
+        .select(col("shard"), col("pos"), col("id"), col("vec").cast("array<float>"),
+          col("links").cast("array<array<int>>"))
+        .as[(Int, Int, Long, Array[Float], Seq[Seq[Int]])]
+      require(existing.select("id")
+        .join(fresh.select("id"), "id").isEmpty,
+        "HnswIndex.append: id already present in the index")
+      val rebuilt = existing
+        .groupByKey(_._1)
+        .cogroup(fresh.select(col("shard"), col("id"), col("vec"))
+          .as[(Int, Long, Array[Float])].groupByKey(_._1)) {
+          (shard, oldIt, newIt) =>
+            val olds = oldIt.toSeq.sortBy(_._2) // original insertion order
+            val g = HnswGraph.restore(m, cosine,
+              olds.map { case (_, _, id, vec, links) => (id, vec, links) },
+              efConstruction, seed)
+            newIt.toSeq.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
+            g.nodes.iterator.zipWithIndex.map { case ((id, vec, links), pos) =>
+              (shard, pos, id, vec, links)
+            }
+        }
+        .toDF("shard", "pos", "id", "vec", "links")
+        .repartition(col("shard"))
+      // rewrite ONLY the touched shard directories; the writer-scoped
+      // option (not the session conf — a shared session must not see an
+      // order-dependent mode change) selects dynamic overwrite
+      rebuilt.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(s"$dir/nodes")
+      nNew
+    } finally fresh.unpersist()
   }
 
   /** Probe the persisted index: every shard's graph is restored in place

@@ -40,6 +40,16 @@ object Streams {
     * staged into a scratch dir (symlink when the filesystem allows, copy
     * otherwise) registered for JVM-exit cleanup.
     */
+  /** Symlink-or-copy one existing file into a staging dir. */
+  private def stageFile(dir: java.nio.file.Path, name: String,
+      f: java.io.File): Unit = {
+    val target = dir.resolve(name)
+    try java.nio.file.Files.createSymbolicLink(target, f.toPath)
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(f.toPath, target)
+    }
+  }
+
   private def stageDir(path: String): String = {
     val f = new java.io.File(path)
     // fail fast: a symlink to a missing target succeeds at creation time
@@ -49,11 +59,7 @@ object Streams {
     else {
       val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
       graft.util.TempDirs.register(dir.toString)
-      val target = dir.resolve(f.getName)
-      try java.nio.file.Files.createSymbolicLink(target, f.toPath)
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(f.toPath, target)
-      }
+      stageFile(dir, f.getName, f)
       dir.toString
     }
   }
@@ -163,11 +169,7 @@ object Streams {
     require(f.isFile, s"dedupEventsOnce: not a file: $eventsPath")
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
     graft.util.TempDirs.register(dir.toString)
-    Seq("dup_a.parquet", "dup_b.parquet").foreach { n =>
-      val target = dir.resolve(n)
-      try java.nio.file.Files.createSymbolicLink(target, f.toPath)
-      catch { case _: Exception => java.nio.file.Files.copy(f.toPath, target) }
-    }
+    Seq("dup_a.parquet", "dup_b.parquet").foreach(stageFile(dir, _, f))
     drainToMemorySink(spark,
       dedupStream(eventsStream(spark, dir.toString), Seq("event_id"),
         delay = delay),

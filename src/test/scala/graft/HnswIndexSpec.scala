@@ -92,6 +92,12 @@ class HnswIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.length == extra.count())
     got.foreach { case (q, nbr, d) => assert(q == nbr && d == 0.0) }
+    // duplicate labels rejected, matching hnswlib add_items
+    intercept[IllegalArgumentException](
+      HnswIndex.append(spark, dir, extra.limit(1), "vec_id", "embedding"))
+    intercept[IllegalArgumentException](
+      HnswIndex.append(spark, dir,
+        extra.limit(1).union(extra.limit(1)), "vec_id", "embedding"))
     // recall floor over the union
     val all = emb.filter(col("vec_id") < 400)
     val exact = KnnJoin.broadcastKnn(all, all, "vec_id", "embedding", 5)
