@@ -610,6 +610,23 @@ object SparkEntry {
         minTokens = 3, maxPunctRatio = 0.5, lang = "en")
     }),
 
+    // Multimodal frame sampling: video-shaped payloads fan out to one
+    // row per sampled frame inside the executor batch. Durations derive
+    // deterministically from doc_id, so the frame counts/indices have a
+    // closed-form oracle; frame feature VALUES are JVM-hash-defined and
+    // covered by MultimodalSpec.
+    "q51_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val vids = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          col("text").cast("binary").as("payload"),
+          (lit(1000L) + col("doc_id") % 5000).cast("long").as("duration_ms"))
+        .as[graft.multimodal.Multimodal.VideoRow]
+      graft.multimodal.Multimodal.extractFrameFeatures(vids, everyMs = 700, dim = 8)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_frames"), max("frame_idx").as("max_idx"))
+    }),
+
     // Multimodal plumbing: binary payloads → per-partition feature
     // extraction. The oracle-checked slice is the deterministic part
     // (UTF-8 byte length + feature dimension); checksum/feature VALUES are
@@ -896,6 +913,14 @@ object SparkEntry {
          |canon AS (SELECT min(id) AS id FROM scrub GROUP BY text)
          |SELECT s.id, s.text AS clean_text
          |FROM scrub s JOIN keep USING (id) JOIN canon USING (id)""".stripMargin,
+
+    // frame sampling: n = (duration-1) / everyMs + 1 (durations here are
+    // always >= 1000, so the zero-duration branch never applies)
+    "q51_frame_sample" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        | CAST((1000 + doc_id % 5000 - 1) // 700 + 1 AS BIGINT) AS n_frames,
+        | CAST((1000 + doc_id % 5000 - 1) // 700 AS BIGINT) AS max_idx
+        |FROM documents""".stripMargin,
 
     "q27_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,

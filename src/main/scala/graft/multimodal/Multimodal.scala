@@ -91,4 +91,56 @@ object Multimodal {
     media.withColumn("frame_idx",
       explode(sequence(lit(0L),
         greatest(floor((col(durationMsCol) - 1) / everyMs).cast("long"), lit(0L)))))
+
+  final case class VideoRow(id: Long, payload: Array[Byte], duration_ms: Long)
+  final case class FrameFeatures(id: Long, frame_idx: Long, features: Array[Float])
+
+  /** Per-frame decoder contract — one instance per partition, one call
+    * per sampled frame. A production implementation seeks the container
+    * to `frameIdx · everyMs` and decodes; [[FakeFrameDecoder]] is the
+    * deterministic stand-in.
+    */
+  trait FrameDecoder extends Serializable {
+    def decodeFrame(payload: Array[Byte], frameIdx: Long, dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake frame decode: payload hash mixed with the frame
+    * index — same (payload, frame) → same vector on every JVM.
+    */
+  object FakeFrameDecoder extends FrameDecoder {
+    override def decodeFrame(payload: Array[Byte], frameIdx: Long,
+        dim: Int): Array[Float] = {
+      val base =
+        if (payload == null || payload.isEmpty) 0
+        else MurmurHash3.bytesHash(payload, 42)
+      FakeDecoder.decodeFeatures(
+        Array[Byte](
+          (base >> 24).toByte, (base >> 16).toByte, (base >> 8).toByte, base.toByte,
+          (frameIdx >> 24).toByte, (frameIdx >> 16).toByte,
+          (frameIdx >> 8).toByte, frameIdx.toByte), dim)
+    }
+  }
+
+  /** Frame-sampled feature extraction over video payloads: one frame
+    * every `everyMs` across the clip (a clip of duration ≤ 0 emits no
+    * frames), decoded per partition — the frame fan-out happens inside
+    * the executor batch, so a long video never materializes as a single
+    * wide row. Output feeds the kNN/dedup layers at frame grain.
+    */
+  def extractFrameFeatures(
+      videos: Dataset[VideoRow],
+      everyMs: Long,
+      dim: Int = 64,
+      decoder: FrameDecoder = FakeFrameDecoder): Dataset[FrameFeatures] = {
+    require(everyMs > 0, s"extractFrameFeatures: everyMs=$everyMs must be > 0")
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { it =>
+      val d = decoder // one instance per partition (batch shape)
+      it.flatMap { v =>
+        val n = if (v.duration_ms <= 0) 0L else (v.duration_ms - 1) / everyMs + 1
+        (0L until n).iterator.map(fi =>
+          FrameFeatures(v.id, fi, d.decodeFrame(v.payload, fi, dim)))
+      }
+    }
+  }
 }

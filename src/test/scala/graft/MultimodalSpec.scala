@@ -32,4 +32,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2L) == 1L)
     assert(frames(3L) == 1L) // degenerate duration still yields frame 0
   }
+
+  test("frame feature extraction: per-frame determinism, counts, zero-duration") {
+    import graft.multimodal.Multimodal
+    import Multimodal.VideoRow
+    val vids = Seq(
+      VideoRow(1L, "clip one".getBytes, 2100L),  // frames 0,1,2 at 1000ms
+      VideoRow(2L, "clip two".getBytes, 1000L),  // frame 0
+      VideoRow(3L, "empty".getBytes, 0L),        // zero duration: NO frames
+      VideoRow(4L, "clip one".getBytes, 2100L))  // same payload as 1
+      .toDS()
+    val got = Multimodal.extractFrameFeatures(vids, everyMs = 1000, dim = 4)
+      .collect()
+      .groupBy(_.id)
+    assert(got(1L).map(_.frame_idx).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(got(2L).map(_.frame_idx).toSeq == Seq(0L))
+    assert(!got.contains(3L))
+    // determinism: same (payload, frame) → same features across rows/JVMs
+    val f1 = got(1L).sortBy(_.frame_idx).map(_.features.toSeq)
+    val f4 = got(4L).sortBy(_.frame_idx).map(_.features.toSeq)
+    assert(f1.toSeq == f4.toSeq)
+    // distinct frames of one clip decode differently
+    assert(f1(0) != f1(1))
+    assert(got(1L).forall(_.features.length == 4))
+    intercept[IllegalArgumentException](
+      Multimodal.extractFrameFeatures(vids, everyMs = 0).collect())
+  }
 }
