@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.graft.{BoundedTopK, DotProduct, Interop, SquaredL2}
+import org.apache.spark.sql.graft.{BoundedTopK, BpeTokenCount, BpeTruncate, DotProduct, Interop, MinHashKernel, MinHashSig, SimHash64, SimHashKernel, SquaredL2}
 
 import graft.dates.DateNorm
+import graft.functions.BpeTokenizer
 
 /** SQL surface for the engine's custom functions.
   *
@@ -20,24 +21,40 @@ import graft.dates.DateNorm
   */
 object GraftFunctions {
 
+  private def intLit(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => other.eval() match {
+      case n: Number => n.intValue()
+      case x => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $x")
+    }
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "squared_l2" -> (es => SquaredL2(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "normalize_date" -> (es => Interop.expression(
       DateNorm.normalizeDate(Interop.column(es.head)))),
+    // token-exact BPE over the bundled vocabulary (custom merge tables go
+    // through the Scala API, which takes a tokenizer instance)
+    "bpe_token_count" -> (es => BpeTokenCount(es(0), BpeTokenizer.bundled)),
+    "bpe_truncate" -> (es => BpeTruncate(es(0), BpeTokenizer.bundled,
+      intLit(es(1), "bpe_truncate", "max_tokens"))),
+    // dedup signature kernels: minhash_sig(text, shingle_size, num_hashes)
+    "minhash_sig" -> (es => MinHashSig(es(0), new MinHashKernel(
+      intLit(es(1), "minhash_sig", "shingle_size"),
+      intLit(es(2), "minhash_sig", "num_hashes")))),
+    "simhash64" -> (es => SimHash64(es(0), new SimHashKernel)),
+    // winnowing fingerprints (normalizes like the Column API):
+    // winnow_fingerprints(text, k, w)
+    "winnow_fingerprints" -> (es => Interop.expression(
+      graft.text.Analysis.winnowingFingerprint(Interop.column(es(0)),
+        intLit(es(1), "winnow_fingerprints", "k"),
+        intLit(es(2), "winnow_fingerprints", "w")))),
     // partial top-k aggregate: bounded_topk(longKey, stringValue, k) —
     // the analyzer wraps the bare AggregateFunction in AggregateExpression
-    "bounded_topk" -> (es => {
-      val k = es(2) match {
-        case Literal(v: Int, _) => v
-        case e => e.eval() match {
-          case n: Number => n.intValue()
-          case other => throw new IllegalArgumentException(
-            s"bounded_topk: k must be an integer literal, got $other")
-        }
-      }
-      BoundedTopK(es(0), es(1), k)
-    }))
+    "bounded_topk" -> (es =>
+      BoundedTopK(es(0), es(1), intLit(es(2), "bounded_topk", "k"))))
 
   def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
