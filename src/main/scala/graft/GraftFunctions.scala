@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graft.{BoundedTopK, BpeTokenCount, BpeTruncate, DotProduct, Interop, MinHashKernel, MinHashSig, SimHash64, SimHashKernel, SquaredL2}
 
 import graft.dates.DateNorm
@@ -21,12 +21,23 @@ import graft.functions.BpeTokenizer
   */
 object GraftFunctions {
 
-  private def intLit(e: Expression, fn: String, what: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => other.eval() match {
-      case n: Number => n.intValue()
-      case x => throw new IllegalArgumentException(
-        s"$fn: $what must be an integer literal, got $x")
+  /** Analysis-time argument errors surface as AnalysisException (same
+    * hardening as KnnJoinTvf.asInt): a column reference or unresolved
+    * expression here must not reach `eval()`, which would throw an opaque
+    * eval-on-unresolved-expression error out of builder internals.
+    */
+  private def intLit(e: Expression, fn: String, what: String): Int = {
+    def fail(detail: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> s"$fn: $detail"), None)
+    if (!e.resolved || !e.foldable)
+      fail(s"argument '$what' must be a foldable integer literal, got $e")
+    e.eval() match {
+      case n: Byte   => n.toInt
+      case n: Short  => n.toInt
+      case n: Int    => n
+      case n: Long if n.isValidInt => n.toInt
+      case x => fail(s"argument '$what' must be an integer literal, got $x")
     }
   }
 

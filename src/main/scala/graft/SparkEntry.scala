@@ -252,11 +252,15 @@ object SparkEntry {
       val docs = t(s, d, "documents").select("doc_id", "text")
         .filter(col("doc_id") < 1000)
       val dups = docs.withColumn("doc_id", col("doc_id") + 1000000)
-      // cached: the self-join references fp on both sides and would
-      // otherwise run the scan + winnowing kernel + explode twice
+      // materialized once (the self-join references fp on both sides and
+      // would otherwise run the scan + winnowing kernel + explode twice);
+      // localCheckpoint, not cache(): checkpoint blocks are released by
+      // the ContextCleaner when the result plan is dropped, while a
+      // cache() pins a CacheManager entry for the session lifetime —
+      // repeated bench/verify invocations would accumulate them
       val fp = docs.union(dups).select(col("doc_id").cast("long").as("id"),
         explode(Analysis.winnowingFingerprint(col("text"))).as("fp"))
-        .cache()
+        .localCheckpoint()
       // the recovery constraint rides IN the equi-join key: common
       // 8-grams are hot fingerprints on this dense synthetic corpus, and
       // an unconstrained fp self-join would enumerate every co-occurring

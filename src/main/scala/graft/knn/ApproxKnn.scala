@@ -190,8 +190,18 @@ object ApproxKnn {
       else queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("__query_vec"))
 
-    val sample = cand.select(col("__neighbor_vec").cast("array<float>"))
+    // cosine: zero vectors pass through unitNormalized UNnormalized (the
+    // distance-1.0 convention handles them) — keep them out of the kmeans
+    // sample, or raw zeros pull spherical centroids off the unit sphere
+    // and zero-vector queries probe arbitrary lists
+    val sampleSrc = if (cosine) cand.filter(!col("__neighbor_zero")) else cand
+    val sample0 = sampleSrc.select(col("__neighbor_vec").cast("array<float>"))
       .limit(sampleCap).as[Array[Float]].collect()
+    // all-zero candidate side: every distance is 1.0 anyway — train on
+    // the zeros rather than fail
+    val sample = if (sample0.nonEmpty) sample0
+      else cand.select(col("__neighbor_vec").cast("array<float>"))
+        .limit(sampleCap).as[Array[Float]].collect()
     require(sample.nonEmpty, "ivfKnn: empty candidate side")
     val centroids = kmeans(sample, math.min(nList, sample.length), kmeansIters, seed)
     // assign/probe run the native codegen nearest-centroid expressions over

@@ -1,5 +1,8 @@
 package graft.knn
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,10 +11,17 @@ import org.apache.spark.sql.functions._
   * `save_index`/`load_index`, DeepJoin/annIndex.py:42–51, a single-machine
   * byte blob; here the graph state IS a table):
   *
-  *  - `nodes/` — one parquet row per graph node:
-  *    (shard, pos, id, vec, links: array<array<int>>), `pos` the
+  *  - `nodes/g=<gen>/shard=<s>/` — one parquet row per graph node:
+  *    (g, shard, pos, id, vec, links: array<array<int>>), `pos` the
   *    insertion position within its shard, links holding neighbor
-  *    positions per level;
+  *    positions per level. Generation directories are IMMUTABLE once
+  *    written — append never rewrites a live file;
+  *  - `manifest/m<gen>.json` — the commit marker: which generation is
+  *    live for each shard. Written whole to a temp name then renamed
+  *    (atomic on HDFS/local), and readers take the highest-numbered
+  *    manifest — so a crash anywhere in append leaves the previous
+  *    manifest pointing at fully-intact state, and orphaned
+  *    new-generation files are simply never referenced;
   *  - `params/` — one row (m, metric, shards, ef_construction): the
   *    hyperparameters the graphs were built under. Search reads them
   *    from the index itself — a caller cannot mismatch the build.
@@ -62,15 +72,78 @@ object HnswIndex {
         }
       }
       .toDF("shard", "pos", "id", "vec", "links")
+      .withColumn("g", lit(0))
       .repartition(col("shard"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("shard") // one directory per shard: append rewrites
-      .parquet(s"$dir/nodes") // only the shards it touches
+      .partitionBy("g", "shard") // immutable generation dirs; the
+      .parquet(s"$dir/nodes")    // manifest below is the commit point
     Seq((m, metric, shards, efConstruction, seed))
       .toDF("m", "metric", "shards", "ef_construction", "seed")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-    spark.read.parquet(s"$dir/nodes").count()
+    val byShard = spark.read.parquet(s"$dir/nodes")
+      .groupBy("shard").count().as[(Int, Long)].collect()
+    writeManifest(spark, dir, 0, byShard.map(_._1 -> 0).toMap)
+    byShard.map(_._2).sum
+  }
+
+  /** Atomically publish the shard→generation map as manifest generation
+    * `gen`: the JSON is written whole to a dot-prefixed temp name, then
+    * renamed into place — readers either see the complete new manifest or
+    * keep resolving the previous one.
+    */
+  private def writeManifest(
+      spark: SparkSession, dir: String, gen: Int, shards: Map[Int, Int]): Unit = {
+    val mdir = new Path(s"$dir/manifest")
+    val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(mdir)
+    val json = shards.toSeq.sorted
+      .map { case (s, g) => s""""$s":$g""" }
+      .mkString("""{"shards":{""", ",", "}}")
+    val tmp = new Path(mdir, f".m$gen%06d.json.inprogress")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dest = new Path(mdir, f"m$gen%06d.json")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"HnswIndex: manifest commit failed: $dest")
+  }
+
+  /** Resolve the live (generation, shard→gen) state: the highest-numbered
+    * committed manifest. Temp (`.inprogress`) files from a crashed writer
+    * never match the committed name pattern.
+    */
+  private def readManifest(spark: SparkSession, dir: String): (Int, Map[Int, Int]) = {
+    val mdir = new Path(s"$dir/manifest")
+    val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val pattern = "m(\\d{6})\\.json".r
+    val committed = fs.listStatus(mdir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case pattern(n) => Some(n.toInt -> st.getPath)
+        case _ => None
+      })
+    require(committed.nonEmpty, s"HnswIndex: no committed manifest under $dir")
+    val (gen, path) = committed.maxBy(_._1)
+    val in = fs.open(path)
+    val body =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body).path("shards")
+    require(node.isObject, s"HnswIndex: malformed manifest $path")
+    val shards = scala.collection.mutable.Map.empty[Int, Int]
+    node.fields().forEachRemaining(e => shards += e.getKey.toInt -> e.getValue.asInt())
+    (gen, shards.toMap)
+  }
+
+  /** The live node rows per the manifest — exactly the committed
+    * generation directory of each shard; orphans from a crashed append
+    * are never listed.
+    */
+  private def loadNodes(spark: SparkSession, dir: String,
+      shardGens: Map[Int, Int]): DataFrame = {
+    val paths = shardGens.toSeq.sorted
+      .map { case (s, g) => s"$dir/nodes/g=$g/shard=$s" }
+    spark.read.option("basePath", s"$dir/nodes").parquet(paths: _*)
   }
 
   private def loadParams(spark: SparkSession, dir: String)
@@ -87,10 +160,18 @@ object HnswIndex {
     * graphs are restored and the new elements inserted incrementally
     * (hnswlib `add_items` semantics — graph insertion is order-dependent,
     * so an appended index is a valid HNSW over the union but not
-    * byte-identical to a from-scratch build), and ONLY those shard
-    * directories are rewritten — untouched shards' files are not read or
-    * written. Hyperparameters come from `params/`. Returns the appended
-    * row count.
+    * byte-identical to a from-scratch build), and ONLY those shards are
+    * rewritten — untouched shards' files are not read or written.
+    *
+    * Crash-atomic: the rebuilt shards land in a NEW generation directory
+    * (plain parquet append — no live file is touched), and the append
+    * commits by publishing a new manifest (atomic rename). A failure at
+    * any earlier point leaves the previous manifest resolving the
+    * previous, fully-intact generation; orphaned new-generation files are
+    * dead weight, never a correctness hazard. Superseded generation
+    * directories are deleted best-effort AFTER the commit.
+    *
+    * Hyperparameters come from `params/`. Returns the appended row count.
     */
   def append(
       spark: SparkSession,
@@ -116,9 +197,14 @@ object HnswIndex {
       require(fresh.groupBy("id").count().filter(col("count") > 1).isEmpty,
         "HnswIndex.append: duplicate ids within the appended batch")
 
-      val existing = spark.read.parquet(s"$dir/nodes")
-        .filter(col("shard").isin(touched.map(Integer.valueOf).toSeq: _*))
-        .select(col("shard"), col("pos"), col("id"), col("vec").cast("array<float>"),
+      val (gen, shardGens) = readManifest(spark, dir)
+      val touchedLive = shardGens.view.filterKeys(touched.contains).toMap
+      val existing = (if (touchedLive.isEmpty)
+          spark.emptyDataset[(Int, Int, Long, Array[Float], Seq[Seq[Int]])].toDF(
+            "shard", "pos", "id", "vec", "links")
+        else loadNodes(spark, dir, touchedLive))
+        .select(col("shard").cast("int"), col("pos"), col("id"),
+          col("vec").cast("array<float>"),
           col("links").cast("array<array<int>>"))
         .as[(Int, Int, Long, Array[Float], Seq[Seq[Int]])]
       require(existing.select("id")
@@ -139,14 +225,24 @@ object HnswIndex {
             }
         }
         .toDF("shard", "pos", "id", "vec", "links")
+        .withColumn("g", lit(gen + 1))
         .repartition(col("shard"))
-      // rewrite ONLY the touched shard directories; the writer-scoped
-      // option (not the session conf — a shared session must not see an
-      // order-dependent mode change) selects dynamic overwrite
-      rebuilt.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
+      // the rebuilt shards land in generation gen+1: plain append, no
+      // live file rewritten — the manifest rename below is the commit
+      rebuilt.write.mode(SaveMode.Append)
+        .partitionBy("g", "shard")
         .parquet(s"$dir/nodes")
+      writeManifest(spark, dir, gen + 1,
+        shardGens ++ touched.map(_ -> (gen + 1)))
+      // superseded generation dirs are garbage once the new manifest is
+      // committed; deletion is best-effort (a failure here leaves orphans,
+      // never an inconsistent index)
+      val fs = new Path(s"$dir/nodes").getFileSystem(
+        spark.sessionState.newHadoopConf())
+      touchedLive.foreach { case (s, g) =>
+        try fs.delete(new Path(s"$dir/nodes/g=$g/shard=$s"), true)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
       nNew
     } finally fresh.unpersist()
   }
@@ -174,7 +270,8 @@ object HnswIndex {
       HnswSearch.collectQueries(queries, idCol, vecCol, "HnswIndex.search"))
     val (kL, efS, ex) = (k, efSearch, excludeSelf)
 
-    val partials = spark.read.parquet(s"$dir/nodes")
+    val (_, shardGens) = readManifest(spark, dir)
+    val partials = loadNodes(spark, dir, shardGens)
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "pos")
       .select(col("shard"), col("id"), col("vec").cast("array<float>"),

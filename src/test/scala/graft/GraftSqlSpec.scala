@@ -49,6 +49,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
+  test("non-literal int arguments raise a clean AnalysisException, not an eval error") {
+    GraftFunctions.register(spark)
+    Seq("x").toDF("t").withColumn("n", lit(2)).createOrReplaceTempView("lit_in")
+    for (q <- Seq(
+        "SELECT bpe_truncate(t, n) FROM lit_in",          // column ref
+        "SELECT minhash_sig(t, n, 16) FROM lit_in",
+        "SELECT winnow_fingerprints(t, 4, n) FROM lit_in")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.contains("foldable integer literal"), s"$q → ${e.getMessage}")
+    }
+  }
+
   test("normalize_date and squared_l2 still answer from SQL after re-registration") {
     assert(sql1[String]("SELECT normalize_date('2024-03')") == "01 March 2024")
     assert(sql1[Double](

@@ -113,6 +113,26 @@ class HnswIndexSpec extends SparkSpec {
     assert(recall > 0.8, s"post-append recall@5 too low: $recall")
   }
 
+  test("append is manifest-committed: an orphaned generation from a crashed append is invisible") {
+    val dir = tempDir("crash")
+    val base = emb.filter(col("vec_id") < 200)
+    HnswIndex.build(base, "vec_id", "embedding", dir, shards = 4)
+    def results() = HnswIndex.search(spark, dir, base.limit(40), "vec_id",
+        "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val before = results()
+    // simulate an append that crashed after staging its new generation but
+    // BEFORE the manifest rename: duplicate every live node into g=99.
+    // If search read it, every neighbor would appear twice and ranks shift.
+    val live = spark.read.parquet(s"$dir/nodes").drop("g")
+    val staged = spark.createDataFrame(live.collectAsList(), live.schema)
+      .withColumn("g", lit(99))
+    staged.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("g", "shard").parquet(s"$dir/nodes")
+    assert(results() == before,
+      "orphaned uncommitted generation leaked into search results")
+  }
+
   test("index build is layout-independent: rebuild from shuffled input answers identically") {
     val d1 = tempDir("a")
     val d2 = tempDir("b")
