@@ -39,6 +39,13 @@ object HnswIndex {
 
   /** Build the per-shard graphs and persist them as node rows. Returns
     * the node count written.
+    *
+    * Rebuild-in-place is DESTRUCTIVE and offline: the manifest history is
+    * cleared up front (a prior index's appends would otherwise leave
+    * higher-numbered manifests pointing at generation dirs the Overwrite
+    * below deletes), so concurrent readers of `dir` during a rebuild see
+    * "no committed manifest" until the fresh m000000 lands. Like
+    * [[append]], build assumes a single writer per index directory.
     */
   def build(
       candidates: DataFrame,
@@ -53,6 +60,13 @@ object HnswIndex {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
+    // clear stale manifests BEFORE touching nodes/: readers take the
+    // highest-numbered manifest, and one surviving m000001+.json from a
+    // previous index's appends would outrank the fresh m000000 and resolve
+    // generation dirs that no longer exist after the Overwrite
+    val mdir = new Path(s"$dir/manifest")
+    val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(mdir)) fs.delete(mdir, true)
     candidates
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
@@ -91,6 +105,15 @@ object HnswIndex {
     * `gen`: the JSON is written whole to a dot-prefixed temp name, then
     * renamed into place — readers either see the complete new manifest or
     * keep resolving the previous one.
+    *
+    * The index assumes a SINGLE writer per directory (like hnswlib's
+    * in-process index — concurrent `add_items` callers must serialize).
+    * The existence check below turns the worst concurrent-append outcome
+    * from a silent last-write-wins (POSIX rename overwrites an existing
+    * dest; HDFS returns false) into a loud failure on at least one writer.
+    * It is a guard, not a lock: two appenders racing the same generation
+    * can still interleave between check and rename on POSIX — serialize
+    * writers externally.
     */
   private def writeManifest(
       spark: SparkSession, dir: String, gen: Int, shards: Map[Int, Int]): Unit = {
@@ -104,6 +127,10 @@ object HnswIndex {
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val dest = new Path(mdir, f"m$gen%06d.json")
+    if (fs.exists(dest))
+      throw new IllegalStateException(
+        s"HnswIndex: manifest $dest already exists — concurrent writer detected " +
+          "(the index requires a single writer per directory)")
     if (!fs.rename(tmp, dest))
       throw new IllegalStateException(s"HnswIndex: manifest commit failed: $dest")
   }
@@ -115,7 +142,15 @@ object HnswIndex {
   private def readManifest(spark: SparkSession, dir: String): (Int, Map[Int, Int]) = {
     val mdir = new Path(s"$dir/manifest")
     val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
-    val pattern = "m(\\d{6})\\.json".r
+    // missing manifest/ (an empty dir, or an index persisted by a pre-
+    // manifest layout) must surface the clear require below, not an
+    // opaque FileNotFoundException from listStatus
+    require(fs.exists(mdir), s"HnswIndex: no committed manifest under $dir " +
+      "(not an HnswIndex directory, or written by an incompatible layout)")
+    // {6,}: if the generation counter ever outgrows %06d's width the
+    // 7-digit name must still parse — a full \d{6} match would silently
+    // pin readers to the last 6-digit manifest forever
+    val pattern = "m(\\d{6,})\\.json".r
     val committed = fs.listStatus(mdir).toSeq
       .flatMap(st => st.getPath.getName match {
         case pattern(n) => Some(n.toInt -> st.getPath)
@@ -287,5 +322,50 @@ object HnswIndex {
       .toDF("query_id", "neighbor_id", "dist")
 
     HnswSearch.topKMerge(partials, k)
+  }
+
+  /** Garbage-collect orphaned state: generation directories not referenced
+    * by the live manifest (left behind when an append crashed after staging
+    * its new generation but before the manifest rename, or when the
+    * post-commit best-effort delete of superseded generations failed) and
+    * manifests older than the live one. Safe to run any time under the
+    * single-writer assumption — the live manifest's referenced directories
+    * are never touched, so search before/after vacuum answers identically.
+    * Returns the number of paths removed.
+    */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val (liveGen, shardGens) = readManifest(spark, dir)
+    val ndir = new Path(s"$dir/nodes")
+    val fs = ndir.getFileSystem(spark.sessionState.newHadoopConf())
+    val genPat = "g=(\\d+)".r
+    val shardPat = "shard=(\\d+)".r
+    var removed = 0
+    if (fs.exists(ndir)) fs.listStatus(ndir).foreach { gSt =>
+      gSt.getPath.getName match {
+        case genPat(g) =>
+          val gen = g.toInt
+          fs.listStatus(gSt.getPath).foreach { sSt =>
+            sSt.getPath.getName match {
+              case shardPat(sh) if !shardGens.get(sh.toInt).contains(gen) =>
+                if (fs.delete(sSt.getPath, true)) removed += 1
+              case _ => ()
+            }
+          }
+          // a generation dir emptied of shards is itself garbage
+          if (fs.listStatus(gSt.getPath).isEmpty && fs.delete(gSt.getPath, true))
+            removed += 1
+        case _ => ()
+      }
+    }
+    val mdir = new Path(s"$dir/manifest")
+    val mPat = "m(\\d{6,})\\.json".r
+    fs.listStatus(mdir).foreach { st =>
+      st.getPath.getName match {
+        case mPat(n) if n.toInt < liveGen =>
+          if (fs.delete(st.getPath, false)) removed += 1
+        case _ => ()
+      }
+    }
+    removed
   }
 }

@@ -133,6 +133,71 @@ class HnswIndexSpec extends SparkSpec {
       "orphaned uncommitted generation leaked into search results")
   }
 
+  test("rebuild-in-place after appends: fresh build clears stale manifests") {
+    val dir = tempDir("rebuild")
+    val base = emb.filter(col("vec_id") < 200)
+    val extra = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+    HnswIndex.build(base, "vec_id", "embedding", dir, shards = 4)
+    HnswIndex.append(spark, dir, extra, "vec_id", "embedding")
+    // rebuild into the same dir with ONLY the base rows: without manifest
+    // cleanup the surviving m000001.json would outrank the fresh m000000
+    // and resolve generation dirs the Overwrite just deleted
+    HnswIndex.build(base, "vec_id", "embedding", dir, shards = 4)
+    val got = HnswIndex.search(spark, dir, base, "vec_id", "embedding",
+        k = 1, excludeSelf = false)
+      .filter(col("rank") === 1).collect()
+    assert(got.length == base.count())
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 0.0))
+    // the appended-only ids are gone from the rebuilt index
+    val nbrs = HnswIndex.search(spark, dir, extra, "vec_id", "embedding",
+        k = 3, excludeSelf = false)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(nbrs.forall(_ < 200))
+  }
+
+  test("vacuum removes orphaned generations and stale manifests, search unaffected") {
+    val dir = tempDir("vac")
+    val base = emb.filter(col("vec_id") < 200)
+    val extra = emb.filter(col("vec_id") >= 200 && col("vec_id") < 240)
+    HnswIndex.build(base, "vec_id", "embedding", dir, shards = 4)
+    def results() = HnswIndex.search(spark, dir, emb.limit(40), "vec_id",
+        "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // crash-sim: a staged generation with no manifest commit
+    val live = spark.read.parquet(s"$dir/nodes").drop("g")
+    spark.createDataFrame(live.collectAsList(), live.schema)
+      .withColumn("g", lit(77))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("g", "shard").parquet(s"$dir/nodes")
+    // a committed append leaves a superseded manifest m000000 behind too
+    HnswIndex.append(spark, dir, extra, "vec_id", "embedding")
+    val before = results()
+    val removed = HnswIndex.vacuum(spark, dir)
+    assert(removed > 0, "vacuum found nothing to remove")
+    assert(results() == before, "vacuum changed search results")
+    // orphan generation is gone; only the live manifest remains
+    val gens = new java.io.File(s"$dir/nodes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!gens.contains("g=77"))
+    val manifests = new java.io.File(s"$dir/manifest").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).toSet
+    assert(manifests == Set("m000001.json"))
+    // second vacuum is a no-op
+    assert(HnswIndex.vacuum(spark, dir) == 0)
+  }
+
+  test("manifest-less layout fails with a clear message, not FileNotFoundException") {
+    // simulate a legacy/foreign layout: params exist, manifest/ absent
+    val dir = tempDir("notidx")
+    import spark.implicits._
+    Seq((8, "l2sq", 4, 100, 42))
+      .toDF("m", "metric", "shards", "ef_construction", "seed")
+      .write.parquet(s"$dir/params")
+    val e = intercept[IllegalArgumentException](
+      HnswIndex.search(spark, dir, emb.limit(1), "vec_id", "embedding", k = 1))
+    assert(e.getMessage.contains("no committed manifest"))
+  }
+
   test("index build is layout-independent: rebuild from shuffled input answers identically") {
     val d1 = tempDir("a")
     val d2 = tempDir("b")
