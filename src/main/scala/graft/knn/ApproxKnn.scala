@@ -144,7 +144,7 @@ object ApproxKnn {
     * HnswGraph) scores any pair involving a zero vector at distance 1.0,
     * which the normalized-L2 form cannot express (it would yield 0.5).
     */
-  private def unitNormalized(df: DataFrame, idCol: String, vecCol: String,
+  private[knn] def unitNormalized(df: DataFrame, idCol: String, vecCol: String,
       idAlias: String, vecAlias: String, zeroAlias: String): DataFrame =
     df.select(col(idCol).cast("long").as(idAlias),
         col(vecCol).cast("array<float>").as(vecAlias))

@@ -1,5 +1,6 @@
 package graft.knn
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,7 +13,18 @@ import org.apache.spark.sql.functions._
   *  - `centroids/`  — (cid, vec): the trained coarse quantizer, tiny;
   *  - `assignments/` — (id, vec) parquet PARTITIONED BY cid: each inverted
   *    list is a partition directory, so a probe of `nProbe` lists becomes
-  *    a partition-pruned scan that never touches the other lists' files.
+  *    a partition-pruned scan that never touches the other lists' files;
+  *  - `params/` — one row (n_list, metric, seed): like [[HnswIndex]]'s
+  *    `params/`, the metric rides IN the index — search and append read
+  *    it from disk, so a caller cannot probe a cosine-built index with L2.
+  *
+  * Cosine runs as spherical IVF: the quantizer is trained on unit-
+  * normalized vectors and both assign and probe normalize on the fly, but
+  * the assignments store the ORIGINAL vectors — search emits true cosine
+  * distance (dot/norms in double, [[graft.functions.VectorExpressions
+  * .cosineDistance]]), bit-compatible with [[KnnJoin.broadcastKnn]]'s
+  * cosine output. Zero vectors keep the engine-wide distance-1.0
+  * convention through that expression.
   *
   * Build once, search many times from any session — the same contract as
   * the reference's save/load, with the probe pruning enforced by the
@@ -29,13 +41,26 @@ object IvfIndex {
       vecCol: String,
       dir: String,
       nList: Int = 16,
+      metric: String = KnnJoin.MetricL2Sq,
       kmeansIters: Int = 5,
       sampleCap: Int = 20000,
       seed: Int = 42): Int = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val sample = candidates.select(col(vecCol).cast("array<float>"))
-      .limit(sampleCap).as[Array[Float]].collect()
+    val cosine = HnswSearch.isCosine(metric)
+    // spherical kmeans trains on unit vectors, excluding raw zeros (a raw
+    // zero would pull a centroid off the sphere; the distance-1.0
+    // convention makes zero vectors list-agnostic anyway)
+    val sampleSrc =
+      if (cosine) ApproxKnn.unitNormalized(candidates, idCol, vecCol,
+        "__id", "__vec", "__zero").filter(!col("__zero")).select(col("__vec"))
+      else candidates.select(col(vecCol).cast("array<float>"))
+    val sample0 = sampleSrc.limit(sampleCap).as[Array[Float]].collect()
+    // all-zero candidate side under cosine: every distance is 1.0 anyway —
+    // train on the zeros rather than fail
+    val sample = if (sample0.nonEmpty) sample0
+      else candidates.select(col(vecCol).cast("array<float>"))
+        .limit(sampleCap).as[Array[Float]].collect()
     require(sample.nonEmpty, "IvfIndex.build: empty candidate side")
     val centroids = ApproxKnn.kmeans(sample,
       math.min(nList, sample.length), kmeansIters, seed)
@@ -44,8 +69,12 @@ object IvfIndex {
       .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "vec")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    Seq((centroids.length, metric, seed))
+      .toDF("n_list", "metric", "seed")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
 
-    writeAssignments(candidates, idCol, vecCol, dir, centroids,
+    writeAssignments(candidates, idCol, vecCol, dir, centroids, cosine,
       SaveMode.Overwrite)
     centroids.length
   }
@@ -53,7 +82,9 @@ object IvfIndex {
   /** Distributed assign + partitioned write shared by [[build]] and
     * [[append]]. The nearest-centroid assign runs the native codegen
     * expression over the broadcast codebook — it touches EVERY row, the
-    * one loop that matters at 100 TB build time.
+    * one loop that matters at 100 TB build time. Under cosine the assign
+    * sees the unit-normalized copy of each vector (the quantizer lives on
+    * the sphere) while the ORIGINAL vector is what lands in the list.
     */
   private def writeAssignments(
       vectors: DataFrame,
@@ -61,15 +92,25 @@ object IvfIndex {
       vecCol: String,
       dir: String,
       centroids: Array[Array[Float]],
+      cosine: Boolean,
       mode: SaveMode): Unit = {
     val spark = vectors.sparkSession
     val kernel = new org.apache.spark.sql.graft.CentroidKernel(
       spark.sparkContext.broadcast(centroids))
-    graft.util.Par.balance(
+    val base = graft.util.Par.balance(
       vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec")))
+    val assignVec =
+      if (!cosine) col("vec")
+      else {
+        val norm = sqrt(graft.functions.VectorExpressions
+          .dotProduct(col("vec"), col("vec")))
+        when(norm > 0, transform(col("vec"), x => (x / norm).cast("float")))
+          .otherwise(col("vec"))
+      }
+    base
       .withColumn("cid",
-        graft.functions.VectorExpressions.nearestCentroid(col("vec"), kernel))
+        graft.functions.VectorExpressions.nearestCentroid(assignVec, kernel))
       // cluster by list before writing: without this every task writes a
       // sliver into every cid directory (tasks × nList small files — slow
       // to commit here, slow to list/read at scale). One shuffle buys one
@@ -82,13 +123,14 @@ object IvfIndex {
   }
 
   /** Append new vectors into the existing index WITHOUT retraining: each
-    * vector is assigned against the persisted centroids and written into
-    * its cid partition directory (parquet append adds files, never
-    * rewrites lists). This is the 100 TB maintenance story — ingesting a
-    * new batch costs one assign pass over the batch, not an index rebuild.
-    * The coarse quantizer stays fixed, exactly like FAISS `IndexIVF.add`
-    * after training (reference keeps a build-once index the same way,
-    * DeepJoin/annIndex.py:42–51). Returns the appended row count.
+    * vector is assigned against the persisted centroids (under the
+    * persisted metric) and written into its cid partition directory
+    * (parquet append adds files, never rewrites lists). This is the 100 TB
+    * maintenance story — ingesting a new batch costs one assign pass over
+    * the batch, not an index rebuild. The coarse quantizer stays fixed,
+    * exactly like FAISS `IndexIVF.add` after training (reference keeps a
+    * build-once index the same way, DeepJoin/annIndex.py:42–51). Returns
+    * the appended row count.
     *
     * Centroid drift: appended data from a shifted distribution degrades
     * list balance, not correctness (search stays exact within probed
@@ -101,8 +143,10 @@ object IvfIndex {
       idCol: String,
       vecCol: String): Long = {
     val centroids = loadCentroids(spark, dir)
+    val cosine = HnswSearch.isCosine(loadMetric(spark, dir))
     val n = newVectors.count()
-    writeAssignments(newVectors, idCol, vecCol, dir, centroids, SaveMode.Append)
+    writeAssignments(newVectors, idCol, vecCol, dir, centroids, cosine,
+      SaveMode.Append)
     n
   }
 
@@ -115,10 +159,25 @@ object IvfIndex {
     centroids
   }
 
+  /** The persisted metric; indexes written before `params/` existed are
+    * squared-L2 by construction — read them as such instead of failing.
+    */
+  private def loadMetric(spark: SparkSession, dir: String): String = {
+    val p = new Path(s"$dir/params")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) KnnJoin.MetricL2Sq // legacy pre-params layout
+    else {
+      val rows = spark.read.parquet(s"$dir/params").select("metric").collect()
+      require(rows.length == 1, s"IvfIndex: malformed params under $dir")
+      rows.head.getString(0)
+    }
+  }
+
   /** Probe the persisted index: for each query, the `nProbe` nearest
     * centroids are computed against the (tiny, collected) centroid table,
     * and the scan of `assignments/` carries a `cid IN (...)` partition
-    * filter — only the probed lists' files are read. Output contract
+    * filter — only the probed lists' files are read. The metric comes
+    * from the persisted `params/`, never from the caller. Output contract
     * matches [[KnnJoin]]: (query_id, neighbor_id, dist, rank).
     */
   def search(
@@ -132,16 +191,27 @@ object IvfIndex {
       excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val centroids = loadCentroids(spark, dir)
+    val cosine = HnswSearch.isCosine(loadMetric(spark, dir))
     // probe-cid selection via the native codegen expression (broadcast
     // codebook, no boxed Seq[Float] per query row)
     val kernel = new org.apache.spark.sql.graft.CentroidKernel(
       spark.sparkContext.broadcast(centroids))
 
-    val probed = graft.util.Par.balance(
+    val qBase = graft.util.Par.balance(
       queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<float>").as("__query_vec")))
+    val probeVec =
+      if (!cosine) col("__query_vec")
+      else {
+        val norm = sqrt(graft.functions.VectorExpressions
+          .dotProduct(col("__query_vec"), col("__query_vec")))
+        when(norm > 0,
+          transform(col("__query_vec"), x => (x / norm).cast("float")))
+          .otherwise(col("__query_vec"))
+      }
+    val probed = qBase
       .withColumn("cid", explode(graft.functions.VectorExpressions
-        .nearestCentroids(col("__query_vec"), kernel, nProbe)))
+        .nearestCentroids(probeVec, kernel, nProbe)))
 
     // static IN-filter on the partition column: the probed cid UNION is at
     // most nList values (collect is bounded by the centroid count, never
@@ -157,10 +227,14 @@ object IvfIndex {
     val pairs =
       if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
       else joined
+    val dist =
+      if (cosine) graft.functions.VectorExpressions.cosineDistance(
+        col("__query_vec"), col("__neighbor_vec"))
+      else graft.functions.VectorExpressions.squaredL2(
+        col("__query_vec"), col("__neighbor_vec"))
     val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
     pairs
-      .withColumn("dist", graft.functions.VectorExpressions.squaredL2(
-        col("__query_vec"), col("__neighbor_vec")))
+      .withColumn("dist", dist)
       .select("query_id", "neighbor_id", "dist")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

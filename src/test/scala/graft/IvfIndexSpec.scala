@@ -82,6 +82,63 @@ class IvfIndexSpec extends SparkSpec {
     assert(cidInc == cidOf)
   }
 
+  test("cosine index: metric rides the index, search equals brute-force cosine") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cos").toString
+    val nUsed = IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 8,
+      metric = KnnJoin.MetricCosine)
+    // search takes NO metric argument — cosine must come back from params/
+    val got = IvfIndex
+      .search(spark, dir, emb, "vec_id", "embedding", k = 5, nProbe = nUsed)
+      .select("query_id", "neighbor_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = KnnJoin
+      .broadcastKnn(emb, emb, "vec_id", "embedding", 5, KnnJoin.MetricCosine)
+      .select("query_id", "neighbor_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // same pairs AND the same true-cosine distances (both sides compute
+    // dot/norms in double on the original vectors — not normalized-L2/2)
+    assert(got.map(t => (t._1, t._2)).toSet == exact.map(t => (t._1, t._2)).toSet)
+    val exactDist = exact.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, n, d) =>
+      assert(math.abs(d - exactDist((q, n))) < 1e-12,
+        s"cosine distance drift for ($q,$n)")
+    }
+  }
+
+  test("cosine index: append assigns under the persisted metric, stays exact") {
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cos_app").toString
+    val n = IvfIndex.build(first, "vec_id", "embedding", dir, nList = 8,
+      metric = KnnJoin.MetricCosine)
+    IvfIndex.append(spark, dir, rest, "vec_id", "embedding")
+    val got = IvfIndex
+      .search(spark, dir, emb, "vec_id", "embedding", k = 5, nProbe = n)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = KnnJoin
+      .broadcastKnn(emb, emb, "vec_id", "embedding", 5, KnnJoin.MetricCosine)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactCos)
+  }
+
+  test("legacy pre-params index reads as squared-L2") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_legacy").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 8)
+    // simulate an index persisted before params/ existed
+    val deleted = new java.io.File(s"$dir/params")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(deleted)
+    val got = IvfIndex
+      .search(spark, dir, emb, "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactTop5)
+  }
+
   test("index survives a fresh read: search works from paths alone") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx3").toString
     IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 4)
