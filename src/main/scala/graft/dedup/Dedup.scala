@@ -64,9 +64,11 @@ object Dedup {
     * touches candidates only. Output: (id_a, id_b, jaccard), id_a < id_b.
     */
   def wordJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      materializeTokens: Boolean = true): DataFrame =
     setJaccardPairs(df, idCol,
-      array_distinct(split(trim(col(textCol)), "\\s+")), threshold)
+      array_distinct(split(trim(col(textCol)), "\\s+")), threshold,
+      materializeTokens)
 
   /** n-gram (word-shingle) Jaccard similarity join — the same EXACT
     * prefix-filter algorithm over the distinct n-gram set of each
@@ -76,20 +78,32 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame =
+      threshold: Double, materializeTokens: Boolean = true): DataFrame =
     setJaccardPairs(df, idCol,
       array_distinct(graft.functions.TextFns.wordShingles(col(textCol), n)),
-      threshold)
+      threshold, materializeTokens)
 
   /** Shared exact similarity-join core over any per-document element-set
     * column (see [[wordJaccardPairs]] for the prefix-filter argument).
+    *
+    * The exploded (id, tok) frame is referenced by the doc-frequency agg,
+    * the prefix build, and both sides of the verification join.
+    * `materializeTokens = true` (default) materializes it ONCE as a
+    * localCheckpoint — unlike `cache()`, the blocks are released by the
+    * ContextCleaner when the result plan is dropped, not pinned in the
+    * CacheManager for the session lifetime. At corpus scale that
+    * materialization is every token row (≫ input bytes when documents
+    * are long): pass `false` to recompute the tokenize per reference
+    * instead — ~4 extra scans of the text column, zero resident state —
+    * when cluster storage is the binding constraint.
     */
   private def setJaccardPairs(
-      df: DataFrame, idCol: String, elemsCol: Column, threshold: Double): DataFrame = {
-    val toks = df.select(
+      df: DataFrame, idCol: String, elemsCol: Column, threshold: Double,
+      materializeTokens: Boolean): DataFrame = {
+    val toksPlain = df.select(
       col(idCol).cast("long").as("id"),
       explode(elemsCol).as("tok"))
-      .cache() // small (id, tok) pairs reused by df/prefix/verification
+    val toks = if (materializeTokens) toksPlain.localCheckpoint() else toksPlain
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
 
@@ -143,21 +157,10 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // signatures via the native codegen MinHashSig expression — the
-    // per-row shingle loop was the last interpreted UDF on this
-    // every-document path (see sql/graft/SignatureExprs.scala)
-    val signed = graft.util.Par.balance(
-      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text")))
-      .select(col("id"),
-        graft.functions.VectorExpressions.minhashSig(col("__text"),
-          new org.apache.spark.sql.graft.MinHashKernel(shingleSize, numHashes))
-          .as("sig"))
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-          .as("band_hash")))
+    val signed = minhashSigned(df, idCol, textCol, shingleSize, numHashes)
     val banded = signed.select(
-      col("id"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      col("id"), col("sig"),
+      explode(bandStructs(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"),
         col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
     val cand = banded.as("a")
@@ -169,11 +172,41 @@ object Dedup {
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
     cand.withColumn("est_jaccard",
-      aggregate(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+      sigAgreement(col("sig_a"), col("sig_b"), numHashes))
       .select("id_a", "id_b", "est_jaccard")
   }
+
+  /** (id, sig) MinHash signature frame — the native codegen MinHashSig
+    * expression (sql/graft/SignatureExprs.scala); the per-row shingle loop
+    * was the last interpreted UDF on this every-document path. Shared by
+    * the one-shot [[minHashLshCandidates]] and the persistent
+    * [[LshDedupIndex]] so the two paths cannot drift.
+    */
+  private[dedup] def minhashSigned(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    graft.util.Par.balance(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        graft.functions.VectorExpressions.minhashSig(col("__text"),
+          new org.apache.spark.sql.graft.MinHashKernel(shingleSize, numHashes))
+          .as("sig"))
+
+  /** The per-signature band keys: array of (band, band_hash) structs,
+    * band_hash = xxhash64 over (band, that band's signature slice).
+    */
+  private[dedup] def bandStructs(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))
+          .as("band_hash"))): _*)
+
+  /** Fraction of agreeing signature positions — the unbiased Jaccard
+    * estimate for MinHash signatures.
+    */
+  private[dedup] def sigAgreement(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes)
 
   /** 64-bit SimHash over whitespace tokens (deterministic) — the native
     * codegen SimHash64 expression (sql/graft/SignatureExprs.scala).

@@ -1,0 +1,179 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash+LSH dedup index — the incremental-corpus counterpart
+  * of the one-shot [[Dedup.minHashLshCandidates]] self-join (which
+  * recomputes every signature per run; deduping a daily batch against a
+  * 100 TB corpus must not). Index-as-data layout in the [[graft.knn
+  * .IvfIndex]] family (reference analogue: none — the reference keeps no
+  * corpus state at all, SURVEY.md §7.4; the layout convention follows the
+  * persisted ANN indexes):
+  *
+  *  - `signatures/` — (id, sig): one MinHash signature row per document;
+  *  - `bands/` — (band_hash, id) parquet PARTITIONED BY band: the LSH
+  *    bucket membership, fixed-width rows (no text, no signatures);
+  *  - `params/` — one row (shingle_size, bands, rows_per_band): the
+  *    signature scheme the index was built under. Probe and append read
+  *    them from the index itself — a caller cannot mismatch the build.
+  *
+  * `append(newDocs)` costs one signature pass over the batch (parquet
+  * append adds files, never rewrites), and `candidatesAgainst(newDocs)`
+  * joins the batch's band keys against the persisted buckets — the
+  * corpus-side work is the band equi-join plus an id-join to fetch the
+  * candidate signatures, never a recompute of corpus signatures. Both
+  * sides of every shuffle carry fixed-width rows; documents and
+  * signatures stay out of the candidate join entirely.
+  */
+object LshDedupIndex {
+
+  /** Sign the corpus and persist the index layout. Returns the indexed
+    * document count. Rebuild-in-place overwrites all three tables.
+    */
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingleSize, bands, rowsPerBand))
+      .toDF("shingle_size", "bands", "rows_per_band")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+    writeState(spark, docs, idCol, textCol, dir, shingleSize, bands,
+      rowsPerBand, SaveMode.Overwrite)
+  }
+
+  /** Sign + write shared by [[build]] and [[append]]. ONE MinHash kernel
+    * pass over the documents: the signed frame is localCheckpoint-ed
+    * (signatures are ~300 B/doc — orders of magnitude smaller than the
+    * text they summarize) and feeds the signature write, the band write,
+    * and the returned count; the blocks are released by the
+    * ContextCleaner when the frame goes out of scope. An executor loss
+    * mid-build fails the (idempotent, restartable) build rather than
+    * recomputing — acceptable for an offline index write; pass smaller
+    * batches if re-running the kernel is cheaper than holding signatures.
+    */
+  private def writeState(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingleSize: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      mode: SaveMode): Long = {
+    val numHashes = bands * rowsPerBand
+    val signed = Dedup.minhashSigned(docs, idCol, textCol, shingleSize, numHashes)
+      .localCheckpoint()
+    signed.write.mode(mode).parquet(s"$dir/signatures")
+    // band rows are (band, band_hash, id) — 20 bytes of data per row, the
+    // whole bucket structure; partitioned by band so a reduced-band probe
+    // prunes directories at file-listing level
+    signed
+      .select(col("id"),
+        explode(Dedup.bandStructs(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.band_hash").as("band_hash"),
+        col("id"))
+      .repartition(col("band"))
+      .write.mode(mode)
+      .partitionBy("band")
+      .parquet(s"$dir/bands")
+    signed.count()
+  }
+
+  private def loadParams(spark: SparkSession, dir: String): (Int, Int, Int) = {
+    val rows = spark.read.parquet(s"$dir/params")
+      .select("shingle_size", "bands", "rows_per_band").collect()
+    require(rows.length == 1, s"LshDedupIndex: malformed params under $dir")
+    (rows.head.getInt(0), rows.head.getInt(1), rows.head.getInt(2))
+  }
+
+  /** Add a new batch WITHOUT touching existing state: one signature pass
+    * over the batch, parquet-appended into `signatures/` and the band
+    * partitions. Ids must be unique corpus-wide (a duplicate would make
+    * the same document surface as its own near-duplicate) — both the
+    * within-batch and the against-index check are narrow id-only joins.
+    * Returns the appended row count.
+    */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): Long = {
+    val (shingleSize, bands, rowsPerBand) = loadParams(spark, dir)
+    val ids = newDocs.select(col(idCol).cast("long").as("id"))
+    require(ids.groupBy("id").count().filter(col("count") > 1).isEmpty,
+      "LshDedupIndex.append: duplicate ids within the appended batch")
+    require(spark.read.parquet(s"$dir/signatures").select("id")
+      .join(ids, "id").isEmpty,
+      "LshDedupIndex.append: id already present in the index")
+    writeState(spark, newDocs, idCol, textCol, dir, shingleSize, bands,
+      rowsPerBand, SaveMode.Append)
+  }
+
+  /** Near-duplicate candidates of `newDocs` AGAINST THE INDEXED CORPUS:
+    * (new_id, indexed_id, est_jaccard), one row per (batch doc, corpus
+    * doc) pair sharing ≥ 1 LSH bucket. Within-batch duplicates are out of
+    * scope here — run [[Dedup.minHashLshCandidates]] on the batch (it is
+    * batch-sized work) or append-then-probe.
+    *
+    * Shuffle shape: the band join carries (band, band_hash, id) on both
+    * sides; the pair set is deduped on bare (new_id, indexed_id); the two
+    * signature fetches are id-equi-joins (batch-sized candidate side —
+    * AQE plans them as broadcasts when small). Corpus signatures are
+    * never recomputed and never ride a shuffle wider than the candidate
+    * set.
+    *
+    * `probeBands` < the index's band count probes only the first N band
+    * partitions (directory-pruned scan): recall for pairs with Jaccard j
+    * drops from 1-(1-j^r)^bands to 1-(1-j^r)^probeBands — exact
+    * duplicates (j=1) are still always found. 0 = probe all bands.
+    */
+  def candidatesAgainst(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeBands: Int = 0): DataFrame = {
+    val (shingleSize, bands, rowsPerBand) = loadParams(spark, dir)
+    val numHashes = bands * rowsPerBand
+    require(probeBands >= 0 && probeBands <= bands,
+      s"LshDedupIndex: probeBands must be in [0, $bands], got $probeBands")
+    val nProbe = if (probeBands == 0) bands else probeBands
+    // one kernel pass over the (batch-sized) probe side: referenced by
+    // both the band explode and the signature fetch below
+    val signed = Dedup.minhashSigned(newDocs, idCol, textCol, shingleSize,
+      numHashes).localCheckpoint()
+    val newBanded = signed
+      .select(col("id").as("new_id"),
+        explode(Dedup.bandStructs(col("sig"), nProbe, rowsPerBand)).as("bk"))
+      .select(col("new_id"), col("bk.band").as("band"),
+        col("bk.band_hash").as("band_hash"))
+    val idx = spark.read.parquet(s"$dir/bands")
+      .filter(col("band") < nProbe) // static partition filter (no-op at full probe)
+      .select(col("band"), col("band_hash"), col("id").as("indexed_id"))
+    val pairs = newBanded
+      .join(idx, Seq("band", "band_hash"))
+      .filter(col("new_id") =!= col("indexed_id"))
+      .select("new_id", "indexed_id")
+      .dropDuplicates("new_id", "indexed_id")
+    val newSigs = signed.select(col("id").as("new_id"), col("sig").as("sig_new"))
+    val idxSigs = spark.read.parquet(s"$dir/signatures")
+      .select(col("id").as("indexed_id"), col("sig").as("sig_idx"))
+    pairs
+      .join(newSigs, "new_id")
+      .join(idxSigs, "indexed_id")
+      .withColumn("est_jaccard",
+        Dedup.sigAgreement(col("sig_new"), col("sig_idx"), numHashes))
+      .select("new_id", "indexed_id", "est_jaccard")
+  }
+}

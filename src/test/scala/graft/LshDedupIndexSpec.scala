@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, LshDedupIndex}
+import graft.sources.Lake
+
+class LshDedupIndexSpec extends SparkSpec {
+
+  private lazy val docs =
+    Lake.table(spark, sf0001, "documents").select("doc_id", "text").cache()
+
+  private def tempDir(tag: String): String =
+    graft.util.TempDirs.register(
+      java.nio.file.Files.createTempDirectory(s"lsh_idx_$tag").toString)
+
+  test("candidatesAgainst recovers exact copies across the batch boundary") {
+    val dir = tempDir("recall")
+    val n = LshDedupIndex.build(docs, "doc_id", "text", dir)
+    assert(n == docs.count())
+    val dups = docs.withColumn("doc_id", col("doc_id") + 1000000)
+    val got = LshDedupIndex
+      .candidatesAgainst(spark, dir, dups, "doc_id", "text")
+      .filter(col("new_id") === col("indexed_id") + 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical text → identical signatures → every pair surfaces, est 1.0
+    assert(got.length == docs.count())
+    got.foreach { case (_, _, est) => assert(est == 1.0) }
+  }
+
+  test("append ≡ rebuild: same persisted state, same candidates") {
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 === 1)
+    val dirInc = tempDir("inc")
+    val dirAll = tempDir("all")
+    LshDedupIndex.build(first, "doc_id", "text", dirInc)
+    val appended = LshDedupIndex.append(spark, dirInc, rest, "doc_id", "text")
+    assert(appended == rest.count())
+    LshDedupIndex.build(docs, "doc_id", "text", dirAll)
+    def sigs(d: String) = spark.read.parquet(s"$d/signatures")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    def bandRows(d: String) = spark.read.parquet(s"$d/bands")
+      .select("band", "band_hash", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sigs(dirInc) == sigs(dirAll))
+    assert(bandRows(dirInc) == bandRows(dirAll))
+    val probe = docs.limit(50).withColumn("doc_id", col("doc_id") + 5000000)
+    def cands(d: String) = LshDedupIndex
+      .candidatesAgainst(spark, d, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cands(dirInc) == cands(dirAll))
+  }
+
+  test("candidates match the one-shot self-join on the same corpus") {
+    // index the corpus, probe with IT (self-probe): modulo direction and
+    // self-pairs, the candidate set must equal minHashLshCandidates'
+    val dir = tempDir("parity")
+    LshDedupIndex.build(docs, "doc_id", "text", dir)
+    val fromIndex = LshDedupIndex
+      .candidatesAgainst(spark, dir, docs, "doc_id", "text")
+      .select(least(col("new_id"), col("indexed_id")).as("id_a"),
+        greatest(col("new_id"), col("indexed_id")).as("id_b"),
+        col("est_jaccard"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Dedup.minHashLshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex == oneShot)
+  }
+
+  test("duplicate ids are rejected on append") {
+    val dir = tempDir("dupid")
+    LshDedupIndex.build(docs.filter(col("doc_id") < 100), "doc_id", "text", dir)
+    intercept[IllegalArgumentException](
+      LshDedupIndex.append(spark, dir,
+        docs.filter(col("doc_id") < 10), "doc_id", "text"))
+    val fresh = docs.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+    intercept[IllegalArgumentException](
+      LshDedupIndex.append(spark, dir, fresh.union(fresh), "doc_id", "text"))
+  }
+
+  test("probeBands prunes band partitions; full probe when 0") {
+    val dir = tempDir("probe")
+    LshDedupIndex.build(docs, "doc_id", "text", dir)
+    val dups = docs.limit(100).withColumn("doc_id", col("doc_id") + 1000000)
+    val res = LshDedupIndex.candidatesAgainst(spark, dir, dups, "doc_id", "text",
+      probeBands = 4)
+    // partition filter on band reaches the bands/ scan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("band#"),
+      s"no partition filter on the bands scan:\n$plan")
+    // exact copies still recovered: ANY shared band suffices
+    val got = res.filter(col("new_id") === col("indexed_id") + 1000000)
+      .collect()
+    assert(got.length == 100)
+  }
+}
