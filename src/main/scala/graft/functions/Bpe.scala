@@ -3,6 +3,51 @@ package graft.functions
 import java.nio.charset.{CodingErrorAction, StandardCharsets}
 import java.util.regex.Pattern
 
+/** The token-exact tokenizer contract behind the F8 expressions
+  * ([[TextFns.bpeTokenCountExact]]/[[TextFns.truncateTokensExact]]): two
+  * interchangeable byte-level BPE engines implement it — [[BpeTokenizer]]
+  * (GPT-2 `merges.txt` format + GPT-2 pre-tokenizer) and
+  * [[TiktokenBpe]] (`.tiktoken` base64-rank format + cl100k pre-
+  * tokenizer, the reference's actual operating point). Load either via
+  * [[BpeEngine.fromVocabFile]], which sniffs the format.
+  */
+trait BpeEngine extends Serializable {
+  /** Exact token count of `text` under this engine's vocabulary. */
+  def countTokens(text: String): Long
+  /** Keep exactly the first `maxTokens` tokens; always a prefix of the
+    * input, identity when the input is below the cap.
+    */
+  def truncate(text: String, maxTokens: Int): String
+}
+
+object BpeEngine {
+  /** Load a vocabulary file as the right engine: `.tiktoken` exports
+    * (every line `base64(tokenBytes) rank`) become a [[TiktokenBpe]] with
+    * the cl100k pre-tokenizer; anything else is parsed as GPT-2
+    * `merges.txt` (one `left right` merge pair per line).
+    */
+  def fromVocabFile(path: String): BpeEngine = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      val lines = src.getLines().toVector
+      if (looksTiktoken(lines)) TiktokenBpe.fromTiktokenLines(lines.iterator)
+      else BpeTokenizer.fromMergesLines(lines.iterator)
+    } finally src.close()
+  }
+
+  private[functions] def looksTiktoken(lines: Seq[String]): Boolean =
+    lines.iterator.map(_.trim)
+      .find(l => l.nonEmpty && !l.startsWith("#"))
+      .exists { l =>
+        l.split(" ") match {
+          case Array(tok, rank) =>
+            rank.forall(_.isDigit) &&
+              scala.util.Try(java.util.Base64.getDecoder.decode(tok)).isSuccess
+          case _ => false
+        }
+      }
+}
+
 /** Byte-level BPE tokenizer — the public GPT-2 algorithm (Sennrich BPE
   * over a 256-symbol byte alphabet with the GPT-2 pre-tokenizer): the
   * token-exact backend for F8 truncation (the reference truncates prompts
@@ -20,7 +65,7 @@ import java.util.regex.Pattern
   * executor-local memo cache (natural-language corpora repeat pre-tokens
   * heavily); merges ship in the task binary (a 50k-merge table is ~1 MB).
   */
-final class BpeTokenizer(merges: Seq[(String, String)]) extends Serializable {
+final class BpeTokenizer(merges: Seq[(String, String)]) extends BpeEngine {
 
   private val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
 

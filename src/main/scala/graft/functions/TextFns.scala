@@ -134,7 +134,7 @@ object TextFns {
     * pre-token.
     */
   def bpeTokenCountExact(
-      c: Column, tokenizer: BpeTokenizer = BpeTokenizer.bundled): Column =
+      c: Column, tokenizer: BpeEngine = BpeTokenizer.bundled): Column =
     org.apache.spark.sql.graft.Interop.column(
       org.apache.spark.sql.graft.BpeTokenCount(
         org.apache.spark.sql.graft.Interop.expression(c), tokenizer))
@@ -145,7 +145,7 @@ object TextFns {
     */
   def truncateTokensExact(
       c: Column, maxTokens: Int,
-      tokenizer: BpeTokenizer = BpeTokenizer.bundled): Column =
+      tokenizer: BpeEngine = BpeTokenizer.bundled): Column =
     org.apache.spark.sql.graft.Interop.column(
       org.apache.spark.sql.graft.BpeTruncate(
         org.apache.spark.sql.graft.Interop.expression(c), tokenizer, maxTokens))

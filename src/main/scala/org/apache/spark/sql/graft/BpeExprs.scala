@@ -6,16 +6,17 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.BpeTokenizer
+import graft.functions.BpeEngine
 
-/** Codegen surface over [[graft.functions.BpeTokenizer]] (F8 token-exact
-  * truncation/count): the tokenizer rides the expression as a reference
+/** Codegen surface over [[graft.functions.BpeEngine]] (F8 token-exact —
+  * GPT-2 merges.txt and .tiktoken/cl100k engines interchangeably):
+  * the tokenizer rides the expression as a reference
   * object (merge table ~1 MB for a production 50k vocabulary — task
   * binary, not per-row state) and the call stays inside the whole-stage
   * span. Per-row work is one String materialization plus the memoized
   * per-pre-token merge loop.
   */
-case class BpeTokenCount(child: Expression, tokenizer: BpeTokenizer)
+case class BpeTokenCount(child: Expression, tokenizer: BpeEngine)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -27,7 +28,7 @@ case class BpeTokenCount(child: Expression, tokenizer: BpeTokenizer)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeTokenizer", tokenizer,
-      classOf[BpeTokenizer].getName)
+      classOf[BpeEngine].getName)
     nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.countTokens($s.toString());")
   }
 
@@ -35,7 +36,7 @@ case class BpeTokenCount(child: Expression, tokenizer: BpeTokenizer)
     copy(child = newChild)
 }
 
-case class BpeTruncate(child: Expression, tokenizer: BpeTokenizer, maxTokens: Int)
+case class BpeTruncate(child: Expression, tokenizer: BpeEngine, maxTokens: Int)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -48,7 +49,7 @@ case class BpeTruncate(child: Expression, tokenizer: BpeTokenizer, maxTokens: In
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeTokenizer", tokenizer,
-      classOf[BpeTokenizer].getName)
+      classOf[BpeEngine].getName)
     nullSafeCodeGen(ctx, ev, s =>
       s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
          |  $ref.truncate($s.toString(), $maxTokens));""".stripMargin)

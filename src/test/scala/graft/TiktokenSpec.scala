@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BpeEngine, BpeTokenizer, TextFns, TiktokenBpe}
+
+/** F8 at the reference's operating point: the `.tiktoken` base64-rank
+  * engine with the cl100k pre-tokenizer. Merge sequences are hand-derived
+  * against a mini in-test vocabulary; the bundled demo vocabulary backs
+  * the corpus-contract and expression cases.
+  */
+class TiktokenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  /** Mini vocabulary: single bytes for the chars used + 4 merges. */
+  private val mini = TiktokenBpe.fromTiktokenLines(
+    ("helo 123456".distinct.map(c => s"${b64(c.toString)} ${c.toInt}") ++
+      Seq(s"${b64("he")} 300", s"${b64("ll")} 301", s"${b64("llo")} 302",
+        s"${b64("34")} 303")).iterator)
+
+  private def tokStrings(t: TiktokenBpe, s: String): Seq[String] =
+    t.tokens(s).map(new String(_, StandardCharsets.UTF_8))
+
+  test("hand-derived merge sequence on the mini vocabulary") {
+    // "hello": h e l l o → he(300) wins → [he,l,l,o] → ll(301) →
+    // [he,ll,o] → llo(302)=ll+o → [he,llo]; no "hello" entry → 2 tokens
+    assert(tokStrings(mini, "hello") == Seq("he", "llo"))
+    assert(mini.countTokens("hello") == 2L)
+    // no applicable merges → single bytes
+    assert(tokStrings(mini, "ole") == Seq("o", "l", "e"))
+  }
+
+  test("cl100k pre-tokenizer: digit runs cap at 3, blocking cross-group merges") {
+    // "1234": cl100k pre-tokens are "123" | "4", so the 34 merge (303)
+    // cannot apply across the boundary → [1,2,3,4]; under the GPT-2
+    // pattern "1234" is ONE pre-token and 34 merges → 3 tokens
+    assert(tokStrings(mini, "1234") == Seq("1", "2", "3", "4"))
+    val gpt2Style = TiktokenBpe.fromTiktokenLines(
+      ("helo 123456".distinct.map(c => s"${b64(c.toString)} ${c.toInt}") ++
+        Seq(s"${b64("34")} 303")).iterator,
+      pretokenRegex = """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    assert(tokStrings(gpt2Style, "1234") == Seq("1", "2", "34"))
+    // six digits → two pre-token groups of three, no merges within either
+    assert(mini.countTokens("123456") == 6L)
+    // the separating space is its own pre-token (digits are not \p{L},
+    // so the optional-prefix letter alternative cannot absorb it)
+    assert(mini.countTokens("123 456") == 7L)
+  }
+
+  test("whole-pre-token fast path: an exact vocabulary hit is one token") {
+    val v = TiktokenBpe.fromTiktokenLines(
+      ("helo".distinct.map(c => s"${b64(c.toString)} ${c.toInt}") ++
+        Seq(s"${b64("hello")} 300")).iterator)
+    assert(tokStrings(v, "hello") == Seq("hello"))
+  }
+
+  test("bundled demo vocabulary: known counts and truncation boundaries") {
+    val t = TiktokenBpe.bundledDemo
+    // " the" is rank 296 and reachable: one token
+    assert(tokStrings(t, " the") == Seq(" the"))
+    assert(tokStrings(t, "the") == Seq("the"))
+    // "that is": pre-tokens "that"|" is": that→[th,at], " is"→[" ", "is"]
+    // (no " i" merge in the demo table; "is"=272 merges)
+    assert(tokStrings(t, "that is") == Seq("th", "at", " ", "is"))
+    assert(t.truncate("that is", 2) == "that")
+    assert(t.truncate("that is", 3) == "that ")
+    assert(t.truncate("that is", 99) == "that is")
+    assert(t.truncate("that is", 0) == "")
+  }
+
+  test("multi-byte UTF-8 cut drops the dangling fragment") {
+    val t = TiktokenBpe.bundledDemo
+    // "café" bytes c,a,f,C3,A9 — no merges apply → 5 tokens; a cut after
+    // C3 must not emit a mangled char
+    assert(t.countTokens("café") == 5L)
+    assert(t.truncate("café", 4) == "caf")
+    assert(t.truncate("café", 5) == "café")
+  }
+
+  test("truncate is always a prefix, below-cap identity (incl. bad UTF-16)") {
+    val t = TiktokenBpe.bundledDemo
+    val bad = "the \uD800 theme"
+    assert(t.truncate(bad, Int.MaxValue) == bad)
+    for (k <- 0 to 12) {
+      val trunc = t.truncate(bad, k)
+      assert(bad.startsWith(trunc), s"k=$k: '$trunc' not a prefix")
+    }
+  }
+
+  test("format sniffing: fromVocabFile loads both formats") {
+    val dir = java.nio.file.Files.createTempDirectory("vocab").toString
+    val tik = new java.io.File(dir, "demo.tiktoken")
+    val pw = new java.io.PrintWriter(tik, "UTF-8")
+    ("ab".distinct.map(c => s"${b64(c.toString)} ${c.toInt}") ++
+      Seq(s"${b64("ab")} 300")).foreach(pw.println)
+    pw.close()
+    val e1 = BpeEngine.fromVocabFile(tik.getPath)
+    assert(e1.isInstanceOf[TiktokenBpe])
+    assert(e1.countTokens("ab") == 1L)
+    val merges = new java.io.File(dir, "merges.txt")
+    val pw2 = new java.io.PrintWriter(merges, "UTF-8")
+    Seq("#version: demo", "a b").foreach(pw2.println)
+    pw2.close()
+    val e2 = BpeEngine.fromVocabFile(merges.getPath)
+    assert(e2.isInstanceOf[BpeTokenizer])
+    assert(e2.countTokens("ab") == 1L)
+  }
+
+  test("Spark expressions run the tiktoken engine: counts, truncation, nulls") {
+    val tik = TiktokenBpe.bundledDemo
+    val df = Seq(
+      (1L, "that is"),
+      (2L, ""),
+      (3L, null: String)).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFns.bpeTokenCountExact(col("text"), tik).as("n"),
+        TextFns.truncateTokensExact(col("text"), 2, tik).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1),
+         if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(got(1L) == (4L, "that"))
+    assert(got(2L) == (0L, ""))
+    assert(got(3L) == (null, null))
+  }
+
+  test("truncation contracts hold across the documents corpus") {
+    val tik = TiktokenBpe.bundledDemo
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(200)
+      .select(col("text"),
+        TextFns.bpeTokenCountExact(col("text"), tik).as("n_tok"),
+        TextFns.truncateTokensExact(col("text"), 16, tik).as("trunc"))
+      .collect()
+    docs.foreach { r =>
+      val text = r.getString(0)
+      val n = r.getLong(1)
+      val trunc = r.getString(2)
+      assert(text.startsWith(trunc), "truncation must be a prefix")
+      assert(tik.countTokens(trunc) <= 16, s"re-encoded cap violated for: $trunc")
+      if (n <= 16) assert(trunc == text, "below-cap truncation must be a no-op")
+      else assert(trunc.length < text.length, "above-cap truncation must cut")
+      assert(trunc == tik.truncate(text, 16))
+    }
+  }
+}
