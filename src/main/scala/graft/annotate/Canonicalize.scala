@@ -44,20 +44,26 @@ object Canonicalize {
       .groupMapReduce(_._1)(_._2)(_ ++ _)
 
   /** Parse a synonym export: one comma-separated group per line,
-    * `#` comments and blanks skipped, terms lowercased.
+    * `#` comments and blanks skipped, terms lowercased and snake-
+    * normalized (spaces/hyphens → underscore) — the same normalization
+    * annotations go through, so multi-word dictionary entries ("carry
+    * on", "up-to-date") can actually match.
     */
   def parseSynonymGroups(lines: Iterator[String]): Seq[Set[String]] =
     lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .map(_.split(",")
+        .map(_.trim.toLowerCase.map(ch => if (ch == ' ' || ch == '-') '_' else ch))
+        .filter(_.nonEmpty).toSet)
       .filter(_.size >= 2)
       .toSeq
 
   /** Synonym dictionary standing in for WordNet (the corpus itself isn't
     * shippable offline; the reference consults `wordnet.synsets`,
     * json_parser.py:95–209): loaded from the bundled public-vocabulary
-    * export `graft/synonyms.txt` (~230 curated groups, schema-vocabulary
-    * weighted), symmetric closure + per-term union applied at load.
+    * export `graft/synonyms.txt` (~800 curated groups: a schema-
+    * vocabulary core plus a general-English breadth block), symmetric
+    * closure + per-term union applied at load.
     */
   val defaultSynonyms: Map[String, Set[String]] = {
     val groups = Option(getClass.getResourceAsStream("/graft/synonyms.txt")) match {

@@ -78,6 +78,24 @@ class AnnotateSpec extends SparkSpec {
     assert(m2("student") == "student" && m2("pupil") == "student")
   }
 
+  test("breadth expansion: general-English terms outside the schema core resolve") {
+    val dict = Canonicalize.defaultSynonyms
+    assert(dict.size > 1500, s"expanded dictionary too small: ${dict.size} terms")
+    // general-English synsets from the breadth block
+    assert(dict("comprehend").contains("understand"))
+    assert(dict("contemplate").contains("ponder"))
+    assert(dict("fathom").contains("grasp"))
+    assert(dict("erroneous").contains("incorrect"))
+    assert(dict("authenticate").contains("verify"))
+    // multi-word / hyphenated entries are snake-normalized at load, the
+    // same normalization annotations go through
+    assert(dict("carry_on").contains("continue"))
+    assert(dict("up_to_date").contains("modern"))
+    // fold over breadth terms: first-seen owns the synset
+    val m = Canonicalize.foldCanonical(Seq("fast", "quick", "rapid", "swift"))
+    assert(m("quick") == "fast" && m("swift") == "fast")
+  }
+
   test("canonicalizeAnnotations applies the mapping over the frame") {
     val ann = Seq(
       ("t1", "a", "title"), ("t1", "b", "name"), ("t2", "c", "custkey"))
