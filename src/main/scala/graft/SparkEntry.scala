@@ -701,6 +701,44 @@ object SparkEntry {
             .as("recall_floor_met"))
     }),
 
+    // Semantic near-dup (the SemDeDup shape: spherical k-means blocks,
+    // within-block cosine threshold), recovery-gated across a ×1.5-scaled
+    // copy of the corpus: rescaling leaves direction — hence cosine and
+    // the nearest-centroid list — unchanged, so every injected copy MUST
+    // co-block with its original and score cos_dist ≈ 0. Blocking,
+    // spherical assignment, scoring, and threshold are all on the line;
+    // incidental natural pairs fall out on the id filter.
+    "q56_semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val dups = emb.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.5d)).cast("float"))
+          .as("embedding"))
+      graft.dedup.Dedup.semanticNearDups(emb.unionByName(dups),
+          "vec_id", "embedding",
+          maxCosineDistance = 1e-6, nClusters = 16, assignProbes = 2)
+        .filter(col("id_b") === col("id_a") + 1000000)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos_dist"), 4).as("cos_dist"))
+    }),
+
+    // PQ-ADC kNN with exact short-list rerank, recall-gated at 0.8 (the
+    // q45/q55 contract): candidates compress to m=8 one-byte codes (32×
+    // smaller than the vectors), the full scan reads only codes via the
+    // per-query ADC lookup table, and the top rerank·k survivors are
+    // re-scored exactly against the original vectors.
+    "q57_pq_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val approx = graft.knn.ApproxKnn.pqKnn(emb, emb, "vec_id", "embedding",
+          k = 5, m = 16, ksub = 256, rerank = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__a"))
+      val exact = knnL2(s, d, 5).select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__a")).as("n_hits"))
+        .select(col("n_exact"),
+          when(col("n_hits") * 10 >= col("n_exact") * 8, 1L).otherwise(0L)
+            .as("recall_floor_met"))
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1170,6 +1208,20 @@ object SparkEntry {
 
     // quantized-kNN recall floor: same contract as q45 (recall@5 ≥ 0.8)
     "q55_quant_knn" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
+
+    // semantic-dedup recovery gate: every vector must pair with its
+    // scaled copy at cosine distance 0 (direction is scale-invariant)
+    "q56_semantic_dedup" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id_a,
+        | CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+        | CAST(0.0 AS DOUBLE) AS cos_dist
+        |FROM embeddings""".stripMargin,
+
+    // PQ-kNN recall floor: same contract as q55 (recall@5 ≥ 0.8)
+    "q57_pq_knn" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,

@@ -249,7 +249,71 @@ object Dedup {
     * composition of [[graft.knn.KnnJoin]] with a threshold filter; exposed
     * in the discovery layer. Kept here as documentation of the fifth dedup
     * modality (exact, jaccard, minhash-LSH, simhash, embedding-cosine).
+    * For the corpus-scale blocked form, see [[semanticNearDups]].
     */
   def embeddingNearDups(knnPairs: DataFrame, maxCosineDistance: Double): DataFrame =
     knnPairs.filter(col("dist") <= maxCosineDistance)
+
+  /** Semantic (embedding-cosine) near-dup pairs at corpus scale, the
+    * SemDeDup shape (Abbas et al. 2023): spherical k-means blocks the
+    * corpus by direction, every vector joins its `assignProbes` nearest
+    * clusters (overlapping blocks recover pairs that straddle one Voronoi
+    * boundary), and only within-block pairs are scored — work is
+    * Σ_c n_c·p choose 2, never N². The threshold rides IN the join
+    * pipeline before the pair-dedup shuffle, so the exchange carries only
+    * (id_a, id_b, cos_dist) scalar rows for pairs that already passed the
+    * cutoff — vectors stay inside the block-join projection.
+    *
+    * Exact recovery guarantee for true duplicates: a scaled or identical
+    * copy has the same direction, hence the same nearest-centroid list —
+    * exact dup pairs always co-block, regardless of `assignProbes`.
+    * Near-dup pairs are approximate with recall rising in `assignProbes`
+    * (nClusters = 1 degenerates to the exact all-pairs join).
+    *
+    * Output: (id_a, id_b, cos_dist), id_a < id_b, cos_dist ≤
+    * `maxCosineDistance`. Zero vectors score distance 1.0 against
+    * everything (the engine-wide convention) and so never pair.
+    */
+  def semanticNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxCosineDistance: Double,
+      nClusters: Int = 64,
+      assignProbes: Int = 2,
+      kmeansIters: Int = 5,
+      sampleCap: Int = 20000,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = graft.knn.ApproxKnn.unitNormalized(
+      df, idCol, vecCol, "id", "__vec", "__zero")
+    // keep zero vectors out of the k-means sample (they would pull
+    // spherical centroids off the unit sphere); they still flow through
+    // assignment and are rejected by the distance-1.0 convention below
+    val sample = unit.filter(!col("__zero"))
+      .select(col("__vec").cast("array<float>"))
+      .limit(sampleCap).as[Array[Float]].collect()
+    require(sample.nonEmpty, "semanticNearDups: no non-zero vectors")
+    val centroids = graft.knn.ApproxKnn.kmeans(
+      sample, math.min(nClusters, sample.length), kmeansIters, seed)
+    val kernel = new org.apache.spark.sql.graft.CentroidKernel(
+      spark.sparkContext.broadcast(centroids))
+    val assigned = graft.util.Par.balance(unit)
+      .withColumn("cid", explode(graft.functions.VectorExpressions
+        .nearestCentroids(col("__vec"), kernel, assignProbes)))
+    // unit vectors: cosine distance = squared-L2 / 2 (see unitNormalized)
+    val l2 = graft.functions.VectorExpressions.squaredL2(
+      col("a.__vec"), col("b.__vec"))
+    val cosDist = when(col("a.__zero") || col("b.__zero"), lit(1.0))
+      .otherwise(l2 / 2.0)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosDist.as("cos_dist"))
+      .filter(col("cos_dist") <= maxCosineDistance)
+      // multi-probe co-block collisions collapse on scalars only
+      .groupBy("id_a", "id_b").agg(min("cos_dist").as("cos_dist"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CentroidKernel, DotProduct, Interop, LshBuckets, LshKernel, MinHashKernel, MinHashSig, NearestCentroid, NearestCentroids, SimHash64, SimHashKernel, SquaredL2}
+import org.apache.spark.sql.graft.{CentroidKernel, DotProduct, Interop, LshBuckets, LshKernel, MinHashKernel, MinHashSig, NearestCentroid, NearestCentroids, PqEncode, PqKernel, SimHash64, SimHashKernel, SquaredL2}
 
 /** Column API over the native Catalyst vector expressions (implementation
   * in org.apache.spark.sql.graft — see the packaging note there). The
@@ -42,4 +42,8 @@ object VectorExpressions {
   /** 64-bit SimHash of a document (non-nullable). */
   def simhash64(text: Column): Column =
     Interop.column(SimHash64(Interop.expression(text), new SimHashKernel))
+
+  /** Product-quantization code (`binary`, m bytes) over broadcast codebooks. */
+  def pqEncode(v: Column, kernel: PqKernel): Column =
+    Interop.column(PqEncode(Interop.expression(v), kernel))
 }

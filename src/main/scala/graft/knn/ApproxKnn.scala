@@ -96,7 +96,7 @@ object ApproxKnn {
   /** Driver-side mini k-means over a bounded sample (Lloyd iterations).
     * Deterministic: seeded sample, fixed iteration count.
     */
-  private[knn] def kmeans(sample: Array[Array[Float]], nList: Int, iters: Int,
+  private[graft] def kmeans(sample: Array[Array[Float]], nList: Int, iters: Int,
       seed: Int): Array[Array[Float]] = {
     val rnd = new Random(seed)
     val dim = sample.head.length
@@ -144,7 +144,7 @@ object ApproxKnn {
     * HnswGraph) scores any pair involving a zero vector at distance 1.0,
     * which the normalized-L2 form cannot express (it would yield 0.5).
     */
-  private[knn] def unitNormalized(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def unitNormalized(df: DataFrame, idCol: String, vecCol: String,
       idAlias: String, vecAlias: String, zeroAlias: String): DataFrame =
     df.select(col(idCol).cast("long").as(idAlias),
         col(vecCol).cast("array<float>").as(vecAlias))
@@ -281,6 +281,133 @@ object ApproxKnn {
       KnnJoin.broadcastKnn(block, candidates, idCol, vecCol, k, metric, excludeSelf)
     }
     parts.reduce(_.unionByName(_))
+  }
+
+  /** Product-quantized kNN (FAISS `IndexPQ` contract): candidates are
+    * compressed to `m`-byte PQ codes (32× smaller than 64-d float vectors
+    * — the memory/shuffle story when even ids+vectors no longer fit), the
+    * query side stays un-quantized, and distances come from ADC — a
+    * per-query `m × ksub` lookup table built once per partition, then `m`
+    * byte-indexed reads per candidate. One `mapPartitions` pass over the
+    * codes keeps bounded per-query top-(rerank·k) partials (the
+    * broadcastKnn shuffle shape: no N² rows ever move).
+    *
+    * `rerank > 0` re-scores the top `rerank·k` ADC survivors per query
+    * with EXACT distances against the original vectors (narrow pair rows
+    * join back to the candidate table — the standard PQ short-list
+    * refinement), recovering near-exact recall@k while the full scan
+    * still reads only codes. `rerank = 0` returns raw ADC distances.
+    *
+    * Cosine runs spherical (both sides unit-normalized, ADC-L2 / 2 ≈
+    * cosine distance), zero vectors score 1.0 — the ivfKnn conventions.
+    * Deterministic; same output contract as the other strategies.
+    */
+  def pqKnn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      metric: String = KnnJoin.MetricL2Sq,
+      m: Int = 8,
+      ksub: Int = 256,
+      rerank: Int = 4,
+      kmeansIters: Int = 5,
+      sampleCap: Int = 20000,
+      seed: Int = 42,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cosine = HnswSearch.isCosine(metric)
+
+    val cand =
+      if (cosine) unitNormalized(candidates, idCol, vecCol,
+        "neighbor_id", "__neighbor_vec", "__neighbor_zero")
+      else candidates.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__neighbor_vec"), lit(false).as("__neighbor_zero"))
+    val qry =
+      if (cosine) unitNormalized(queries, idCol, vecCol,
+        "query_id", "__query_vec", "__query_zero")
+      else queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("__query_vec"), lit(false).as("__query_zero"))
+
+    val sample = cand.filter(!col("__neighbor_zero"))
+      .select(col("__neighbor_vec").cast("array<float>"))
+      .limit(sampleCap).as[Array[Float]].collect()
+    require(sample.nonEmpty, "pqKnn: no non-zero candidate vectors")
+    val books = Pq.train(sample, m, ksub, kmeansIters, seed)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val kernel = new org.apache.spark.sql.graft.PqKernel(bcBooks)
+
+    val qRows = qry
+      .select(col("query_id"), col("__query_vec").cast("array<float>"),
+        col("__query_zero"))
+      .as[(Long, Array[Float], Boolean)].collect()
+    require(qRows.nonEmpty, "pqKnn: empty query side")
+    val bcQ = spark.sparkContext.broadcast(qRows)
+
+    // the full-corpus scan reads (id, m-byte code, zero flag) — vectors
+    // are gone from the hot path after the encode projection
+    val codes = graft.util.Par.balance(cand)
+      .select(col("neighbor_id"),
+        graft.functions.VectorExpressions.pqEncode(col("__neighbor_vec"), kernel)
+          .as("__code"),
+        col("__neighbor_zero"))
+      .as[(Long, Array[Byte], Boolean)]
+
+    val keep = k * math.max(1, rerank)
+    val (kL, ex, cos) = (keep, excludeSelf, cosine)
+    val partials = codes.mapPartitions { it =>
+      val cb = bcBooks.value
+      val q = bcQ.value
+      val n = q.length
+      val qIds = new Array[Long](n)
+      val qZero = new Array[Boolean](n)
+      val luts = new Array[Array[Float]](n)
+      var i = 0
+      while (i < n) {
+        qIds(i) = q(i)._1; qZero(i) = q(i)._3
+        luts(i) = cb.adcTable(q(i)._2)
+        i += 1
+      }
+      val heaps = Array.fill(n)(new org.apache.spark.sql.graft.TopKBuf(kL))
+      it.foreach { case (cid, code, czero) =>
+        var j = 0
+        while (j < n) {
+          if (!(ex && qIds(j) == cid)) {
+            val d =
+              if (cos && (qZero(j) || czero)) 1.0
+              else if (cos) cb.adcDist(code, luts(j)) / 2.0
+              else cb.adcDist(code, luts(j))
+            heaps(j).offer(d, cid)
+          }
+          j += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        (0 until h.size).iterator.map(r => (qIds(qi), h.ids(r), h.dists(r)))
+      }
+    }.toDF("query_id", "neighbor_id", "dist")
+
+    val shortList = HnswSearch.topKMerge(partials, keep)
+    if (rerank <= 0) shortList.filter(col("rank") <= k)
+    else {
+      // exact refinement of the ADC short list: narrow (q, c) pair rows
+      // join back to the vector tables — the candidate join is a plain
+      // shuffle join on 8-byte ids, the query side broadcasts
+      val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("__qv")))
+      val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__cv"))
+      val exact = shortList.select("query_id", "neighbor_id")
+        .join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("dist",
+          if (cosine) graft.functions.VectorExpressions.cosineDistance(col("__qv"), col("__cv"))
+          else graft.functions.VectorExpressions.squaredL2(col("__qv"), col("__cv")))
+        .select("query_id", "neighbor_id", "dist")
+      HnswSearch.topKMerge(exact, k)
+    }
   }
 
   /** Graph-based ANN: sharded HNSW (the reference's hnswlib contract,

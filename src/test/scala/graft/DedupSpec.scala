@@ -163,4 +163,60 @@ class DedupSpec extends SparkSpec {
       l.contains("Project") && l.contains("simhash64") && l.contains("*(")),
       s"simhash64 fell out of the codegen span:\n$plan")
   }
+
+  private lazy val emb =
+    graft.sources.Lake.embeddings(spark, sf0001).select("vec_id", "embedding").cache()
+
+  test("semanticNearDups with nClusters=1 equals the brute-force threshold join") {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val den = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (den > 0) 1.0 - dot(a, b) / den else 1.0
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val allDists = (for { a <- ids; b <- ids if a < b }
+      yield ((a, b), cosDist(vecs(a), vecs(b))))
+    // threshold from the data: midpoint between the 50th and 51st
+    // smallest pairwise distance — ~50 expected pairs, and the midpoint
+    // keeps float-rounding differences between the Spark plan and this
+    // double-precision replica away from the decision boundary
+    val sorted = allDists.map(_._2).sorted
+    val tau = (sorted(49) + sorted(50)) / 2
+    val expected = allDists.filter(_._2 <= tau).map(_._1).toSet
+    assert(expected.size == 50, s"fixture sanity: ${expected.size} pairs")
+    val got = Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
+        nClusters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+  }
+
+  test("semanticNearDups blocked: scaled copies always co-block and pair at 0") {
+    val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(2.0d)).cast("float"))
+        .as("embedding"))
+    val n = emb.count()
+    val pairs = Dedup.semanticNearDups(emb.unionByName(copies),
+        "vec_id", "embedding", maxCosineDistance = 1e-6,
+        nClusters = 4, assignProbes = 2)
+      .filter(col("id_b") === col("id_a") + 10000)
+      .collect()
+    assert(pairs.length == n, s"recovered ${pairs.length} of $n scaled copies")
+    assert(pairs.forall(_.getDouble(2) <= 1e-6))
+  }
+
+  test("semanticNearDups: zero vectors never pair (distance-1.0 convention)") {
+    import spark.implicits._
+    val withZeros = emb.unionByName(
+      Seq((90001L, Array.fill(64)(0.0f)), (90002L, Array.fill(64)(0.0f)))
+        .toDF("vec_id", "embedding"))
+    val zeroPairs = Dedup.semanticNearDups(withZeros, "vec_id", "embedding",
+        maxCosineDistance = 0.999, nClusters = 4, assignProbes = 2)
+      .filter(col("id_a") >= 90000L || col("id_b") >= 90000L)
+      .count()
+    assert(zeroPairs == 0)
+  }
 }
