@@ -739,6 +739,28 @@ object SparkEntry {
             .as("recall_floor_met"))
     }),
 
+    // Persisted IVF-PQ index (FAISS IndexIVFPQ contract): m-byte codes
+    // ride in the inverted lists, the ADC probe scan column-prunes the
+    // vectors (reads 16 B/row instead of 256 B), and the short list
+    // reranks exactly. Same recall-floor gate as q57.
+    "q58_ivfpq_index" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxDir = graft.util.TempDirs.register(
+        s"/tmp/graft_ivfpq_index_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      graft.knn.IvfIndex.build(emb, "vec_id", "embedding", idxDir,
+        nList = 16, pqM = 16, pqKsub = 256)
+      val approx = graft.knn.IvfIndex.search(s, idxDir, emb,
+          "vec_id", "embedding", k = 5, nProbe = 16, usePq = true, rerank = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__a"))
+      val exact = knnL2(s, d, 5).select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__a")).as("n_hits"))
+        .select(col("n_exact"),
+          when(col("n_hits") * 10 >= col("n_exact") * 8, 1L).otherwise(0L)
+            .as("recall_floor_met"))
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1222,6 +1244,12 @@ object SparkEntry {
 
     // PQ-kNN recall floor: same contract as q55 (recall@5 ≥ 0.8)
     "q57_pq_knn" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
+
+    // persisted IVF-PQ recall floor: same contract as q57
+    "q58_ivfpq_index" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CentroidKernel, DotProduct, Interop, LshBuckets, LshKernel, MinHashKernel, MinHashSig, NearestCentroid, NearestCentroids, PqEncode, PqKernel, SimHash64, SimHashKernel, SquaredL2}
+import org.apache.spark.sql.graft.{CentroidKernel, DotProduct, Interop, LshBuckets, LshKernel, MinHashKernel, MinHashSig, NearestCentroid, NearestCentroids, PqAdc, PqEncode, PqKernel, SimHash64, SimHashKernel, SquaredL2}
 
 /** Column API over the native Catalyst vector expressions (implementation
   * in org.apache.spark.sql.graft — see the packaging note there). The
@@ -46,4 +46,8 @@ object VectorExpressions {
   /** Product-quantization code (`binary`, m bytes) over broadcast codebooks. */
   def pqEncode(v: Column, kernel: PqKernel): Column =
     Interop.column(PqEncode(Interop.expression(v), kernel))
+
+  /** Row-wise ADC distance from an un-quantized query to a PQ code. */
+  def pqAdc(q: Column, code: Column, kernel: PqKernel): Column =
+    Interop.column(PqAdc(Interop.expression(q), Interop.expression(code), kernel))
 }

@@ -99,6 +99,35 @@ final class PqCodebooks(val centroids: Array[Array[Array[Float]]])
     while (s < m) { d += lut(s * ksub + (code(s) & 0xff)); s += 1 }
     d
   }
+
+  /** ADC without a LUT: squared L2 from the query straight to the code's
+    * reconstruction, accumulated per subspace — `m·dsub` multiplies, the
+    * same arithmetic cost as an exact distance. The win is NOT compute,
+    * it is that the scan feeding this reads m-byte codes instead of
+    * vectors; use [[adcTable]]/[[adcDist]] when one query scores many
+    * candidates in a tight loop (the broadcast-side shape), and this
+    * row-wise form inside relational joins. Matches
+    * `adcDist(code, adcTable(q))` to float-accumulation rounding.
+    */
+  def adcDirect(q: ArrayData, code: Array[Byte]): Double = {
+    val n = q.numElements()
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      val c = centroids(s)(code(s) & 0xff)
+      val off = s * dsub
+      var part = 0.0
+      var i = 0
+      while (i < dsub) {
+        val x = (if (off + i < n) q.getFloat(off + i) else 0.0f) - c(i)
+        part += x * x
+        i += 1
+      }
+      d += part.toFloat.toDouble // match adcTable's per-subspace float rounding
+      s += 1
+    }
+    d
+  }
 }
 
 object Pq {

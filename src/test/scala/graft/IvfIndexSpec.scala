@@ -148,4 +148,101 @@ class IvfIndexSpec extends SparkSpec {
     assert(res.groupBy("query_id").count()
       .filter(col("count") =!= 3).count() == 0)
   }
+
+  test("IVF-PQ: code column persisted, ADC search column-prunes the vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 8,
+      pqM = 16, pqKsub = 256)
+    // codes live in the lists: m bytes per row
+    val lists = spark.read.parquet(s"$dir/assignments")
+    assert(lists.columns.contains("code"))
+    assert(lists.select(length(col("code")).as("l"))
+      .filter(col("l") =!= 16).count() == 0)
+    val res = IvfIndex.search(spark, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 8, usePq = true, rerank = 4)
+    res.collect()
+    // the ADC stage's scan must NOT read the vec column — that pruning
+    // is the whole point of storing codes (32× less probe I/O at 64-d)
+    val plan = res.queryExecution.executedPlan.toString
+    val adcScan = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("assignments") &&
+        l.contains("code"))
+    assert(adcScan.isDefined, s"no code-column scan in:\n$plan")
+    assert(!adcScan.get.replaceAll("__query_vec", "").contains("vec,") &&
+      !adcScan.get.matches(".*ReadSchema:.*\\bvec\\b.*"),
+      s"ADC scan still reads the vec column:\n${adcScan.get}")
+    // reranked full-probe search tracks brute force closely
+    val got = res.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exactTop5).size.toDouble / exactTop5.size
+    assert(recall > 0.9, s"IVF-PQ reranked recall too low: $recall")
+  }
+
+  test("IVF-PQ rerank emits exact distances; rerank=0 emits ADC estimates") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq2").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 8,
+      pqM = 16, pqKsub = 256)
+    val exactDists = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 50)
+      .select("query_id", "neighbor_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val reranked = IvfIndex.search(spark, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 8, usePq = true, rerank = 4).collect()
+    reranked.foreach { row =>
+      exactDists.get((row.getLong(0), row.getLong(1))).foreach { d =>
+        assert(math.abs(row.getDouble(2) - d) < 1e-9,
+          s"rerank dist diverges for (${row.getLong(0)}, ${row.getLong(1)})")
+      }
+    }
+    // ADC-only distances are estimates: allowed to differ, ranking useful
+    val adcOnly = IvfIndex.search(spark, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 8, usePq = true, rerank = 0)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = adcOnly.intersect(exactTop5).size.toDouble / exactTop5.size
+    assert(recall > 0.5, s"ADC-only recall too low: $recall")
+  }
+
+  test("IVF-PQ append encodes the new batch with the persisted codebooks") {
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq3").toString
+    IvfIndex.build(first, "vec_id", "embedding", dir, nList = 8,
+      pqM = 16, pqKsub = 256)
+    val n = IvfIndex.append(spark, dir, rest, "vec_id", "embedding")
+    assert(n == rest.count())
+    val lists = spark.read.parquet(s"$dir/assignments")
+    assert(lists.filter(col("code").isNull).count() == 0)
+    val got = IvfIndex.search(spark, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 8, usePq = true, rerank = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exactTop5).size.toDouble / exactTop5.size
+    assert(recall > 0.9, s"post-append IVF-PQ recall too low: $recall")
+  }
+
+  test("IVF-PQ cosine: spherical codes under the persisted metric") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq4").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 8,
+      metric = KnnJoin.MetricCosine, pqM = 16, pqKsub = 256)
+    val exactCos = KnnJoin
+      .broadcastKnn(emb, emb, "vec_id", "embedding", 5, KnnJoin.MetricCosine)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = IvfIndex.search(spark, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 8, usePq = true, rerank = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exactCos).size.toDouble / exactCos.size
+    assert(recall > 0.9, s"IVF-PQ cosine recall too low: $recall")
+  }
+
+  test("usePq on a vectors-only index fails with a clear message") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq5").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 4)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.search(spark, dir, emb.limit(1), "vec_id", "embedding",
+        k = 3, nProbe = 2, usePq = true)
+    }
+    assert(e.getMessage.contains("pq"))
+  }
 }
