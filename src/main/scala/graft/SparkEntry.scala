@@ -761,6 +761,40 @@ object SparkEntry {
             .as("recall_floor_met"))
     }),
 
+    // Streaming ANN serving, EXECUTED: query vectors arrive as a file
+    // stream (2 part files, maxFilesPerTrigger=1 → 2 real micro-batches),
+    // each batch probes the PERSISTED IVF index via foreachBatch, results
+    // append to the sink dir. Probed at nProbe=nList the per-batch probe
+    // is exact, batches partition the query set, so the drained union
+    // shares q41's brute-force oracle.
+    "q59_stream_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_stream_knn_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // bench repeats re-run the whole query in one JVM: the append-mode
+      // sink dir must start empty each time or batches accumulate
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+      graft.knn.IvfIndex.build(emb, "vec_id", "embedding", s"$base/index",
+        nList = 16)
+      emb.filter(col("vec_id") < 500).select("vec_id", "embedding")
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$base/queries")
+      val qSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      graft.streaming.Streams.knnEnrichOnce(s, s"$base/queries", qSchema,
+          s"$base/index", s"$base/out", "vec_id", "embedding",
+          k = 5, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1253,6 +1287,13 @@ object SparkEntry {
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,
+
+    // streaming micro-batch probe at nProbe=nList over disjoint batches
+    // ≡ brute-force kNN on the capped query side (q41's oracle)
+    "q59_stream_knn" ->
+      s"""$knnL2Cte
+         |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+         |FROM knn WHERE rnk <= 5 AND query_id < 500""".stripMargin,
 
     "q11_knn_cosine" ->
       """WITH d AS (

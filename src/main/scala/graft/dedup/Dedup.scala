@@ -316,4 +316,67 @@ object Dedup {
       // multi-probe co-block collisions collapse on scalars only
       .groupBy("id_a", "id_b").agg(min("cos_dist").as("cos_dist"))
   }
+
+  /** Connected components over a near-dup pair graph — the step that
+    * turns ANY of the pair producers above into dedup GROUPS (transitive
+    * closure: a~b, b~c ⟹ {a,b,c} even when a,c never paired directly).
+    *
+    * Iterative min-label propagation: every id starts as its own label;
+    * each round every id takes the minimum label in its neighborhood,
+    * checked to a fixpoint (≤ `maxIters` rounds, converging in
+    * O(graph diameter) — near-dup clusters are short-diameter in
+    * practice, so this is a handful of narrow (id, label) shuffles; no
+    * vectors, no texts, no N² anywhere). Each round's frame is
+    * `localCheckpoint`ed to cut the iterative lineage. Throws if the
+    * fixpoint is not reached within `maxIters` (truncated labels would
+    * silently split components).
+    *
+    * Input: (id_a, id_b) pair rows (any extra columns ignored). Output:
+    * (id, component) — component = min id of the connected component.
+    */
+  def nearDupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // symmetric edge list; self-loops drop out of min-propagation anyway
+    val fwd = pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.groupBy("src").agg(min("dst").as("component"))
+      .select(col("src").as("id"),
+        least(col("src"), col("component")).as("component"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // neighborhood minimum: my label vs the labels my neighbors carry
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("nbr_component"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"),
+            col("component"))).as("component"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"nearDupComponents: no fixpoint after $maxIters iterations — " +
+        "raise maxIters (component diameter exceeds the cap)")
+    labels
+  }
+
+  /** Ids to DROP for a near-dup-free corpus: everything except each
+    * component's minimum id (the canonical survivor). Composes with any
+    * pair producer: `df.join(nearDupDropList(pairs), Seq("id"),
+    * "left_anti")` is the cleaned corpus.
+    */
+  def nearDupDropList(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    nearDupComponents(pairs, maxIters)
+      .filter(col("id") =!= col("component"))
+      .select("id")
 }

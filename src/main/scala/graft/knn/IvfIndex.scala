@@ -89,11 +89,21 @@ object IvfIndex {
     val pq =
       if (pqM <= 0) None
       else Some(Pq.train(sample, pqM, pqKsub, kmeansIters, seed))
-    pq.foreach { cb =>
-      (for { s <- 0 until cb.m; c <- 0 until cb.ksub }
-        yield (s, c, cb.centroids(s)(c))).toDF("s", "c", "vec")
-        .repartition(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/pq")
+    pq match {
+      case Some(cb) =>
+        (for { s <- 0 until cb.m; c <- 0 until cb.ksub }
+          yield (s, c, cb.centroids(s)(c))).toDF("s", "c", "vec")
+          .repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/pq")
+      case None =>
+        // rebuilding WITHOUT PQ over a dir previously built WITH it must
+        // clear the stale codebooks — pq/'s presence is the marker, and a
+        // survivor would make append() re-add codes with books trained on
+        // data the Overwrite below just deleted (same staleness class as
+        // HnswIndex's pre-clear of manifest/ on rebuild)
+        val p = new Path(s"$dir/pq")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
     }
 
     writeAssignments(candidates, idCol, vecCol, dir, centroids, cosine, pq,

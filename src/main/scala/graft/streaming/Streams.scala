@@ -156,6 +156,55 @@ object Streams {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value")))
 
+  /** Streaming ANN serving, EXECUTED micro-batch form — the Spark-shaped
+    * answer to "online" similarity search over a persisted index (a true
+    * per-request server is out of Spark's execution model; micro-batch
+    * probing is what Structured Streaming offers): each arriving batch of
+    * query vectors runs the partition-pruned [[graft.knn.IvfIndex]] batch
+    * probe via `foreachBatch` — the per-batch centroid math is bounded
+    * driver work, the inverted-list scan stays distributed and pruned —
+    * and results append to `outDir` as the streaming sink. The index
+    * directory is shared state: appends to the index between batches are
+    * picked up by the next batch's probe (each probe re-reads the
+    * manifest-free parquet layout).
+    *
+    * `queriesDir` is a directory of parquet files with (idCol, vecCol)
+    * columns; `maxFilesPerTrigger` bounds batch size (queries per batch ×
+    * k rows of output state — nothing else accumulates). Returns the
+    * union of all batches' results read back from `outDir`.
+    */
+  def knnEnrichOnce(
+      spark: SparkSession,
+      queriesDir: String,
+      querySchema: StructType,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_knn_ckpt")
+    graft.util.TempDirs.register(checkpoint.toString)
+    spark.readStream
+      .schema(querySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(queriesDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.knn.IvfIndex
+          .search(batch.sparkSession, indexDir, batch.toDF(), idCol, vecCol,
+            k, nProbe)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming exact dedup, EXECUTED: the events file is staged TWICE
     * into the source directory, so every event genuinely arrives as a
     * duplicate; `dropDuplicatesWithinWatermark` on the key keeps the

@@ -208,6 +208,50 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) <= 1e-6))
   }
 
+  test("nearDupComponents: transitive closure to min-id labels, drop list") {
+    import spark.implicits._
+    // {1,2,3,4} as a path (3-hop diameter), {10,11}, {20,21,22} as a fork,
+    // and a 10-edge chain 100..110 to force multiple propagation rounds
+    val chain = (100L until 110L).map(i => (i, i + 1))
+    val pairs = (Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)) ++ chain).toDF("id_a", "id_b")
+    val comp = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected =
+      Seq(1L, 2L, 3L, 4L).map(_ -> 1L) ++
+        Seq(10L, 11L).map(_ -> 10L) ++
+        Seq(20L, 21L, 22L).map(_ -> 20L) ++
+        (100L to 110L).map(_ -> 100L)
+    assert(comp == expected.toMap)
+    val dropped = Dedup.nearDupDropList(pairs).collect()
+      .map(_.getLong(0)).toSet
+    assert(dropped == expected.toMap.keySet -- Set(1L, 10L, 20L, 100L))
+  }
+
+  test("nearDupComponents: diameter beyond maxIters fails loudly") {
+    import spark.implicits._
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(chain, maxIters = 3)
+    }
+    // and succeeds when the cap covers the diameter
+    val ok = Dedup.nearDupComponents(chain, maxIters = 40).collect()
+    assert(ok.forall(_.getLong(1) == 0L))
+  }
+
+  test("semanticNearDups → components: scaled-copy pairs are 2-id groups") {
+    val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(2.0d)).cast("float"))
+        .as("embedding"))
+    val pairs = Dedup.semanticNearDups(emb.unionByName(copies),
+      "vec_id", "embedding", maxCosineDistance = 1e-6,
+      nClusters = 4, assignProbes = 2)
+    val comp = Dedup.nearDupComponents(pairs)
+    // every copy labels back to its original; originals label themselves
+    assert(comp.filter(col("id") >= 10000L)
+      .filter(col("component") =!= col("id") - 10000L).count() == 0)
+  }
+
   test("semanticNearDups: zero vectors never pair (distance-1.0 convention)") {
     import spark.implicits._
     val withZeros = emb.unionByName(

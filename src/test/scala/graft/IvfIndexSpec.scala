@@ -236,6 +236,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall > 0.9, s"IVF-PQ cosine recall too low: $recall")
   }
 
+  test("rebuild without PQ clears stale codebooks from a prior PQ build") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq6").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 4,
+      pqM = 16, pqKsub = 256)
+    assert(new java.io.File(s"$dir/pq").exists())
+    // vectors-only rebuild into the same dir: pq/ must NOT survive —
+    // append would otherwise re-add codes with books trained on deleted
+    // data, and lists would end up with mixed schemas
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 4)
+    assert(!new java.io.File(s"$dir/pq").exists())
+    IvfIndex.append(spark, dir,
+      emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    assert(!spark.read.parquet(s"$dir/assignments").columns.contains("code"))
+    intercept[IllegalArgumentException] {
+      IvfIndex.search(spark, dir, emb.limit(1), "vec_id", "embedding",
+        k = 3, nProbe = 2, usePq = true)
+    }
+  }
+
   test("usePq on a vectors-only index fails with a clear message") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq5").toString
     IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 4)

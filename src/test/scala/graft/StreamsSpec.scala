@@ -171,4 +171,31 @@ class StreamsSpec extends SparkSpec {
     assert(out.isEmpty) // gap not exceeded: session extends, nothing emitted
     assert(state.exists && state.get.cnt == 2L)
   }
+
+  test("streaming ANN serving: micro-batch index probes union to the batch result") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val emb = graft.sources.Lake.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+    val base = Files.createTempDirectory("knn_serve").toString
+    graft.knn.IvfIndex.build(emb, "vec_id", "embedding", s"$base/index",
+      nList = 8)
+    // 3 part files + maxFilesPerTrigger=1 → 3 genuine micro-batches
+    emb.repartition(3).write.parquet(s"$base/queries")
+    val qSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val streamed = Streams.knnEnrichOnce(spark, s"$base/queries", qSchema,
+      s"$base/index", s"$base/out", "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    val batch = graft.knn.IvfIndex.search(spark, s"$base/index", emb,
+      "vec_id", "embedding", k = 5, nProbe = 8)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(keyed(streamed) == keyed(batch))
+    // the sink really accumulated multiple appends (one per micro-batch)
+    val parts = new java.io.File(s"$base/out")
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(parts >= 3, s"expected >=3 sink part files, got $parts")
+  }
 }
