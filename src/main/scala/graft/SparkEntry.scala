@@ -795,6 +795,18 @@ object SparkEntry {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // Gopher-rule repetition stats (dup-line fraction, dup-line char
+    // fraction, top-bigram char fraction) over natural docs PLUS an
+    // injected high-repetition variant (text doubled across a newline —
+    // every line becomes a duplicate), hash-checked against a SQL replica
+    // of both the construction and all three metric definitions.
+    "q60_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit("\n"), col("text")).as("text"))
+      Analysis.repetitionStats(docs.unionByName(doubled), "doc_id", "text")
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1294,6 +1306,49 @@ object SparkEntry {
       s"""$knnL2Cte
          |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
          |FROM knn WHERE rnk <= 5 AND query_id < 500""".stripMargin,
+
+    // full SQL replica of the repetition metrics: line grouping, dup-char
+    // sums, bigram enumeration with the (count DESC, gram ASC) tie-break
+    "q60_repetition" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT), text || chr(10) || text
+        |  FROM documents),
+        |lc AS (
+        |  SELECT id, line, count(*) AS cnt, length(line) AS len
+        |  FROM (SELECT id, unnest(string_split(text, chr(10))) AS line
+        |        FROM corpus)
+        |  GROUP BY id, line, length(line)),
+        |la AS (
+        |  SELECT id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+        |    sum(CASE WHEN cnt > 1 THEN len * cnt ELSE 0 END) AS dup_chars,
+        |    sum(len * cnt) AS tot_chars
+        |  FROM lc GROUP BY id),
+        |wsrc AS (
+        |  SELECT id, string_split_regex(trim(text), '\s+') AS ws FROM corpus),
+        |grams AS (
+        |  SELECT id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |  FROM wsrc WHERE len(ws) >= 2),
+        |gc AS (SELECT id, gram, count(*) AS cnt FROM grams GROUP BY id, gram),
+        |topg AS (
+        |  SELECT id, cnt * length(gram) AS top_chars
+        |  FROM (SELECT id, gram, cnt,
+        |          row_number() OVER (PARTITION BY id
+        |            ORDER BY cnt DESC, gram ASC) AS rn
+        |        FROM gc) WHERE rn = 1)
+        |SELECT c.id AS id, CAST(la.n_lines AS BIGINT) AS n_lines,
+        |  CASE WHEN la.n_lines > 0
+        |    THEN round(1.0 - CAST(la.n_distinct AS DOUBLE) / la.n_lines, 4)
+        |    ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN la.tot_chars > 0
+        |    THEN round(CAST(la.dup_chars AS DOUBLE) / la.tot_chars, 4)
+        |    ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE WHEN length(c.text) > 0 AND topg.top_chars IS NOT NULL
+        |    THEN round(CAST(topg.top_chars AS DOUBLE) / length(c.text), 4)
+        |    ELSE 0.0 END AS top_2gram_char_frac
+        |FROM corpus c JOIN la USING (id) LEFT JOIN topg USING (id)""".stripMargin,
 
     "q11_knn_cosine" ->
       """WITH d AS (

@@ -283,7 +283,8 @@ object Dedup {
       assignProbes: Int = 2,
       kmeansIters: Int = 5,
       sampleCap: Int = 20000,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42,
+      materializeAssignments: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val unit = graft.knn.ApproxKnn.unitNormalized(
@@ -299,9 +300,18 @@ object Dedup {
       sample, math.min(nClusters, sample.length), kmeansIters, seed)
     val kernel = new org.apache.spark.sql.graft.CentroidKernel(
       spark.sparkContext.broadcast(centroids))
-    val assigned = graft.util.Par.balance(unit)
+    // both sides of the block self-join reference the assignment frame;
+    // materializing it ONCE (localCheckpoint — ContextCleaner-released,
+    // not CacheManager-pinned, the setJaccardPairs rationale) halves the
+    // scan + normalize + assign work. The materialization is
+    // (id, vec, zero, cid) × assignProbes rows; pass `false` to recompute
+    // per side instead when cluster storage is the binding constraint.
+    val assignedPlain = graft.util.Par.balance(unit)
       .withColumn("cid", explode(graft.functions.VectorExpressions
         .nearestCentroids(col("__vec"), kernel, assignProbes)))
+    val assigned =
+      if (materializeAssignments) assignedPlain.localCheckpoint()
+      else assignedPlain
     // unit vectors: cosine distance = squared-L2 / 2 (see unitNormalized)
     val l2 = graft.functions.VectorExpressions.squaredL2(
       col("a.__vec"), col("b.__vec"))

@@ -97,6 +97,79 @@ object Analysis {
       regexp_replace(acc, pat, repl)
     }
 
+  /** Repetition quality stats — the Gopher-rule family (Rae et al. 2021,
+    * "Scaling Language Models", Table A1): within-document repetition is
+    * the strongest single signal of low-quality scraped text. Metrics:
+    *
+    *  - `dup_line_frac`: 1 − distinct lines / total lines;
+    *  - `dup_line_char_frac`: characters inside lines occurring more
+    *    than once / total line characters;
+    *  - `top_2gram_char_frac`: characters covered by the most frequent
+    *    word bigram (count × bigram length) / document characters —
+    *    ties break by bigram string ascending.
+    *
+    * Shuffle posture: line grouping keys on (id, xxhash64(line)) with the
+    * line LENGTH as payload — the exchange carries 8-byte hashes, never
+    * line text (identical up to 64-bit collisions, negligible per doc);
+    * bigram rows carry the two-word gram (needed for the deterministic
+    * tie-break and length). Both aggregations are map-side partial; no
+    * N², no window wider than one document's grams.
+    *
+    * Output: (id, n_lines, dup_line_frac, dup_line_char_frac,
+    * top_2gram_char_frac), fractions rounded to 4 dp, 0.0 for documents
+    * with no lines/words.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__text"))
+
+    // split limit −1 keeps trailing empty lines (matches SQL string_split)
+    val lineCounts = base
+      .select(col("id"), explode(split(col("__text"), "\n", -1)).as("line"))
+      .select(col("id"), xxhash64(col("line")).as("lh"),
+        length(col("line")).cast("long").as("len"))
+      .groupBy("id", "lh")
+      .agg(count(lit(1)).as("cnt"), min("len").as("len"))
+    val lineAgg = lineCounts.groupBy("id").agg(
+      sum("cnt").as("n_lines"),
+      count(lit(1)).as("n_distinct"),
+      sum(when(col("cnt") > 1, col("len") * col("cnt")).otherwise(0L))
+        .as("dup_chars"),
+      sum(col("len") * col("cnt")).as("tot_chars"))
+
+    val ws = filter(split(trim(col("__text")), "\\s+"), w => w =!= "")
+    val n = size(ws)
+    val grams = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val gramCounts = base
+      .select(col("id"), explode(grams).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("cnt"), asc("gram"))
+    val topGram = gramCounts
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("id"), (col("cnt") * length(col("gram"))).as("top_chars"))
+
+    base.select(col("id"), length(col("__text")).cast("long").as("n_chars"))
+      .join(lineAgg, Seq("id"))
+      .join(topGram, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_lines"),
+        when(col("n_lines") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_lines"), 4))
+          .otherwise(lit(0.0)).as("dup_line_frac"),
+        when(col("tot_chars") > 0,
+          round(col("dup_chars").cast("double") / col("tot_chars"), 4))
+          .otherwise(lit(0.0)).as("dup_line_char_frac"),
+        when(col("n_chars") > 0 && col("top_chars").isNotNull,
+          round(col("top_chars").cast("double") / col("n_chars"), 4))
+          .otherwise(lit(0.0)).as("top_2gram_char_frac"))
+  }
+
   /** Composed corpus-cleaning pipeline — the canonical training-data prep
     * flow: PII scrub → quality floor (token count, punctuation ratio) →
     * language filter → exact dedup (canonical doc per identical cleaned

@@ -150,4 +150,41 @@ class TextFnsSpec extends SparkSpec {
     // sorted-distinct contract
     got.values.foreach { case (fp, _) => assert(fp == fp.distinct.sorted) }
   }
+
+  test("repetitionStats: hand-computed Gopher-rule metrics") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val docs = Seq(
+      // lines ["a b","a b","c"]: dup_line 1-2/3; dup chars (3*2)/7;
+      // words [a,b,a,b,c]: top bigram "a b"×2 → 2*3/9 chars
+      (1L, "a b\na b\nc"),
+      (2L, ""),                       // degenerate: all metrics 0
+      (3L, "x y z"),                  // tie on count → "x y" wins: 3/5
+      // all 4 lines dup; words split on ANY whitespace, so the bigram
+      // "w w" spans line breaks: count 3 × len 3 / 7 chars (> 1 is legal
+      // for the count×len definition — overlaps double-count)
+      (4L, "w\nw\nw\nw")
+    ).toDF("id", "text")
+    val got = Analysis.repetitionStats(docs, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((3L, 0.3333, 0.8571, 0.6667)))
+    assert(got(2L) == ((1L, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((1L, 0.0, 0.0, 0.6)))
+    assert(got(4L) == ((4L, 0.75, 1.0, 1.2857)))
+  }
+
+  test("repetitionStats: doubling a document pushes every line to dup") {
+    import graft.text.Analysis
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Lake.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).limit(50)
+    val doubled = docs.select(col("doc_id"),
+      concat(col("text"), lit("\n"), col("text")).as("text"))
+    val stats = Analysis.repetitionStats(doubled, "doc_id", "text")
+    // every line occurs at least twice → dup_line_char_frac = 1 whenever
+    // the doc has any line characters at all
+    assert(stats.filter(col("dup_line_char_frac") < 1.0)
+      .filter(col("n_lines") > 0).count() == 0)
+  }
 }
