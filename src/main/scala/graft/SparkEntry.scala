@@ -807,6 +807,20 @@ object SparkEntry {
       Analysis.repetitionStats(docs.unionByName(doubled), "doc_id", "text")
     }),
 
+    // Benchmark decontamination: the synthetic "benchmark" is words 3..14
+    // of each document, so every item's 8-gram shingles exist verbatim in
+    // its source doc — those pairs MUST surface at frac 1.0, incidental
+    // cross-doc phrase collisions surface alongside, and the whole
+    // collision table is hash-checked against a SQL replica.
+    "q61_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.select((col("doc_id") + 1000000).as("bench_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 3, 12))
+          .as("text"))
+      Analysis.contaminationCheck(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 8)
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1349,6 +1363,41 @@ object SparkEntry {
         |    THEN round(CAST(topg.top_chars AS DOUBLE) / length(c.text), 4)
         |    ELSE 0.0 END AS top_2gram_char_frac
         |FROM corpus c JOIN la USING (id) LEFT JOIN topg USING (id)""".stripMargin,
+
+    // SQL replica of the contamination join: distinct 8-gram shingles per
+    // side joined on the shingle STRING (the Spark side joins on the
+    // 64-bit hash — identical pairs modulo negligible collisions)
+    "q61_contamination" ->
+      """WITH bench AS (
+        |  SELECT doc_id + 1000000 AS bench_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[3:14], ' ')
+        |      AS text
+        |  FROM documents),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS sh
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(trim(text), '\s+') AS ws
+        |          FROM documents)
+        |    WHERE len(ws) >= 8)),
+        |bsh AS (
+        |  SELECT DISTINCT bench_id, sh FROM (
+        |    SELECT bench_id, unnest(list_transform(range(1, len(ws) - 6),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS sh
+        |    FROM (SELECT bench_id,
+        |            string_split_regex(trim(text), '\s+') AS ws
+        |          FROM bench)
+        |    WHERE len(ws) >= 8)),
+        |bt AS (SELECT bench_id, count(*) AS n_bench FROM bsh GROUP BY 1),
+        |ov AS (
+        |  SELECT doc_id, bench_id, count(*) AS n_overlap
+        |  FROM csh JOIN bsh USING (sh) GROUP BY 1, 2)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(bench_id AS BIGINT) AS bench_id,
+        |  CAST(n_overlap AS BIGINT) AS n_overlap,
+        |  round(CAST(n_overlap AS DOUBLE) / n_bench, 4) AS bench_overlap_frac
+        |FROM ov JOIN bt USING (bench_id)""".stripMargin,
 
     "q11_knn_cosine" ->
       """WITH d AS (

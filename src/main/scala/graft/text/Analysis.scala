@@ -170,6 +170,48 @@ object Analysis {
           .otherwise(lit(0.0)).as("top_2gram_char_frac"))
   }
 
+  /** Benchmark-contamination detection — the decontamination pass every
+    * serious training pipeline runs before evaluation (exact n-gram
+    * collision against held-out benchmarks, the GPT-3/PaLM appendix
+    * method): for every (corpus doc, benchmark item) pair sharing at
+    * least one word n-gram, the overlap size and the fraction of the
+    * benchmark item's distinct shingles found in the doc.
+    *
+    * Shape: distinct shingles per side, hashed to 8 bytes, one equi-join
+    * on the hash — an inverted-index join, never corpus × benchmark. At
+    * n = 8 (default) shingles are phrase-selective, so list skew is
+    * bounded in practice; raise `n` to sharpen. Join carries only
+    * (id, hash) rows; texts never shuffle.
+    *
+    * Output: (doc_id, bench_id, n_overlap, bench_overlap_frac) — one row
+    * per colliding pair; `bench_overlap_frac` = n_overlap / the item's
+    * distinct-shingle count (1.0 = the full benchmark item appears).
+    * Benchmark items shorter than `n` words have no shingles and cannot
+    * collide. Hash collisions (64-bit) can overcount by ~n²/2⁶⁵ — at
+    * decontamination scale, negligible against the thresholding use.
+    */
+  def contaminationCheck(
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    def shingled(df: DataFrame, idCol: String, textCol: String,
+        idAlias: String) =
+      df.select(col(idCol).cast("long").as(idAlias),
+        explode(array_distinct(TextFns.wordShingles(col(textCol), n)))
+          .as("__sh"))
+        .select(col(idAlias), xxhash64(col("__sh")).as("__shh"))
+    val cSh = shingled(corpus, corpusIdCol, corpusTextCol, "doc_id")
+    val bSh = shingled(benchmark, benchIdCol, benchTextCol, "bench_id")
+    val bTotals = bSh.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_bench_shingles"))
+    cSh.join(bSh, "__shh")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_overlap"))
+      .join(bTotals, "bench_id")
+      .select(col("doc_id"), col("bench_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_bench_shingles"), 4)
+          .as("bench_overlap_frac"))
+  }
+
   /** Composed corpus-cleaning pipeline — the canonical training-data prep
     * flow: PII scrub → quality floor (token count, punctuation ratio) →
     * language filter → exact dedup (canonical doc per identical cleaned

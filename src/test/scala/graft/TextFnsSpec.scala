@@ -174,6 +174,27 @@ class TextFnsSpec extends SparkSpec {
     assert(got(4L) == ((4L, 0.75, 1.0, 1.2857)))
   }
 
+  test("contaminationCheck: exact shingle collisions with per-item fractions") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (2L, "totally different content with no shared phrases at all here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "w1 w2 w3 w4 w5 w6 w7 w8"),            // 1 shingle, fully in doc 1
+      (101L, "w2 w3 w4 w5 w6 w7 w8 w9 x1"),          // 2 shingles, 1 in doc 1
+      (102L, "a b c")                                 // < 8 words: no shingles
+    ).toDF("bench_id", "text")
+    val got = Analysis.contaminationCheck(docs, "doc_id", "text",
+      bench, "bench_id", "text", n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (1L, 100L) -> ((1L, 1.0)),
+      (1L, 101L) -> ((1L, 0.5))))
+  }
+
   test("repetitionStats: doubling a document pushes every line to dup") {
     import graft.text.Analysis
     import org.apache.spark.sql.functions._
