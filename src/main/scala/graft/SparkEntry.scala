@@ -821,6 +821,17 @@ object SparkEntry {
         bench, "bench_id", "text", n = 8)
     }),
 
+    // Deterministic stratified re-sampling (data mixing): down-weight en
+    // to 0.5 and zh to 0.25, keep the rest — membership is a pure md5
+    // hash decision, so the EXACT surviving row set is hash-checked
+    // against a SQL replica of the same hex-threshold rule.
+    "q62_stratified_sample" -> ((s, d) => {
+      graft.profile.Sampling.stratifiedHashSample(
+          t(s, d, "documents").select("doc_id", "lang", "source"),
+          "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.25))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1398,6 +1409,18 @@ object SparkEntry {
         |  CAST(n_overlap AS BIGINT) AS n_overlap,
         |  round(CAST(n_overlap AS DOUBLE) / n_bench, 4) AS bench_overlap_frac
         |FROM ov JOIN bt USING (bench_id)""".stripMargin,
+
+    // md5 hex-threshold membership is engine-independent: DuckDB replays
+    // the identical keep rule (0.5 → '8000', 0.25 → '4000' of 0x10000)
+    "q62_stratified_sample" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+        |FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN
+        |    substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN 'zh' THEN
+        |    substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  ELSE true END""".stripMargin,
 
     "q11_knn_cosine" ->
       """WITH d AS (

@@ -42,4 +42,39 @@ object Sampling {
       .union(tail.select(col(cTableCol).as("table")))
       .distinct()
   }
+
+  /** Deterministic stratified corpus re-sampling — the "data mixing" step
+    * of a training pipeline (down-weight an over-represented source or
+    * language to a target rate). Membership is a pure per-row hash
+    * decision: keep a row iff the first 4 hex digits of
+    * `md5(stratum ‖ ":" ‖ id)` fall below the stratum's rate threshold —
+    * so the operator is a scan-side filter with NO shuffle, NO window and
+    * NO per-stratum state, the same plan shape at 1 GB and 100 TB, and
+    * membership is stable across runs, partitionings, and engines (any
+    * system with md5 reproduces the exact row set — hex-digit strings
+    * compare lexicographically as numbers).
+    *
+    * Rate granularity is 1/65536; rates ≥ 1 keep everything. Sampling is
+    * binomial per stratum (each row an independent hash coin), not
+    * exact-count — the price of the shuffle-free plan, and the standard
+    * trade at corpus scale where exact counts would need a global sort.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0), "negative rate")
+    def keepExpr(rate: Double) =
+      if (rate >= 1.0) lit(true)
+      else substring(
+        md5(concat(col(strataCol), lit(":"), col(idCol).cast("string"))),
+        1, 4) < lit(f"${(rate * 65536).round.toInt}%04x")
+    val keep = rates.toSeq.sortBy(_._1).foldRight(keepExpr(defaultRate)) {
+      case ((stratum, rate), acc) =>
+        when(col(strataCol) === stratum, keepExpr(rate)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
 }

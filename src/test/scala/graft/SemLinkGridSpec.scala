@@ -87,4 +87,27 @@ class SemLinkGridSpec extends SparkSpec {
     // rows 4..5 of the deterministic ordering remain
     assert(tables.nonEmpty && tables.size <= 4)
   }
+
+  test("stratifiedHashSample: deterministic, per-stratum rates, partition-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Lake.documents(spark, sf0001)
+      .select("doc_id", "lang")
+    val rates = Map("en" -> 0.5, "zh" -> 0.0)
+    val s1 = Sampling.stratifiedHashSample(docs, "doc_id", "lang", rates)
+    val ids1 = s1.select("doc_id").as[Long].collect().toSet
+    // determinism + partition independence: membership is a pure per-row
+    // hash decision, so any repartitioning yields the same row set
+    val ids2 = Sampling.stratifiedHashSample(docs.repartition(13),
+      "doc_id", "lang", rates).select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // rate 0 drops the stratum entirely; default 1.0 keeps others whole
+    assert(s1.filter(col("lang") === "zh").count() == 0)
+    val othersIn = docs.filter(!col("lang").isin("en", "zh")).count()
+    assert(s1.filter(!col("lang").isin("en", "zh")).count() == othersIn)
+    // binomial rate lands near the target (500-doc corpus, wide tolerance)
+    val enTotal = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = s1.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept / enTotal - 0.5) < 0.15,
+      s"en keep rate ${enKept / enTotal} far from 0.5")
+  }
 }
