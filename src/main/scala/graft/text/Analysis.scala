@@ -120,8 +120,11 @@ object Analysis {
     * with no lines/words.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL text reads as the empty document (all metrics 0) — an inner
+    // join against the exploded lines would otherwise silently DROP the
+    // row from the output
     val base = df.select(col(idCol).cast("long").as("id"),
-      col(textCol).as("__text"))
+      coalesce(col(textCol), lit("")).as("__text"))
 
     // split limit −1 keeps trailing empty lines (matches SQL string_split)
     val lineCounts = base

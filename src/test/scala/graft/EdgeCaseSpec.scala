@@ -97,4 +97,52 @@ class EdgeCaseSpec extends SparkSpec {
     assert(noMerges.countTokens("ab cd") == 5) // byte-level fallback [a b Ġc d]
     assert(noMerges.truncate("ab cd", 3) == "ab ")
   }
+
+  test("repetitionStats: null text rows survive as all-zero rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\na"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = graft.text.Analysis.repetitionStats(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L, 2L)) // the null row is NOT dropped
+    assert(got(1L) == 0.5 && got(2L) == 0.0)
+  }
+
+  test("contaminationCheck: null/short texts produce no collisions, no errors") {
+    import spark.implicits._
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, null.asInstanceOf[String])).toDF("id", "text")
+    val bench = Seq((100L, null.asInstanceOf[String]), (101L, "a b"))
+      .toDF("id", "text")
+    assert(graft.text.Analysis.contaminationCheck(
+      docs, "id", "text", bench, "id", "text").count() == 0)
+  }
+
+  test("semanticNearDups: k-means degenerate cases") {
+    import spark.implicits._
+    // fewer vectors than clusters: nClusters clamps to the sample size
+    val tiny = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 5.0f))).toDF("id", "vec")
+    val pairs = graft.dedup.Dedup.semanticNearDups(tiny, "id", "vec",
+      maxCosineDistance = 1e-6, nClusters = 64, assignProbes = 4)
+      .collect()
+    // 1 and 2 share a direction exactly; 3 is orthogonal
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // all-zero input fails loudly instead of training on garbage
+    val zeros = Seq((1L, Array(0.0f, 0.0f))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.semanticNearDups(zeros, "id", "vec", 0.5)
+    }
+  }
+
+  test("pqKnn: k beyond candidates and tiny samples stay well-formed") {
+    import spark.implicits._
+    val vecs = (0L until 6L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat))).toDF("id", "vec")
+    val res = graft.knn.ApproxKnn.pqKnn(vecs, vecs, "id", "vec", k = 10,
+      m = 4, ksub = 256, rerank = 2)
+    // 6 candidates, self excluded → exactly 5 neighbors each, ranks 1..5
+    val byQ = res.collect().groupBy(_.getLong(0))
+    assert(byQ.size == 6 && byQ.values.forall(_.length == 5))
+  }
 }

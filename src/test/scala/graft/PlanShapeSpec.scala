@@ -150,4 +150,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("FileScan")) == 1, plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("PQ encode/ADC run as native expressions inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val sample = emb.select(col("embedding").cast("array<float>"))
+      .limit(200).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val books = graft.knn.Pq.train(sample, m = 8, ksub = 16)
+    val kernel = new org.apache.spark.sql.graft.PqKernel(
+      spark.sparkContext.broadcast(books))
+    // pqAdc's first arg is the query VECTOR — feeding the code is a type
+    // error the expression must reject at analysis, not runtime
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(
+        VectorExpressions.pqEncode(col("embedding"), kernel).as("code"))
+        .select(VectorExpressions.pqAdc(col("code"), col("code"), kernel).as("d"))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("pq_adc"))
+    val enc = emb.select(
+      VectorExpressions.pqEncode(col("embedding"), kernel).as("code"),
+      col("embedding"))
+      .select(VectorExpressions.pqAdc(col("embedding"), col("code"), kernel)
+        .as("d"))
+    enc.collect()
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("pq_adc") && l.contains("*(")),
+      s"pq_adc fell out of the codegen span:\n$plan")
+    assert(plan.contains("pq_encode"), plan)
+  }
 }
