@@ -832,6 +832,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Greedy sequence packing per source at a 2000-char budget — the
+    // inherently-sequential corpus→training-sequences step, run as one
+    // sorted streaming pass per group. Hash-checked against a recursive-
+    // CTE replica of the exact first-overflow recurrence.
+    "q63_pack_sequences" -> ((s, d) => {
+      graft.text.Packing.packGreedy(
+          t(s, d, "documents").select("doc_id", "n_chars", "source"),
+          "doc_id", "n_chars", "source", budget = 2000L)
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("size").as("n_chars"), col("seq_id"))
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1409,6 +1421,28 @@ object SparkEntry {
         |  CAST(n_overlap AS BIGINT) AS n_overlap,
         |  round(CAST(n_overlap AS DOUBLE) / n_bench, 4) AS bench_overlap_frac
         |FROM ov JOIN bt USING (bench_id)""".stripMargin,
+
+    // the greedy first-overflow recurrence replayed row-by-row as a
+    // recursive CTE (depth = max docs per source — catalog-bounded)
+    "q63_pack_sequences" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_chars, rn,
+        |    n_chars AS fill, CAST(0 AS BIGINT) AS seq
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.source, o.doc_id, o.n_chars, o.rn,
+        |    CASE WHEN p.fill + o.n_chars > 2000
+        |      THEN o.n_chars ELSE p.fill + o.n_chars END,
+        |    CASE WHEN p.fill + o.n_chars > 2000
+        |      THEN p.seq + 1 ELSE p.seq END
+        |  FROM packed p JOIN ordered o
+        |    ON o.source = p.source AND o.rn = p.rn + 1)
+        |SELECT source, doc_id, n_chars, seq AS seq_id FROM packed""".stripMargin,
 
     // md5 hex-threshold membership is engine-independent: DuckDB replays
     // the identical keep rule (0.5 → '8000', 0.25 → '4000' of 0x10000)

@@ -195,6 +195,36 @@ class TextFnsSpec extends SparkSpec {
       (1L, 101L) -> ((1L, 0.5))))
   }
 
+  test("packGreedy: hand-traced first-overflow packing, partition-stable") {
+    import spark.implicits._
+    import graft.text.Packing
+    // budget 10, group g: sizes 4,4,4 → seqs 0,0,1; 12 overflows alone
+    // into seq 2; 8 starts seq 3; 2 fits seq 3 (8+2 = 10 ≤ budget)
+    val docs = Seq(
+      ("g", 1L, 4L), ("g", 2L, 4L), ("g", 3L, 4L), ("g", 4L, 12L),
+      ("g", 5L, 8L), ("g", 6L, 2L),
+      ("h", 1L, 10L), ("h", 2L, 1L)
+    ).toDF("src", "id", "sz")
+    val got = Packing.packGreedy(docs, "id", "sz", "src", budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      ("g", 1L) -> 0L, ("g", 2L) -> 0L, ("g", 3L) -> 1L, ("g", 4L) -> 2L,
+      ("g", 5L) -> 3L, ("g", 6L) -> 3L,
+      ("h", 1L) -> 0L, ("h", 2L) -> 1L))
+    // repartitioning cannot change the per-group sorted pass
+    val got2 = Packing.packGreedy(docs.repartition(7), "id", "sz", "src", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got2 == got)
+    // every packed sequence respects the budget unless it is a single
+    // oversized doc
+    val seqs = Packing.packedSequences(
+      Packing.packGreedy(docs, "id", "sz", "src", 10L)).collect()
+    seqs.foreach { r =>
+      assert(r.getLong(3) <= 10L || r.getLong(2) == 1L,
+        s"overfull multi-doc sequence: $r")
+    }
+  }
+
   test("repetitionStats: doubling a document pushes every line to dup") {
     import graft.text.Analysis
     import org.apache.spark.sql.functions._
