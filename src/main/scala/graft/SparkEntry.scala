@@ -844,6 +844,15 @@ object SparkEntry {
           col("size").as("n_chars"), col("seq_id"))
     }),
 
+    // Sliding-window document chunking (32-token windows, stride 16 —
+    // overlapping context, the chunk → embed → index front end); every
+    // (doc, chunk_idx, chunk_text) row hash-checked against a SQL
+    // replica of the window arithmetic.
+    "q64_chunk_documents" -> ((s, d) => {
+      Analysis.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+        window = 32, stride = 16)
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1421,6 +1430,27 @@ object SparkEntry {
         |  CAST(n_overlap AS BIGINT) AS n_overlap,
         |  round(CAST(n_overlap AS DOUBLE) / n_bench, 4) AS bench_overlap_frac
         |FROM ov JOIN bt USING (bench_id)""".stripMargin,
+
+    // chunk-window arithmetic replayed over the token list: n_chunks =
+    // 1 for short docs else ceil((n-32)/16)+1; chunk k = tokens
+    // [16k+1 .. min(16k+32, n)] joined by single spaces
+    "q64_chunk_documents" ->
+      """WITH w AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    CASE WHEN len(ws) <= 32 THEN 1
+        |      ELSE CAST(ceil((len(ws) - 32) / 16.0) AS BIGINT) + 1 END AS nc
+        |  FROM w)
+        |SELECT doc_id, u.k AS chunk_idx, u.c AS chunk_text
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, nc),
+        |    k -> {'k': k,
+        |          'c': array_to_string(ws[k*16+1 : least(k*16+32, n)], ' ')}))
+        |    AS u
+        |  FROM n)""".stripMargin,
 
     // the greedy first-overflow recurrence replayed row-by-row as a
     // recursive CTE (depth = max docs per source — catalog-bounded)

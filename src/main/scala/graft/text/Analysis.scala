@@ -173,6 +173,20 @@ object Analysis {
           .otherwise(lit(0.0)).as("top_2gram_char_frac"))
   }
 
+  /** Long-document chunking — the front end of a chunk → embed → index
+    * pipeline: one row per sliding word-window (see
+    * [[graft.functions.TextFns.wordChunks]]), with the 0-based chunk
+    * index. Pure scan-side explode: no shuffle, no state; chunk ids are
+    * (doc, idx) so downstream embeddings/indexes key stably.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextFns.wordChunks(coalesce(col(textCol), lit("")),
+          window, stride)).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"))
+
   /** Benchmark-contamination detection — the decontamination pass every
     * serious training pipeline runs before evaluation (exact n-gram
     * collision against held-out benchmarks, the GPT-3/PaLM appendix

@@ -195,6 +195,28 @@ class TextFnsSpec extends SparkSpec {
       (1L, 101L) -> ((1L, 0.5))))
   }
 
+  test("wordChunks: window/stride arithmetic incl. short docs and exact fits") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    def chunksOf(text: String, w: Int, st: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextFns.wordChunks(col("t"), w, st).as("c"))
+        .collect().head.getAs[scala.collection.Seq[String]](0).toSeq
+    val ten = (1 to 10).map("w" + _).mkString(" ")
+    // n=10, window=4, stride=2 → starts 1,3,5,7 (chunk at 7 reaches token
+    // 10), nChunks = ceil(6/2)+1 = 4
+    assert(chunksOf(ten, 4, 2) == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    // window ≥ n → single chunk, the whole doc
+    assert(chunksOf("a b c", 10, 5) == Seq("a b c"))
+    // exact fit: n = window → one chunk
+    assert(chunksOf("a b c", 3, 1) == Seq("a b c"))
+    // tail shorter than window: n=5, w=4, st=4 → [1..4], [5]
+    assert(chunksOf("a b c d e", 4, 4) == Seq("a b c d", "e"))
+    // empty text → one empty chunk (the degenerate whole-doc window)
+    assert(chunksOf("", 4, 2) == Seq(""))
+  }
+
   test("packGreedy: hand-traced first-overflow packing, partition-stable") {
     import spark.implicits._
     import graft.text.Packing
