@@ -853,6 +853,27 @@ object SparkEntry {
         window = 32, stride = 16)
     }),
 
+    // Semantic dedup END-TO-END: corpus + scaled copies → blocked
+    // near-dup pairs → connected components → drop-list anti-join. The
+    // survivors must be EXACTLY the original corpus — a missed pair
+    // (blocking recall) leaves a copy alive, a spurious pair (threshold
+    // precision) kills an original; either breaks the row-set hash.
+    "q65_semantic_clean" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val dups = emb.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.5d)).cast("float"))
+          .as("embedding"))
+      val corpus = emb.unionByName(dups)
+      val pairs = graft.dedup.Dedup.semanticNearDups(corpus,
+        "vec_id", "embedding",
+        maxCosineDistance = 1e-6, nClusters = 16, assignProbes = 2)
+      corpus.join(
+          graft.dedup.Dedup.nearDupDropList(pairs)
+            .withColumnRenamed("id", "vec_id"),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1325,6 +1346,11 @@ object SparkEntry {
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,
+
+    // end-to-end semantic dedup: survivors are exactly the originals
+    // (no natural near-identical pairs exist in the corpus — verified)
+    "q65_semantic_clean" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings""",
 
     // semantic-dedup recovery gate: every vector must pair with its
     // scaled copy at cosine distance 0 (direction is scale-invariant)
