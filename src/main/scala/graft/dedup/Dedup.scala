@@ -103,7 +103,13 @@ object Dedup {
     val toksPlain = df.select(
       col(idCol).cast("long").as("id"),
       explode(elemsCol).as("tok"))
-    val toks = if (materializeTokens) toksPlain.localCheckpoint() else toksPlain
+    // LAZY checkpoint: materializes on the first action over the returned
+    // frame (then reused by every reference) — the eager default would run
+    // the full tokenize+explode as a side effect of merely CONSTRUCTING
+    // the plan, before the caller composes or executes it
+    val toks =
+      if (materializeTokens) toksPlain.localCheckpoint(eager = false)
+      else toksPlain
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
 
@@ -309,8 +315,10 @@ object Dedup {
     val assignedPlain = graft.util.Par.balance(unit)
       .withColumn("cid", explode(graft.functions.VectorExpressions
         .nearestCentroids(col("__vec"), kernel, assignProbes)))
+    // lazy for the same reason as setJaccardPairs: constructing the
+    // near-dup plan must not run the assign job before the caller acts
     val assigned =
-      if (materializeAssignments) assignedPlain.localCheckpoint()
+      if (materializeAssignments) assignedPlain.localCheckpoint(eager = false)
       else assignedPlain
     // unit vectors: cosine distance = squared-L2 / 2 (see unitNormalized)
     val l2 = graft.functions.VectorExpressions.squaredL2(

@@ -58,6 +58,17 @@ object LshDedupIndex {
     * mid-build fails the (idempotent, restartable) build rather than
     * recomputing — acceptable for an offline index write; pass smaller
     * batches if re-running the kernel is cheaper than holding signatures.
+    *
+    * Write ORDER is the append crash-safety protocol: bands stage FIRST,
+    * the signatures write is the commit point. An id is "in the index"
+    * iff its signature row exists — [[append]]'s already-present check
+    * reads signatures, and [[candidatesAgainst]]'s final inner join on
+    * the signature fetch makes orphaned band rows (a crash between the
+    * two writes) invisible to probes. Retrying the crashed append then
+    * passes the id check and re-stages the batch's band rows — the
+    * duplicates collapse in the probe's pair-level dropDuplicates, and
+    * the commit completes. The reverse order would strand the batch:
+    * present by id, invisible to probes, and unretryable.
     */
   private def writeState(
       spark: SparkSession,
@@ -72,7 +83,6 @@ object LshDedupIndex {
     val numHashes = bands * rowsPerBand
     val signed = Dedup.minhashSigned(docs, idCol, textCol, shingleSize, numHashes)
       .localCheckpoint()
-    signed.write.mode(mode).parquet(s"$dir/signatures")
     // band rows are (band, band_hash, id) — 20 bytes of data per row, the
     // whole bucket structure; partitioned by band so a reduced-band probe
     // prunes directories at file-listing level
@@ -85,6 +95,8 @@ object LshDedupIndex {
       .write.mode(mode)
       .partitionBy("band")
       .parquet(s"$dir/bands")
+    // commit point (see the write-order doc above)
+    signed.write.mode(mode).parquet(s"$dir/signatures")
     signed.count()
   }
 

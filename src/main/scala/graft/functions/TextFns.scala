@@ -170,16 +170,24 @@ object TextFns {
   /** Sliding word-window chunks: `window` tokens per chunk, starts every
     * `stride` tokens, stopping once a chunk has reached the last token —
     * the standard long-document split ahead of an embedding model's
-    * context limit (stride < window ⟹ overlapping context). A document
-    * shorter than `window` yields exactly one chunk; tokenization matches
-    * [[wordShingles]] (whitespace runs on the trimmed text).
+    * context limit (stride < window ⟹ overlapping context; stride >
+    * window ⟹ gapped sampling, where chunks stop at the last start
+    * still inside the document and the tail between starts is skipped by
+    * construction). A document shorter than `window` yields exactly one
+    * chunk; tokenization matches [[wordShingles]] (whitespace runs on
+    * the trimmed text).
     */
   def wordChunks(c: Column, window: Int, stride: Int): Column = {
     require(window > 0 && stride > 0, "wordChunks: window and stride must be > 0")
     val toks = split(trim(c), "\\s+")
     val n = size(toks)
-    val nChunks = when(n <= window, lit(1L))
-      .otherwise(ceil((n - window).cast("double") / stride).cast("long") + 1L)
+    // last chunk = the first one reaching the last token, capped at the
+    // last start inside the document — without the cap, stride > window
+    // would emit starts past the end as spurious empty chunks
+    val lastK = least(
+      ceil((n - window).cast("double") / stride).cast("long"),
+      floor((n - 1).cast("double") / stride).cast("long"))
+    val nChunks = when(n <= window, lit(1L)).otherwise(lastK + 1L)
     transform(sequence(lit(0L), nChunks - 1L),
       k => concat_ws(" ", slice(toks, (k * stride + 1).cast("int"), lit(window))))
   }

@@ -202,9 +202,11 @@ object HnswIndex {
     * (plain parquet append — no live file is touched), and the append
     * commits by publishing a new manifest (atomic rename). A failure at
     * any earlier point leaves the previous manifest resolving the
-    * previous, fully-intact generation; orphaned new-generation files are
-    * dead weight, never a correctness hazard. Superseded generation
-    * directories are deleted best-effort AFTER the commit.
+    * previous, fully-intact generation; files a crashed attempt staged
+    * under the next generation are cleared before the retry stages its
+    * own (they would otherwise combine into duplicated node rows at the
+    * commit). Superseded generation directories are deleted best-effort
+    * AFTER the commit.
     *
     * Hyperparameters come from `params/`. Returns the appended row count.
     */
@@ -262,6 +264,14 @@ object HnswIndex {
         .toDF("shard", "pos", "id", "vec", "links")
         .withColumn("g", lit(gen + 1))
         .repartition(col("shard"))
+      val fs = new Path(s"$dir/nodes").getFileSystem(
+        spark.sessionState.newHadoopConf())
+      // the live manifest resolves gen, so anything already under
+      // g=gen+1 is debris from an append that crashed BEFORE its commit:
+      // staging into it un-cleared would append a second copy of every
+      // rebuilt row and the manifest below would commit the duplicates
+      // (single-writer assumption, as documented on this method)
+      fs.delete(new Path(s"$dir/nodes/g=${gen + 1}"), true)
       // the rebuilt shards land in generation gen+1: plain append, no
       // live file rewritten — the manifest rename below is the commit
       rebuilt.write.mode(SaveMode.Append)
@@ -272,8 +282,6 @@ object HnswIndex {
       // superseded generation dirs are garbage once the new manifest is
       // committed; deletion is best-effort (a failure here leaves orphans,
       // never an inconsistent index)
-      val fs = new Path(s"$dir/nodes").getFileSystem(
-        spark.sessionState.newHadoopConf())
       touchedLive.foreach { case (s, g) =>
         try fs.delete(new Path(s"$dir/nodes/g=$g/shard=$s"), true)
         catch { case scala.util.control.NonFatal(_) => }
@@ -362,6 +370,11 @@ object HnswIndex {
     fs.listStatus(mdir).foreach { st =>
       st.getPath.getName match {
         case mPat(n) if n.toInt < liveGen =>
+          if (fs.delete(st.getPath, false)) removed += 1
+        // a writeManifest that crashed between create and rename leaves
+        // its temp file behind forever — crash debris this tool exists
+        // to collect (single-writer: no in-flight commit can be racing)
+        case name if name.endsWith(".inprogress") =>
           if (fs.delete(st.getPath, false)) removed += 1
         case _ => ()
       }

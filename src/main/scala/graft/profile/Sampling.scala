@@ -66,11 +66,16 @@ object Sampling {
       rates: Map[String, Double],
       defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(_ >= 0), "negative rate")
-    def keepExpr(rate: Double) =
-      if (rate >= 1.0) lit(true)
+    def keepExpr(rate: Double) = {
+      val threshold = (rate * 65536).round.toInt
+      // a rate just under 1.0 can round UP to 65536, whose hex rendering
+      // is 5 chars — lexicographically BELOW almost every 4-char prefix,
+      // which would silently drop ~94% of a stratum meant to keep ~100%
+      if (rate >= 1.0 || threshold >= 65536) lit(true)
       else substring(
         md5(concat(col(strataCol), lit(":"), col(idCol).cast("string"))),
-        1, 4) < lit(f"${(rate * 65536).round.toInt}%04x")
+        1, 4) < lit(f"$threshold%04x")
+    }
     val keep = rates.toSeq.sortBy(_._1).foldRight(keepExpr(defaultRate)) {
       case ((stratum, rate), acc) =>
         when(col(strataCol) === stratum, keepExpr(rate)).otherwise(acc)

@@ -172,6 +172,11 @@ object Streams {
     * columns; `maxFilesPerTrigger` bounds batch size (queries per batch ×
     * k rows of output state — nothing else accumulates). Returns the
     * union of all batches' results read back from `outDir`.
+    *
+    * `outDir` is OWNED by the call: it is cleared first, so a re-run
+    * (whose fresh checkpoint replays every source file) returns one
+    * result set instead of appending a duplicate copy per invocation.
+    * An empty `queriesDir` returns an empty, correctly-shaped frame.
     */
   def knnEnrichOnce(
       spark: SparkSession,
@@ -186,6 +191,9 @@ object Streams {
       maxFilesPerTrigger: Int = 1): DataFrame = {
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_knn_ckpt")
     graft.util.TempDirs.register(checkpoint.toString)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
     spark.readStream
       .schema(querySchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -202,7 +210,18 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    spark.read.parquet(outDir)
+    if (fs.exists(outPath)) spark.read.parquet(outDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType))))
   }
 
   /** Streaming exact dedup, EXECUTED: the events file is staged TWICE

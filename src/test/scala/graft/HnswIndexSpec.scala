@@ -133,6 +133,33 @@ class HnswIndexSpec extends SparkSpec {
       "orphaned uncommitted generation leaked into search results")
   }
 
+  test("append retry after a staging-only crash equals a clean append") {
+    val dirCrash = tempDir("retry")
+    val dirClean = tempDir("retry_clean")
+    val base = emb.filter(col("vec_id") < 200)
+    val rest = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+    HnswIndex.build(base, "vec_id", "embedding", dirCrash, shards = 4)
+    HnswIndex.build(base, "vec_id", "embedding", dirClean, shards = 4)
+    // simulate attempt #1 crashing AFTER staging rows into g=1 but BEFORE
+    // the manifest commit: plausible node rows sit in the exact directory
+    // the retry will stage into
+    val live = spark.read.parquet(s"$dirCrash/nodes").drop("g")
+    spark.createDataFrame(live.collectAsList(), live.schema)
+      .withColumn("g", lit(1))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("g", "shard").parquet(s"$dirCrash/nodes")
+    // the retry must clear the debris first — otherwise the commit would
+    // publish every rebuilt shard's rows twice
+    HnswIndex.append(spark, dirCrash, rest, "vec_id", "embedding")
+    HnswIndex.append(spark, dirClean, rest, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 260).limit(60)
+    def results(dir: String) = HnswIndex
+      .search(spark, dir, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(results(dirCrash) == results(dirClean),
+      "staging debris from the crashed attempt leaked into the committed index")
+  }
+
   test("rebuild-in-place after appends: fresh build clears stale manifests") {
     val dir = tempDir("rebuild")
     val base = emb.filter(col("vec_id") < 200)

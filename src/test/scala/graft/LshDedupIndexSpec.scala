@@ -94,4 +94,36 @@ class LshDedupIndexSpec extends SparkSpec {
       .collect()
     assert(got.length == 100)
   }
+
+  test("crashed append (bands staged, signatures not committed) is invisible and retryable") {
+    val dir = tempDir("crash")
+    LshDedupIndex.build(docs, "doc_id", "text", dir)
+    val batch = docs.withColumn("doc_id", col("doc_id") + 1000000)
+    // simulate the pre-commit crash state of the band-first write order:
+    // the batch's band rows are staged, its signature rows are NOT —
+    // fabricated via a throwaway index on the batch (same default params)
+    val stage = tempDir("stage")
+    LshDedupIndex.build(batch, "doc_id", "text", stage)
+    spark.read.parquet(s"$stage/bands")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("band").parquet(s"$dir/bands")
+    // a probe batch colliding with BOTH corpus and phantom ids must not
+    // surface the phantoms: no committed signature row, no pair
+    val probe = docs.withColumn("doc_id", col("doc_id") + 2000000)
+    val before = LshDedupIndex
+      .candidatesAgainst(spark, dir, probe, "doc_id", "text")
+    assert(before.filter(col("indexed_id") >= 1000000L).count() == 0,
+      "uncommitted band rows leaked into candidates")
+    // the retry passes the id-presence check (commit marker = signatures)
+    // and completes the append; duplicated band rows collapse per pair
+    assert(LshDedupIndex.append(spark, dir, batch, "doc_id", "text") ==
+      batch.count())
+    val after = LshDedupIndex
+      .candidatesAgainst(spark, dir, probe, "doc_id", "text")
+      .filter(col("new_id") === col("indexed_id") + 1000000)
+      .collect()
+    assert(after.length == docs.count(), "retried batch not fully probed")
+    assert(after.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      after.length, "duplicate candidate pairs after retry")
+  }
 }

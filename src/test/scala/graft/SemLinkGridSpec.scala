@@ -109,5 +109,10 @@ class SemLinkGridSpec extends SparkSpec {
     val enKept = s1.filter(col("lang") === "en").count().toDouble
     assert(math.abs(enKept / enTotal - 0.5) < 0.15,
       s"en keep rate ${enKept / enTotal} far from 0.5")
+    // a rate rounding UP to the full 16-bit threshold must keep ~all rows,
+    // not fall into the 5-hex-char lexicographic trap
+    val nearOne = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 0.9999999))
+    assert(nearOne.filter(col("lang") === "en").count() == enTotal.toLong)
   }
 }

@@ -197,5 +197,19 @@ class StreamsSpec extends SparkSpec {
     val parts = new java.io.File(s"$base/out")
       .listFiles().count(_.getName.startsWith("part-"))
     assert(parts >= 3, s"expected >=3 sink part files, got $parts")
+    // a RE-RUN owns the sink dir: same single result set, not a second
+    // appended copy (the fresh checkpoint replays every source file);
+    // `streamed` itself is stale after the rerun rewrote outDir — compare
+    // against the batch result
+    val rerun = Streams.knnEnrichOnce(spark, s"$base/queries", qSchema,
+      s"$base/index", s"$base/out", "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    assert(keyed(rerun) == keyed(batch))
+    // an empty source directory yields an empty, correctly-shaped frame
+    val emptyDir = Files.createTempDirectory("knn_serve_empty").toString
+    val none = Streams.knnEnrichOnce(spark, emptyDir, qSchema,
+      s"$base/index", s"$base/out_none", "vec_id", "embedding", k = 5)
+    assert(none.isEmpty &&
+      none.columns.toSeq == Seq("query_id", "neighbor_id", "dist", "rank"))
   }
 }

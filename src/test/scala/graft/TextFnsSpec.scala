@@ -215,6 +215,12 @@ class TextFnsSpec extends SparkSpec {
     assert(chunksOf("a b c d e", 4, 4) == Seq("a b c d", "e"))
     // empty text → one empty chunk (the degenerate whole-doc window)
     assert(chunksOf("", 4, 2) == Seq(""))
+    // gapped sampling (stride > window): starts stay inside the document —
+    // no spurious trailing empty chunks
+    assert(chunksOf(ten, 2, 4) == Seq("w1 w2", "w5 w6", "w9 w10"))
+    assert(chunksOf(ten, 3, 7) == Seq("w1 w2 w3", "w8 w9 w10"))
+    // n=10, w=2, st=9 → starts 1, 10; the last chunk is the short tail
+    assert(chunksOf(ten, 2, 9) == Seq("w1 w2", "w10"))
   }
 
   test("packGreedy: hand-traced first-overflow packing, partition-stable") {
