@@ -39,8 +39,13 @@ object IvfIndex {
     * `IndexIVFPQ` contract: `pqM` subspaces × `pqKsub` centroids, see
     * [[Pq]]) on the same sample and stores an m-byte `code` column in
     * every list — [[search]] with `usePq = true` then scans codes
-    * instead of vectors. Codebooks persist under `pq/` as (s, c, vec)
-    * rows; their absence marks a vectors-only index.
+    * instead of vectors. `pqByResidual` (default, matching FAISS) makes
+    * the codes quantize `v − coarseCentroid` instead of `v`: within a
+    * list every vector shares the centroid offset, so the residual cloud
+    * is far tighter than absolute positions and the same code budget
+    * buys materially lower quantization error. Codebooks persist under
+    * `pq/` as (s, c, vec, residual) rows; their absence marks a
+    * vectors-only index.
     */
   def build(
       candidates: DataFrame,
@@ -53,7 +58,8 @@ object IvfIndex {
       sampleCap: Int = 20000,
       seed: Int = 42,
       pqM: Int = 0,
-      pqKsub: Int = 256): Int = {
+      pqKsub: Int = 256,
+      pqByResidual: Boolean = true): Int = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
@@ -85,14 +91,31 @@ object IvfIndex {
 
     // PQ codebooks train on the same (assign-space) sample: under cosine
     // the sample is already unit-normalized, so codes quantize the sphere
-    // the distances are measured on
+    // the distances are measured on. Residual mode trains on
+    // v − nearestCoarseCentroid(v) — the cloud the codes will actually
+    // quantize at write time.
     val pq =
       if (pqM <= 0) None
-      else Some(Pq.train(sample, pqM, pqKsub, kmeansIters, seed))
+      else {
+        val trainSample =
+          if (!pqByResidual) sample
+          else sample.map { v =>
+            val c = centroids(nearestIdx(centroids, v))
+            val r = new Array[Float](v.length)
+            var i = 0
+            while (i < v.length) {
+              r(i) = v(i) - (if (i < c.length) c(i) else 0.0f); i += 1
+            }
+            r
+          }
+        Some((Pq.train(trainSample, pqM, pqKsub, kmeansIters, seed),
+          pqByResidual))
+      }
     pq match {
-      case Some(cb) =>
+      case Some((cb, residual)) =>
         (for { s <- 0 until cb.m; c <- 0 until cb.ksub }
-          yield (s, c, cb.centroids(s)(c))).toDF("s", "c", "vec")
+          yield (s, c, cb.centroids(s)(c), residual))
+          .toDF("s", "c", "vec", "residual")
           .repartition(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/pq")
       case None =>
@@ -111,6 +134,23 @@ object IvfIndex {
     centroids.length
   }
 
+  /** Index of the nearest centroid to `v` (driver-side; ties → lowest). */
+  private def nearestIdx(centroids: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      var d = 0.0
+      var i = 0
+      val m = math.min(c.length, v.length)
+      while (i < m) { val x = v(i) - c(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
   /** Distributed assign + partitioned write shared by [[build]] and
     * [[append]]. The nearest-centroid assign runs the native codegen
     * expression over the broadcast codebook — it touches EVERY row, the
@@ -125,7 +165,7 @@ object IvfIndex {
       dir: String,
       centroids: Array[Array[Float]],
       cosine: Boolean,
-      pq: Option[PqCodebooks],
+      pq: Option[(PqCodebooks, Boolean)],
       mode: SaveMode): Unit = {
     val spark = vectors.sparkSession
     val kernel = new org.apache.spark.sql.graft.CentroidKernel(
@@ -141,19 +181,25 @@ object IvfIndex {
         when(norm > 0, transform(col("vec"), x => (x / norm).cast("float")))
           .otherwise(col("vec"))
       }
+    val withCid = base.withColumn("cid",
+      graft.functions.VectorExpressions.nearestCentroid(assignVec, kernel))
     // the PQ code quantizes the ASSIGN-space vector (normalized under
-    // cosine) — the same vector ADC distances are measured against
+    // cosine) — the same vector ADC distances are measured against; in
+    // residual mode the code quantizes its offset from the list centroid
     val withCode = pq match {
-      case None => base
-      case Some(cb) =>
+      case None => withCid
+      case Some((cb, residual)) =>
         val pqKernel = new org.apache.spark.sql.graft.PqKernel(
-          spark.sparkContext.broadcast(cb))
-        base.withColumn("code",
-          graft.functions.VectorExpressions.pqEncode(assignVec, pqKernel))
+          spark.sparkContext.broadcast(cb),
+          if (residual) spark.sparkContext.broadcast(centroids) else null)
+        withCid.withColumn("code",
+          if (residual)
+            graft.functions.VectorExpressions.pqEncodeResidual(
+              assignVec, col("cid"), pqKernel)
+          else
+            graft.functions.VectorExpressions.pqEncode(assignVec, pqKernel))
     }
     withCode
-      .withColumn("cid",
-        graft.functions.VectorExpressions.nearestCentroid(assignVec, kernel))
       // cluster by list before writing: without this every task writes a
       // sliver into every cid directory (tasks × nList small files — slow
       // to commit here, slow to list/read at scale). One shuffle buys one
@@ -193,26 +239,35 @@ object IvfIndex {
     n
   }
 
-  /** The persisted PQ codebooks, if this index was built with `pqM > 0`.
-    * Presence of `pq/` IS the marker — m/ksub/dsub reconstruct from the
-    * (s, c, vec) rows, no params round-trip to drift against.
+  /** The persisted PQ codebooks (and their residual flag), if this index
+    * was built with `pqM > 0`. Presence of `pq/` IS the marker —
+    * m/ksub/dsub reconstruct from the (s, c, vec) rows, no params
+    * round-trip to drift against; a pre-residual layout without the flag
+    * column reads as raw (absolute-position) codes.
     */
-  private def loadPq(spark: SparkSession, dir: String): Option[PqCodebooks] = {
+  private def loadPq(spark: SparkSession, dir: String): Option[(PqCodebooks, Boolean)] = {
     import spark.implicits._
     val p = new Path(s"$dir/pq")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
-      val rows = spark.read.parquet(s"$dir/pq")
-        .select(col("s"), col("c"), col("vec").cast("array<float>"))
-        .as[(Int, Int, Array[Float])].collect()
+      val raw = spark.read.parquet(s"$dir/pq")
+      val withFlag =
+        if (raw.columns.contains("residual")) raw
+        else raw.withColumn("residual", lit(false))
+      val rows = withFlag
+        .select(col("s"), col("c"), col("vec").cast("array<float>"),
+          col("residual"))
+        .as[(Int, Int, Array[Float], Boolean)].collect()
       require(rows.nonEmpty, s"IvfIndex: empty pq codebooks under $dir")
       val m = rows.map(_._1).max + 1
       val ksub = rows.map(_._2).max + 1
       require(rows.length == m * ksub, s"IvfIndex: ragged pq codebooks under $dir")
+      require(rows.map(_._4).distinct.length == 1,
+        s"IvfIndex: inconsistent residual flags under $dir")
       val books = Array.ofDim[Array[Float]](m, ksub)
-      rows.foreach { case (s, c, v) => books(s)(c) = v }
-      Some(new PqCodebooks(books))
+      rows.foreach { case (s, c, v, _) => books(s)(c) = v }
+      Some((new PqCodebooks(books), rows.head._4))
     }
   }
 
@@ -317,11 +372,13 @@ object IvfIndex {
       // neighbors' vectors for exact distances (narrow id join against
       // the probed lists), which also restores the zero-vector-queries-
       // score-1.0 cosine convention that raw ADC cannot express.
-      val pq = loadPq(spark, dir).getOrElse(throw new IllegalArgumentException(
-        s"IvfIndex.search(usePq = true): no pq/ codebooks under $dir — " +
-          "build the index with pqM > 0"))
+      val (pq, residual) = loadPq(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"IvfIndex.search(usePq = true): no pq/ codebooks under $dir — " +
+            "build the index with pqM > 0"))
       val pqKernel = new org.apache.spark.sql.graft.PqKernel(
-        spark.sparkContext.broadcast(pq))
+        spark.sparkContext.broadcast(pq),
+        if (residual) spark.sparkContext.broadcast(centroids) else null)
       // ADC queries must live in the space the codes quantize: unit-
       // normalized under cosine, raw under L2
       val adcProbed = probed.withColumn("__adc_vec",
@@ -340,8 +397,11 @@ object IvfIndex {
       val pairs =
         if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
         else joined
-      val adc = graft.functions.VectorExpressions.pqAdc(
-        col("__adc_vec"), col("code"), pqKernel)
+      val adc =
+        if (residual) graft.functions.VectorExpressions.pqAdcResidual(
+          col("__adc_vec"), col("cid"), col("code"), pqKernel)
+        else graft.functions.VectorExpressions.pqAdc(
+          col("__adc_vec"), col("code"), pqKernel)
       val keep = if (rerank > 0) k * rerank else k
       val shortList = pairs
         .withColumn("dist", if (cosine) adc / 2.0 else adc)

@@ -35,8 +35,11 @@ final class PqCodebooks(val centroids: Array[Array[Array[Float]]])
   /** Nearest sub-centroid id per subspace — the PQ code. Input shorter
     * than `dim` reads as zero-padded (matching the engine-wide
     * short-dimension convention); ties keep the lowest centroid id.
+    * With `base != null` the RESIDUAL `v − base` is encoded (IVF-PQ
+    * by-residual form: codes quantize the offset from the coarse
+    * centroid, which is far tighter than quantizing absolute position).
     */
-  def encode(v: ArrayData): Array[Byte] = {
+  def encode(v: ArrayData, base: Array[Float] = null): Array[Byte] = {
     val n = v.numElements()
     val code = new Array[Byte](m)
     var s = 0
@@ -51,7 +54,8 @@ final class PqCodebooks(val centroids: Array[Array[Array[Float]]])
         var d = 0.0
         var i = 0
         while (i < dsub) {
-          val x = (if (off + i < n) v.getFloat(off + i) else 0.0f) - c(i)
+          var x = (if (off + i < n) v.getFloat(off + i) else 0.0f) - c(i)
+          if (base != null && off + i < base.length) x -= base(off + i)
           d += x * x
           i += 1
         }
@@ -108,8 +112,11 @@ final class PqCodebooks(val centroids: Array[Array[Array[Float]]])
     * candidates in a tight loop (the broadcast-side shape), and this
     * row-wise form inside relational joins. Matches
     * `adcDist(code, adcTable(q))` to float-accumulation rounding.
+    * With `base != null` the code reconstructs `base + centroid` (the
+    * residual form: distance is measured from `q − base` to the
+    * sub-centroid, same arithmetic cost).
     */
-  def adcDirect(q: ArrayData, code: Array[Byte]): Double = {
+  def adcDirect(q: ArrayData, code: Array[Byte], base: Array[Float] = null): Double = {
     val n = q.numElements()
     var d = 0.0
     var s = 0
@@ -119,7 +126,8 @@ final class PqCodebooks(val centroids: Array[Array[Array[Float]]])
       var part = 0.0
       var i = 0
       while (i < dsub) {
-        val x = (if (off + i < n) q.getFloat(off + i) else 0.0f) - c(i)
+        var x = (if (off + i < n) q.getFloat(off + i) else 0.0f) - c(i)
+        if (base != null && off + i < base.length) x -= base(off + i)
         part += x * x
         i += 1
       }

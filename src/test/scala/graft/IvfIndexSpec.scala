@@ -256,6 +256,54 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("residual PQ reconstructs tighter than raw PQ (mean quantization error)") {
+    import spark.implicits._
+    val dirRes = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
+    val dirRaw = java.nio.file.Files.createTempDirectory("ivfpq_raw").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dirRes, nList = 8,
+      pqM = 8, pqKsub = 16, pqByResidual = true)
+    IvfIndex.build(emb, "vec_id", "embedding", dirRaw, nList = 8,
+      pqM = 8, pqKsub = 16, pqByResidual = false)
+
+    def meanSelfAdc(dir: String, residual: Boolean): Double = {
+      val rows = spark.read.parquet(s"$dir/pq")
+        .select(col("s"), col("c"), col("vec").cast("array<float>"))
+        .as[(Int, Int, Array[Float])].collect()
+      val m = rows.map(_._1).max + 1
+      val ksub = rows.map(_._2).max + 1
+      val books = Array.ofDim[Array[Float]](m, ksub)
+      rows.foreach { case (s, c, v) => books(s)(c) = v }
+      val coarse = spark.read.parquet(s"$dir/centroids")
+        .select(col("cid"), col("vec").cast("array<float>"))
+        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+      val kernel = new org.apache.spark.sql.graft.PqKernel(
+        spark.sparkContext.broadcast(new graft.knn.PqCodebooks(books)),
+        if (residual) spark.sparkContext.broadcast(coarse) else null)
+      val lists = spark.read.parquet(s"$dir/assignments")
+        .select(col("vec").cast("array<float>").as("v"), col("cid"), col("code"))
+      val selfD =
+        if (residual) graft.functions.VectorExpressions.pqAdcResidual(
+          col("v"), col("cid"), col("code"), kernel)
+        else graft.functions.VectorExpressions.pqAdc(col("v"), col("code"), kernel)
+      lists.select(avg(selfD)).collect().head.getDouble(0)
+    }
+    val errRes = meanSelfAdc(dirRes, residual = true)
+    val errRaw = meanSelfAdc(dirRaw, residual = false)
+    // a vector's ADC distance to its OWN code is its quantization error;
+    // quantizing centroid offsets must beat quantizing absolute position
+    assert(errRes < errRaw,
+      s"residual error $errRes not below raw error $errRaw")
+    // the flag rides the index: both modes search well-formed (recall
+    // floors at production-grade codebooks are asserted by the other
+    // IVF-PQ tests; this config is deliberately coarse to expose error)
+    for (dir <- Seq(dirRes, dirRaw)) {
+      val got = IvfIndex.search(spark, dir, emb, "vec_id", "embedding",
+        k = 5, nProbe = 8, usePq = true, rerank = 4)
+      assert(got.groupBy("query_id").count()
+        .filter(col("count") =!= 5).count() == 0)
+    }
+  }
+
   test("usePq on a vectors-only index fails with a clear message") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq5").toString
     IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 4)
