@@ -874,6 +874,20 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // Leakage-safe split over a known pair graph: corpus + copies with an
+    // explicit (id, id+1000000) pair list → components collapse each pair
+    // to its min id, the split keys on the component, and the whole
+    // (id, component, is_test) assignment is hash-checked against a SQL
+    // replica of both the closure and the md5 threshold rule.
+    "q66_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val corpus = docs.unionByName(docs.select((col("id") + 1000000).as("id")))
+      val pairs = docs.select(col("id").as("id_a"),
+        (col("id") + 1000000).as("id_b"))
+      graft.dedup.Dedup.leakageSafeSplit(corpus, "id", pairs, testFrac = 0.3)
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1351,6 +1365,22 @@ object SparkEntry {
     // (no natural near-identical pairs exist in the corpus — verified)
     "q65_semantic_clean" ->
       """SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings""",
+
+    // component = pair minimum; is_test replays the md5 hex-threshold
+    // rule on the component key (0.3 → round(0.3·65536) = 0x4ccd)
+    "q66_leakage_split" ->
+      """WITH ids AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id AS BIGINT) AS component
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT),
+        |    CAST(doc_id AS BIGINT)
+        |  FROM documents)
+        |SELECT id, component,
+        |  substr(md5('split:' || CAST(component AS VARCHAR)), 1, 4) < '4ccd'
+        |    AS is_test
+        |FROM ids""".stripMargin,
 
     // semantic-dedup recovery gate: every vector must pair with its
     // scaled copy at cosine distance 0 (direction is scale-invariant)

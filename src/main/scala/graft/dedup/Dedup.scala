@@ -397,4 +397,37 @@ object Dedup {
     nearDupComponents(pairs, maxIters)
       .filter(col("id") =!= col("component"))
       .select("id")
+
+  /** Leakage-safe train/test split: near-duplicates must not straddle the
+    * boundary (a test doc whose near-copy sits in train is evaluation
+    * leakage — the split-level counterpart of dedup itself). The split
+    * key is the near-dup COMPONENT label, so every member of a connected
+    * near-dup group lands on the same side; singletons key on their own
+    * id. Membership is the [[graft.profile.Sampling.stratifiedHashSample]]
+    * hash rule (md5 hex threshold — deterministic, partition-stable,
+    * engine-independent), applied to the component key.
+    *
+    * Returns (id, component, is_test). `pairs` comes from any near-dup
+    * producer above; docs absent from `pairs` are their own component.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      testFrac: Double,
+      maxIters: Int = 20): DataFrame = {
+    require(testFrac >= 0 && testFrac <= 1,
+      s"leakageSafeSplit: testFrac must be in [0,1], got $testFrac")
+    val comp = nearDupComponents(pairs, maxIters)
+    val threshold = (testFrac * 65536).round.toInt
+    val keyed = df.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val isTest =
+      if (testFrac >= 1.0 || threshold >= 65536) lit(true)
+      else if (threshold <= 0) lit(false)
+      else substring(md5(concat(lit("split:"), col("component").cast("string"))),
+        1, 4) < lit(f"$threshold%04x")
+    keyed.withColumn("is_test", isTest)
+  }
 }

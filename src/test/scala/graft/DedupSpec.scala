@@ -252,6 +252,31 @@ class DedupSpec extends SparkSpec {
       .filter(col("component") =!= col("id") - 10000L).count() == 0)
   }
 
+  test("leakageSafeSplit: near-dup groups never straddle the boundary") {
+    import spark.implicits._
+    // 600 docs; pairs chain 0~1~2, 10~11, and a cross-id-range pair
+    val docs = (0L until 600L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (5L, 599L))
+      .toDF("id_a", "id_b")
+    val split = Dedup.leakageSafeSplit(docs, "id", pairs, testFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(split.size == 600)
+    // every paired group shares one side AND one component
+    for (group <- Seq(Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(5L, 599L))) {
+      assert(group.map(split(_)._2).distinct.size == 1,
+        s"group $group straddles the split")
+      assert(group.map(split(_)._1).distinct.size == 1)
+    }
+    // the test fraction lands near the target over ~595 components
+    val testRate = split.values.count(_._2).toDouble / split.size
+    assert(math.abs(testRate - 0.3) < 0.08, s"test rate $testRate")
+    // degenerate fractions
+    assert(Dedup.leakageSafeSplit(docs, "id", pairs, 0.0)
+      .filter(col("is_test")).count() == 0)
+    assert(Dedup.leakageSafeSplit(docs, "id", pairs, 1.0)
+      .filter(!col("is_test")).count() == 0)
+  }
+
   test("semanticNearDups: zero vectors never pair (distance-1.0 convention)") {
     import spark.implicits._
     val withZeros = emb.unionByName(
