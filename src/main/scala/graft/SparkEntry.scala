@@ -888,6 +888,28 @@ object SparkEntry {
       graft.dedup.Dedup.leakageSafeSplit(corpus, "id", pairs, testFrac = 0.3)
     }),
 
+    // Corpus-wide top-100 trigram census (vocabulary / boilerplate
+    // discovery), deterministic ties — global top-k plans as TakeOrdered,
+    // never a full sort of the distinct-gram space.
+    "q67_top_ngrams" -> ((s, d) => {
+      Analysis.topNgrams(t(s, d, "documents"), "doc_id", "text",
+        n = 3, k = 100)
+    }),
+
+    // Boilerplate line removal: a synthetic site header is prepended to
+    // EVERY document, so its document frequency saturates and the
+    // operator must strip exactly it (plus any natural high-frequency
+    // lines — the oracle replays the same rule, assuming nothing about
+    // the data). Reconstruction is order-preserving and hash-checked.
+    "q68_boilerplate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("SITE HEADER NAVIGATION"), lit("\n"), col("text"))
+            .as("text"))
+      Analysis.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocFreq = 50L)
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1365,6 +1387,42 @@ object SparkEntry {
     // (no natural near-identical pairs exist in the corpus — verified)
     "q65_semantic_clean" ->
       """SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings""",
+
+    // trigram census with the same (count DESC, gram ASC) boundary
+    // tie-break on both engines
+    "q67_top_ngrams" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM grams GROUP BY gram
+        |ORDER BY cnt DESC, gram ASC LIMIT 100""".stripMargin,
+
+    // line doc-frequency rule + order-preserving reconstruction replayed
+    // in SQL (aligned unnest gives positions; string_agg re-joins)
+    "q68_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    string_split('SITE HEADER NAVIGATION' || chr(10) || text,
+        |      chr(10)) AS ls
+        |  FROM documents),
+        |lines AS (
+        |  SELECT id, unnest(ls) AS line,
+        |    unnest(range(1, len(ls) + 1)) AS pos
+        |  FROM corpus),
+        |dfq AS (
+        |  SELECT line, count(DISTINCT id) AS df FROM lines GROUP BY line),
+        |kept AS (
+        |  SELECT l.id, l.line, l.pos
+        |  FROM lines l JOIN dfq USING (line) WHERE df < 50),
+        |agg AS (
+        |  SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY id)
+        |SELECT c.id, coalesce(a.clean_text, '') AS clean_text
+        |FROM corpus c LEFT JOIN agg a USING (id)""".stripMargin,
 
     // component = pair minimum; is_test replays the md5 hex-threshold
     // rule on the component key (0.3 → round(0.3·65536) = 0x4ccd)

@@ -173,6 +173,56 @@ object Analysis {
           .otherwise(lit(0.0)).as("top_2gram_char_frac"))
   }
 
+  /** Corpus-wide most frequent word n-grams — vocabulary/boilerplate
+    * discovery (what are the dominant phrases; which n-grams deserve a
+    * stoplist or a tokenizer merge). One grouped count over exploded
+    * shingles, then a global top-k that plans as TakeOrdered — map-side
+    * partial top-k per partition, never a full sort of the distinct-gram
+    * space. Deterministic ties: count DESC, gram ASC.
+    *
+    * Output: (gram, cnt), exactly `k` rows (fewer if the corpus has
+    * fewer distinct n-grams).
+    */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int,
+      k: Int): DataFrame =
+    df.select(explode(TextFns.wordShingles(
+        coalesce(col(textCol), lit("")), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("gram"))
+      .limit(k)
+
+  /** Boilerplate line removal (the CCNet/C4 pattern): lines whose
+    * DOCUMENT frequency reaches `minDocFreq` — site headers, footers,
+    * navigation, cookie banners — are dropped from every document,
+    * preserving the order of surviving lines. The frequency join keys on
+    * the 8-byte line hash (distinct per doc before counting, so a line
+    * repeated within one doc counts once); the reconstruction is a
+    * per-document sorted fold — state bounded by one document's lines.
+    * Documents whose every line was boilerplate survive as empty text.
+    *
+    * Output: (id, clean_text).
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val lines = base.select(col("id"),
+      posexplode(split(col("__text"), "\n", -1)).as(Seq("pos", "line")))
+    val docFreq = lines
+      .select(col("id"), xxhash64(col("line")).as("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("df"))
+    val kept = lines.withColumn("lh", xxhash64(col("line")))
+      .join(docFreq, "lh")
+      .filter(col("df") < minDocFreq)
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+    base.select(col("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Long-document chunking — the front end of a chunk → embed → index
     * pipeline: one row per sliding word-window (see
     * [[graft.functions.TextFns.wordChunks]]), with the 0-based chunk

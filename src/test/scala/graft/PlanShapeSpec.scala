@@ -151,6 +151,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("q67: global top-k plans as TakeOrdered, not a full sort") {
+    val plan = executedPlan("q67_top_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$plan")
+    assert(!plan.split("TakeOrdered").head.contains("Sort "),
+      s"unexpected pre-sort above the top-k:\n$plan")
+  }
+
   test("PQ encode/ADC run as native expressions inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorExpressions

@@ -223,6 +223,46 @@ class TextFnsSpec extends SparkSpec {
     assert(chunksOf(ten, 2, 9) == Seq("w1 w2", "w10"))
   }
 
+  test("topNgrams: counts, deterministic ties, exact k") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val docs = Seq(
+      (1L, "a b a b a b"),     // "a b"×3, "b a"×2
+      (2L, "a b c"),           // "a b", "b c"
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = Analysis.topNgrams(docs, "id", "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b"×4, "b a"×2, "b c"×1 — ties impossible here; order pinned
+    assert(got == Seq(("a b", 4L), ("b a", 2L), ("b c", 1L)))
+    // tie-break: equal counts order by gram ascending at the cut
+    val tied = Seq((1L, "x y"), (2L, "p q")).toDF("id", "text")
+    val t1 = Analysis.topNgrams(tied, "id", "text", n = 2, k = 1).collect()
+    assert(t1.head.getString(0) == "p q")
+  }
+
+  test("removeBoilerplateLines: strips saturated lines, preserves order") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val docs = Seq(
+      (1L, "HEADER\nalpha\nbeta"),
+      (2L, "HEADER\ngamma"),
+      (3L, "HEADER\nHEADER\ndelta"),  // repeated within one doc: df counts once
+      (4L, "HEADER")                  // all-boilerplate → empty survivor
+    ).toDF("id", "text")
+    val got = Analysis.removeBoilerplateLines(docs, "id", "text",
+      minDocFreq = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "alpha\nbeta", 2L -> "gamma", 3L -> "delta",
+      4L -> ""))
+    // below the threshold nothing is removed
+    val loose = Analysis.removeBoilerplateLines(docs, "id", "text",
+      minDocFreq = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) == "HEADER\nalpha\nbeta" &&
+      loose(3L) == "HEADER\nHEADER\ndelta")
+  }
+
   test("packGreedy: hand-traced first-overflow packing, partition-stable") {
     import spark.implicits._
     import graft.text.Packing
