@@ -910,6 +910,15 @@ object SparkEntry {
         minDocFreq = 50L)
     }),
 
+    // Unigram LM quality score: the corpus is its own reference (the
+    // self-perplexity configuration), add-one smoothed, mean token
+    // log-probability per document — hash-checked against a SQL replica
+    // of the counts, the smoothing, and the ln() average.
+    "q69_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      Analysis.unigramLogProb(docs, "doc_id", "text", docs, "text")
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1387,6 +1396,24 @@ object SparkEntry {
     // (no natural near-identical pairs exist in the corpus — verified)
     "q65_semantic_clean" ->
       """SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings""",
+
+    // unigram counts + add-one smoothing + mean ln-prob, replayed in SQL
+    // (both engines average IEEE-double ln values; 4-dp rounding is far
+    // above any last-ulp libm divergence)
+    "q69_lm_score" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |totals AS (SELECT sum(cnt) AS n, count(*) AS v FROM counts)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(cnt + 1 AS DOUBLE) / (n + v))), 4)
+        |    AS mean_logprob
+        |FROM toks JOIN counts USING (tok) CROSS JOIN totals
+        |GROUP BY id""".stripMargin,
 
     // trigram census with the same (count DESC, gram ASC) boundary
     // tie-break on both engines

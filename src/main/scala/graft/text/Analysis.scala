@@ -173,6 +173,52 @@ object Analysis {
           .otherwise(lit(0.0)).as("top_2gram_char_frac"))
   }
 
+  /** Unigram language-model quality score — the n=1 form of the KenLM
+    * perplexity filter every web-scale pipeline runs: train token
+    * probabilities on a reference corpus, score each document by mean
+    * token log-probability (low = gibberish / OCR noise / wrong-language
+    * text relative to the reference). Two passes, both shuffle-narrow:
+    * the model is a (token, count) aggregation; scoring joins each
+    * document's tokens against it and averages `ln P(token)` per doc.
+    * Add-one smoothing over the training vocabulary covers tokens unseen
+    * in `reference` (scoring a different corpus than the model's), so no
+    * −∞ ever surfaces. Empty documents score 0.
+    *
+    * Output: (id, n_tokens, mean_logprob) — mean_logprob ≤ 0, higher is
+    * more reference-like.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String): DataFrame = {
+    // the empty string that `split` yields for blank text is not a token
+    // on either side — blank documents take the explicit score-0 branch
+    val refToks = reference.select(
+        explode(tokens(coalesce(col(refTextCol), lit("")))).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = refToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // add-one smoothing: denominator = total tokens + vocabulary size;
+    // unseen tokens get count 0 + 1 through the left join's coalesce
+    val totals = counts.agg(sum("cnt").as("n"), count(lit(1)).as("v"))
+    val docToks = docs.select(col(idCol).cast("long").as("id"),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select("id", "tok")
+    docToks
+      .join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n") + col("v"))).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg("lp"), 4).as("mean_logprob"))
+      .unionByName(
+        // empty docs have no token rows — restore them at score 0
+        docs.select(col(idCol).cast("long").as("id"))
+          .join(docToks.select("id").distinct(), Seq("id"), "left_anti")
+          .select(col("id"), lit(0L).as("n_tokens"),
+            lit(0.0).as("mean_logprob")))
+  }
+
   /** Corpus-wide most frequent word n-grams — vocabulary/boilerplate
     * discovery (what are the dominant phrases; which n-grams deserve a
     * stoplist or a tokenizer merge). One grouped count over exploded

@@ -241,6 +241,22 @@ class TextFnsSpec extends SparkSpec {
     assert(t1.head.getString(0) == "p q")
   }
 
+  test("unigramLogProb: hand-computed smoothing, unseen tokens, blank docs") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val ref = Seq((0L, "a a b")).toDF("id", "text") // counts a:2 b:1, n=3 v=2
+    val docs = Seq(
+      (1L, "a b"),   // (ln(3/5) + ln(2/5)) / 2
+      (2L, "z"),     // unseen: ln(1/5)
+      (3L, "   ")    // blank → explicit zero branch
+    ).toDF("id", "text")
+    val got = Analysis.unigramLogProb(docs, "id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((2L, -0.7136)))
+    assert(got(2L) == ((1L, -1.6094)))
+    assert(got(3L) == ((0L, 0.0)))
+  }
+
   test("removeBoilerplateLines: strips saturated lines, preserves order") {
     import spark.implicits._
     import graft.text.Analysis
