@@ -919,6 +919,12 @@ object SparkEntry {
       Analysis.unigramLogProb(docs, "doc_id", "text", docs, "text")
     }),
 
+    // Per-document TF-IDF keywords (top 3, deterministic ties) — term
+    // statistics as two narrow aggs, ranking windowed per document.
+    "q70_tfidf_keywords" -> ((s, d) => {
+      Analysis.tfidfKeywords(t(s, d, "documents"), "doc_id", "text", topK = 3)
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1396,6 +1402,30 @@ object SparkEntry {
     // (no natural near-identical pairs exist in the corpus — verified)
     "q65_semantic_clean" ->
       """SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings""",
+
+    // tf·ln(N/df) with ranking over the ROUNDED score (ties → term ASC)
+    // replayed exactly
+    "q70_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, tok AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+        |       FROM documents),
+        |scored AS (
+        |  SELECT id, term, tf,
+        |    round(tf * ln(n / df), 4) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT id, term, CAST(tf AS BIGINT) AS tf, score,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY score DESC, term ASC) AS rnk
+        |  FROM scored)
+        |SELECT id, term, tf, score, rnk FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // unigram counts + add-one smoothing + mean ln-prob, replayed in SQL
     // (both engines average IEEE-double ln values; 4-dp rounding is far

@@ -219,6 +219,33 @@ object Analysis {
             lit(0.0).as("mean_logprob")))
   }
 
+  /** Per-document TF-IDF keywords: the `topK` terms ranked by
+    * tf · ln(N / df) (raw counts, unsmoothed idf — df ≥ 1 for every term
+    * actually present), ties broken by term ascending. Term statistics
+    * are two narrow aggregations (per-doc counts; document frequency);
+    * the ranking window partitions by document, so its state is one
+    * document's vocabulary — never a corpus-wide sort.
+    *
+    * Output: (id, term, tf, score, rnk), rnk 1..topK per document.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val docToks = df.select(col(idCol).cast("long").as("id"),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = docToks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("score"), asc("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("id", "term", "tf", "score", "rnk")
+  }
+
   /** Corpus-wide most frequent word n-grams — vocabulary/boilerplate
     * discovery (what are the dominant phrases; which n-grams deserve a
     * stoplist or a tokenizer merge). One grouped count over exploded

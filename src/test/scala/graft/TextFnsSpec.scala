@@ -257,6 +257,27 @@ class TextFnsSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0)))
   }
 
+  test("tfidfKeywords: hand-computed tf·idf ranking with ties") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian")
+    ).toDF("id", "text")
+    val got = Analysis.tfidfKeywords(docs, "id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getString(1), r.getDouble(3)))
+      .toMap
+    // N=3; df: apple 1, banana 2, cherry 1, durian 1
+    assert(got((1L, 1)) == (("apple", 2.1972)))  // 2·ln(3)
+    assert(got((1L, 2)) == (("banana", 0.4055))) // 1·ln(1.5)
+    assert(got((2L, 1)) == (("cherry", 1.0986)))
+    assert(got((2L, 2)) == (("banana", 0.4055)))
+    assert(got((3L, 1)) == (("durian", 1.0986)))
+    assert(!got.contains((3L, 2)))
+  }
+
   test("removeBoilerplateLines: strips saturated lines, preserves order") {
     import spark.implicits._
     import graft.text.Analysis
