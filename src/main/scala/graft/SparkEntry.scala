@@ -892,8 +892,7 @@ object SparkEntry {
     // discovery), deterministic ties — global top-k plans as TakeOrdered,
     // never a full sort of the distinct-gram space.
     "q67_top_ngrams" -> ((s, d) => {
-      Analysis.topNgrams(t(s, d, "documents"), "doc_id", "text",
-        n = 3, k = 100)
+      Analysis.topNgrams(t(s, d, "documents"), "text", n = 3, k = 100)
     }),
 
     // Boilerplate line removal: a synthetic site header is prepended to
@@ -904,8 +903,8 @@ object SparkEntry {
     "q68_boilerplate" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"),
-          concat(lit("SITE HEADER NAVIGATION"), lit("\n"), col("text"))
-            .as("text"))
+          concat(lit("SITE HEADER NAVIGATION"), lit("\n"),
+            coalesce(col("text"), lit(""))).as("text"))
       Analysis.removeBoilerplateLines(docs, "doc_id", "text",
         minDocFreq = 50L)
     }),
@@ -1434,16 +1433,23 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id, tok FROM (
         |    SELECT doc_id,
-        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
         |    FROM documents)
         |  WHERE tok <> ''),
         |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-        |totals AS (SELECT sum(cnt) AS n, count(*) AS v FROM counts)
-        |SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(avg(ln(CAST(cnt + 1 AS DOUBLE) / (n + v))), 4)
-        |    AS mean_logprob
-        |FROM toks JOIN counts USING (tok) CROSS JOIN totals
-        |GROUP BY id""".stripMargin,
+        |totals AS (SELECT sum(cnt) AS n, count(*) AS v FROM counts),
+        |scored AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(avg(ln(CAST(cnt + 1 AS DOUBLE) / (n + v))), 4)
+        |      AS mean_logprob
+        |  FROM toks JOIN counts USING (tok) CROSS JOIN totals
+        |  GROUP BY id)
+        |SELECT id, n_tokens, mean_logprob FROM scored
+        |UNION ALL
+        |SELECT CAST(doc_id AS BIGINT), CAST(0 AS BIGINT), 0.0
+        |FROM documents
+        |WHERE CAST(doc_id AS BIGINT) NOT IN (SELECT id FROM scored)""".stripMargin,
 
     // trigram census with the same (count DESC, gram ASC) boundary
     // tie-break on both engines
@@ -1463,8 +1469,8 @@ object SparkEntry {
     "q68_boilerplate" ->
       """WITH corpus AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,
-        |    string_split('SITE HEADER NAVIGATION' || chr(10) || text,
-        |      chr(10)) AS ls
+        |    string_split('SITE HEADER NAVIGATION' || chr(10) ||
+        |      coalesce(text, ''), chr(10)) AS ls
         |  FROM documents),
         |lines AS (
         |  SELECT id, unnest(ls) AS line,

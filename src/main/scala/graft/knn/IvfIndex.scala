@@ -32,6 +32,21 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** The output schema of [[search]] — the one constant downstream code
+    * (e.g. the streaming probe's empty-input branch) should derive empty
+    * frames from, so shape changes cannot drift silently.
+    */
+  val searchSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType)))
+
   /** Train the coarse quantizer on a bounded sample and persist the index
     * layout. Returns the centroid count actually used.
     *
@@ -80,6 +95,10 @@ object IvfIndex {
     val centroids = ApproxKnn.kmeans(sample,
       math.min(nList, sample.length), kmeansIters, seed)
 
+    // ONE broadcast of the coarse codebook per build: shared by the
+    // residual-sample probe below and writeAssignments' kernels — each
+    // executor caches a single copy
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
     centroids.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "vec")
       .repartition(1)
@@ -97,10 +116,15 @@ object IvfIndex {
     val pq =
       if (pqM <= 0) None
       else {
+        // the SAME kernel arithmetic as the distributed write-time assign
+        // (one source of truth for the assignment rule — a private
+        // re-implementation could drift and silently degrade codebooks)
+        val probe = new org.apache.spark.sql.graft.CentroidKernel(bcCentroids)
         val trainSample =
           if (!pqByResidual) sample
           else sample.map { v =>
-            val c = centroids(nearestIdx(centroids, v))
+            val c = centroids(probe.nearestOne(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(v)))
             val r = new Array[Float](v.length)
             var i = 0
             while (i < v.length) {
@@ -129,26 +153,9 @@ object IvfIndex {
         if (fs.exists(p)) fs.delete(p, true)
     }
 
-    writeAssignments(candidates, idCol, vecCol, dir, centroids, cosine, pq,
+    writeAssignments(candidates, idCol, vecCol, dir, bcCentroids, cosine, pq,
       SaveMode.Overwrite)
     centroids.length
-  }
-
-  /** Index of the nearest centroid to `v` (driver-side; ties → lowest). */
-  private def nearestIdx(centroids: Array[Array[Float]], v: Array[Float]): Int = {
-    var best = 0
-    var bestD = Double.MaxValue
-    var ci = 0
-    while (ci < centroids.length) {
-      val c = centroids(ci)
-      var d = 0.0
-      var i = 0
-      val m = math.min(c.length, v.length)
-      while (i < m) { val x = v(i) - c(i); d += x * x; i += 1 }
-      if (d < bestD) { bestD = d; best = ci }
-      ci += 1
-    }
-    best
   }
 
   /** Distributed assign + partitioned write shared by [[build]] and
@@ -163,13 +170,12 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       dir: String,
-      centroids: Array[Array[Float]],
+      bcCentroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
       cosine: Boolean,
       pq: Option[(PqCodebooks, Boolean)],
       mode: SaveMode): Unit = {
     val spark = vectors.sparkSession
-    val kernel = new org.apache.spark.sql.graft.CentroidKernel(
-      spark.sparkContext.broadcast(centroids))
+    val kernel = new org.apache.spark.sql.graft.CentroidKernel(bcCentroids)
     val base = graft.util.Par.balance(
       vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec")))
@@ -191,7 +197,7 @@ object IvfIndex {
       case Some((cb, residual)) =>
         val pqKernel = new org.apache.spark.sql.graft.PqKernel(
           spark.sparkContext.broadcast(cb),
-          if (residual) spark.sparkContext.broadcast(centroids) else null)
+          if (residual) bcCentroids else null)
         withCid.withColumn("code",
           if (residual)
             graft.functions.VectorExpressions.pqEncodeResidual(
@@ -234,7 +240,8 @@ object IvfIndex {
     val centroids = loadCentroids(spark, dir)
     val cosine = HnswSearch.isCosine(loadMetric(spark, dir))
     val n = newVectors.count()
-    writeAssignments(newVectors, idCol, vecCol, dir, centroids, cosine,
+    writeAssignments(newVectors, idCol, vecCol, dir,
+      spark.sparkContext.broadcast(centroids), cosine,
       loadPq(spark, dir), SaveMode.Append)
     n
   }
@@ -317,8 +324,8 @@ object IvfIndex {
     val cosine = HnswSearch.isCosine(loadMetric(spark, dir))
     // probe-cid selection via the native codegen expression (broadcast
     // codebook, no boxed Seq[Float] per query row)
-    val kernel = new org.apache.spark.sql.graft.CentroidKernel(
-      spark.sparkContext.broadcast(centroids))
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val kernel = new org.apache.spark.sql.graft.CentroidKernel(bcCentroids)
 
     val qBase = graft.util.Par.balance(
       queries.select(col(idCol).cast("long").as("query_id"),
@@ -378,7 +385,7 @@ object IvfIndex {
             "build the index with pqM > 0"))
       val pqKernel = new org.apache.spark.sql.graft.PqKernel(
         spark.sparkContext.broadcast(pq),
-        if (residual) spark.sparkContext.broadcast(centroids) else null)
+        if (residual) bcCentroids else null)
       // ADC queries must live in the space the codes quantize: unit-
       // normalized under cosine, raw under L2
       val adcProbed = probed.withColumn("__adc_vec",

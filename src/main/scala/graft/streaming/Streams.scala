@@ -213,15 +213,7 @@ object Streams {
     if (fs.exists(outPath)) spark.read.parquet(outDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("neighbor_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("dist",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.IntegerType))))
+      graft.knn.IvfIndex.searchSchema)
   }
 
   /** Streaming exact dedup, EXECUTED: the events file is staged TWICE

@@ -235,12 +235,17 @@ object Analysis {
       .filter(col("term") =!= "")
     val tf = docToks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = df.select(col(idCol)).distinct().count()
+    // N as a 1-row broadcast aggregate, NOT a driver count(): constructing
+    // the plan must not run a job, and N snapshots at the same action as
+    // tf/df (the unigramLogProb `totals` pattern)
+    val nDocs = df.select(col(idCol).cast("long").as("id")).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(desc("score"), asc("term"))
     tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+        round(col("tf") * log(col("n") / col("df")), 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select("id", "term", "tf", "score", "rnk")
@@ -256,8 +261,7 @@ object Analysis {
     * Output: (gram, cnt), exactly `k` rows (fewer if the corpus has
     * fewer distinct n-grams).
     */
-  def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int,
-      k: Int): DataFrame =
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     df.select(explode(TextFns.wordShingles(
         coalesce(col(textCol), lit("")), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))

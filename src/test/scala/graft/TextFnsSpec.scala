@@ -231,13 +231,13 @@ class TextFnsSpec extends SparkSpec {
       (2L, "a b c"),           // "a b", "b c"
       (3L, null.asInstanceOf[String])
     ).toDF("id", "text")
-    val got = Analysis.topNgrams(docs, "id", "text", n = 2, k = 3)
+    val got = Analysis.topNgrams(docs, "text", n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     // "a b"×4, "b a"×2, "b c"×1 — ties impossible here; order pinned
     assert(got == Seq(("a b", 4L), ("b a", 2L), ("b c", 1L)))
     // tie-break: equal counts order by gram ascending at the cut
     val tied = Seq((1L, "x y"), (2L, "p q")).toDF("id", "text")
-    val t1 = Analysis.topNgrams(tied, "id", "text", n = 2, k = 1).collect()
+    val t1 = Analysis.topNgrams(tied, "text", n = 2, k = 1).collect()
     assert(t1.head.getString(0) == "p q")
   }
 
