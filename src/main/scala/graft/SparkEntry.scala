@@ -924,6 +924,21 @@ object SparkEntry {
       Analysis.tfidfKeywords(t(s, d, "documents"), "doc_id", "text", topK = 3)
     }),
 
+    // Distributed k-means trainer gated end-to-end: IVF with centroids
+    // from KMeans.train (Lloyd as DataFrame aggregations — the path that
+    // reaches 10⁴–10⁵ lists at 100 TB) probed at nProbe = nList is EXACT
+    // kNN regardless of where the centroids landed, so the trainer's
+    // assign/probe plumbing is hash-checked against the same SQL oracle
+    // as the exhaustive-probe q28. Query side capped like q28.
+    "q71_distkmeans_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.knn.ApproxKnn.ivfKnn(emb.filter(col("vec_id") < 500), emb,
+        "vec_id", "embedding", k = 5, nList = 8, nProbe = 8,
+        distributedTrain = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Composed corpus-cleaning pipeline: PII scrub → quality floor →
     // language filter → exact dedup, one call — the canonical
     // training-data prep flow, fully hash-checked end to end
@@ -1338,6 +1353,12 @@ object SparkEntry {
          |FROM knn WHERE rnk <= 5""".stripMargin,
 
     "q28_ivf_knn" ->
+      s"""$knnL2Cte
+         |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+         |FROM knn WHERE rnk <= 5 AND query_id < 500""".stripMargin,
+
+    // distributed-trainer IVF at nProbe = nList: exact kNN, same oracle
+    "q71_distkmeans_ivf" ->
       s"""$knnL2Cte
          |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
          |FROM knn WHERE rnk <= 5 AND query_id < 500""".stripMargin,

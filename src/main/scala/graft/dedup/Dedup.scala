@@ -290,20 +290,31 @@ object Dedup {
       kmeansIters: Int = 5,
       sampleCap: Int = 20000,
       seed: Int = 42,
-      materializeAssignments: Boolean = true): DataFrame = {
+      materializeAssignments: Boolean = true,
+      distributedTrain: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val unit = graft.knn.ApproxKnn.unitNormalized(
       df, idCol, vecCol, "id", "__vec", "__zero")
     // keep zero vectors out of the k-means sample (they would pull
     // spherical centroids off the unit sphere); they still flow through
-    // assignment and are rejected by the distance-1.0 convention below
-    val sample = unit.filter(!col("__zero"))
-      .select(col("__vec").cast("array<float>"))
-      .limit(sampleCap).as[Array[Float]].collect()
-    require(sample.nonEmpty, "semanticNearDups: no non-zero vectors")
-    val centroids = graft.knn.ApproxKnn.kmeans(
-      sample, math.min(nClusters, sample.length), kmeansIters, seed)
+    // assignment and are rejected by the distance-1.0 convention below.
+    // `distributedTrain` trains on ALL non-zero vectors via
+    // [[graft.knn.KMeans.train]] — the SemDeDup operating point at 100 TB
+    // wants ~10⁵ clusters, beyond any driver-side sample cap.
+    val nonZero = unit.filter(!col("__zero"))
+    val centroids =
+      if (distributedTrain)
+        graft.knn.KMeans.train(nonZero.select(col("__vec")), "__vec",
+          nClusters, kmeansIters, seed, "semanticNearDups")
+      else {
+        val sample = nonZero
+          .select(col("__vec").cast("array<float>"))
+          .limit(sampleCap).as[Array[Float]].collect()
+        require(sample.nonEmpty, "semanticNearDups: no non-zero vectors")
+        graft.knn.ApproxKnn.kmeans(
+          sample, math.min(nClusters, sample.length), kmeansIters, seed)
+      }
     val kernel = new org.apache.spark.sql.graft.CentroidKernel(
       spark.sparkContext.broadcast(centroids))
     // both sides of the block self-join reference the assignment frame;

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BoundedTopK, Interop}
+import org.apache.spark.sql.graft.{BoundedTopK, Interop, VectorSum}
 
 /** Column API over the custom aggregate expressions (implementation in
   * org.apache.spark.sql.graft — see the packaging note there).
@@ -16,4 +16,11 @@ object AggExpressions {
     Interop.column(
       BoundedTopK(Interop.expression(key), Interop.expression(value), k)
         .toAggregateExpression())
+
+  /** Elementwise sum of `array<float>` vectors as `array<double>`, with
+    * map-side partial aggregation (one dim-sized buffer per group per
+    * partition rides the shuffle — the distributed-k-means accumulator).
+    */
+  def vectorSum(v: Column): Column =
+    Interop.column(VectorSum(Interop.expression(v)).toAggregateExpression())
 }

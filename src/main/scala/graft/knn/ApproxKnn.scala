@@ -94,13 +94,28 @@ object ApproxKnn {
   }
 
   /** Driver-side mini k-means over a bounded sample (Lloyd iterations).
-    * Deterministic: seeded sample, fixed iteration count.
+    * Deterministic: seeded sample, fixed iteration count. For cluster
+    * counts beyond the sample cap (the 100 TB IVF/SemDeDup operating
+    * point, 10⁴–10⁵ lists), use [[KMeans.train]] — the distributed
+    * trainer with the same Lloyd contract.
     */
   private[graft] def kmeans(sample: Array[Array[Float]], nList: Int, iters: Int,
       seed: Int): Array[Array[Float]] = {
     val rnd = new Random(seed)
+    val init = rnd.shuffle(sample.toVector).take(nList).map(_.clone()).toArray
+    lloydDriver(sample, init, iters)
+  }
+
+  /** The Lloyd iteration body given explicit initial centroids — the
+    * driver half of the trainer-parity contract with
+    * [[KMeans.lloyd]] (same assignment rule, same double-accumulated
+    * float arithmetic; the distributed form differs only in summation
+    * order, i.e. float rounding).
+    */
+  private[graft] def lloydDriver(sample: Array[Array[Float]],
+      init: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
     val dim = sample.head.length
-    var centroids = rnd.shuffle(sample.toVector).take(nList).map(_.clone()).toArray
+    var centroids = init
     for (_ <- 1 to iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
@@ -161,6 +176,12 @@ object ApproxKnn {
     * probe. `sampleCap` bounds the driver materialization. Cosine runs as
     * spherical IVF — both sides unit-normalized, centroids trained on the
     * sphere, `dist` emitted as true cosine distance (normalized-L2 / 2).
+    *
+    * `distributedTrain` switches centroid training from the driver-Lloyd
+    * sample path to [[KMeans.train]] over the FULL candidate side —
+    * required when `nList` exceeds what a `sampleCap` sample can support
+    * (the 10⁴–10⁵-list operating point); the driver then materializes
+    * only the k trained centroids, never a vector sample.
     */
   def ivfKnn(
       queries: DataFrame,
@@ -174,7 +195,8 @@ object ApproxKnn {
       kmeansIters: Int = 5,
       sampleCap: Int = 20000,
       seed: Int = 42,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      distributedTrain: Boolean = false): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
@@ -195,15 +217,24 @@ object ApproxKnn {
     // sample, or raw zeros pull spherical centroids off the unit sphere
     // and zero-vector queries probe arbitrary lists
     val sampleSrc = if (cosine) cand.filter(!col("__neighbor_zero")) else cand
-    val sample0 = sampleSrc.select(col("__neighbor_vec").cast("array<float>"))
-      .limit(sampleCap).as[Array[Float]].collect()
-    // all-zero candidate side: every distance is 1.0 anyway — train on
-    // the zeros rather than fail
-    val sample = if (sample0.nonEmpty) sample0
-      else cand.select(col("__neighbor_vec").cast("array<float>"))
-        .limit(sampleCap).as[Array[Float]].collect()
-    require(sample.nonEmpty, "ivfKnn: empty candidate side")
-    val centroids = kmeans(sample, math.min(nList, sample.length), kmeansIters, seed)
+    val centroids =
+      if (distributedTrain) {
+        val nz = sampleSrc.select(col("__neighbor_vec"))
+        // all-zero candidate side under cosine: every distance is 1.0
+        // anyway — train on the zeros rather than fail
+        val src = if (cosine && nz.isEmpty) cand.select(col("__neighbor_vec")) else nz
+        KMeans.train(src, "__neighbor_vec", nList, kmeansIters, seed, "ivfKnn")
+      } else {
+        val sample0 = sampleSrc.select(col("__neighbor_vec").cast("array<float>"))
+          .limit(sampleCap).as[Array[Float]].collect()
+        // all-zero candidate side: every distance is 1.0 anyway — train on
+        // the zeros rather than fail
+        val sample = if (sample0.nonEmpty) sample0
+          else cand.select(col("__neighbor_vec").cast("array<float>"))
+            .limit(sampleCap).as[Array[Float]].collect()
+        require(sample.nonEmpty, "ivfKnn: empty candidate side")
+        kmeans(sample, math.min(nList, sample.length), kmeansIters, seed)
+      }
     // assign/probe run the native codegen nearest-centroid expressions over
     // the broadcast codebook — the assign touches EVERY candidate row, so
     // the former Scala UDF (boxed Seq[Float], interpreted, codegen barrier)

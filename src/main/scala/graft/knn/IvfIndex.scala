@@ -74,7 +74,8 @@ object IvfIndex {
       seed: Int = 42,
       pqM: Int = 0,
       pqKsub: Int = 256,
-      pqByResidual: Boolean = true): Int = {
+      pqByResidual: Boolean = true,
+      distributedTrain: Boolean = false): Int = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
@@ -84,16 +85,35 @@ object IvfIndex {
     val sampleSrc =
       if (cosine) ApproxKnn.unitNormalized(candidates, idCol, vecCol,
         "__id", "__vec", "__zero").filter(!col("__zero")).select(col("__vec"))
-      else candidates.select(col(vecCol).cast("array<float>"))
-    val sample0 = sampleSrc.limit(sampleCap).as[Array[Float]].collect()
-    // all-zero candidate side under cosine: every distance is 1.0 anyway —
-    // train on the zeros rather than fail
-    val sample = if (sample0.nonEmpty) sample0
-      else candidates.select(col(vecCol).cast("array<float>"))
-        .limit(sampleCap).as[Array[Float]].collect()
-    require(sample.nonEmpty, "IvfIndex.build: empty candidate side")
-    val centroids = ApproxKnn.kmeans(sample,
-      math.min(nList, sample.length), kmeansIters, seed)
+      else candidates.select(col(vecCol).cast("array<float>").as("__vec"))
+    def collectSample(): Array[Array[Float]] = {
+      val sample0 = sampleSrc.select(col("__vec")).limit(sampleCap)
+        .as[Array[Float]].collect()
+      // all-zero candidate side under cosine: every distance is 1.0 anyway —
+      // train on the zeros rather than fail
+      val sample = if (sample0.nonEmpty) sample0
+        else candidates.select(col(vecCol).cast("array<float>"))
+          .limit(sampleCap).as[Array[Float]].collect()
+      require(sample.nonEmpty, "IvfIndex.build: empty candidate side")
+      sample
+    }
+    // `distributedTrain` lifts the coarse quantizer onto [[KMeans.train]]
+    // over the full candidate side — nList beyond the sample cap (the
+    // 10⁴–10⁵-list operating point) with only the k centroids ever on the
+    // driver. PQ codebooks (ksub ≤ 256 by the byte-code format) stay on
+    // the bounded sample either way.
+    val driverSample: Option[Array[Array[Float]]] =
+      if (distributedTrain && pqM <= 0) None else Some(collectSample())
+    val centroids =
+      if (distributedTrain) {
+        val src = if (cosine && sampleSrc.isEmpty)
+          candidates.select(col(vecCol).cast("array<float>").as("__vec"))
+        else sampleSrc
+        KMeans.train(src, "__vec", nList, kmeansIters, seed, "IvfIndex.build")
+      } else {
+        val sample = driverSample.get
+        ApproxKnn.kmeans(sample, math.min(nList, sample.length), kmeansIters, seed)
+      }
 
     // ONE broadcast of the coarse codebook per build: shared by the
     // residual-sample probe below and writeAssignments' kernels — each
@@ -120,6 +140,7 @@ object IvfIndex {
         // (one source of truth for the assignment rule — a private
         // re-implementation could drift and silently degrade codebooks)
         val probe = new org.apache.spark.sql.graft.CentroidKernel(bcCentroids)
+        val sample = driverSample.get
         val trainSample =
           if (!pqByResidual) sample
           else sample.map { v =>

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.knn.{ApproxKnn, IvfIndex, KMeans, KnnJoin}
+import graft.sources.Lake
+
+/** Distributed k-means trainer: parity with the driver Lloyd at small k,
+  * large-k training without driver materialization of the sample, and the
+  * three consumers (ivfKnn / IvfIndex.build / semanticNearDups) on the
+  * distributed path.
+  */
+class KMeansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // three well-separated clusters: assignment argmins can't flip under
+  // float-summation-order rounding, so both trainers must agree
+  private def clustered(): (Array[Array[Float]], org.apache.spark.sql.DataFrame) = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array(Array(0f, 0f, 0f, 0f), Array(10f, 10f, 0f, 0f),
+      Array(-10f, 5f, 5f, 0f))
+    val pts = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      c.map(x => x + (rnd.nextGaussian() * 0.1).toFloat)
+    }.toArray
+    (pts, pts.toSeq.toDF("__v"))
+  }
+
+  test("lloyd parity: distributed ≡ driver given the same init") {
+    val (pts, df) = clustered()
+    val init = Array(pts(0), pts(1), pts(2)).map(_.clone())
+    val driver = ApproxKnn.lloydDriver(pts, init.map(_.clone()), iters = 5)
+    val dist = KMeans.lloyd(df.cache(), init.map(_.clone()), iters = 5)
+    assert(dist.length == driver.length)
+    driver.zip(dist).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-4f) }
+    }
+    // and the induced assignments are identical
+    def assigns(cs: Array[Array[Float]]) = pts.map { p =>
+      cs.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(p).map { case (a, b) => val d = a - b; d * d }.sum, i)
+      }._2
+    }.toSeq
+    assert(assigns(driver) == assigns(dist))
+  }
+
+  test("train is deterministic and handles k > distinct rows") {
+    val (_, df) = clustered()
+    val a = KMeans.train(df, "__v", 3, iters = 3, seed = 42)
+    val b = KMeans.train(df, "__v", 3, iters = 3, seed = 42)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // k beyond the row count: init takes what exists
+    val big = KMeans.train(df.limit(5), "__v", 64, iters = 2, seed = 42)
+    assert(big.length == 5)
+  }
+
+  test("trains 4096 clusters without driver materialization of the sample") {
+    // 20k synthetic vectors, dim 8 — far beyond what shuffle-init driver
+    // Lloyd reaches at this cluster count; only the 4096 centroids and
+    // one (sum, count) row per cluster per iteration land on the driver
+    val n = 20000
+    val vecs = spark.range(n).select(
+      transform(sequence(lit(0), lit(7)),
+        j => (hash(col("id") * 8 + j) % 1000).cast("float")).as("__v"))
+    val cs = KMeans.train(vecs, "__v", 4096, iters = 2, seed = 1)
+    assert(cs.length == 4096)
+    assert(cs.forall(c => c.length == 8 && c.forall(x => !x.isNaN && !x.isInfinite)))
+  }
+
+  private lazy val emb = Lake.embeddings(spark, sf0001).cache()
+
+  test("ivfKnn distributedTrain with nProbe = nList is exact") {
+    val exact = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ApproxKnn.ivfKnn(emb, emb, "vec_id", "embedding", k = 5,
+      nList = 8, nProbe = 8, distributedTrain = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+  }
+
+  test("IvfIndex.build distributedTrain round-trips and searches exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_dk").toString
+    val nUsed = IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 8,
+      distributedTrain = true)
+    assert(nUsed == 8)
+    val exact = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = IvfIndex.search(spark, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+  }
+
+  test("semanticNearDups distributedTrain recovers exact scaled copies") {
+    // scaled copies share direction → same nearest-centroid list,
+    // regardless of which trainer produced the centroids
+    val base = emb.limit(50).select(col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<float>").as("v"))
+    val copies = base.filter(col("id") < 10)
+      .select((col("id") + 100000).as("id"),
+        transform(col("v"), x => (x * 2.0f).cast("float")).as("v"))
+    val corpus = base.unionByName(copies)
+    val pairs = Dedup.semanticNearDups(corpus, "id", "v",
+      maxCosineDistance = 1e-6, nClusters = 8, distributedTrain = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, i + 100000)), s"missing scaled-copy pair for $i")
+    }
+  }
+}
