@@ -739,6 +739,26 @@ object SparkEntry {
             .as("recall_floor_met"))
     }),
 
+    // PQ-coded block kNN — the both-sides-huge compressed path: ≥3
+    // quantile-cut query blocks share one codebook and one lazily
+    // checkpointed code scan; the full query side is never broadcast.
+    // Identical codebooks make it pair-equal to pqKnn (PqSpec); here it
+    // carries the same recall-floor gate as q57.
+    "q72_pq_block_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val blockSize = math.max(1L, emb.count() / 3).toInt
+      val approx = graft.knn.ApproxKnn.pqBlockKnn(emb, emb, "vec_id",
+          "embedding", k = 5, m = 16, ksub = 256, rerank = 4,
+          blockSize = blockSize)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__a"))
+      val exact = knnL2(s, d, 5).select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__a")).as("n_hits"))
+        .select(col("n_exact"),
+          when(col("n_hits") * 10 >= col("n_exact") * 8, 1L).otherwise(0L)
+            .as("recall_floor_met"))
+    }),
+
     // Persisted IVF-PQ index (FAISS IndexIVFPQ contract): m-byte codes
     // ride in the inverted lists, the ADC probe scan column-prunes the
     // vectors (reads 16 B/row instead of 256 B), and the short list
@@ -1534,6 +1554,12 @@ object SparkEntry {
 
     // PQ-kNN recall floor: same contract as q55 (recall@5 ≥ 0.8)
     "q57_pq_knn" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
+
+    // blocked-PQ recall floor: same contract as q57
+    "q72_pq_block_knn" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,

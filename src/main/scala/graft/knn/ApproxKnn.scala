@@ -296,22 +296,35 @@ object ApproxKnn {
     if (nBlocks == 1)
       return KnnJoin.broadcastKnn(queries, candidates, idCol, vecCol, k,
         metric, excludeSelf)
+    val parts = idBlockBounds(queries, idCol, nBlocks).map { case (lo, hi) =>
+      val block = idBlock(queries, idCol, lo, hi)
+      KnnJoin.broadcastKnn(block, candidates, idCol, vecCol, k, metric, excludeSelf)
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Quantile-cut id-line block boundaries shared by [[blockKnn]] and
+    * [[pqBlockKnn]]: (lower, upper) half-open ranges partitioning the id
+    * line exactly (every id lands in exactly one block) from a
+    * distributed `approxQuantile` sketch — never a global ranking window.
+    */
+  private def idBlockBounds(queries: DataFrame, idCol: String,
+      nBlocks: Int): Seq[(Option[Long], Option[Long])] = {
     val probs = (1 until nBlocks).map(_.toDouble / nBlocks).toArray
     val cuts = queries.select(col(idCol).cast("double").as("__id"))
       .stat.approxQuantile("__id", probs, 0.001)
       .map(math.ceil(_).toLong).distinct.sorted
     val lowers: Seq[Option[Long]] = None +: cuts.map(Some(_)).toSeq
     val uppers: Seq[Option[Long]] = cuts.map(Some(_)).toSeq :+ None
-    val parts = lowers.zip(uppers).map { case (lo, hi) =>
-      val block = (lo, hi) match {
-        case (None, Some(h))    => queries.filter(col(idCol) < h)
-        case (Some(l), Some(h)) => queries.filter(col(idCol) >= l && col(idCol) < h)
-        case (Some(l), None)    => queries.filter(col(idCol) >= l)
-        case (None, None)       => queries
-      }
-      KnnJoin.broadcastKnn(block, candidates, idCol, vecCol, k, metric, excludeSelf)
-    }
-    parts.reduce(_.unionByName(_))
+    lowers.zip(uppers)
+  }
+
+  private def idBlock(df: DataFrame, idCol: String,
+      lo: Option[Long], hi: Option[Long]): DataFrame = (lo, hi) match {
+    case (None, Some(h))    => df.filter(col(idCol) < h)
+    case (Some(l), Some(h)) => df.filter(col(idCol) >= l && col(idCol) < h)
+    case (Some(l), None)    => df.filter(col(idCol) >= l)
+    case (None, None)       => df
   }
 
   /** Product-quantized kNN (FAISS `IndexPQ` contract): candidates are
@@ -370,25 +383,134 @@ object ApproxKnn {
     val bcBooks = spark.sparkContext.broadcast(books)
     val kernel = new org.apache.spark.sql.graft.PqKernel(bcBooks)
 
-    val qRows = qry
-      .select(col("query_id"), col("__query_vec").cast("array<float>"),
-        col("__query_zero"))
-      .as[(Long, Array[Float], Boolean)].collect()
+    val qRows = collectPqQueries(qry)
     require(qRows.nonEmpty, "pqKnn: empty query side")
-    val bcQ = spark.sparkContext.broadcast(qRows)
 
     // the full-corpus scan reads (id, m-byte code, zero flag) — vectors
     // are gone from the hot path after the encode projection
-    val codes = graft.util.Par.balance(cand)
+    val codes = pqCodes(cand, kernel)
+
+    val keep = k * math.max(1, rerank)
+    val shortList = HnswSearch.topKMerge(
+      pqAdcPartials(codes, bcBooks, qRows, keep, excludeSelf, cosine), keep)
+    if (rerank <= 0) shortList.filter(col("rank") <= k)
+    else pqExactRerank(shortList, queries, candidates, idCol, vecCol, k,
+      cosine, broadcastQueries = true)
+  }
+
+  /** PQ-coded kNN for the case where BOTH sides are too large for the
+    * [[pqKnn]] broadcast-query envelope: the query side is processed in
+    * bounded quantile-cut id blocks (the [[blockKnn]] memory story) over
+    * ONE shared codebook and ONE code scan — codes are encoded once and
+    * lazily `localCheckpoint`ed, so each block's ADC pass re-reads the
+    * materialized code partitions instead of re-encoding the corpus.
+    * The exact short-list rerank runs ONCE over the unioned blocks with
+    * shuffle joins: the full query side is never broadcast anywhere.
+    * Same recall contract as [[pqKnn]] (identical codebooks: the trainer
+    * sees the same sample regardless of blocking).
+    */
+  def pqBlockKnn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      metric: String = KnnJoin.MetricL2Sq,
+      m: Int = 8,
+      ksub: Int = 256,
+      rerank: Int = 4,
+      kmeansIters: Int = 5,
+      sampleCap: Int = 20000,
+      seed: Int = 42,
+      excludeSelf: Boolean = true,
+      blockSize: Int = 100000): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cosine = HnswSearch.isCosine(metric)
+    val n = queries.count()
+    val nBlocks = math.max(1L, (n + blockSize - 1) / blockSize).toInt
+    if (nBlocks == 1)
+      return pqKnn(queries, candidates, idCol, vecCol, k, metric, m, ksub,
+        rerank, kmeansIters, sampleCap, seed, excludeSelf)
+
+    val cand =
+      if (cosine) unitNormalized(candidates, idCol, vecCol,
+        "neighbor_id", "__neighbor_vec", "__neighbor_zero")
+      else candidates.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__neighbor_vec"), lit(false).as("__neighbor_zero"))
+    val qry =
+      if (cosine) unitNormalized(queries, idCol, vecCol,
+        "query_id", "__query_vec", "__query_zero")
+      else queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("__query_vec"), lit(false).as("__query_zero"))
+
+    val sample = cand.filter(!col("__neighbor_zero"))
+      .select(col("__neighbor_vec").cast("array<float>"))
+      .limit(sampleCap).as[Array[Float]].collect()
+    require(sample.nonEmpty, "pqBlockKnn: no non-zero candidate vectors")
+    val books = Pq.train(sample, m, ksub, kmeansIters, seed)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val kernel = new org.apache.spark.sql.graft.PqKernel(bcBooks)
+    // one code scan shared by every block: lazy materialization (the
+    // setJaccardPairs rationale — constructing the plan must not run a
+    // job), first block's job writes the checkpoint blocks, later blocks
+    // read them
+    val codes = pqCodes(cand, kernel).localCheckpoint(eager = false)
+
+    val keep = k * math.max(1, rerank)
+    val partials = idBlockBounds(qry, "query_id", nBlocks).flatMap { case (lo, hi) =>
+      val qRows = collectPqQueries(idBlock(qry, "query_id", lo, hi))
+      if (qRows.isEmpty) None
+      else Some(pqAdcPartials(codes, bcBooks, qRows, keep, excludeSelf, cosine))
+    }
+    require(partials.nonEmpty, "pqBlockKnn: empty query side")
+    val shortList = HnswSearch.topKMerge(partials.reduce(_.unionByName(_)), keep)
+    if (rerank <= 0) shortList.filter(col("rank") <= k)
+    else pqExactRerank(shortList, queries, candidates, idCol, vecCol, k,
+      cosine, broadcastQueries = false)
+  }
+
+  /** Collect one (bounded) query block for the PQ broadcast: the caller
+    * guarantees the block size envelope.
+    */
+  private def collectPqQueries(qry: DataFrame): Array[(Long, Array[Float], Boolean)] = {
+    import qry.sparkSession.implicits._
+    qry.select(col("query_id"), col("__query_vec").cast("array<float>"),
+        col("__query_zero"))
+      .as[(Long, Array[Float], Boolean)].collect()
+  }
+
+  /** The (id, m-byte code, zero flag) projection of a normalized
+    * candidate side — the only thing the PQ scan ever reads.
+    */
+  private def pqCodes(cand: DataFrame,
+      kernel: org.apache.spark.sql.graft.PqKernel)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte], Boolean)] = {
+    import cand.sparkSession.implicits._
+    graft.util.Par.balance(cand)
       .select(col("neighbor_id"),
         graft.functions.VectorExpressions.pqEncode(col("__neighbor_vec"), kernel)
           .as("__code"),
         col("__neighbor_zero"))
       .as[(Long, Array[Byte], Boolean)]
+  }
 
-    val keep = k * math.max(1, rerank)
+  /** One ADC pass of a broadcast query block over the code scan: per-query
+    * LUT built once per partition, bounded per-partition top-`keep`
+    * partials (the broadcastKnn shuffle shape — no N² rows ever move).
+    */
+  private def pqAdcPartials(
+      codes: org.apache.spark.sql.Dataset[(Long, Array[Byte], Boolean)],
+      bcBooks: org.apache.spark.broadcast.Broadcast[PqCodebooks],
+      qRows: Array[(Long, Array[Float], Boolean)],
+      keep: Int,
+      excludeSelf: Boolean,
+      cosine: Boolean): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(qRows)
     val (kL, ex, cos) = (keep, excludeSelf, cosine)
-    val partials = codes.mapPartitions { it =>
+    codes.mapPartitions { it =>
       val cb = bcBooks.value
       val q = bcQ.value
       val n = q.length
@@ -419,26 +541,36 @@ object ApproxKnn {
         (0 until h.size).iterator.map(r => (qIds(qi), h.ids(r), h.dists(r)))
       }
     }.toDF("query_id", "neighbor_id", "dist")
+  }
 
-    val shortList = HnswSearch.topKMerge(partials, keep)
-    if (rerank <= 0) shortList.filter(col("rank") <= k)
-    else {
-      // exact refinement of the ADC short list: narrow (q, c) pair rows
-      // join back to the vector tables — the candidate join is a plain
-      // shuffle join on 8-byte ids, the query side broadcasts
-      val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).as("__qv")))
-      val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("__cv"))
-      val exact = shortList.select("query_id", "neighbor_id")
-        .join(qv, "query_id")
-        .join(cv, "neighbor_id")
-        .withColumn("dist",
-          if (cosine) graft.functions.VectorExpressions.cosineDistance(col("__qv"), col("__cv"))
-          else graft.functions.VectorExpressions.squaredL2(col("__qv"), col("__cv")))
-        .select("query_id", "neighbor_id", "dist")
-      HnswSearch.topKMerge(exact, k)
-    }
+  /** Exact refinement of an ADC short list: narrow (q, c) pair rows join
+    * back to the vector tables. The candidate join is a plain shuffle
+    * join on 8-byte ids; `broadcastQueries` hints the query-vector side
+    * only on the single-broadcast path — the block path (query side too
+    * large to broadcast by definition) shuffles both.
+    */
+  private def pqExactRerank(
+      shortList: DataFrame,
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cosine: Boolean,
+      broadcastQueries: Boolean): DataFrame = {
+    val qv0 = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"))
+    val qv = if (broadcastQueries) broadcast(qv0) else qv0
+    val cv = candidates.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val exact = shortList.select("query_id", "neighbor_id")
+      .join(qv, "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("dist",
+        if (cosine) graft.functions.VectorExpressions.cosineDistance(col("__qv"), col("__cv"))
+        else graft.functions.VectorExpressions.squaredL2(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "dist")
+    HnswSearch.topKMerge(exact, k)
   }
 
   /** Graph-based ANN: sharded HNSW (the reference's hnswlib contract,

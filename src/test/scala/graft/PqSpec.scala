@@ -98,6 +98,34 @@ class PqSpec extends SparkSpec {
     assert(r > 0.5, s"raw ADC recall@5 too low: $r")
   }
 
+  test("pqBlockKnn at ≥3 blocks equals the single-broadcast pqKnn") {
+    // same candidate-side sample → same codebooks → identical ADC
+    // distances; blocking touches only WHICH queries ride each broadcast,
+    // so the blocked result must match pqKnn pair-for-pair
+    val single = ApproxKnn.pqKnn(emb, emb, "vec_id", "embedding", k = 5,
+      m = 16, ksub = 256, rerank = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockSize = math.max(1L, emb.count() / 3).toInt
+    val blocked = ApproxKnn.pqBlockKnn(emb, emb, "vec_id", "embedding", k = 5,
+      m = 16, ksub = 256, rerank = 4, blockSize = blockSize)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == single)
+    // and the q57 recall contract holds on the blocked path directly
+    val truth = exactTop5(KnnJoin.MetricL2Sq)
+    val a = ApproxKnn.pqBlockKnn(emb, emb, "vec_id", "embedding", k = 5,
+      m = 16, ksub = 256, rerank = 4, blockSize = blockSize)
+    val r = recallAt5(a, truth)
+    assert(r > 0.8, s"blocked PQ recall@5 too low: $r")
+  }
+
+  test("pqBlockKnn single-block degenerates to pqKnn") {
+    val a = ApproxKnn.pqBlockKnn(emb, emb, "vec_id", "embedding", k = 5,
+      m = 16, ksub = 256, rerank = 4, blockSize = Int.MaxValue)
+    assert(a.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+  }
+
   test("pqKnn cosine: spherical ADC with rerank tracks exact cosine kNN") {
     val truth = exactTop5(KnnJoin.MetricCosine)
     val a = ApproxKnn.pqKnn(emb, emb, "vec_id", "embedding", k = 5,
