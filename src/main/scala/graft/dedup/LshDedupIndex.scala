@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -187,5 +188,78 @@ object LshDedupIndex {
       .withColumn("est_jaccard",
         Dedup.sigAgreement(col("sig_new"), col("sig_idx"), numHashes))
       .select("new_id", "indexed_id", "est_jaccard")
+  }
+
+  /** Maintenance: reclaim orphaned band rows and compact small files —
+    * the [[graft.knn.HnswIndex.vacuum]] counterpart for the dedup index.
+    *
+    * Orphans are the debris of an append that crashed between the bands
+    * stage and the signatures commit: band rows whose id has no signature
+    * row. The commit protocol keeps them INVISIBLE to probes (the final
+    * signature inner join), so they are a correctness no-op — but they
+    * are never reclaimed, and every parquet append also adds new small
+    * files to `signatures/` and each band partition forever. At
+    * daily-append scale a band partition becomes thousands of sliver
+    * files and file listing, not data, starts to dominate probe latency.
+    *
+    * Rewrite-then-swap: the orphan-free bands table and the compacted
+    * signatures table are written BESIDE the live ones (`<table>.tmp`),
+    * then swapped in via rename — the same single-writer maintenance
+    * contract as [[append]]. A crash between the two renames leaves
+    * `<table>.old` intact; this method performs that recovery on entry
+    * (rename back if the live table is missing, clear completed-swap /
+    * stale-tmp debris otherwise). Probe results are unchanged by
+    * construction: orphans were already invisible, compaction only
+    * re-files identical rows.
+    *
+    * `signatureFiles` is the compacted signature file count (0 = the
+    * session's default parallelism); band partitions compact to one file
+    * per band per shuffle task, the [[build]] write shape. Returns the
+    * number of orphaned band rows reclaimed.
+    */
+  def vacuum(spark: SparkSession, dir: String, signatureFiles: Int = 0): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+    def recover(table: String): Unit = {
+      val live = new Path(s"$dir/$table")
+      val old = new Path(s"$dir/$table.old")
+      val tmp = new Path(s"$dir/$table.tmp")
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"LshDedupIndex.vacuum: could not restore $old")
+      else if (fs.exists(old)) fs.delete(old, true) // completed-swap debris
+      if (fs.exists(tmp)) fs.delete(tmp, true) // crashed-rewrite debris
+    }
+    recover("bands")
+    recover("signatures")
+
+    val sigs = spark.read.parquet(s"$dir/signatures")
+    val bands = spark.read.parquet(s"$dir/bands")
+      .select("band", "band_hash", "id")
+    val liveBands = bands.join(sigs.select("id"), Seq("id"), "left_semi")
+    val orphans = bands.count() - liveBands.count()
+
+    liveBands
+      .select("band", "band_hash", "id")
+      .repartition(col("band"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("band")
+      .parquet(s"$dir/bands.tmp")
+    val nSigFiles =
+      if (signatureFiles > 0) signatureFiles
+      else spark.sparkContext.defaultParallelism
+    sigs.repartition(nSigFiles)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/signatures.tmp")
+
+    def swap(table: String): Unit = {
+      val live = new Path(s"$dir/$table")
+      val old = new Path(s"$dir/$table.old")
+      val tmp = new Path(s"$dir/$table.tmp")
+      require(fs.rename(live, old), s"LshDedupIndex.vacuum: could not stage $live")
+      require(fs.rename(tmp, live), s"LshDedupIndex.vacuum: could not commit $tmp")
+      fs.delete(old, true)
+    }
+    swap("bands")
+    swap("signatures")
+    orphans
   }
 }

@@ -126,4 +126,69 @@ class LshDedupIndexSpec extends SparkSpec {
     assert(after.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
       after.length, "duplicate candidate pairs after retry")
   }
+
+  private def bandFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(s"$dir/bands"))
+  }
+
+  test("vacuum reclaims crash-orphaned band rows; probes unchanged") {
+    val dir = tempDir("vac")
+    LshDedupIndex.build(docs, "doc_id", "text", dir)
+    // crash-sim: a batch's band rows staged, signatures never committed
+    val batch = docs.limit(40).withColumn("doc_id", col("doc_id") + 1000000)
+    val stage = tempDir("vacstage")
+    LshDedupIndex.build(batch, "doc_id", "text", stage)
+    spark.read.parquet(s"$stage/bands")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("band").parquet(s"$dir/bands")
+    val orphanRows = spark.read.parquet(s"$stage/bands").count()
+    val probe = docs.limit(60).withColumn("doc_id", col("doc_id") + 2000000)
+    val before = LshDedupIndex
+      .candidatesAgainst(spark, dir, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(LshDedupIndex.vacuum(spark, dir) == orphanRows)
+    val after = LshDedupIndex
+      .candidatesAgainst(spark, dir, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before, "vacuum changed probe results")
+    // all orphans gone: a second vacuum finds nothing
+    assert(LshDedupIndex.vacuum(spark, dir) == 0L)
+  }
+
+  test("vacuum compacts append small files; candidates identical") {
+    val dir = tempDir("compact")
+    LshDedupIndex.build(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", dir)
+    (1 to 3).foreach { r =>
+      LshDedupIndex.append(spark, dir,
+        docs.filter(col("doc_id") % 4 === r), "doc_id", "text")
+    }
+    val probe = docs.limit(60).withColumn("doc_id", col("doc_id") + 2000000)
+    val before = LshDedupIndex
+      .candidatesAgainst(spark, dir, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val filesBefore = bandFiles(dir)
+    assert(LshDedupIndex.vacuum(spark, dir, signatureFiles = 2) == 0L)
+    val filesAfter = bandFiles(dir)
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce band files: $filesBefore -> $filesAfter")
+    val after = LshDedupIndex
+      .candidatesAgainst(spark, dir, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before, "compaction changed probe results")
+  }
+
+  test("vacuum recovers a crashed swap on entry") {
+    val dir = tempDir("vacrec")
+    LshDedupIndex.build(docs.limit(100), "doc_id", "text", dir)
+    // crash-sim: rename-away done, rename-in never happened
+    val f = new java.io.File(s"$dir/bands")
+    assert(f.renameTo(new java.io.File(s"$dir/bands.old")))
+    assert(LshDedupIndex.vacuum(spark, dir) == 0L)
+    val probe = docs.limit(20).withColumn("doc_id", col("doc_id") + 2000000)
+    // index fully functional after recovery
+    LshDedupIndex.candidatesAgainst(spark, dir, probe, "doc_id", "text").count()
+  }
 }
