@@ -1658,11 +1658,13 @@ object SparkEntry {
     // chunk-window arithmetic replayed over the token list: n_chunks =
     // 1 for short docs else ceil((n-32)/16)+1; chunk k = tokens
     // [16k+1 .. min(16k+32, n)] joined by single spaces
+    // empty/whitespace-only (or NULL) docs yield NO chunks — the Spark
+    // side's explicit empty-doc gate, mirrored here by the WHERE
     "q64_chunk_documents" ->
       """WITH w AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    string_split_regex(trim(text), '\s+') AS ws
-        |  FROM documents),
+        |  FROM documents WHERE trim(text) <> ''),
         |n AS (
         |  SELECT doc_id, ws, len(ws) AS n,
         |    CASE WHEN len(ws) <= 32 THEN 1

@@ -278,7 +278,9 @@ object Dedup {
     *
     * Output: (id_a, id_b, cos_dist), id_a < id_b, cos_dist ≤
     * `maxCosineDistance`. Zero vectors score distance 1.0 against
-    * everything (the engine-wide convention) and so never pair.
+    * everything (the engine-wide convention) and so never pair at any
+    * threshold < 1.0; a threshold ≥ 1.0 admits every co-blocked pair,
+    * zero vectors included.
     */
   def semanticNearDups(
       df: DataFrame,

@@ -173,9 +173,12 @@ object TextFns {
     * context limit (stride < window ⟹ overlapping context; stride >
     * window ⟹ gapped sampling, where chunks stop at the last start
     * still inside the document and the tail between starts is skipped by
-    * construction). A document shorter than `window` yields exactly one
-    * chunk; tokenization matches [[wordShingles]] (whitespace runs on
-    * the trimmed text).
+    * construction). A non-empty document shorter than `window` yields
+    * exactly one chunk; an empty or whitespace-only document yields NO
+    * chunks (split of '' gives [''], which would otherwise surface as a
+    * phantom empty-string chunk for a downstream embed stage to process);
+    * tokenization matches [[wordShingles]] (whitespace runs on the
+    * trimmed text).
     */
   def wordChunks(c: Column, window: Int, stride: Int): Column = {
     require(window > 0 && stride > 0, "wordChunks: window and stride must be > 0")
@@ -188,7 +191,8 @@ object TextFns {
       ceil((n - window).cast("double") / stride).cast("long"),
       floor((n - 1).cast("double") / stride).cast("long"))
     val nChunks = when(n <= window, lit(1L)).otherwise(lastK + 1L)
-    transform(sequence(lit(0L), nChunks - 1L),
-      k => concat_ws(" ", slice(toks, (k * stride + 1).cast("int"), lit(window))))
+    when(trim(c) === "", array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0L), nChunks - 1L),
+        k => concat_ws(" ", slice(toks, (k * stride + 1).cast("int"), lit(window)))))
   }
 }

@@ -72,8 +72,14 @@ object Sampling {
       // is 5 chars — lexicographically BELOW almost every 4-char prefix,
       // which would silently drop ~94% of a stratum meant to keep ~100%
       if (rate >= 1.0 || threshold >= 65536) lit(true)
+      // null-keyed rows must SAMPLE (at their branch's rate), not vanish:
+      // md5(concat(NULL, …)) is NULL, the comparison is NULL, and filter()
+      // would silently reject every null-stratum / null-id row. A null
+      // stratum falls through the when-chain to this defaultRate branch;
+      // the coalesces give it a stable hash key instead of a NULL verdict.
       else substring(
-        md5(concat(col(strataCol), lit(":"), col(idCol).cast("string"))),
+        md5(concat(coalesce(col(strataCol), lit("")), lit(":"),
+          coalesce(col(idCol).cast("string"), lit("")))),
         1, 4) < lit(f"$threshold%04x")
     }
     val keep = rates.toSeq.sortBy(_._1).foldRight(keepExpr(defaultRate)) {

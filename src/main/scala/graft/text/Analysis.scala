@@ -194,6 +194,11 @@ object Analysis {
     val refToks = reference.select(
         explode(tokens(coalesce(col(refTextCol), lit("")))).as("tok"))
       .filter(col("tok") =!= "")
+    // an empty/all-blank reference would make totals.n NULL (sum over zero
+    // rows) and every document's score silently NULL — fail loudly instead
+    // (the semanticNearDups 'no non-zero vectors' convention)
+    require(!refToks.isEmpty,
+      "unigramLogProb: reference corpus has no tokens")
     val counts = refToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     // add-one smoothing: denominator = total tokens + vocabulary size;
     // unseen tokens get count 0 + 1 through the left join's coalesce

@@ -115,4 +115,23 @@ class SemLinkGridSpec extends SparkSpec {
       Map("en" -> 0.9999999))
     assert(nearOne.filter(col("lang") === "en").count() == enTotal.toLong)
   }
+
+  test("stratifiedHashSample: null strata sample at defaultRate, never vanish") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") % 2 === 0, lit("en")).otherwise(lit(null: String)).as("lang"))
+    // defaultRate 1.0 keeps every null-stratum row
+    val kept = Sampling.stratifiedHashSample(df, "id", "lang", Map("en" -> 0.5))
+    assert(kept.filter(col("lang").isNull).count() == 1000)
+    // a fractional defaultRate SAMPLES null rows (hash decision), not drops
+    val half = Sampling.stratifiedHashSample(df, "id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.5)
+    val nullKept = half.filter(col("lang").isNull).count()
+    assert(nullKept > 300 && nullKept < 700,
+      s"null-stratum keep count $nullKept far from the 0.5 rate")
+    // and the null branch stays deterministic
+    val again = Sampling.stratifiedHashSample(df, "id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.5)
+    assert(again.filter(col("lang").isNull).count() == nullKept)
+  }
 }

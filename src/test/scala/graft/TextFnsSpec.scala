@@ -213,8 +213,10 @@ class TextFnsSpec extends SparkSpec {
     assert(chunksOf("a b c", 3, 1) == Seq("a b c"))
     // tail shorter than window: n=5, w=4, st=4 → [1..4], [5]
     assert(chunksOf("a b c d e", 4, 4) == Seq("a b c d", "e"))
-    // empty text → one empty chunk (the degenerate whole-doc window)
-    assert(chunksOf("", 4, 2) == Seq(""))
+    // empty / whitespace-only text → NO chunks (a phantom ''-chunk would
+    // flow into a downstream embed stage)
+    assert(chunksOf("", 4, 2) == Seq())
+    assert(chunksOf("   ", 4, 2) == Seq())
     // gapped sampling (stride > window): starts stay inside the document —
     // no spurious trailing empty chunks
     assert(chunksOf(ten, 2, 4) == Seq("w1 w2", "w5 w6", "w9 w10"))
@@ -255,6 +257,10 @@ class TextFnsSpec extends SparkSpec {
     assert(got(1L) == ((2L, -0.7136)))
     assert(got(2L) == ((1L, -1.6094)))
     assert(got(3L) == ((0L, 0.0)))
+    // a token-free reference fails loudly instead of scoring every doc NULL
+    val blankRef = Seq((0L, "   ")).toDF("id", "text")
+    intercept[IllegalArgumentException](
+      Analysis.unigramLogProb(docs, "id", "text", blankRef, "text"))
   }
 
   test("tfidfKeywords: hand-computed tf·idf ranking with ties") {
