@@ -721,6 +721,34 @@ object SparkEntry {
           round(col("cos_dist"), 4).as("cos_dist"))
     }),
 
+    // Semantic dedup on PERTURBED (not exact) copies — the claim SemDeDup
+    // actually makes, and the multi-probe story's real test: deterministic
+    // ±30% per-element jitter puts the injected pairs at cos_dist
+    // ~0.005–0.03 (genuinely off-direction, so co-blocking is no longer
+    // guaranteed by shared direction). Recall over assignProbes ∈ {1,2,4}
+    // must be monotone (probe sets are nested — an exact invariant) and
+    // ≥ 0.9 at probes=4 (DedupSpec measures 0.986/1.0/1.0 at sf0.001).
+    "q73_semantic_perturbed" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val perturbed = emb.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) + (hash(col("vec_id"), i) % 301) / lit(1000.0)))
+            .cast("float")).as("embedding"))
+      val corpus = emb.unionByName(perturbed)
+      val hits = Seq(1, 2, 4).map { p =>
+        graft.dedup.Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+            maxCosineDistance = 0.05, nClusters = 16, assignProbes = p)
+          .filter(col("id_b") === col("id_a") + 1000000)
+          .count()
+      }
+      val n = emb.count()
+      Seq((n,
+        if (hits(0) <= hits(1) && hits(1) <= hits(2)) 1L else 0L,
+        if (hits(2) >= (n * 0.9 + 0.5).toLong) 1L else 0L))
+        .toDF("n_injected", "monotone_ok", "recall_floor_met")
+    }),
+
     // PQ-ADC kNN with exact short-list rerank, recall-gated at 0.8 (the
     // q45/q55 contract): candidates compress to m=8 one-byte codes (32×
     // smaller than the vectors), the full scan reads only codes via the
@@ -813,6 +841,45 @@ object SparkEntry {
           k = 5, nProbe = 16)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
           round(col("dist"), 6).as("dist"))
+    }),
+
+    // Streaming near-dup ingestion, EXECUTED: two disjoint copy batches
+    // (ids +1M, then +2M) arrive as real micro-batches (staged mtimes fix
+    // the replay order); each batch is probed against the persisted LSH
+    // dedup index then appended into it. Batch B's pairs AGAINST BATCH
+    // A's ids exist only because A's append was visible to B's probe —
+    // the cross-batch-visibility claim, hash-checked: every (+1M-gap)
+    // pair must surface at est_jaccard exactly 1.0.
+    "q74_stream_dedup_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_stream_dedup_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // bench repeats re-run in one JVM: sink and batch dirs start fresh;
+      // the index build below overwrites its own tables
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"), true)
+      graft.dedup.LshDedupIndex.build(docs, "doc_id", "text", s"$base/index")
+      val t0 = 1700000000000L // fixed epoch — only ORDER matters
+      graft.streaming.Streams.stageBatch(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")),
+        s"$base/batches", "batch_a.parquet", t0)
+      graft.streaming.Streams.stageBatch(
+        docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")),
+        s"$base/batches", "batch_b.parquet", t0 + 60000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.streaming.Streams.dedupIngestOnce(s, s"$base/batches", schema,
+          s"$base/index", s"$base/out", "doc_id", "text")
+        .filter(col("new_id") === col("indexed_id") + 1000000)
+        .select(col("new_id"), col("indexed_id"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
     // Gopher-rule repetition stats (dup-line fraction, dup-line char
@@ -1555,6 +1622,27 @@ object SparkEntry {
     // PQ-kNN recall floor: same contract as q55 (recall@5 ≥ 0.8)
     "q57_pq_knn" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
+
+    // streaming ingest: batch A pairs vs originals, batch B pairs vs
+    // batch A (both +1M gaps, identical text → est exactly 1.0)
+    "q74_stream_dedup_ingest" ->
+      """SELECT CAST(doc_id + 1000000 AS BIGINT) AS new_id,
+        |  CAST(doc_id AS BIGINT) AS indexed_id,
+        |  CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id + 2000000 AS BIGINT),
+        |  CAST(doc_id + 1000000 AS BIGINT),
+        |  CAST(1.0 AS DOUBLE)
+        |FROM documents""".stripMargin,
+
+    // perturbed-copy semantic-dedup recall: monotone-in-probes invariant
+    // + 0.9 floor at probes=4, asserted Spark-side, replayed as constants
+    "q73_semantic_perturbed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_injected,
+        | CAST(1 AS BIGINT) AS monotone_ok,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,
 

@@ -29,6 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object LshDedupIndex {
 
+  /** The output schema of [[candidatesAgainst]] — the constant downstream
+    * code (e.g. the streaming ingester's empty-input branch) derives
+    * empty frames from, the [[graft.knn.IvfIndex.searchSchema]]
+    * convention.
+    */
+  val candidateSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("new_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("indexed_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("est_jaccard",
+        org.apache.spark.sql.types.DoubleType)))
+
   /** Sign the corpus and persist the index layout. Returns the indexed
     * document count. Rebuild-in-place overwrites all three tables.
     */

@@ -216,6 +216,83 @@ object Streams {
       graft.knn.IvfIndex.searchSchema)
   }
 
+  /** Write `df` as ONE parquet file at `dir/name` with an explicit
+    * modification time. The file stream source orders files by
+    * (modification time, path) — staged batches therefore replay in a
+    * DETERMINISTIC order, which matters whenever batch N+1 must observe
+    * state batch N wrote (the [[dedupIngestOnce]] contract).
+    */
+  def stageBatch(df: DataFrame, dir: String, name: String, mtimeMs: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage_batch")
+    graft.util.TempDirs.register(tmp.toString)
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"stageBatch: no part file written under $tmp"))
+    val target = new java.io.File(dir, name)
+    target.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target.setLastModified(mtimeMs)
+    ()
+  }
+
+  /** Streaming near-dup ingestion, EXECUTED: document batches arrive as a
+    * file stream and each micro-batch is first PROBED against the
+    * persisted [[graft.dedup.LshDedupIndex]] (online near-dup flagging:
+    * candidates against everything ingested so far) and then APPENDED
+    * into it — so a later batch's probe sees every earlier batch through
+    * the index, exactly as a daily-ingest pipeline would dedup against
+    * its full corpus history. Probe-before-append keeps a batch from
+    * matching itself; within-batch duplicates are the batch-sized
+    * [[graft.dedup.Dedup.minHashLshCandidates]]'s job, not this path's.
+    *
+    * Per batch the corpus-side work is the band equi-join probe plus one
+    * signature pass over the batch — corpus signatures are never
+    * recomputed (the [[graft.dedup.LshDedupIndex]] scale contract).
+    * `outDir` is owned by the call (cleared first, the [[knnEnrichOnce]]
+    * re-run rationale); returns the union of all batches' candidate rows
+    * (new_id, indexed_id, est_jaccard).
+    */
+  def dedupIngestOnce(
+      spark: SparkSession,
+      batchesDir: String,
+      batchSchema: StructType,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      textCol: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt")
+    graft.util.TempDirs.register(checkpoint.toString)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+    spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchesDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.toDF()
+        graft.dedup.LshDedupIndex
+          .candidatesAgainst(sp, indexDir, b, idCol, textCol)
+          .write.mode("append").parquet(outDir)
+        graft.dedup.LshDedupIndex.append(sp, indexDir, b, idCol, textCol)
+        ()
+      }
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    if (fs.exists(outPath)) spark.read.parquet(outDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.dedup.LshDedupIndex.candidateSchema)
+  }
+
   /** Streaming exact dedup, EXECUTED: the events file is staged TWICE
     * into the source directory, so every event genuinely arrives as a
     * duplicate; `dropDuplicatesWithinWatermark` on the key keeps the

@@ -208,6 +208,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) <= 1e-6))
   }
 
+  test("semanticNearDups: PERTURBED copies recovered, recall monotone in probes") {
+    // the claim SemDeDup actually makes: near-duplicates (small angular
+    // noise, not exact copies) must co-block. Deterministic ±30%
+    // per-element jitter keyed on (id, position) lands the true cos_dist
+    // in the ~0.005–0.03 band — above exact-dup zero, below the 0.05
+    // threshold.
+    val perturbed = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + (hash(col("vec_id"), i) % 301) / lit(1000.0)))
+          .cast("float")).as("embedding"))
+    val corpus = emb.unionByName(perturbed)
+    val n = emb.count()
+    // fixture sanity: the injected pairs really are in the intended band
+    val bands = graft.knn.KnnJoin.broadcastKnn(
+        perturbed, emb, "vec_id", "embedding", 1,
+        graft.knn.KnnJoin.MetricCosine, excludeSelf = false)
+      .filter(col("query_id") === col("neighbor_id") + 10000)
+      .select("dist").collect().map(_.getDouble(0))
+    assert(bands.length == n)
+    assert(bands.forall(d => d > 1e-4 && d < 0.05),
+      s"perturbation band off: min=${bands.min} max=${bands.max}")
+    val hits = Seq(1, 2, 4).map { p =>
+      Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+          maxCosineDistance = 0.05, nClusters = 16, assignProbes = p)
+        .filter(col("id_b") === col("id_a") + 10000)
+        .count()
+    }
+    info(s"perturbed-copy recall by probes: " +
+      hits.zip(Seq(1, 2, 4)).map { case (h, p) => s"p$p=${h.toDouble / n}" }
+        .mkString(" "))
+    // multi-probe assignment sets are nested ⟹ recall is monotone EXACTLY
+    assert(hits(0) <= hits(1) && hits(1) <= hits(2),
+      s"recall not monotone in probes: $hits")
+    assert(hits(2) >= (n * 0.8 + 0.5).toLong,
+      s"probes=4 recall ${hits(2).toDouble / n} below 0.8 floor")
+  }
+
   test("nearDupComponents: transitive closure to min-id labels, drop list") {
     import spark.implicits._
     // {1,2,3,4} as a path (3-hop diameter), {10,11}, {20,21,22} as a fork,

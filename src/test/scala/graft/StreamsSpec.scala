@@ -212,4 +212,46 @@ class StreamsSpec extends SparkSpec {
     assert(none.isEmpty &&
       none.columns.toSeq == Seq("query_id", "neighbor_id", "dist", "rank"))
   }
+
+  test("streaming dedup ingestion: later batches see earlier appends") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val n = docs.count()
+    val base = Files.createTempDirectory("dedup_ingest").toString
+    graft.dedup.LshDedupIndex.build(docs, "doc_id", "text", s"$base/index")
+    val t0 = 1700000000000L
+    Streams.stageBatch(
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")),
+      s"$base/batches", "batch_a.parquet", t0)
+    Streams.stageBatch(
+      docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")),
+      s"$base/batches", "batch_b.parquet", t0 + 60000)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val out = Streams.dedupIngestOnce(spark, s"$base/batches", schema,
+      s"$base/index", s"$base/out", "doc_id", "text")
+    val exactPairs = out
+      .filter(col("new_id") === col("indexed_id") + 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch A vs originals AND batch B vs batch A — the latter half only
+    // exists because A's append was visible to B's probe
+    assert(exactPairs.length == 2 * n,
+      s"expected ${2 * n} exact-copy pairs, got ${exactPairs.length}")
+    assert(exactPairs.count(_._2 >= 1000000) == n,
+      "no cross-batch pairs: batch A's append was invisible to batch B")
+    assert(exactPairs.forall(_._3 == 1.0))
+    // end state ≡ one-shot build over all three corpora
+    val dirAll = Files.createTempDirectory("dedup_ingest_all").toString
+    graft.dedup.LshDedupIndex.build(
+      docs.unionByName(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .unionByName(
+          docs.select((col("doc_id") + 2000000).as("doc_id"), col("text"))),
+      "doc_id", "text", dirAll)
+    def sigs(d: String) = spark.read.parquet(s"$d/signatures")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(sigs(s"$base/index") == sigs(dirAll))
+  }
 }
