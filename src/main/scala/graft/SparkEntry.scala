@@ -882,6 +882,48 @@ object SparkEntry {
           round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
+    // The COMPOSED corpus-prep pipeline (clean → lexical dedup → semantic
+    // dedup → decontaminate → leakage-safe split → pack) as ONE call,
+    // end-to-end hash-checked. The fixture plants every drop reason:
+    // +3M exact copies (die at clean's dedup), +1M suffix-token copies
+    // (lexical jaccard pairs — exact AllPairs strategy, SQL-replayable),
+    // +2M suffix-token copies with SCALED embeddings (semantic pairs —
+    // deterministic direction match; the corpus has no natural pairs at
+    // 1e-6, the q65-verified property), and a benchmark built from docs
+    // 100–119's token slices (contamination ≥ 0.5 drops them). The
+    // oracle replays all seven stages in SQL, components included.
+    "q75_corpus_prep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def planted(offset: Long, n: Long, suffix: String) =
+        docs.filter(col("doc_id") < n)
+          .select((col("doc_id") + offset).as("doc_id"),
+            concat(col("text"), lit(suffix)).as("text"))
+      val corpus = docs
+        .unionByName(planted(1000000L, 50, " zzlexdupq"))
+        .unionByName(planted(2000000L, 30, " zzsemdupq"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val embAll = emb.unionByName(emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.5d)).cast("float"))
+            .as("embedding")))
+      val bench = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 3, 12))
+            .as("bench_text"))
+      graft.text.CorpusPrep.prepare(corpus, "doc_id", "text",
+        embeddings = Some(embAll), embIdCol = "vec_id", embVecCol = "embedding",
+        benchmark = Some(bench), benchIdCol = "bench_id",
+        benchTextCol = "bench_text",
+        config = graft.text.CorpusPrepConfig(
+          minTokens = 3, maxPunctRatio = 0.5, lang = "en",
+          lexicalStrategy = "jaccard", lexicalThreshold = 0.9,
+          contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512))
+    }),
+
     // Gopher-rule repetition stats (dup-line fraction, dup-line char
     // fraction, top-bigram char fraction) over natural docs PLUS an
     // injected high-repetition variant (text doubled across a newline —
@@ -1624,6 +1666,148 @@ object SparkEntry {
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
         | CAST(1 AS BIGINT) AS recall_floor_met
         |FROM embeddings""".stripMargin,
+
+    // full seven-stage SQL replay of the corpus-prep pipeline: clean
+    // (q40 CTE) -> exact word-set jaccard >= 0.9 (q16 CTE) -> planted
+    // semantic pairs -> reachability connected components -> shingle
+    // decontamination (q61 CTE) -> md5 split rule (q66) -> greedy packing
+    // recurrence (q63). MATERIALIZED stops DuckDB re-inlining the
+    // expensive CTEs into the two recursive stages (117 s -> 2 s).
+    "q75_corpus_prep" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT), text || ' zzlexdupq'
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 2000000 AS BIGINT), text || ' zzsemdupq'
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 3000000 AS BIGINT), text
+        |  FROM documents WHERE doc_id < 20),
+        |scrub AS MATERIALIZED (
+        |  SELECT id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text
+        |  FROM corpus),
+        |base AS (
+        |  SELECT id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ltoks
+        |  FROM scrub),
+        |scored AS (
+        |  SELECT id, n_tok,
+        |    CASE WHEN n_chars > 0
+        |      THEN round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars, 4)
+        |      ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_tok > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'zu', 'mit', 'von'))) AS DOUBLE) / n_tok ELSE 0.0 END AS s_de,
+        |    CASE WHEN n_tok > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE) / n_tok ELSE 0.0 END AS s_en,
+        |    CASE WHEN n_tok > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ('el', 'la', 'los', 'las', 'y', 'es', 'un', 'una', 'de', 'que'))) AS DOUBLE) / n_tok ELSE 0.0 END AS s_es,
+        |    CASE WHEN n_tok > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ('le', 'la', 'les', 'et', 'est', 'un', 'une', 'de', 'que', 'pour'))) AS DOUBLE) / n_tok ELSE 0.0 END AS s_fr
+        |  FROM base),
+        |keep AS (
+        |  SELECT id FROM scored
+        |  WHERE n_tok >= 3 AND punct_ratio <= 0.5
+        |    AND CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
+        |             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
+        |             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
+        |             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
+        |             ELSE 'und' END = 'en'),
+        |canon AS (SELECT min(id) AS id FROM scrub GROUP BY text),
+        |cleaned AS MATERIALIZED (
+        |  SELECT s.id, s.text FROM scrub s
+        |  JOIN keep USING (id) JOIN canon USING (id)),
+        |-- lexical: exact word-set jaccard >= 0.9 among cleaned survivors
+        |ctoks AS MATERIALIZED (
+        |  SELECT DISTINCT id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM cleaned),
+        |csizes AS (SELECT id, count(*) AS sz FROM ctoks GROUP BY id),
+        |cinter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |  FROM ctoks a JOIN ctoks b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT id_a, id_b FROM cinter
+        |  JOIN csizes sa ON sa.id = id_a
+        |  JOIN csizes sb ON sb.id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.9),
+        |-- semantic: planted scaled-copy pairs only (no natural pairs at 1e-6)
+        |sem AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id_a,
+        |    CAST(doc_id + 2000000 AS BIGINT) AS id_b
+        |  FROM documents WHERE doc_id < 30
+        |    AND CAST(doc_id AS BIGINT) IN (SELECT id FROM cleaned)
+        |    AND CAST(doc_id + 2000000 AS BIGINT) IN (SELECT id FROM cleaned)),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM lex
+        |  UNION SELECT id_a, id_b FROM sem
+        |  UNION SELECT id_b, id_a FROM lex
+        |  UNION SELECT id_b, id_a FROM sem),
+        |walk AS (
+        |  WITH RECURSIVE w(id, r) AS (
+        |    SELECT src, src FROM edges
+        |    UNION
+        |    SELECT e.dst, w.r FROM w JOIN edges e ON e.src = w.id)
+        |  SELECT id, r FROM w),
+        |comp AS (SELECT id, min(r) AS component FROM walk GROUP BY id),
+        |deduped AS MATERIALIZED (
+        |  SELECT c.id, c.text FROM cleaned c
+        |  WHERE c.id NOT IN (SELECT id FROM comp WHERE id <> component)),
+        |-- contamination: 8-token shingles of SCRUBBED survivor text vs benchmark
+        |-- items = RAW token slice [3:14] of docs 100..119
+        |bench AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS bench_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[3:14], ' ') AS btext
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 120),
+        |csh AS MATERIALIZED (
+        |  SELECT DISTINCT id, sh FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(ws) - 6),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS sh
+        |    FROM (SELECT id, string_split_regex(trim(text), '\s+') AS ws FROM deduped)
+        |    WHERE len(ws) >= 8)),
+        |bsh AS MATERIALIZED (
+        |  SELECT DISTINCT bench_id, sh FROM (
+        |    SELECT bench_id, unnest(list_transform(range(1, len(ws) - 6),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS sh
+        |    FROM (SELECT bench_id, string_split_regex(trim(btext), '\s+') AS ws FROM bench)
+        |    WHERE len(ws) >= 8)),
+        |bt AS (SELECT bench_id, count(*) AS n_bench FROM bsh GROUP BY 1),
+        |contam AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT c.id, o.bench_id, count(*) AS n_overlap
+        |    FROM csh c JOIN bsh o USING (sh) GROUP BY 1, 2) ov
+        |  JOIN bt USING (bench_id)
+        |  WHERE round(CAST(n_overlap AS DOUBLE) / n_bench, 4) >= 0.5),
+        |finaldocs AS (
+        |  SELECT d.id, d.text FROM deduped d WHERE d.id NOT IN (SELECT id FROM contam)),
+        |labeled AS (
+        |  SELECT f.id, coalesce(c.component, f.id) AS component,
+        |    substr(md5('split:' || CAST(coalesce(c.component, f.id) AS VARCHAR)), 1, 4) < '4000' AS is_test,
+        |    CASE WHEN length(trim(f.text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(f.text), '\s+')) END AS size
+        |  FROM finaldocs f LEFT JOIN comp c ON c.id = f.id),
+        |ordered AS MATERIALIZED (
+        |  SELECT id, component, is_test, CAST(size AS BIGINT) AS size,
+        |    CASE WHEN is_test THEN 'test' ELSE 'train' END AS grp,
+        |    row_number() OVER (PARTITION BY (CASE WHEN is_test THEN 'test' ELSE 'train' END) ORDER BY id) AS rn
+        |  FROM labeled),
+        |packed AS (
+        |  WITH RECURSIVE p AS (
+        |    SELECT grp, id, size, rn, size AS fill, CAST(0 AS BIGINT) AS seq
+        |    FROM ordered WHERE rn = 1
+        |    UNION ALL
+        |    SELECT o.grp, o.id, o.size, o.rn,
+        |      CASE WHEN p.fill + o.size > 512 THEN o.size ELSE p.fill + o.size END,
+        |      CASE WHEN p.fill + o.size > 512 THEN p.seq + 1 ELSE p.seq END
+        |    FROM p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1)
+        |  SELECT grp, id, seq FROM p)
+        |SELECT o.id, o.component, o.is_test, o.size, p.seq AS seq_id
+        |FROM ordered o JOIN packed p ON p.id = o.id""".stripMargin,
 
     // streaming ingest: batch A pairs vs originals, batch B pairs vs
     // batch A (both +1M gaps, identical text → est exactly 1.0)

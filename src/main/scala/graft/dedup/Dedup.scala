@@ -429,18 +429,25 @@ object Dedup {
       pairs: DataFrame,
       testFrac: Double,
       maxIters: Int = 20): DataFrame = {
-    require(testFrac >= 0 && testFrac <= 1,
-      s"leakageSafeSplit: testFrac must be in [0,1], got $testFrac")
     val comp = nearDupComponents(pairs, maxIters)
-    val threshold = (testFrac * 65536).round.toInt
-    val keyed = df.select(col(idCol).cast("long").as("id"))
+    df.select(col(idCol).cast("long").as("id"))
       .join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    val isTest =
-      if (testFrac >= 1.0 || threshold >= 65536) lit(true)
-      else if (threshold <= 0) lit(false)
-      else substring(md5(concat(lit("split:"), col("component").cast("string"))),
-        1, 4) < lit(f"$threshold%04x")
-    keyed.withColumn("is_test", isTest)
+      .withColumn("is_test", splitIsTest(col("component"), testFrac))
+  }
+
+  /** The split membership rule shared by [[leakageSafeSplit]] and
+    * [[graft.text.CorpusPrep]]: md5-hex threshold on the (component) key —
+    * deterministic, partition-stable, engine-independent (the
+    * [[graft.profile.Sampling.stratifiedHashSample]] hash idiom).
+    */
+  def splitIsTest(component: Column, testFrac: Double): Column = {
+    require(testFrac >= 0 && testFrac <= 1,
+      s"splitIsTest: testFrac must be in [0,1], got $testFrac")
+    val threshold = (testFrac * 65536).round.toInt
+    if (testFrac >= 1.0 || threshold >= 65536) lit(true)
+    else if (threshold <= 0) lit(false)
+    else substring(md5(concat(lit("split:"), component.cast("string"))),
+      1, 4) < lit(f"$threshold%04x")
   }
 }

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Configuration for [[CorpusPrep.prepare]]. Defaults are the operators'
+  * own defaults; `lexicalStrategy` picks the near-dup pair producer —
+  * `"minhash"` (LSH banding, the 100 TB scale path) or `"jaccard"`
+  * (exact AllPairs prefix-filter word-set similarity, deterministic and
+  * SQL-replayable — the oracle path).
+  */
+final case class CorpusPrepConfig(
+    minTokens: Long = 5,
+    maxPunctRatio: Double = 0.3,
+    lang: String = "en",
+    lexicalStrategy: String = "minhash",
+    lexicalThreshold: Double = 0.9,
+    semanticMaxCosDist: Double = 1e-6,
+    semanticClusters: Int = 16,
+    semanticProbes: Int = 2,
+    semanticDistributedTrain: Boolean = false,
+    contaminationShingle: Int = 8,
+    contaminationMaxFrac: Double = 0.5,
+    testFrac: Double = 0.2,
+    packBudget: Long = 512)
+
+/** The composed corpus-preparation pipeline — what a user actually runs
+  * ahead of a training job, as ONE library entry instead of seven
+  * hand-wired calls:
+  *
+  *  1. clean: PII scrub → quality floor → language filter → exact dedup
+  *     ([[Analysis.cleanCorpus]] — one scan, one shuffle);
+  *  2. lexical near-dup pairs over the cleaned survivors
+  *     ([[graft.dedup.Dedup.minHashLshCandidates]] or
+  *     [[graft.dedup.Dedup.wordJaccardPairs]]);
+  *  3. semantic near-dup pairs over the survivors' embeddings
+  *     ([[graft.dedup.Dedup.semanticNearDups]], optional);
+  *  4. connected components over the union pair graph → drop every
+  *     non-minimum member ([[graft.dedup.Dedup.nearDupComponents]]);
+  *  5. decontaminate against a benchmark set
+  *     ([[Analysis.contaminationCheck]], optional): drop survivors whose
+  *     benchmark shingle overlap reaches `contaminationMaxFrac`;
+  *  6. leakage-safe split keyed on the SAME component labels — a near-dup
+  *     group never straddles the train/test boundary
+  *     ([[graft.dedup.Dedup.splitIsTest]]);
+  *  7. greedy sequence packing per split side ([[Packing.packGreedy]],
+  *     size = token count, group = train/test).
+  *
+  * Each intermediate the plan references more than once (`cleaned`,
+  * `pairs`, `deduped`, the final labeled frame) is a LAZY
+  * `localCheckpoint` — the corpus is scanned once by the clean stage and
+  * every later stage reads the materialized survivors, never the source
+  * again (asserted by CorpusPrepSpec's plan-shape test). Component
+  * labels are computed ONCE and shared by the drop stage and the split
+  * stage. All stage shapes keep their own scale contracts (blocked
+  * pairs, narrow shuffles, no N²).
+  *
+  * Output: (id, component, is_test, size, seq_id) — one row per
+  * surviving document: its near-dup component label, split side, token
+  * count, and packed-sequence id (0-based per split side).
+  */
+object CorpusPrep {
+
+  def prepare(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      embeddings: Option[DataFrame] = None,
+      embIdCol: String = "id",
+      embVecCol: String = "vec",
+      benchmark: Option[DataFrame] = None,
+      benchIdCol: String = "id",
+      benchTextCol: String = "text",
+      config: CorpusPrepConfig = CorpusPrepConfig()): DataFrame = {
+    val cfg = config
+
+    val cleaned = Analysis.cleanCorpus(docs, idCol, textCol, cfg.minTokens,
+        cfg.maxPunctRatio, cfg.lang)
+      .localCheckpoint(eager = false)
+
+    val lexPairs = (cfg.lexicalStrategy match {
+      case "minhash" =>
+        graft.dedup.Dedup.minHashLshCandidates(cleaned, "id", "clean_text")
+          .filter(col("est_jaccard") >= cfg.lexicalThreshold)
+      case "jaccard" =>
+        graft.dedup.Dedup.wordJaccardPairs(cleaned, "id", "clean_text",
+          cfg.lexicalThreshold)
+      case other => throw new IllegalArgumentException(
+        s"CorpusPrep: unknown lexicalStrategy '$other' (minhash | jaccard)")
+    }).select("id_a", "id_b")
+
+    val semPairs = embeddings.map { emb =>
+      // pairs among CLEAN SURVIVORS only: an embedding of a document the
+      // quality gate already dropped must not link two survivors into one
+      // component
+      val live = emb
+        .select(col(embIdCol).cast("long").as("sid"), col(embVecCol).as("svec"))
+        .join(cleaned.select(col("id").as("sid")), "sid")
+      if (live.isEmpty) None
+      else Some(graft.dedup.Dedup.semanticNearDups(live, "sid", "svec",
+          cfg.semanticMaxCosDist, nClusters = cfg.semanticClusters,
+          assignProbes = cfg.semanticProbes,
+          distributedTrain = cfg.semanticDistributedTrain)
+        .select("id_a", "id_b"))
+    }.flatten
+
+    val pairs = semPairs.fold(lexPairs)(lexPairs.unionByName(_))
+      .localCheckpoint(eager = false)
+    val comp = graft.dedup.Dedup.nearDupComponents(pairs)
+
+    val deduped = cleaned
+      .join(comp.filter(col("id") =!= col("component")).select("id"),
+        Seq("id"), "left_anti")
+      .localCheckpoint(eager = false)
+
+    val decontaminated = benchmark.fold(deduped) { b =>
+      val hits = Analysis.contaminationCheck(deduped, "id", "clean_text",
+          b, benchIdCol, benchTextCol, cfg.contaminationShingle)
+        .filter(col("bench_overlap_frac") >= cfg.contaminationMaxFrac)
+        .select(col("doc_id").as("id")).distinct()
+      deduped.join(hits, Seq("id"), "left_anti")
+    }
+
+    val labeled = decontaminated
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"),
+        col("clean_text"))
+      .withColumn("is_test",
+        graft.dedup.Dedup.splitIsTest(col("component"), cfg.testFrac))
+      .withColumn("size",
+        graft.functions.TextFns.tokenCount(col("clean_text")))
+      .withColumn("split",
+        when(col("is_test"), lit("test")).otherwise(lit("train")))
+      .localCheckpoint(eager = false)
+
+    val packed = Packing.packGreedy(labeled, "id", "size", "split",
+      cfg.packBudget)
+    labeled
+      .join(packed.select(col("id"), col("seq_id")), "id")
+      .select("id", "component", "is_test", "size", "seq_id")
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sources.Lake
+import graft.text.{Analysis, CorpusPrep, CorpusPrepConfig, Packing}
+
+/** The composed corpus-prep pipeline: stage-for-stage equality with the
+  * hand-wired operator sequence, and the no-re-scan plan shape (the
+  * corpus parquet is read once, inside the clean stage's checkpoint).
+  */
+class CorpusPrepSpec extends SparkSpec {
+
+  private val cfg = CorpusPrepConfig(
+    minTokens = 3, maxPunctRatio = 0.5, lang = "en",
+    lexicalStrategy = "jaccard", lexicalThreshold = 0.9,
+    contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512)
+
+  private lazy val docs = Lake.table(spark, sf0001, "documents")
+    .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+  test("prepare ≡ the hand-composed stage sequence") {
+    val emb = Lake.embeddings(spark, sf0001)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val bench = docs.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+      .select(col("doc_id").as("bench_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 3, 12))
+          .as("bench_text"))
+
+    val got = CorpusPrep.prepare(docs, "doc_id", "text",
+      embeddings = Some(emb), embIdCol = "vec_id", embVecCol = "embedding",
+      benchmark = Some(bench), benchIdCol = "bench_id",
+      benchTextCol = "bench_text", config = cfg)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // the same seven stages, hand-wired through the public operators
+    val cleaned = Analysis.cleanCorpus(docs, "doc_id", "text", 3, 0.5, "en")
+    val lex = Dedup.wordJaccardPairs(cleaned, "id", "clean_text", 0.9)
+      .select("id_a", "id_b")
+    val live = emb.select(col("vec_id").cast("long").as("sid"),
+        col("embedding").as("svec"))
+      .join(cleaned.select(col("id").as("sid")), "sid")
+    val sem = Dedup.semanticNearDups(live, "sid", "svec", 1e-6,
+      nClusters = 16, assignProbes = 2).select("id_a", "id_b")
+    val pairs = lex.unionByName(sem)
+    val comp = Dedup.nearDupComponents(pairs)
+    val deduped = cleaned.join(
+      comp.filter(col("id") =!= col("component")).select("id"),
+      Seq("id"), "left_anti")
+    val hits = Analysis.contaminationCheck(deduped, "id", "clean_text",
+        bench, "bench_id", "bench_text", 8)
+      .filter(col("bench_overlap_frac") >= 0.5)
+      .select(col("doc_id").as("id")).distinct()
+    val fin = deduped.join(hits, Seq("id"), "left_anti")
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"),
+        col("clean_text"))
+      .withColumn("is_test", Dedup.splitIsTest(col("component"), 0.25))
+      .withColumn("size", graft.functions.TextFns.tokenCount(col("clean_text")))
+      .withColumn("split", when(col("is_test"), lit("test")).otherwise(lit("train")))
+    val packed = Packing.packGreedy(fin, "id", "size", "split", 512)
+    val want = fin.join(packed.select(col("id"), col("seq_id")), "id")
+      .select("id", "component", "is_test", "size", "seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("no re-scans: the final plan reads checkpoints, not the corpus") {
+    val res = CorpusPrep.prepare(docs, "doc_id", "text", config = cfg)
+    // every doc-derived stage flows through the lazy localCheckpoints, so
+    // the returned plan contains NO parquet file scan — the corpus was
+    // scanned exactly once, inside the clean stage's materialization
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"corpus re-scan in the final plan:\n$plan")
+    // and the pipeline still yields sane rows without emb/bench stages
+    val rows = res.collect()
+    assert(rows.length > 100)
+    // packing respects the budget for multi-doc sequences
+    val over = Packing.packedSequences(
+      res.select(when(col("is_test"), lit("test")).otherwise(lit("train"))
+          .as("group"), col("id"), col("size"),
+        col("seq_id")).withColumnRenamed("seq_id", "seq_id"))
+      .filter(col("n_docs") > 1 && col("total_size") > 512)
+    assert(over.isEmpty, "a multi-doc packed sequence exceeds the budget")
+  }
+}
