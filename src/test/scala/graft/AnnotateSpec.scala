@@ -94,6 +94,18 @@ class AnnotateSpec extends SparkSpec {
     // fold over breadth terms: first-seen owns the synset
     val m = Canonicalize.foldCanonical(Seq("fast", "quick", "rapid", "swift"))
     assert(m("quick") == "fast" && m("swift") == "fast")
+    // breadth block 2: literary/advanced vocabulary beyond the earlier
+    // blocks — terms that appeared in NO pre-existing group
+    assert(dict.size > 2400, s"block-2 dictionary too small: ${dict.size} terms")
+    assert(dict("sagacious").contains("wise"))
+    assert(dict("ephemeral").contains("fleeting"))
+    assert(dict("taciturn").contains("reticent"))
+    assert(dict("zenith").contains("apex"))
+    assert(dict("garrulous").contains("talkative"))
+    assert(dict("parsimonious").contains("miserly"))
+    val m2 = Canonicalize.foldCanonical(
+      Seq("sagacious", "wise", "shrewd", "astute"))
+    assert(m2("wise") == "sagacious" && m2("astute") == "sagacious")
   }
 
   test("canonicalizeAnnotations applies the mapping over the frame") {
