@@ -886,7 +886,8 @@ object SparkEntry {
     // dedup → decontaminate → leakage-safe split → pack) as ONE call,
     // end-to-end hash-checked. The fixture plants every drop reason:
     // +3M exact copies (die at clean's dedup), +1M suffix-token copies
-    // (lexical jaccard pairs — exact AllPairs strategy, SQL-replayable),
+    // (lexical 3-gram-shingle jaccard pairs — exact AllPairs, SQL-replayable;
+    // the word-SET grain is pathologically dense on this templated corpus),
     // +2M suffix-token copies with SCALED embeddings (semantic pairs —
     // deterministic direction match; the corpus has no natural pairs at
     // 1e-6, the q65-verified property), and a benchmark built from docs
@@ -920,7 +921,7 @@ object SparkEntry {
         benchTextCol = "bench_text",
         config = graft.text.CorpusPrepConfig(
           minTokens = 3, maxPunctRatio = 0.5, lang = "en",
-          lexicalStrategy = "jaccard", lexicalThreshold = 0.9,
+          lexicalStrategy = "ngram", lexicalThreshold = 0.9,
           contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512))
     }),
 
@@ -1668,7 +1669,7 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
 
     // full seven-stage SQL replay of the corpus-prep pipeline: clean
-    // (q40 CTE) -> exact word-set jaccard >= 0.9 (q16 CTE) -> planted
+    // (q40 CTE) -> exact 3-gram jaccard >= 0.9 (q47 CTE) -> planted
     // semantic pairs -> reachability connected components -> shingle
     // decontamination (q61 CTE) -> md5 split rule (q66) -> greedy packing
     // recurrence (q63). MATERIALIZED stops DuckDB re-inlining the
@@ -1722,10 +1723,15 @@ object SparkEntry {
         |cleaned AS MATERIALIZED (
         |  SELECT s.id, s.text FROM scrub s
         |  JOIN keep USING (id) JOIN canon USING (id)),
-        |-- lexical: exact word-set jaccard >= 0.9 among cleaned survivors
+        |-- lexical: exact 3-gram-shingle jaccard >= 0.9 among cleaned survivors
         |ctoks AS MATERIALIZED (
-        |  SELECT DISTINCT id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM cleaned),
+        |  SELECT DISTINCT id, unnest(
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) - 2),
+        |                          i -> array_to_string(w[i:i+2], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END) AS tok
+        |  FROM (SELECT id, string_split_regex(trim(text), '\s+') AS w
+        |        FROM cleaned)),
         |csizes AS (SELECT id, count(*) AS sz FROM ctoks GROUP BY id),
         |cinter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Configuration for [[CorpusPrep.prepare]]. Defaults are the operators'
   * own defaults; `lexicalStrategy` picks the near-dup pair producer —
-  * `"minhash"` (LSH banding, the 100 TB scale path) or `"jaccard"`
-  * (exact AllPairs prefix-filter word-set similarity, deterministic and
-  * SQL-replayable — the oracle path).
+  * `"minhash"` (LSH banding, the 100 TB scale path), `"ngram"` (exact
+  * AllPairs prefix-filter jaccard over `lexicalNgram`-word shingles —
+  * deterministic, SQL-replayable, and phrase-selective: on templated
+  * corpora the word-SET grain is pathologically dense while the shingle
+  * grain stays sparse), or `"jaccard"` (word-set AllPairs; use only when
+  * the vocabulary grain is known to be selective).
   */
 final case class CorpusPrepConfig(
     minTokens: Long = 5,
@@ -15,6 +18,7 @@ final case class CorpusPrepConfig(
     lang: String = "en",
     lexicalStrategy: String = "minhash",
     lexicalThreshold: Double = 0.9,
+    lexicalNgram: Int = 3,
     semanticMaxCosDist: Double = 1e-6,
     semanticClusters: Int = 16,
     semanticProbes: Int = 2,
@@ -82,11 +86,14 @@ object CorpusPrep {
       case "minhash" =>
         graft.dedup.Dedup.minHashLshCandidates(cleaned, "id", "clean_text")
           .filter(col("est_jaccard") >= cfg.lexicalThreshold)
+      case "ngram" =>
+        graft.dedup.Dedup.ngramJaccardPairs(cleaned, "id", "clean_text",
+          cfg.lexicalNgram, cfg.lexicalThreshold)
       case "jaccard" =>
         graft.dedup.Dedup.wordJaccardPairs(cleaned, "id", "clean_text",
           cfg.lexicalThreshold)
       case other => throw new IllegalArgumentException(
-        s"CorpusPrep: unknown lexicalStrategy '$other' (minhash | jaccard)")
+        s"CorpusPrep: unknown lexicalStrategy '$other' (minhash | ngram | jaccard)")
     }).select("id_a", "id_b")
 
     val semPairs = embeddings.map { emb =>

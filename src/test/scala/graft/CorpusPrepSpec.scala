@@ -14,7 +14,7 @@ class CorpusPrepSpec extends SparkSpec {
 
   private val cfg = CorpusPrepConfig(
     minTokens = 3, maxPunctRatio = 0.5, lang = "en",
-    lexicalStrategy = "jaccard", lexicalThreshold = 0.9,
+    lexicalStrategy = "ngram", lexicalThreshold = 0.9,
     contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512)
 
   private lazy val docs = Lake.table(spark, sf0001, "documents")
@@ -38,7 +38,7 @@ class CorpusPrepSpec extends SparkSpec {
 
     // the same seven stages, hand-wired through the public operators
     val cleaned = Analysis.cleanCorpus(docs, "doc_id", "text", 3, 0.5, "en")
-    val lex = Dedup.wordJaccardPairs(cleaned, "id", "clean_text", 0.9)
+    val lex = Dedup.ngramJaccardPairs(cleaned, "id", "clean_text", 3, 0.9)
       .select("id_a", "id_b")
     val live = emb.select(col("vec_id").cast("long").as("sid"),
         col("embedding").as("svec"))
