@@ -293,7 +293,9 @@ object Dedup {
       sampleCap: Int = 20000,
       seed: Int = 42,
       materializeAssignments: Boolean = true,
-      distributedTrain: Boolean = false): DataFrame = {
+      distributedTrain: Boolean = false,
+      twoLevelAssign: Boolean = false,
+      twoLevelProbes: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val unit = graft.knn.ApproxKnn.unitNormalized(
@@ -317,8 +319,13 @@ object Dedup {
         graft.knn.ApproxKnn.kmeans(
           sample, math.min(nClusters, sample.length), kmeansIters, seed)
       }
-    val kernel = new org.apache.spark.sql.graft.CentroidKernel(
-      spark.sparkContext.broadcast(centroids))
+    // twoLevelAssign: sublinear per-row cluster assignment for the
+    // 10⁴–10⁵-cluster SemDeDup operating point (see KMeans.twoLevelIndex)
+    val kernel: org.apache.spark.sql.graft.CentroidIndex =
+      if (twoLevelAssign) graft.knn.KMeans.twoLevelIndex(spark, centroids,
+        twoLevelProbes, seed = seed)
+      else new org.apache.spark.sql.graft.CentroidKernel(
+        spark.sparkContext.broadcast(centroids))
     // both sides of the block self-join reference the assignment frame;
     // materializing it ONCE (localCheckpoint — ContextCleaner-released,
     // not CacheManager-pinned, the setJaccardPairs rationale) halves the

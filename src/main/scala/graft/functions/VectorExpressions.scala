@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CentroidKernel, DotProduct, Interop, LshBuckets, LshKernel, MinHashKernel, MinHashSig, NearestCentroid, NearestCentroids, PqAdc, PqAdcResidual, PqEncode, PqEncodeResidual, PqKernel, SimHash64, SimHashKernel, SquaredL2}
+import org.apache.spark.sql.graft.{CentroidIndex, DotProduct, Interop, LshBuckets, LshKernel, MinHashKernel, MinHashSig, NearestCentroid, NearestCentroids, PqAdc, PqAdcResidual, PqEncode, PqEncodeResidual, PqKernel, SimHash64, SimHashKernel, SquaredL2}
 
 /** Column API over the native Catalyst vector expressions (implementation
   * in org.apache.spark.sql.graft — see the packaging note there). The
@@ -24,11 +24,11 @@ object VectorExpressions {
   }
 
   /** Nearest centroid index (IVF assign) over a broadcast codebook. */
-  def nearestCentroid(v: Column, kernel: CentroidKernel): Column =
+  def nearestCentroid(v: Column, kernel: CentroidIndex): Column =
     Interop.column(NearestCentroid(Interop.expression(v), kernel))
 
   /** The `n` nearest centroid indices by (distance, index) (IVF probe). */
-  def nearestCentroids(v: Column, kernel: CentroidKernel, n: Int): Column =
+  def nearestCentroids(v: Column, kernel: CentroidIndex, n: Int): Column =
     Interop.column(NearestCentroids(Interop.expression(v), kernel, n))
 
   /** Combined LSH bucket keys (`(table << 48) | signature`). */

@@ -75,7 +75,9 @@ object IvfIndex {
       pqM: Int = 0,
       pqKsub: Int = 256,
       pqByResidual: Boolean = true,
-      distributedTrain: Boolean = false): Int = {
+      distributedTrain: Boolean = false,
+      twoLevelAssign: Boolean = false,
+      twoLevelProbes: Int = 4): Int = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
@@ -174,8 +176,17 @@ object IvfIndex {
         if (fs.exists(p)) fs.delete(p, true)
     }
 
+    // twoLevelAssign: sublinear per-row assign for large nList (the
+    // 10⁴–10⁵-list build path) — see KMeans.twoLevelIndex. Approximate
+    // at cell boundaries; list membership shifts, search stays exact
+    // within probed lists. Append keeps the exact assign (a mode mismatch
+    // only perturbs list balance, but defaults should round-trip).
+    val assignKernel: org.apache.spark.sql.graft.CentroidIndex =
+      if (twoLevelAssign) KMeans.twoLevelIndex(spark, centroids,
+        twoLevelProbes, seed = seed)
+      else new org.apache.spark.sql.graft.CentroidKernel(bcCentroids)
     writeAssignments(candidates, idCol, vecCol, dir, bcCentroids, cosine, pq,
-      SaveMode.Overwrite)
+      SaveMode.Overwrite, assignKernel)
     centroids.length
   }
 
@@ -194,9 +205,9 @@ object IvfIndex {
       bcCentroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
       cosine: Boolean,
       pq: Option[(PqCodebooks, Boolean)],
-      mode: SaveMode): Unit = {
+      mode: SaveMode,
+      kernel: org.apache.spark.sql.graft.CentroidIndex): Unit = {
     val spark = vectors.sparkSession
-    val kernel = new org.apache.spark.sql.graft.CentroidKernel(bcCentroids)
     val base = graft.util.Par.balance(
       vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec")))
@@ -261,9 +272,10 @@ object IvfIndex {
     val centroids = loadCentroids(spark, dir)
     val cosine = HnswSearch.isCosine(loadMetric(spark, dir))
     val n = newVectors.count()
-    writeAssignments(newVectors, idCol, vecCol, dir,
-      spark.sparkContext.broadcast(centroids), cosine,
-      loadPq(spark, dir), SaveMode.Append)
+    val bc = spark.sparkContext.broadcast(centroids)
+    writeAssignments(newVectors, idCol, vecCol, dir, bc, cosine,
+      loadPq(spark, dir), SaveMode.Append,
+      new org.apache.spark.sql.graft.CentroidKernel(bc))
     n
   }
 

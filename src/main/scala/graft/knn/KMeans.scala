@@ -32,6 +32,13 @@ object KMeans {
 
   /** Train k centroids over `vecs(vecCol)` (array<float>). Returns
     * min(k, rows) centroids; `what` names the caller in errors.
+    *
+    * `twoLevelAssign` runs each iteration's assignment through a
+    * [[twoLevelIndex]] over the current centroids — O(√k·dim) per row
+    * instead of O(k·dim), the knob that keeps a 10⁵-cluster TRAINING
+    * pass linear in the corpus (the assign is the only per-row work).
+    * Approximate at cell boundaries (Lloyd still converges — mini-batch
+    * and online k-means tolerate far larger assignment noise).
     */
   def train(
       vecs: DataFrame,
@@ -39,8 +46,11 @@ object KMeans {
       k: Int,
       iters: Int,
       seed: Int,
-      what: String = "KMeans.train"): Array[Array[Float]] = {
+      what: String = "KMeans.train",
+      twoLevelAssign: Boolean = false,
+      twoLevelProbes: Int = 4): Array[Array[Float]] = {
     require(k > 0, s"$what: k must be positive, got $k")
+    val spark = vecs.sparkSession
     val cached = graft.util.Par.balance(
       vecs.select(col(vecCol).cast("array<float>").as("__v"))
         .filter(col("__v").isNotNull))
@@ -52,7 +62,11 @@ object KMeans {
         .collect()
         .map(rowVec)
       require(init.nonEmpty, s"$what: no input vectors")
-      lloyd(cached, init, iters)
+      val kernelFor: Array[Array[Float]] => org.apache.spark.sql.graft.CentroidIndex =
+        if (twoLevelAssign) cs => twoLevelIndex(spark, cs, twoLevelProbes, seed = seed)
+        else cs => new org.apache.spark.sql.graft.CentroidKernel(
+          spark.sparkContext.broadcast(cs))
+      lloyd(cached, init, iters, kernelFor)
     } finally { cached.unpersist(blocking = false); () }
   }
 
@@ -68,10 +82,20 @@ object KMeans {
       init: Array[Array[Float]],
       iters: Int): Array[Array[Float]] = {
     val spark = cached.sparkSession
+    lloyd(cached, init, iters,
+      cs => new org.apache.spark.sql.graft.CentroidKernel(
+        spark.sparkContext.broadcast(cs)))
+  }
+
+  private[graft] def lloyd(
+      cached: DataFrame,
+      init: Array[Array[Float]],
+      iters: Int,
+      kernelFor: Array[Array[Float]] => org.apache.spark.sql.graft.CentroidIndex)
+      : Array[Array[Float]] = {
     var centroids = init
     for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val kernel = new org.apache.spark.sql.graft.CentroidKernel(bc)
+      val kernel = kernelFor(centroids)
       val rows = cached
         .groupBy(graft.functions.VectorExpressions
           .nearestCentroid(col("__v"), kernel).as("cid"))
@@ -90,9 +114,55 @@ object KMeans {
         next(cid) = c
       }
       centroids = next
-      bc.destroy()
+      // per-iteration broadcasts are released by the ContextCleaner once
+      // the kernel goes unreferenced (eager destroy would reach inside
+      // the kernel abstraction)
     }
     centroids
+  }
+
+  /** Build a [[org.apache.spark.sql.graft.TwoLevelCentroidKernel]] over a
+    * trained codebook: coarse cells = driver Lloyd over the k centroids
+    * (codebook-sized work, never data-sized), member lists = exact
+    * assignment of each fine centroid to its cell. `coarseCells` 0 →
+    * ~√k cells (the arithmetic optimum when probe cost ≈ member cost).
+    */
+  def twoLevelIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Float]],
+      probes: Int = 4,
+      coarseCells: Int = 0,
+      seed: Int = 42): org.apache.spark.sql.graft.TwoLevelCentroidKernel = {
+    require(centroids.nonEmpty, "twoLevelIndex: empty codebook")
+    val k = centroids.length
+    val kc = if (coarseCells > 0) math.min(coarseCells, k)
+      else math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val coarse = ApproxKnn.kmeans(centroids, kc, iters = 5, seed)
+    val members = Array.fill(coarse.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    var fi = 0
+    while (fi < k) {
+      val c = centroids(fi)
+      var best = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < coarse.length) {
+        val cc = coarse(ci)
+        val m = math.min(cc.length, c.length)
+        var d = 0.0
+        var j = 0
+        while (j < m) { val x = c(j) - cc(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      members(best) += fi
+      fi += 1
+    }
+    new org.apache.spark.sql.graft.TwoLevelCentroidKernel(
+      spark.sparkContext.broadcast(centroids),
+      spark.sparkContext.broadcast(coarse),
+      spark.sparkContext.broadcast(members.map(_.toArray)),
+      math.max(1, probes))
   }
 
   private def rowVec(r: Row): Array[Float] = {

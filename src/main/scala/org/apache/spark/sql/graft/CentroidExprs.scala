@@ -7,6 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, IntegerType, LongType}
 
+/** The assign/probe contract the centroid expressions compile against —
+  * implemented by the exact linear-scan [[CentroidKernel]] and the
+  * [[TwoLevelCentroidKernel]] sublinear form.
+  */
+trait CentroidIndex extends Serializable {
+  def nearestOne(v: ArrayData): Int
+  def nearestN(v: ArrayData, n: Int): ArrayData
+}
+
 /** Shared nearest-centroid kernel for the IVF assign/probe expressions.
   *
   * Holds the coarse-quantizer matrix as a Spark `Broadcast` — the
@@ -19,7 +28,7 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatT
   * no per-row `Seq[Float]` conversion, no boxing, and the call stays
   * inside the whole-stage-codegen span.
   */
-final class CentroidKernel(bc: Broadcast[Array[Array[Float]]]) extends Serializable {
+final class CentroidKernel(bc: Broadcast[Array[Array[Float]]]) extends CentroidIndex {
 
   @transient private lazy val cs: Array[Array[Float]] = bc.value
 
@@ -73,12 +82,134 @@ final class CentroidKernel(bc: Broadcast[Array[Array[Float]]]) extends Serializa
   }
 }
 
+/** Sublinear two-level assign over a large codebook: the k fine centroids
+  * are themselves clustered into ~√k coarse cells (driver-side, codebook-
+  * sized — never data-sized); an assign scans the `probes` nearest coarse
+  * cells' fine members only, O(√k·(1+probes)·dim) per row instead of
+  * O(k·dim) — the difference between a 10⁵-list IVF build being linear
+  * or quadratic-feeling in the list count.
+  *
+  * Approximate at cell boundaries: a vector may land in a near-optimal
+  * list instead of the optimal one. That shifts LIST MEMBERSHIP, not
+  * search correctness — IVF search is exact within probed lists, and the
+  * list IS defined by whatever assign built it (FAISS's coarse assign has
+  * the same contract). With `probes` = the coarse cell count the scan is
+  * exhaustive and equals the exact kernel on tie-free inputs.
+  *
+  * `cellOf`/`members` are built once on the driver and broadcast; fine
+  * ids within a cell are ascending, so ties inside one cell keep the
+  * lowest index (cross-cell ties follow probe order — documented
+  * deviation from the exact kernel's global lowest-index rule).
+  */
+final class TwoLevelCentroidKernel(
+    bcFine: Broadcast[Array[Array[Float]]],
+    bcCoarse: Broadcast[Array[Array[Float]]],
+    bcMembers: Broadcast[Array[Array[Int]]],
+    probes: Int) extends CentroidIndex {
+
+  @transient private lazy val fine: Array[Array[Float]] = bcFine.value
+  @transient private lazy val coarse: Array[Array[Float]] = bcCoarse.value
+  @transient private lazy val members: Array[Array[Int]] = bcMembers.value
+
+  private def distTo(c: Array[Float], v: ArrayData): Double = {
+    val m = math.min(c.length, v.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < m) { val x = v.getFloat(i) - c(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** The `probes` nearest coarse cells, ordered by (dist, index). */
+  private def probeCells(v: ArrayData): Array[Int] = {
+    val cap = math.min(probes, coarse.length)
+    val ds = new Array[Double](cap)
+    val ids = new Array[Int](cap)
+    var size = 0
+    var ci = 0
+    while (ci < coarse.length) {
+      val d = distTo(coarse(ci), v)
+      if (size < cap || d < ds(cap - 1)) {
+        var p = if (size < cap) size else cap - 1
+        while (p > 0 && (ds(p - 1) > d || (ds(p - 1) == d && ids(p - 1) > ci))) {
+          ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        ds(p) = d; ids(p) = ci
+        if (size < cap) size += 1
+      }
+      ci += 1
+    }
+    java.util.Arrays.copyOf(ids, size)
+  }
+
+  def nearestOne(v: ArrayData): Int = {
+    val cells = probeCells(v)
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cells.length) {
+      val ms = members(cells(c))
+      var i = 0
+      while (i < ms.length) {
+        val fi = ms(i)
+        val d = distTo(fine(fi), v)
+        if (d < bestD) { bestD = d; best = fi }
+        i += 1
+      }
+      c += 1
+    }
+    // empty probed cells (possible when fine clusters collapse): fall
+    // back to cell 0's members' closest... cannot happen with non-empty
+    // members by construction; guard anyway with a full scan
+    if (best >= 0) best
+    else {
+      var fi = 0
+      var b = 0
+      var bd = Double.MaxValue
+      while (fi < fine.length) {
+        val d = distTo(fine(fi), v)
+        if (d < bd) { bd = d; b = fi }
+        fi += 1
+      }
+      b
+    }
+  }
+
+  def nearestN(v: ArrayData, n: Int): ArrayData = {
+    val cells = probeCells(v)
+    val cap = math.min(n, fine.length)
+    val ds = new Array[Double](cap)
+    val ids = new Array[Int](cap)
+    var size = 0
+    var c = 0
+    while (c < cells.length) {
+      val ms = members(cells(c))
+      var i = 0
+      while (i < ms.length) {
+        val fi = ms(i)
+        val d = distTo(fine(fi), v)
+        if (size < cap || d < ds(cap - 1) ||
+          (d == ds(cap - 1) && fi < ids(cap - 1))) {
+          var p = if (size < cap) size else cap - 1
+          while (p > 0 && (ds(p - 1) > d || (ds(p - 1) == d && ids(p - 1) > fi))) {
+            ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1
+          }
+          ds(p) = d; ids(p) = fi
+          if (size < cap) size += 1
+        }
+        i += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(ids, size))
+  }
+}
+
 /** IVF assign: nearest centroid index for a float vector. Replaces the
   * per-row Scala UDF (boxed Seq[Float], interpreted, codegen barrier) that
   * previously sat on the one code path that touches EVERY row at build
   * time (knn/IvfIndex build + ApproxKnn.ivfKnn assign).
   */
-case class NearestCentroid(child: Expression, kernel: CentroidKernel)
+case class NearestCentroid(child: Expression, kernel: CentroidIndex)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
@@ -90,7 +221,7 @@ case class NearestCentroid(child: Expression, kernel: CentroidKernel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroidKernel", kernel,
-      classOf[CentroidKernel].getName)
+      classOf[CentroidIndex].getName)
     nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.nearestOne($arr);")
   }
 
@@ -102,7 +233,7 @@ case class NearestCentroid(child: Expression, kernel: CentroidKernel)
   * Output is `array<int>` with non-null elements, matching the replaced
   * UDF's schema.
   */
-case class NearestCentroids(child: Expression, kernel: CentroidKernel, n: Int)
+case class NearestCentroids(child: Expression, kernel: CentroidIndex, n: Int)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
@@ -114,7 +245,7 @@ case class NearestCentroids(child: Expression, kernel: CentroidKernel, n: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroidKernel", kernel,
-      classOf[CentroidKernel].getName)
+      classOf[CentroidIndex].getName)
     nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.nearestN($arr, $n);")
   }
 

@@ -98,6 +98,56 @@ class KMeansSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("two-level kernel with exhaustive probes equals the exact kernel") {
+    val rnd = new scala.util.Random(11)
+    val centroids = Array.fill(64)(Array.fill(6)(rnd.nextGaussian().toFloat))
+    val exact = new org.apache.spark.sql.graft.CentroidKernel(
+      spark.sparkContext.broadcast(centroids))
+    // probes = cell count → every fine centroid is scanned
+    val twoAll = KMeans.twoLevelIndex(spark, centroids, probes = 64, seed = 3)
+    val twoFour = KMeans.twoLevelIndex(spark, centroids, probes = 4, seed = 3)
+    val probes = Array.fill(300)(Array.fill(6)(rnd.nextGaussian().toFloat))
+    var agree4 = 0
+    probes.foreach { p =>
+      val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(p)
+      assert(twoAll.nearestOne(v) == exact.nearestOne(v))
+      assert(twoAll.nearestN(v, 5).toIntArray().toSeq ==
+        exact.nearestN(v, 5).toIntArray().toSeq)
+      if (twoFour.nearestOne(v) == exact.nearestOne(v)) agree4 += 1
+    }
+    // bounded-probe assign is approximate but must be near-exact on
+    // smooth data (the FAISS coarse-assign operating regime)
+    assert(agree4 >= 270, s"probes=4 agreement too low: $agree4/300")
+  }
+
+  test("IvfIndex.build twoLevelAssign: exhaustive probe is still exact") {
+    // list membership may shift under the sublinear assign; searching
+    // every list is exact REGARDLESS of where vectors landed
+    val dir = java.nio.file.Files.createTempDirectory("ivf_2l").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 16,
+      distributedTrain = true, twoLevelAssign = true, twoLevelProbes = 2)
+    val exact = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = IvfIndex.search(spark, dir, emb, "vec_id", "embedding",
+      k = 5, nProbe = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+  }
+
+  test("train twoLevelAssign matches exact training on separated clusters") {
+    val (_, df) = clustered()
+    val a = KMeans.train(df, "__v", 3, iters = 4, seed = 42)
+    val b = KMeans.train(df, "__v", 3, iters = 4, seed = 42,
+      twoLevelAssign = true, twoLevelProbes = 2)
+    // tiny k → coarse cells ≈ 2, probes 2 = exhaustive; identical input
+    // order per iteration → same centroids up to float-summation noise
+    a.zip(b).foreach { case (x, y) =>
+      x.zip(y).foreach { case (p, q) => assert(math.abs(p - q) < 1e-3f) }
+    }
+  }
+
   test("semanticNearDups distributedTrain recovers exact scaled copies") {
     // scaled copies share direction → same nearest-centroid list,
     // regardless of which trainer produced the centroids
