@@ -626,6 +626,26 @@ object SparkEntry {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // The full 10⁴–10⁵-list build stack gated end-to-end: distributed
+    // k-means training (q71's trainer) + the sublinear TWO-LEVEL assign
+    // (√k coarse cells over the codebook). The assign is approximate at
+    // cell boundaries — list membership may shift — but searching every
+    // list is exact REGARDLESS of where vectors landed, so the whole
+    // stack is hash-checked against the brute-force oracle.
+    "q76_twolevel_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxDir = graft.util.TempDirs.register(
+        s"/tmp/graft_ivf2l_index_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      graft.knn.IvfIndex.build(emb, "vec_id", "embedding", idxDir,
+        nList = 16, distributedTrain = true, twoLevelAssign = true,
+        twoLevelProbes = 2)
+      graft.knn.IvfIndex.search(s, idxDir, emb.filter(col("vec_id") < 500),
+          "vec_id", "embedding", k = 5, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // S11 persistent IVF in COSINE mode: the metric is persisted in
     // params/ and comes back from the index (search takes no metric
     // argument). Spherical quantizer, original vectors in the lists,
@@ -1489,6 +1509,13 @@ object SparkEntry {
 
     // distributed-trainer IVF at nProbe = nList: exact kNN, same oracle
     "q71_distkmeans_ivf" ->
+      s"""$knnL2Cte
+         |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+         |FROM knn WHERE rnk <= 5 AND query_id < 500""".stripMargin,
+
+    // distributed-train + two-level-assign IVF probed exhaustively:
+    // exact regardless of (approximate) list membership — same oracle
+    "q76_twolevel_ivf" ->
       s"""$knnL2Cte
          |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
          |FROM knn WHERE rnk <= 5 AND query_id < 500""".stripMargin,

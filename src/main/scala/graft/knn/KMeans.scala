@@ -48,8 +48,11 @@ object KMeans {
       seed: Int,
       what: String = "KMeans.train",
       twoLevelAssign: Boolean = false,
-      twoLevelProbes: Int = 4): Array[Array[Float]] = {
+      twoLevelProbes: Int = 4,
+      miniBatchFraction: Double = 1.0): Array[Array[Float]] = {
     require(k > 0, s"$what: k must be positive, got $k")
+    require(miniBatchFraction > 0 && miniBatchFraction <= 1.0,
+      s"$what: miniBatchFraction must be in (0,1], got $miniBatchFraction")
     val spark = vecs.sparkSession
     val cached = graft.util.Par.balance(
       vecs.select(col(vecCol).cast("array<float>").as("__v"))
@@ -66,7 +69,7 @@ object KMeans {
         if (twoLevelAssign) cs => twoLevelIndex(spark, cs, twoLevelProbes, seed = seed)
         else cs => new org.apache.spark.sql.graft.CentroidKernel(
           spark.sparkContext.broadcast(cs))
-      lloyd(cached, init, iters, kernelFor)
+      lloyd(cached, init, iters, kernelFor, miniBatchFraction, seed)
     } finally { cached.unpersist(blocking = false); () }
   }
 
@@ -87,16 +90,30 @@ object KMeans {
         spark.sparkContext.broadcast(cs)))
   }
 
+  /** `miniBatchFraction < 1` runs each iteration over a deterministic
+    * per-iteration hash sample of the training frame (stochastic Lloyd —
+    * fresh coin per iteration, so the union of batches covers the corpus
+    * across iterations): the per-iteration cost knob when even ONE full
+    * pass per iteration is too much. Deterministic: the sample is a pure
+    * function of (vector, seed, iteration). Empty clusters — more common
+    * under sampling — keep their previous centroid, as in the full pass.
+    */
   private[graft] def lloyd(
       cached: DataFrame,
       init: Array[Array[Float]],
       iters: Int,
-      kernelFor: Array[Array[Float]] => org.apache.spark.sql.graft.CentroidIndex)
-      : Array[Array[Float]] = {
+      kernelFor: Array[Array[Float]] => org.apache.spark.sql.graft.CentroidIndex,
+      miniBatchFraction: Double = 1.0,
+      seed: Int = 42): Array[Array[Float]] = {
     var centroids = init
-    for (_ <- 1 to iters) {
+    for (iter <- 1 to iters) {
       val kernel = kernelFor(centroids)
-      val rows = cached
+      val src =
+        if (miniBatchFraction >= 1.0) cached
+        else cached.filter(
+          pmod(xxhash64(col("__v"), lit(seed), lit(iter)), lit(10000L)) <
+            lit((miniBatchFraction * 10000).round))
+      val rows = src
         .groupBy(graft.functions.VectorExpressions
           .nearestCentroid(col("__v"), kernel).as("cid"))
         .agg(graft.functions.AggExpressions.vectorSum(col("__v")).as("s"),

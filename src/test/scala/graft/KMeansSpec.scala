@@ -148,6 +148,28 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("mini-batch training: deterministic, converges on separated clusters") {
+    val (pts, df) = clustered()
+    val full = KMeans.train(df, "__v", 3, iters = 5, seed = 42)
+    val mini = KMeans.train(df, "__v", 3, iters = 5, seed = 42,
+      miniBatchFraction = 0.5)
+    val mini2 = KMeans.train(df, "__v", 3, iters = 5, seed = 42,
+      miniBatchFraction = 0.5)
+    assert(mini.map(_.toSeq).toSeq == mini2.map(_.toSeq).toSeq)
+    // convergence: the sampled iterations must land at (near) the same
+    // quantization cost as the full pass — exact assignment equality is
+    // NOT guaranteed (a shared hash init can split one true cluster, and
+    // sampling then shifts the split boundary)
+    def cost(cs: Array[Array[Float]]): Double = pts.map { p =>
+      cs.map(c => c.zip(p).map { case (a, b) =>
+        val d = (a - b).toDouble; d * d }.sum).min
+    }.sum / pts.length
+    val (cf, cm) = (cost(full), cost(mini))
+    assert(cm <= cf * 2 + 1e-6, s"mini-batch cost $cm vs full $cf")
+    intercept[IllegalArgumentException](
+      KMeans.train(df, "__v", 3, iters = 2, seed = 1, miniBatchFraction = 0.0))
+  }
+
   test("semanticNearDups distributedTrain recovers exact scaled copies") {
     // scaled copies share direction → same nearest-centroid list,
     // regardless of which trainer produced the centroids
