@@ -59,7 +59,12 @@ object KMeans {
         .filter(col("__v").isNotNull))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // distinct BEFORE the hash-ordered take: identical vectors hash
+      // identically and sort ADJACENT, so a duplicate-heavy corpus would
+      // otherwise fill the init with copies of one point (k−1 dead
+      // clusters); init size is min(k, distinct vectors)
       val init = cached
+        .dropDuplicates("__v")
         .orderBy(xxhash64(col("__v"), lit(seed)), col("__v"))
         .limit(k)
         .collect()

@@ -280,7 +280,19 @@ object Streams {
         graft.dedup.LshDedupIndex
           .candidatesAgainst(sp, indexDir, b, idCol, textCol)
           .write.mode("append").parquet(outDir)
-        graft.dedup.LshDedupIndex.append(sp, indexDir, b, idCol, textCol)
+        // idempotent ingest: a batch REPLAYED after a crash between the
+        // index commit and the stream checkpoint must not trip append's
+        // duplicate-id guard — re-append only the ids the index does not
+        // already hold (an id-only join; standard streaming retry
+        // semantics). The candidate rows above may double in the sink on
+        // such a replay — at-least-once, like any foreachBatch sink
+        // without an idempotent write key.
+        val ids = sp.read.parquet(s"$indexDir/signatures")
+          .select(col("id"))
+        val fresh = b.join(ids,
+          b(idCol).cast("long") === ids("id"), "left_anti")
+        if (!fresh.isEmpty)
+          graft.dedup.LshDedupIndex.append(sp, indexDir, fresh, idCol, textCol)
         ()
       }
       .option("checkpointLocation", checkpoint.toString)
