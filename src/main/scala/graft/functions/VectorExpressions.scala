@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CentroidIndex, DotProduct, Interop, LshBuckets, LshKernel, MinHashKernel, MinHashSig, NearestCentroid, NearestCentroids, PqAdc, PqAdcResidual, PqEncode, PqEncodeResidual, PqKernel, SimHash64, SimHashKernel, SquaredL2}
+import org.apache.spark.sql.graft.{CentroidIndex, DotProduct, NearestCentroidDist, Interop, LshBuckets, LshKernel, MinHashKernel, MinHashSig, NearestCentroid, NearestCentroids, PqAdc, PqAdcResidual, PqEncode, PqEncodeResidual, PqKernel, SimHash64, SimHashKernel, SquaredL2}
 
 /** Column API over the native Catalyst vector expressions (implementation
   * in org.apache.spark.sql.graft — see the packaging note there). The
@@ -30,6 +30,10 @@ object VectorExpressions {
   /** The `n` nearest centroid indices by (distance, index) (IVF probe). */
   def nearestCentroids(v: Column, kernel: CentroidIndex, n: Int): Column =
     Interop.column(NearestCentroids(Interop.expression(v), kernel, n))
+
+  /** Squared L2 to the nearest centroid (quantization-cost term). */
+  def nearestCentroidDist(v: Column, kernel: CentroidIndex): Column =
+    Interop.column(NearestCentroidDist(Interop.expression(v), kernel))
 
   /** Combined LSH bucket keys (`(table << 48) | signature`). */
   def lshBuckets(v: Column, kernel: LshKernel, probe: Boolean): Column =

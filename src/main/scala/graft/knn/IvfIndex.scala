@@ -279,6 +279,16 @@ object IvfIndex {
     n
   }
 
+  /** Per-list occupancy of a persisted index: (cid, n_vectors), one row
+    * per inverted list. The balance diagnostic that decides rebuild
+    * cadence — drifted appends skew lists, and probe latency follows the
+    * LARGEST probed list, not the mean. Reads only the partition column
+    * (column-pruned scan, no vector I/O).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/assignments")
+      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+
   /** The persisted PQ codebooks (and their residual flag), if this index
     * was built with `pqM > 0`. Presence of `pq/` IS the marker —
     * m/ksub/dsub reconstruct from the (s, c, vec) rows, no params

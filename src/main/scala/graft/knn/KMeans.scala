@@ -187,6 +187,34 @@ object KMeans {
       math.max(1, probes))
   }
 
+  /** Mean squared distance to the nearest centroid — the quantization
+    * cost that tunes k / iters (the elbow diagnostic) and watches drift
+    * on appended corpora (rising cost against a fixed codebook = time to
+    * rebuild). ONE aggregation over the frame through the same codegen
+    * assign kernel as training; nothing but the scalar comes back.
+    */
+  def cost(
+      vecs: DataFrame,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      twoLevelAssign: Boolean = false,
+      twoLevelProbes: Int = 4,
+      seed: Int = 42): Double = {
+    require(centroids.nonEmpty, "KMeans.cost: empty codebook")
+    val spark = vecs.sparkSession
+    val kernel: org.apache.spark.sql.graft.CentroidIndex =
+      if (twoLevelAssign) twoLevelIndex(spark, centroids, twoLevelProbes, seed = seed)
+      else new org.apache.spark.sql.graft.CentroidKernel(
+        spark.sparkContext.broadcast(centroids))
+    val rows = vecs
+      .select(col(vecCol).cast("array<float>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .agg(avg(graft.functions.VectorExpressions
+        .nearestCentroidDist(col("__v"), kernel)).as("c"))
+      .collect()
+    if (rows.isEmpty || rows.head.isNullAt(0)) 0.0 else rows.head.getDouble(0)
+  }
+
   private def rowVec(r: Row): Array[Float] = {
     val s = r.getSeq[Float](0)
     val a = new Array[Float](s.length)

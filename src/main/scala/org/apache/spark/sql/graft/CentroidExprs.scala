@@ -14,6 +14,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatT
 trait CentroidIndex extends Serializable {
   def nearestOne(v: ArrayData): Int
   def nearestN(v: ArrayData, n: Int): ArrayData
+
+  /** Squared L2 to the nearest centroid (under this index's probe rule) —
+    * the per-row term of the k-means quantization cost.
+    */
+  def nearestOneDist(v: ArrayData): Double
 }
 
 /** Shared nearest-centroid kernel for the IVF assign/probe expressions.
@@ -54,6 +59,18 @@ final class CentroidKernel(bc: Broadcast[Array[Array[Float]]]) extends CentroidI
       ci += 1
     }
     best
+  }
+
+  def nearestOneDist(v: ArrayData): Double = {
+    val local = cs
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < local.length) {
+      val d = distTo(local(ci), v)
+      if (d < bestD) bestD = d
+      ci += 1
+    }
+    bestD
   }
 
   /** The `n` nearest centroid indices ordered by (distance, index) — the
@@ -174,6 +191,11 @@ final class TwoLevelCentroidKernel(
     }
   }
 
+  def nearestOneDist(v: ArrayData): Double = {
+    val fi = nearestOne(v)
+    distTo(fine(fi), v)
+  }
+
   def nearestN(v: ArrayData, n: Int): ArrayData = {
     val cells = probeCells(v)
     val cap = math.min(n, fine.length)
@@ -226,6 +248,30 @@ case class NearestCentroid(child: Expression, kernel: CentroidIndex)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Squared L2 to the nearest centroid — the per-row quantization-cost
+  * term ([[graft.knn.KMeans.cost]]); same broadcast-codebook shipping as
+  * the assign expressions.
+  */
+case class NearestCentroidDist(child: Expression, kernel: CentroidIndex)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "nearest_centroid_dist"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.nearestOneDist(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidKernel", kernel,
+      classOf[CentroidIndex].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.nearestOneDist($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDist =
     copy(child = newChild)
 }
 

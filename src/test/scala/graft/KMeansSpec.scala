@@ -170,6 +170,49 @@ class KMeansSpec extends SparkSpec {
       KMeans.train(df, "__v", 3, iters = 2, seed = 1, miniBatchFraction = 0.0))
   }
 
+  test("training aggregation keeps map-side partials (ObjectHashAggregate)") {
+    val (_, df) = clustered()
+    val kernel = new org.apache.spark.sql.graft.CentroidKernel(
+      spark.sparkContext.broadcast(Array(Array(0f, 0f, 0f, 0f))))
+    val agg = df.groupBy(graft.functions.VectorExpressions
+        .nearestCentroid(col("__v"), kernel).as("cid"))
+      .agg(graft.functions.AggExpressions.vectorSum(col("__v")).as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // partial_vector_sum BEFORE the exchange: the shuffle carries one
+    // dim-sized buffer per (group, partition), never the vectors
+    assert(plan.contains("partial_vector_sum"),
+      s"no map-side partial aggregation in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"unexpected agg mode:\n$plan")
+  }
+
+  test("cost: hand-computed quantization cost, elbow direction, drift") {
+    import spark.implicits._
+    val df = Seq(Array(0f, 0f), Array(2f, 0f), Array(10f, 0f))
+      .toDF("v")
+    // one centroid at the origin: mean of 0, 4, 100
+    val c1 = KMeans.cost(df, "v", Array(Array(0f, 0f)))
+    assert(math.abs(c1 - (0.0 + 4.0 + 100.0) / 3) < 1e-9)
+    // a second centroid at the outlier: cost can only fall
+    val c2 = KMeans.cost(df, "v", Array(Array(0f, 0f), Array(10f, 0f)))
+    assert(math.abs(c2 - (0.0 + 4.0 + 0.0) / 3) < 1e-9)
+    assert(c2 < c1)
+    // two-level with exhaustive probes agrees with the exact kernel
+    val (_, cl) = clustered()
+    val cs = KMeans.train(cl, "__v", 3, iters = 3, seed = 5)
+    val exact = KMeans.cost(cl, "__v", cs)
+    val two = KMeans.cost(cl, "__v", cs, twoLevelAssign = true,
+      twoLevelProbes = cs.length)
+    assert(math.abs(exact - two) < 1e-9)
+  }
+
+  test("IvfIndex.stats: per-list occupancy sums to the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stats").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 8)
+    val st = IvfIndex.stats(spark, dir).collect()
+    assert(st.map(_.getLong(1)).sum == emb.count())
+    assert(st.length <= 8 && st.forall(_.getLong(1) > 0))
+  }
+
   test("semanticNearDups distributedTrain recovers exact scaled copies") {
     // scaled copies share direction → same nearest-centroid list,
     // regardless of which trainer produced the centroids
