@@ -72,6 +72,47 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("minhash strategy (the scale default) composes identically") {
+    val viaMinhash = CorpusPrep.prepare(docs, "doc_id", "text",
+      config = cfg.copy(lexicalStrategy = "minhash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // hand-composed with the same pair producer
+    val cleaned = Analysis.cleanCorpus(docs, "doc_id", "text", 3, 0.5, "en")
+    val pairs = Dedup.minHashLshCandidates(cleaned, "id", "clean_text")
+      .filter(col("est_jaccard") >= 0.9).select("id_a", "id_b")
+    val comp = Dedup.nearDupComponents(pairs)
+    val fin = cleaned.join(
+        comp.filter(col("id") =!= col("component")).select("id"),
+        Seq("id"), "left_anti")
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"),
+        col("clean_text"))
+      .withColumn("is_test", Dedup.splitIsTest(col("component"), 0.25))
+      .withColumn("size", graft.functions.TextFns.tokenCount(col("clean_text")))
+      .withColumn("split", when(col("is_test"), lit("test")).otherwise(lit("train")))
+    val packed = Packing.packGreedy(fin, "id", "size", "split", 512)
+    val want = fin.join(packed.select(col("id"), col("seq_id")), "id")
+      .select("id", "component", "is_test", "size", "seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(viaMinhash == want)
+    assert(viaMinhash.nonEmpty)
+    intercept[IllegalArgumentException](
+      CorpusPrep.prepare(docs, "doc_id", "text",
+        config = cfg.copy(lexicalStrategy = "nope")))
+  }
+
+  test("empty corpus flows through all stages to an empty result") {
+    val empty = docs.filter(col("doc_id") < 0)
+    val res = CorpusPrep.prepare(empty, "doc_id", "text", config = cfg)
+    assert(res.isEmpty)
+    assert(res.columns.toSeq ==
+      Seq("id", "component", "is_test", "size", "seq_id"))
+  }
+
   test("no re-scans: the final plan reads checkpoints, not the corpus") {
     val res = CorpusPrep.prepare(docs, "doc_id", "text", config = cfg)
     // every doc-derived stage flows through the lazy localCheckpoints, so
