@@ -35,6 +35,19 @@ object BpeEngine {
     } finally src.close()
   }
 
+  /** The deployment's token-exact engine: the vocabulary file named by
+    * the `GRAFT_TIKTOKEN_VOCAB` environment variable when set (drop in
+    * the published `cl100k_base.tiktoken` export — ~1.7 MB, not bundled
+    * — for reference-exact token boundaries; a GPT-2 `merges.txt` works
+    * too, the format is sniffed), else the bundled demo tiktoken
+    * vocabulary. `env` is injectable for tests; callers use the default.
+    */
+  def resolveDefault(env: Map[String, String] = sys.env): BpeEngine =
+    env.get("GRAFT_TIKTOKEN_VOCAB")
+      .filter(p => new java.io.File(p).isFile)
+      .map(fromVocabFile)
+      .getOrElse(TiktokenBpe.bundledDemo)
+
   private[functions] def looksTiktoken(lines: Seq[String]): Boolean =
     lines.iterator.map(_.trim)
       .find(l => l.nonEmpty && !l.startsWith("#"))

@@ -111,6 +111,24 @@ class TiktokenSpec extends SparkSpec {
     assert(e2.countTokens("ab") == 1L)
   }
 
+  test("resolveDefault: env-named vocabulary wins, bundled demo otherwise") {
+    // no override (or a dangling path) → the bundled demo engine
+    val demo = BpeEngine.resolveDefault(Map.empty)
+    assert(demo eq TiktokenBpe.bundledDemo)
+    assert(BpeEngine.resolveDefault(
+      Map("GRAFT_TIKTOKEN_VOCAB" -> "/no/such/file")) eq TiktokenBpe.bundledDemo)
+    // a deployment drops in its model's published export (either format)
+    val dir = java.nio.file.Files.createTempDirectory("vocab_env").toString
+    val f = new java.io.File(dir, "model.tiktoken")
+    val pw = new java.io.PrintWriter(f, "UTF-8")
+    ("xy".distinct.map(c => s"${b64(c.toString)} ${c.toInt}") ++
+      Seq(s"${b64("xy")} 300")).foreach(pw.println)
+    pw.close()
+    val own = BpeEngine.resolveDefault(Map("GRAFT_TIKTOKEN_VOCAB" -> f.getPath))
+    assert(own.isInstanceOf[TiktokenBpe] && !(own eq TiktokenBpe.bundledDemo))
+    assert(own.countTokens("xy") == 1L)
+  }
+
   test("Spark expressions run the tiktoken engine: counts, truncation, nulls") {
     val tik = TiktokenBpe.bundledDemo
     val df = Seq(
