@@ -23,6 +23,7 @@ final case class CorpusPrepConfig(
     semanticClusters: Int = 16,
     semanticProbes: Int = 2,
     semanticDistributedTrain: Boolean = false,
+    semanticTwoLevelAssign: Boolean = false,
     contaminationShingle: Int = 8,
     contaminationMaxFrac: Double = 0.5,
     testFrac: Double = 0.2,
@@ -107,7 +108,8 @@ object CorpusPrep {
       else Some(graft.dedup.Dedup.semanticNearDups(live, "sid", "svec",
           cfg.semanticMaxCosDist, nClusters = cfg.semanticClusters,
           assignProbes = cfg.semanticProbes,
-          distributedTrain = cfg.semanticDistributedTrain)
+          distributedTrain = cfg.semanticDistributedTrain,
+          twoLevelAssign = cfg.semanticTwoLevelAssign)
         .select("id_a", "id_b"))
     }.flatten
 
