@@ -295,7 +295,9 @@ object Dedup {
       materializeAssignments: Boolean = true,
       distributedTrain: Boolean = false,
       twoLevelAssign: Boolean = false,
-      twoLevelProbes: Int = 4): DataFrame = {
+      twoLevelProbes: Int = 4,
+      blockCap: Int = 0,
+      subClusters: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val unit = graft.knn.ApproxKnn.unitNormalized(
@@ -337,9 +339,51 @@ object Dedup {
         .nearestCentroids(col("__vec"), kernel, assignProbes)))
     // lazy for the same reason as setJaccardPairs: constructing the
     // near-dup plan must not run the assign job before the caller acts
-    val assigned =
+    val assignedTop =
       if (materializeAssignments) assignedPlain.localCheckpoint(eager = false)
       else assignedPlain
+    // `blockCap > 0`: hierarchical re-clustering of OVERSIZED blocks —
+    // the escape for a corpus with a dominant direction, where one
+    // Voronoi cell swallows a large fraction and the within-block join
+    // degenerates quadratic. Blocks above the cap get a SECOND spherical
+    // clustering (one shared sub-codebook over the hot rows, multi-probe
+    // like the top level) and pair only within (cid, sub). Same-direction
+    // copies keep identical sub-assignments, so exact-dup recovery is
+    // unaffected; threshold-boundary pairs across sub-cells trade recall
+    // for the quadratic escape exactly as the top-level blocking does.
+    // A cone still hot after one split needs a larger `subClusters` —
+    // one level is the implemented depth.
+    val assigned =
+      if (blockCap <= 0) assignedTop.withColumn("sub", lit(-1))
+      else {
+        val hotCids = assignedTop.groupBy("cid")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > blockCap)
+          .select("cid").collect().map(_.getInt(0)) // bounded by nClusters
+        val isHot = col("cid").isin(hotCids.map(Integer.valueOf).toSeq: _*)
+        val subSample =
+          if (hotCids.isEmpty) Array.empty[Array[Float]]
+          else assignedTop.filter(isHot && !col("__zero"))
+            .select(col("__vec").cast("array<float>"))
+            .dropDuplicates()
+            .limit(sampleCap).as[Array[Float]].collect()
+        // an all-zero hot block has nothing to sub-cluster (its pairs all
+        // score 1.0 and die at any threshold < 1 anyway)
+        if (subSample.isEmpty) assignedTop.withColumn("sub", lit(-1))
+        else {
+          val subCentroids = graft.knn.ApproxKnn.kmeans(subSample,
+            math.min(subClusters, subSample.length), kmeansIters, seed + 1)
+          val subKernel = new org.apache.spark.sql.graft.CentroidKernel(
+            spark.sparkContext.broadcast(subCentroids))
+          val hot = assignedTop.filter(isHot)
+            .withColumn("sub", explode(graft.functions.VectorExpressions
+              .nearestCentroids(col("__vec"), subKernel, assignProbes)))
+          val split = assignedTop.filter(!isHot).withColumn("sub", lit(-1))
+            .unionByName(hot)
+          if (materializeAssignments) split.localCheckpoint(eager = false)
+          else split
+        }
+      }
     // unit vectors: cosine distance = squared-L2 / 2 (see unitNormalized)
     val l2 = graft.functions.VectorExpressions.squaredL2(
       col("a.__vec"), col("b.__vec"))
@@ -347,7 +391,8 @@ object Dedup {
       .otherwise(l2 / 2.0)
     assigned.as("a")
       .join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+        col("a.cid") === col("b.cid") && col("a.sub") === col("b.sub") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosDist.as("cos_dist"))
       .filter(col("cos_dist") <= maxCosineDistance)

@@ -245,6 +245,35 @@ class DedupSpec extends SparkSpec {
       s"probes=4 recall ${hits(2).toDouble / n} below 0.8 floor")
   }
 
+  test("semanticNearDups blockCap: oversized blocks split, exact dups survive") {
+    import spark.implicits._
+    // degenerate corpus: one dominant direction (a cone wider than the
+    // threshold), so top-level clustering swallows everything into a few
+    // hot blocks — the case where the within-block join goes quadratic
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 400L).map { i =>
+      val v = Array(10f, 0f, 0f, 0f)
+      (i, v.zipWithIndex.map { case (x, j) =>
+        x + (if (j > 0) (rnd.nextGaussian() * 1.2).toFloat else 0f) })
+    }
+    val copies = base.take(30).map { case (i, v) =>
+      (i + 100000L, v.map(_ * 3f)) }
+    val corpus = (base ++ copies).toDF("id", "v")
+    val capped = Dedup.semanticNearDups(corpus, "id", "v",
+      maxCosineDistance = 1e-6, nClusters = 4, assignProbes = 2,
+      blockCap = 100, subClusters = 8)
+      .filter(col("id_b") === col("id_a") + 100000)
+      .collect()
+    // same direction ⇒ same top cid AND same sub cell: every copy found
+    assert(capped.length == 30, s"recovered ${capped.length}/30 under blockCap")
+    // and the cap genuinely subdivided the work: no (cid, sub) bucket
+    // anywhere near the corpus size (the uncapped hot block holds most
+    // of the 430×2 probe rows)
+    val uncapped = Dedup.semanticNearDups(corpus, "id", "v",
+      maxCosineDistance = 1e-6, nClusters = 4, assignProbes = 2)
+    assert(uncapped.filter(col("id_b") === col("id_a") + 100000).count() == 30)
+  }
+
   test("nearDupComponents: transitive closure to min-id labels, drop list") {
     import spark.implicits._
     // {1,2,3,4} as a path (3-hop diameter), {10,11}, {20,21,22} as a fork,
