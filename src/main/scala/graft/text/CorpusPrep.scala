@@ -24,6 +24,8 @@ final case class CorpusPrepConfig(
     semanticProbes: Int = 2,
     semanticDistributedTrain: Boolean = false,
     semanticTwoLevelAssign: Boolean = false,
+    semanticBlockCap: Int = 0,
+    semanticSubClusters: Int = 16,
     contaminationShingle: Int = 8,
     contaminationMaxFrac: Double = 0.5,
     testFrac: Double = 0.2,
@@ -109,7 +111,9 @@ object CorpusPrep {
           cfg.semanticMaxCosDist, nClusters = cfg.semanticClusters,
           assignProbes = cfg.semanticProbes,
           distributedTrain = cfg.semanticDistributedTrain,
-          twoLevelAssign = cfg.semanticTwoLevelAssign)
+          twoLevelAssign = cfg.semanticTwoLevelAssign,
+          blockCap = cfg.semanticBlockCap,
+          subClusters = cfg.semanticSubClusters)
         .select("id_a", "id_b"))
     }.flatten
 
