@@ -204,6 +204,21 @@ object LshDedupIndex {
       .select("new_id", "indexed_id", "est_jaccard")
   }
 
+  /** Band-level occupancy: (band, n_rows, n_buckets, max_bucket) — the
+    * skew diagnostic of the [[graft.knn.IvfIndex.stats]] family: probe
+    * cost follows the HOTTEST bucket (every probe colliding with a
+    * saturated bucket pays its full membership), and a band whose bucket
+    * count collapses signals a degenerate signature scheme for this
+    * corpus (shingle size too small, bands too coarse).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bands")
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("__b"))
+      .groupBy("band")
+      .agg(sum("__b").cast("long").as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max("__b").cast("long").as("max_bucket"))
+
   /** Maintenance: reclaim orphaned band rows and compact small files —
     * the [[graft.knn.HnswIndex.vacuum]] counterpart for the dedup index.
     *

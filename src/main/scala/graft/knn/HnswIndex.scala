@@ -181,6 +181,20 @@ object HnswIndex {
     spark.read.option("basePath", s"$dir/nodes").parquet(paths: _*)
   }
 
+  /** Per-shard occupancy of the LIVE generation: (shard, n_nodes) — the
+    * balance diagnostic of the [[graft.knn.IvfIndex.stats]] family (query
+    * latency follows the largest shard's graph, and appended batches land
+    * whole shards, so drifted ingest skews here first). Reads only the
+    * partition columns of the manifest's shard paths.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val (_, shardGens) = readManifest(spark, dir)
+    loadNodes(spark, dir, shardGens)
+      .groupBy("shard")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_nodes"))
+  }
+
   private def loadParams(spark: SparkSession, dir: String)
       : (Int, String, Int, Int, Int) = {
     val rows = spark.read.parquet(s"$dir/params")

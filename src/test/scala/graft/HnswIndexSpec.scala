@@ -48,6 +48,19 @@ class HnswIndexSpec extends SparkSpec {
     assert(recall > 0.8, s"persisted-HNSW recall@5 too low: $recall")
   }
 
+  test("stats: live-generation shard occupancy sums to the corpus") {
+    val dir = tempDir("stats")
+    HnswIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      dir, shards = 4)
+    HnswIndex.append(spark, dir, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding")
+    val st = HnswIndex.stats(spark, dir).collect()
+    // append rewrote some shards into a new generation — stats must read
+    // the MANIFEST's live paths, never stale generations
+    assert(st.map(_.getLong(1)).sum == emb.count())
+    assert(st.forall(_.getLong(1) > 0))
+  }
+
   test("params ride the index: cosine build searches as cosine; bad metric throws") {
     val dir = tempDir("cos")
     HnswIndex.build(emb, "vec_id", "embedding", dir, shards = 4,

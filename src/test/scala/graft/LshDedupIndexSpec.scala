@@ -180,6 +180,18 @@ class LshDedupIndexSpec extends SparkSpec {
     assert(after == before, "compaction changed probe results")
   }
 
+  test("stats: per-band rows sum to docs × bands, buckets bounded") {
+    val dir = tempDir("stats")
+    val n = LshDedupIndex.build(docs, "doc_id", "text", dir)
+    val st = LshDedupIndex.stats(spark, dir).collect()
+    assert(st.length == 16) // default band count
+    assert(st.map(_.getLong(1)).sum == n * 16) // one row per (doc, band)
+    st.foreach { r =>
+      assert(r.getLong(2) <= n)                // buckets per band ≤ docs
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n) // hottest bucket
+    }
+  }
+
   test("vacuum recovers a crashed swap on entry") {
     val dir = tempDir("vacrec")
     LshDedupIndex.build(docs.limit(100), "doc_id", "text", dir)
