@@ -950,6 +950,20 @@ object SparkEntry {
           contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512))
     }),
 
+    // Exact substring dedup (Lee et al. 2022 ExactSubstr, word grain):
+    // +1M full copies of docs < 25 make every ≥8-token span in those
+    // docs corpus-duplicated — both members collapse to the sub-8-token
+    // remainder; NATURAL repeated 8-grams across the templated corpus
+    // are removed too, and the oracle replays the whole rule (string
+    // shingles instead of hashes — same result, collisions aside).
+    "q77_dedup_substrings" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Analysis.dedupSubstrings(corpus, "doc_id", "text", l = 8)
+    }),
+
     // Gopher-rule repetition stats (dup-line fraction, dup-line char
     // fraction, top-bigram char fraction) over natural docs PLUS an
     // injected high-repetition variant (text doubled across a newline —
@@ -1846,6 +1860,49 @@ object SparkEntry {
         |  SELECT grp, id, seq FROM p)
         |SELECT o.id, o.component, o.is_test, o.size, p.seq AS seq_id
         |FROM ordered o JOIN packed p ON p.id = o.id""".stripMargin,
+
+    // full SQL replay of the repeated-span rule: 8-token string shingles
+    // (hashes elided — same result), occurrence counts >= 2, coverage
+    // union, ordered per-doc rebuild via string_agg
+    "q77_dedup_substrings" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT), text
+        |  FROM documents WHERE doc_id < 25),
+        |w AS MATERIALIZED (
+        |  SELECT id, string_split_regex(trim(coalesce(text, '')), '\s+') AS ws
+        |  FROM corpus),
+        |toks AS MATERIALIZED (
+        |  SELECT id, u.p AS pos, u.tok FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(ws) + 1),
+        |      i -> {'p': i - 1, 'tok': ws[i]})) AS u
+        |    FROM w)
+        |  WHERE u.tok <> ''),
+        |grams AS MATERIALIZED (
+        |  SELECT id, u.p AS gp, u.g FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(ws) - 6),
+        |      i -> {'p': i - 1, 'g': array_to_string(ws[i:i+7], ' ')})) AS u
+        |    FROM w WHERE len(ws) >= 8)),
+        |shared AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT id, pos FROM (
+        |    SELECT id, unnest(range(gp, gp + 8)) AS pos
+        |    FROM grams WHERE g IN (SELECT g FROM shared))),
+        |kept AS (
+        |  SELECT t.id, t.pos, t.tok FROM toks t
+        |  LEFT JOIN covered c ON c.id = t.id AND c.pos = t.pos
+        |  WHERE c.id IS NULL),
+        |reb AS (
+        |  SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS kept_n FROM kept GROUP BY id),
+        |ntok AS (
+        |  SELECT id, CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM corpus)
+        |SELECT n.id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(n.n - coalesce(r.kept_n, 0) AS BIGINT) AS n_removed
+        |FROM ntok n LEFT JOIN reb r USING (id)""".stripMargin,
 
     // streaming ingest: batch A pairs vs originals, batch B pairs vs
     // batch A (both +1M gaps, identical text → est exactly 1.0);

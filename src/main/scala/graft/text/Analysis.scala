@@ -305,6 +305,65 @@ object Analysis {
       .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Exact substring (repeated-span) deduplication — the ExactSubstr
+    * method (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed at the word grain as relational
+    * operators instead of a corpus-wide suffix array (a single-machine
+    * construction with no distributed analog): any `l`-token span
+    * occurring more than once across the corpus — any document, any
+    * position, self-repeats included — marks all its token positions;
+    * marked tokens are removed and each document is rebuilt from its
+    * surviving tokens in order.
+    *
+    * Documented divergence: the suffix-array form keeps ONE occurrence of
+    * each duplicated span; position-level canonical selection is a
+    * sequential tie-break with no bounded-state distributed form, so this
+    * removes EVERY occurrence (conservative over-removal — spans repeated
+    * verbatim across a corpus are boilerplate-like by construction; run
+    * [[graft.dedup.Dedup]] document-level dedup first so intentional
+    * full copies don't erase the canonical).
+    *
+    * Shape: one posexplode at the l-gram grain, occurrence counts on
+    * 8-byte hashes, a semi-join back, one l-row coverage explode per
+    * SHARED gram only, and the [[removeBoilerplateLines]] per-doc ordered
+    * rebuild. Exchanges carry (id, pos, hash) rows; text rides only the
+    * final per-doc regroup.
+    *
+    * Output: (id, clean_text, n_removed) — n_removed = tokens dropped.
+    */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      l: Int = 8): DataFrame = {
+    require(l > 0, s"dedupSubstrings: l must be positive, got $l")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val toks = base.select(col("id"),
+        posexplode(split(trim(col("__text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val grams = base.select(col("id"),
+        posexplode(TextFns.wordShingles(col("__text"), l))
+          .as(Seq("pos", "__g")))
+      .select(col("id"), col("pos"), xxhash64(col("__g")).as("gh"))
+    // spans with ≥ 2 occurrences ANYWHERE (count over occurrences, not
+    // distinct docs — within-doc repetition is duplication too)
+    val shared = grams.groupBy("gh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("gh")
+    val covered = grams.join(shared, "gh")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (l - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    base.select(col("id"), TextFns.tokenCount(col("__text")).as("__n_tok"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_tok") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Long-document chunking — the front end of a chunk → embed → index
     * pipeline: one row per sliding word-window (see
     * [[graft.functions.TextFns.wordChunks]]), with the 0-based chunk

@@ -243,6 +243,41 @@ class TextFnsSpec extends SparkSpec {
     assert(t1.head.getString(0) == "p q")
   }
 
+  test("dedupSubstrings: hand-traced span removal, self-repeats, blanks") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val docs = Seq(
+      (1L, "a b c d e f"),      // shares span "a b c" with doc 2
+      (2L, "x a b c y z"),      // → positions of the shared 3-gram drop
+      (3L, "p q r p q r"),      // self-repeat: "p q r" occurs twice
+      (4L, "unique tokens only here"),
+      (5L, "   ")               // blank → untouched, 0 removed
+    ).toDF("id", "text")
+    val got = Analysis.dedupSubstrings(docs, "id", "text", l = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1: "a b c" covers pos 0-2 → "d e f" survives
+    assert(got(1L) == (("d e f", 3L)))
+    // doc 2: "a b c" covers pos 1-3 → "x y z" survives
+    assert(got(2L) == (("x y z", 3L)))
+    // doc 3: "p q r" at pos 0 and 3 → everything covered
+    assert(got(3L) == (("", 6L)))
+    // doc 4: no shared span
+    assert(got(4L) == (("unique tokens only here", 0L)))
+    assert(got(5L) == (("", 0L)))
+    // overlapping shared spans cover the union of their positions:
+    // "a b c d" and "b c d e" shared → doc 10 loses pos 0..4
+    val ov = Seq(
+      (10L, "a b c d e tail1 tail2 tail3"),
+      (11L, "a b c d x"),
+      (12L, "y b c d e")
+    ).toDF("id", "text")
+    val got2 = Analysis.dedupSubstrings(ov, "id", "text", l = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(10L) == "tail1 tail2 tail3")
+    assert(got2(11L) == "x")
+    assert(got2(12L) == "y")
+  }
+
   test("unigramLogProb: hand-computed smoothing, unseen tokens, blank docs") {
     import spark.implicits._
     import graft.text.Analysis
