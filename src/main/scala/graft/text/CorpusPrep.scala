@@ -16,6 +16,7 @@ final case class CorpusPrepConfig(
     minTokens: Long = 5,
     maxPunctRatio: Double = 0.3,
     lang: String = "en",
+    substringDedupL: Int = 0,
     lexicalStrategy: String = "minhash",
     lexicalThreshold: Double = 0.9,
     lexicalNgram: Int = 3,
@@ -81,8 +82,17 @@ object CorpusPrep {
       config: CorpusPrepConfig = CorpusPrepConfig()): DataFrame = {
     val cfg = config
 
-    val cleaned = Analysis.cleanCorpus(docs, idCol, textCol, cfg.minTokens,
-        cfg.maxPunctRatio, cfg.lang)
+    val cleanedRaw = Analysis.cleanCorpus(docs, idCol, textCol, cfg.minTokens,
+      cfg.maxPunctRatio, cfg.lang)
+    // optional repeated-span removal (ExactSubstr) AFTER exact-doc dedup
+    // (so intentional full copies were already collapsed to one canonical
+    // and cross-copy spans don't erase it) and BEFORE the near-dup pair
+    // stages (which should judge the deduplicated text)
+    val cleaned = (if (cfg.substringDedupL > 0)
+        Analysis.dedupSubstrings(cleanedRaw, "id", "clean_text",
+          cfg.substringDedupL)
+          .select(col("id"), col("clean_text"))
+      else cleanedRaw)
       .localCheckpoint(eager = false)
 
     val lexPairs = (cfg.lexicalStrategy match {

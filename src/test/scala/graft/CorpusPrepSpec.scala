@@ -105,6 +105,37 @@ class CorpusPrepSpec extends SparkSpec {
         config = cfg.copy(lexicalStrategy = "nope")))
   }
 
+  test("substring-dedup stage composes after clean, before the pair stages") {
+    val got = CorpusPrep.prepare(docs, "doc_id", "text",
+      config = cfg.copy(substringDedupL = 8))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val cleaned = Analysis.dedupSubstrings(
+      Analysis.cleanCorpus(docs, "doc_id", "text", 3, 0.5, "en"),
+      "id", "clean_text", 8).select(col("id"), col("clean_text"))
+    val pairs = Dedup.ngramJaccardPairs(cleaned, "id", "clean_text", 3, 0.9)
+      .select("id_a", "id_b")
+    val comp = Dedup.nearDupComponents(pairs)
+    val fin = cleaned.join(
+        comp.filter(col("id") =!= col("component")).select("id"),
+        Seq("id"), "left_anti")
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"),
+        col("clean_text"))
+      .withColumn("is_test", Dedup.splitIsTest(col("component"), 0.25))
+      .withColumn("size", graft.functions.TextFns.tokenCount(col("clean_text")))
+      .withColumn("split", when(col("is_test"), lit("test")).otherwise(lit("train")))
+    val packed = Packing.packGreedy(fin, "id", "size", "split", 512)
+    val want = fin.join(packed.select(col("id"), col("seq_id")), "id")
+      .select("id", "component", "is_test", "size", "seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("empty corpus flows through all stages to an empty result") {
     val empty = docs.filter(col("doc_id") < 0)
     val res = CorpusPrep.prepare(empty, "doc_id", "text", config = cfg)
