@@ -950,6 +950,39 @@ object SparkEntry {
           contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512))
     }),
 
+    // DSIR importance weighting (Xie et al. 2023): score every document
+    // by how zh-like its hashed {1,2}-gram bag is (target = the zh
+    // slice of the same corpus), keep the top 150 by log importance
+    // weight. The oracle replays the full bucket model — md5 hex-prefix
+    // buckets, add-one smoothing over the fixed 4096-bucket space, the
+    // identical single-ln ratio — so bucket counts, totals, per-doc
+    // sums, rounding, and the tie-broken top-k all hash-match.
+    "q78_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Dsir.importanceWeights(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text",
+          docs.filter(col("lang") === "zh").select("text"), "text")
+        .orderBy(desc("weight"), col("id"))
+        .limit(150)
+    }),
+
+    // Mixture rebalancing (data mixing by mass): derive per-language
+    // keep rates so the surviving corpus realizes a 40/30/30 en/zh/de
+    // mixture by CHARACTER mass, then apply the md5 hash-coin rule.
+    // Rates come out of the data (two narrow aggs + a broadcast), so the
+    // oracle replays the whole derivation — masses, the binding-stratum
+    // scale, the exact double arithmetic, printf thresholds — and the
+    // EXACT surviving row set must hash-match.
+    "q79_rebalance_mixture" -> ((s, d) => {
+      graft.profile.Sampling.rebalanceToMixture(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars")),
+          "doc_id", "lang", Map("en" -> 0.4, "zh" -> 0.3, "de" -> 0.3),
+          massCol = Some("n_chars"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // Exact substring dedup (Lee et al. 2022 ExactSubstr, word grain):
     // +1M full copies of docs < 25 make every ≥8-token span in those
     // docs corpus-duplicated — both members collapse to the sub-8-token
@@ -1860,6 +1893,72 @@ object SparkEntry {
         |  SELECT grp, id, seq FROM p)
         |SELECT o.id, o.component, o.is_test, o.size, p.seq AS seq_id
         |FROM ordered o JOIN packed p ON p.id = o.id""".stripMargin,
+
+    // full SQL replay of the DSIR bucket model: {1,2}-gram explode with
+    // multiplicity, md5[1:3] buckets, add-one smoothing over the fixed
+    // 4096-bucket space, the identical single-ln ratio expression, 4 dp
+    // per-doc sums, blank-doc restore at 0, tie-broken top-150
+    "q78_dsir_weights" ->
+      """WITH docs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws,
+        |    lang
+        |  FROM documents),
+        |rg AS MATERIALIZED (
+        |  SELECT id, substr(md5(g), 1, 3) AS b FROM (
+        |    SELECT id, unnest(ws) AS g FROM docs
+        |    UNION ALL
+        |    SELECT id, unnest(list_transform(range(1, len(ws)),
+        |      i -> array_to_string(ws[i:i+1], ' '))) AS g
+        |    FROM docs WHERE len(ws) >= 2)
+        |  WHERE g <> ''),
+        |tg AS (
+        |  SELECT substr(md5(g), 1, 3) AS b FROM (
+        |    SELECT unnest(ws) AS g FROM docs WHERE lang = 'zh'
+        |    UNION ALL
+        |    SELECT unnest(list_transform(range(1, len(ws)),
+        |      i -> array_to_string(ws[i:i+1], ' '))) AS g
+        |    FROM docs WHERE lang = 'zh' AND len(ws) >= 2)
+        |  WHERE g <> ''),
+        |rb AS (SELECT b, count(*) AS rcnt FROM rg GROUP BY 1),
+        |tb AS (SELECT b, count(*) AS tcnt FROM tg GROUP BY 1),
+        |tots AS (
+        |  SELECT CAST((SELECT sum(rcnt) FROM rb) AS DOUBLE) AS rtot,
+        |    CAST((SELECT coalesce(sum(tcnt), 0) FROM tb) AS DOUBLE) AS ttot),
+        |lr AS (
+        |  SELECT b, ln((coalesce(tcnt, 0) + 1.0) * (rtot + 4096.0) /
+        |    ((rcnt + 1.0) * (ttot + 4096.0))) AS lr
+        |  FROM rb LEFT JOIN tb USING (b), tots),
+        |scored AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    round(sum(lr), 4) AS weight
+        |  FROM rg JOIN lr USING (b) GROUP BY 1),
+        |full_w AS (
+        |  SELECT * FROM scored
+        |  UNION ALL
+        |  SELECT d.id, 0, 0.0 FROM docs d
+        |  WHERE d.id NOT IN (SELECT id FROM scored))
+        |SELECT id, n_feats, weight FROM full_w
+        |ORDER BY weight DESC, id LIMIT 150""".stripMargin,
+
+    // full SQL replay of the rate derivation: per-lang char masses, the
+    // binding-stratum scale M = min(mass/share), rate = share·M/mass in
+    // the same operation order, then the md5-vs-printf threshold rule
+    "q79_rebalance_mixture" ->
+      """WITH mass AS (
+        |  SELECT lang AS s, CAST(sum(n_chars) AS DOUBLE) AS m
+        |  FROM documents GROUP BY 1),
+        |sh(s, share) AS (
+        |  SELECT * FROM (VALUES ('de', 0.3), ('en', 0.4), ('zh', 0.3))),
+        |j AS (SELECT s, m, share FROM mass JOIN sh USING (s)),
+        |sc AS (SELECT min(m / share) AS mx FROM j),
+        |r AS (SELECT s, share * mx / m AS rate FROM j, sc)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source,
+        |  CAST(d.n_chars AS BIGINT) AS n_chars
+        |FROM documents d JOIN r ON d.lang = r.s
+        |WHERE rate >= 1.0 OR CAST(round(rate * 65536) AS INT) >= 65536
+        |  OR substr(md5(concat(d.lang, ':', CAST(d.doc_id AS VARCHAR))), 1, 4)
+        |    < printf('%04x', CAST(round(rate * 65536) AS INT))""".stripMargin,
 
     // full SQL replay of the repeated-span rule: 8-token string shingles
     // (hashes elided — same result), occurrence counts >= 2, coverage

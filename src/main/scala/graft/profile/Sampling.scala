@@ -88,4 +88,60 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Corpus mixture rebalancing — derive per-stratum keep rates so the
+    * SURVIVING corpus realizes a target mixture (e.g. 40% en / 30% zh /
+    * 30% de by rows, or by a mass column such as token counts), then
+    * apply the [[stratifiedHashSample]] hash-coin rule. The output is the
+    * LARGEST corpus achievable under the target: the scarcest stratum
+    * relative to its share keeps everything (rate 1) and every other
+    * stratum downsamples to match.
+    *
+    * Fully declarative — rates are a ≤|strata|-row broadcast derived by
+    * two narrow aggregations, never a driver collect, so strata
+    * cardinality is unbounded and plan construction runs no job. Rows
+    * whose stratum is not in `targetShares` (including NULL strata) are
+    * excluded by the inner join: the mixture DEFINES the output corpus.
+    * A target stratum absent from the corpus simply contributes nothing
+    * (the realized mixture then matches the target restricted to the
+    * strata present — a data condition a declarative plan cannot throw
+    * on, so it is the documented semantics).
+    *
+    * Membership parity: the same md5 hex-threshold rule as
+    * [[stratifiedHashSample]], with the threshold rendered per-row via
+    * `format_string("%04x")` — any engine with md5 + printf reproduces
+    * the exact surviving row set. Rates at or above 1 (threshold 65536
+    * renders 5 chars, lexicographically below most 4-char prefixes) take
+    * the explicit keep-all branch.
+    */
+  def rebalanceToMixture(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      targetShares: Map[String, Double],
+      massCol: Option[String] = None): DataFrame = {
+    require(targetShares.nonEmpty, "rebalanceToMixture: empty target mixture")
+    require(targetShares.values.forall(_ > 0),
+      "rebalanceToMixture: shares must be > 0")
+    val massExpr = massCol.map(c => sum(col(c)).cast("double"))
+      .getOrElse(count(lit(1)).cast("double")).as("__mass")
+    val mass = df.groupBy(col(strataCol).as("__stratum")).agg(massExpr)
+    val shares = df.sparkSession
+      .createDataFrame(targetShares.toSeq.sortBy(_._1))
+      .toDF("__stratum", "__share")
+    val joined = mass.join(shares, "__stratum")
+    // the binding stratum: max feasible output mass M = min(mass/share)
+    val scale = joined.agg(min(col("__mass") / col("__share")).as("__M"))
+    val rates = joined.crossJoin(broadcast(scale))
+      .select(col("__stratum"),
+        (col("__share") * col("__M") / col("__mass")).as("__rate"))
+    val threshold = round(col("__rate") * 65536).cast("int")
+    val prefix = substring(
+      md5(concat(coalesce(col(strataCol), lit("")), lit(":"),
+        coalesce(col(idCol).cast("string"), lit("")))), 1, 4)
+    df.join(broadcast(rates), df(strataCol) === col("__stratum"))
+      .filter(col("__rate") >= 1.0 || threshold >= 65536 ||
+        prefix < format_string("%04x", threshold))
+      .drop("__stratum", "__rate")
+  }
 }
