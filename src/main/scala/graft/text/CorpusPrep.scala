@@ -17,6 +17,7 @@ final case class CorpusPrepConfig(
     maxPunctRatio: Double = 0.3,
     lang: String = "en",
     substringDedupL: Int = 0,
+    dsirMinWeight: Option[Double] = None,
     lexicalStrategy: String = "minhash",
     lexicalThreshold: Double = 0.9,
     lexicalNgram: Int = 3,
@@ -37,7 +38,10 @@ final case class CorpusPrepConfig(
   * hand-wired calls:
   *
   *  1. clean: PII scrub → quality floor → language filter → exact dedup
-  *     ([[Analysis.cleanCorpus]] — one scan, one shuffle);
+  *     ([[Analysis.cleanCorpus]] — one scan, one shuffle), optionally
+  *     followed by repeated-span removal (`substringDedupL`) and a DSIR
+  *     importance-weight selection gate against a target corpus
+  *     (`dsirMinWeight` + `dsirTarget` — [[Dsir.importanceWeights]]);
   *  2. lexical near-dup pairs over the cleaned survivors
   *     ([[graft.dedup.Dedup.minHashLshCandidates]] or
   *     [[graft.dedup.Dedup.wordJaccardPairs]]);
@@ -79,6 +83,8 @@ object CorpusPrep {
       benchmark: Option[DataFrame] = None,
       benchIdCol: String = "id",
       benchTextCol: String = "text",
+      dsirTarget: Option[DataFrame] = None,
+      dsirTargetTextCol: String = "text",
       config: CorpusPrepConfig = CorpusPrepConfig()): DataFrame = {
     val cfg = config
 
@@ -88,12 +94,30 @@ object CorpusPrep {
     // (so intentional full copies were already collapsed to one canonical
     // and cross-copy spans don't erase it) and BEFORE the near-dup pair
     // stages (which should judge the deduplicated text)
-    val cleaned = (if (cfg.substringDedupL > 0)
+    val substrDeduped = (if (cfg.substringDedupL > 0)
         Analysis.dedupSubstrings(cleanedRaw, "id", "clean_text",
           cfg.substringDedupL)
           .select(col("id"), col("clean_text"))
       else cleanedRaw)
-      .localCheckpoint(eager = false)
+    // optional DSIR selection gate ([[Dsir.importanceWeights]] against
+    // `dsirTarget`): keep documents at least `dsirMinWeight` log-likelier
+    // under the target's hashed-n-gram model than under the corpus's own.
+    // Runs on the CLEANED text (quality junk must not pollute the raw
+    // distribution) and before the pair stages (no point pairing docs the
+    // selection is about to drop). A fixed threshold, not a top-k - the
+    // gate stays a declarative filter with no global quantile.
+    val selected = (cfg.dsirMinWeight, dsirTarget) match {
+      case (Some(minW), Some(target)) =>
+        substrDeduped.join(
+          Dsir.importanceWeights(substrDeduped, "id", "clean_text",
+              target, dsirTargetTextCol)
+            .filter(col("weight") >= minW).select("id"),
+          "id")
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "CorpusPrep: dsirMinWeight set but no dsirTarget given")
+      case _ => substrDeduped
+    }
+    val cleaned = selected.localCheckpoint(eager = false)
 
     val lexPairs = (cfg.lexicalStrategy match {
       case "minhash" =>

@@ -136,6 +136,59 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("DSIR selection gate composes after clean, before the pair stages") {
+    // target = a doc subset; smoothing over the fixed bucket space skews
+    // absolute weights negative when the target is a near-uniform
+    // subsample, so the gate threshold comes from the DATA — the median
+    // weight over the cleaned survivors keeps roughly half
+    val target = docs.filter(col("doc_id") < 50).select(col("text"))
+    val cleanedForThreshold =
+      Analysis.cleanCorpus(docs, "doc_id", "text", 3, 0.5, "en")
+    val allW = graft.text.Dsir.importanceWeights(cleanedForThreshold,
+        "id", "clean_text", target, "text")
+      .collect().map(_.getDouble(2)).sorted
+    val minW = allW(allW.length / 2)
+    val got = CorpusPrep.prepare(docs, "doc_id", "text",
+      dsirTarget = Some(target), dsirTargetTextCol = "text",
+      config = cfg.copy(dsirMinWeight = Some(minW)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val cleanedAll = Analysis.cleanCorpus(docs, "doc_id", "text", 3, 0.5, "en")
+    val cleaned = cleanedAll.join(
+      graft.text.Dsir.importanceWeights(cleanedAll, "id", "clean_text",
+          target, "text")
+        .filter(col("weight") >= minW).select("id"), "id")
+    val pairs = Dedup.ngramJaccardPairs(cleaned, "id", "clean_text", 3, 0.9)
+      .select("id_a", "id_b")
+    val comp = Dedup.nearDupComponents(pairs)
+    val fin = cleaned.join(
+        comp.filter(col("id") =!= col("component")).select("id"),
+        Seq("id"), "left_anti")
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"),
+        col("clean_text"))
+      .withColumn("is_test", Dedup.splitIsTest(col("component"), 0.25))
+      .withColumn("size", graft.functions.TextFns.tokenCount(col("clean_text")))
+      .withColumn("split", when(col("is_test"), lit("test")).otherwise(lit("train")))
+    val packed = Packing.packGreedy(fin, "id", "size", "split", 512)
+    val want = fin.join(packed.select(col("id"), col("seq_id")), "id")
+      .select("id", "component", "is_test", "size", "seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    // the gate actually selects (some but not all survivors pass)
+    val ungated = CorpusPrep.prepare(docs, "doc_id", "text", config = cfg)
+      .count()
+    assert(got.nonEmpty && got.size < ungated)
+    // a threshold without a target is a configuration error
+    intercept[IllegalArgumentException] {
+      CorpusPrep.prepare(docs, "doc_id", "text",
+        config = cfg.copy(dsirMinWeight = Some(0.0)))
+    }
+  }
+
   test("empty corpus flows through all stages to an empty result") {
     val empty = docs.filter(col("doc_id") < 0)
     val res = CorpusPrep.prepare(empty, "doc_id", "text", config = cfg)
