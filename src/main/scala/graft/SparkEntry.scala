@@ -983,6 +983,41 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // BM25 lexical retrieval (Robertson TREC-3, Lucene non-negative idf
+    // form): the first five documents as queries against the whole
+    // corpus, top-10 each. The oracle replays the full term-statistics
+    // model — tf, df, dl, avgdl over token-bearing docs, the identical
+    // idf · tf-saturation product — with 4-dp rounding BEFORE the
+    // (score, id) ranking on both engines so templated-corpus ties
+    // break identically.
+    "q80_bm25_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Bm25.scoreTopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("text")),
+        "qid", "text", topK = 10)
+    }),
+
+    // Hybrid retrieval: BM25 lexical ranking fused with the dense
+    // cosine-kNN ranking (aligned doc_id/vec_id spaces) by reciprocal
+    // rank fusion (Cormack et al. 2009). The oracle replays BOTH legs —
+    // the full BM25 model and the exact cosine top-10 — plus the
+    // 1/(60+rank) fusion sum, 6-dp rounded before the fused ranking.
+    "q81_hybrid_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val lex = graft.text.Bm25.scoreTopK(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("qid"), col("text")),
+          "qid", "text", topK = 10)
+        .select(col("query_id"), col("id"), col("rnk"))
+      val dense = KnnJoin.broadcastKnn(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", 10, KnnJoin.MetricCosine)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").as("rnk"))
+      graft.text.Bm25.rrfFuse(Seq(lex, dense), "query_id", "id", "rnk")
+    }),
+
     // Exact substring dedup (Lee et al. 2022 ExactSubstr, word grain):
     // +1M full copies of docs < 25 make every ≥8-token span in those
     // docs corpus-duplicated — both members collapse to the sub-8-token
@@ -1959,6 +1994,119 @@ object SparkEntry {
         |WHERE rate >= 1.0 OR CAST(round(rate * 65536) AS INT) >= 65536
         |  OR substr(md5(concat(d.lang, ':', CAST(d.doc_id AS VARCHAR))), 1, 4)
         |    < printf('%04x', CAST(round(rate * 65536) AS INT))""".stripMargin,
+
+    // full SQL replay of the BM25 model: identical tokenization, tf/df/
+    // dl/avgdl statistics, the Lucene idf form, the same operation order
+    // in the saturation product, 4-dp rounding before the ranking
+    "q80_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, tok AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |tf AS MATERIALIZED (
+        |  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS MATERIALIZED (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |       FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (
+        |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS query_id, tok AS term
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents WHERE doc_id < 5)
+        |  WHERE tok <> ''),
+        |hits AS (
+        |  SELECT q.query_id, tf.id,
+        |    ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |  FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+        |    JOIN dl ON tf.id = dl.id CROSS JOIN st),
+        |scored AS (
+        |  SELECT query_id, id, round(sum(contrib), 4) AS score
+        |  FROM hits GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, id, score, rnk FROM ranked
+        |WHERE rnk <= 10""".stripMargin,
+
+    // both legs replayed — the full BM25 CTE stack and the exact cosine
+    // top-10 (the q11 idiom, queries < 5, self excluded) — then the RRF
+    // 1/(60+rank) sum, 6-dp rounded before the fused (score, id) ranking
+    "q81_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, tok AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |tf AS MATERIALIZED (
+        |  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS MATERIALIZED (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |       FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (
+        |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS query_id, tok AS term
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents WHERE doc_id < 5)
+        |  WHERE tok <> ''),
+        |hits AS (
+        |  SELECT q.query_id, tf.id,
+        |    ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |  FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+        |    JOIN dl ON tf.id = dl.id CROSS JOIN st),
+        |bscored AS (
+        |  SELECT query_id, id, round(sum(contrib), 4) AS score
+        |  FROM hits GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, id, rnk FROM (
+        |    SELECT query_id, id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, id) AS rnk
+        |    FROM bscored) WHERE rnk <= 10),
+        |dvals AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS id,
+        |    CASE WHEN sqrt(sum(power(CAST(a.embedding[i] AS DOUBLE), 2))) *
+        |              sqrt(sum(power(CAST(b.embedding[i] AS DOUBLE), 2))) > 0
+        |      THEN 1.0 - sum(CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]) /
+        |        (sqrt(sum(power(CAST(a.embedding[i] AS DOUBLE), 2))) *
+        |         sqrt(sum(power(CAST(b.embedding[i] AS DOUBLE), 2))))
+        |      ELSE 1.0 END AS dist
+        |  FROM embeddings a, embeddings b, generate_series(1, 64) t(i)
+        |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT query_id, id, rnk FROM (
+        |    SELECT query_id, id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY dist, id) AS rnk
+        |    FROM dvals) WHERE rnk <= 10),
+        |allc AS (
+        |  SELECT query_id, id, 1.0 / (60 + rnk) AS contrib FROM lex
+        |  UNION ALL
+        |  SELECT query_id, id, 1.0 / (60 + rnk) AS contrib FROM dense),
+        |fused AS (
+        |  SELECT query_id, id, round(sum(contrib), 6) AS score
+        |  FROM allc GROUP BY 1, 2)
+        |SELECT query_id, id, score, rnk FROM (
+        |  SELECT query_id, id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, id) AS rnk
+        |  FROM fused) WHERE rnk <= 10""".stripMargin,
 
     // full SQL replay of the repeated-span rule: 8-token string shingles
     // (hashes elided — same result), occurrence counts >= 2, coverage

@@ -1,0 +1,135 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 lexical retrieval and reciprocal-rank-fusion hybrid search.
+  *
+  * The reference ranks retrieval candidates by embedding distance alone
+  * (join_discoverer.py's FAISS top-k is the only ranking primitive); a
+  * production retrieval stack pairs that dense leg with a lexical one
+  * and fuses the two rankings. [[scoreTopK]] is the lexical leg —
+  * Robertson et al., TREC-3 (1994), with the non-negative idf form
+  * ln(1 + (N − df + ½)/(df + ½)) popularized by Lucene so common terms
+  * (df > N/2) dampen to ~0 instead of going negative. [[rrfFuse]] is
+  * reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+  * score(d) = Σ_lists 1/(k₀ + rank_list(d)), robust to the two legs'
+  * incomparable score scales because only ranks enter.
+  *
+  * Scale posture: the corpus side is reduced to an inverted index of
+  * scalar (term, id, tf) rows — document texts never ride a shuffle.
+  * Document frequency joins on the same `term` key as the query probe
+  * (one term-keyed exchange, reused), the query side is a broadcast
+  * (bounded query set — the same envelope as broadcastKnn), and corpus
+  * constants (N, avgdl) are a 1-row broadcast aggregate. The ranking
+  * window partitions per query, so its state is one query's candidate
+  * list, never a global sort.
+  */
+object Bm25 {
+
+  // whitespace tokenization on trimmed lowered text — the engine-wide
+  // convention (Analysis.tokens / TextFns.tokenCount), so BM25 term
+  // statistics agree with the quality/LM/TF-IDF operators
+  private def toks(c: org.apache.spark.sql.Column) =
+    split(trim(lower(coalesce(c, lit("")))), "\\s+")
+
+  /** BM25 top-k retrieval: for each query row, the `topK` documents
+    * ranked by Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * ties broken by document id ascending. Scores are rounded to 4 dp
+    * BEFORE ranking so the order is reproducible across engines and
+    * aggregation orders (the q69/q70 convention — templated corpora
+    * produce genuinely tied scores, and a last-ulp summation difference
+    * must not flip the ranking).
+    *
+    * N and avgdl are taken over documents with ≥ 1 token: empty or
+    * blank documents can never match a term, so they are simply absent
+    * from both the index and the corpus statistics. A query none of
+    * whose terms occur in the corpus yields no rows (there is nothing
+    * to rank it against); repeated query terms count once — BM25's
+    * standard bag-of-documents form, not query-side tf weighting.
+    *
+    * Output: (query_id, id, score, rnk), rnk 1..topK per query.
+    */
+  def scoreTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"scoreTopK: topK must be positive, got $topK")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"scoreTopK: bad k1/b ($k1, $b)")
+    // inverted index: (id, term, tf). Feeds three consumers (df, dl, the
+    // probe join) — lazy localCheckpoint so the corpus text is scanned
+    // and exploded once, not three times (the Dedup token-frame pattern)
+    val tf = docs.select(col(idCol).cast("long").as("id"),
+        explode(toks(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    // corpus constants snapshot at the same action as the index — a
+    // 1-row broadcast, never a driver count() at plan construction
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
+        explode(array_distinct(toks(col(qTextCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    tf.join(dfreq, "term")                 // same term-keyed exchange
+      .join(broadcast(qterms), "term")     // bounded query set
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+            (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy("query_id", "id")
+      .agg(round(sum("contrib"), 4).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "id", "score", "rnk")
+  }
+
+  /** Reciprocal rank fusion over any number of ranked lists, each with
+    * columns (`queryCol`, `idCol`, `rankCol`): score = Σ 1/(k₀ + rank)
+    * over the lists where the document appears, top `topK` per query,
+    * score ties broken by id ascending. Scores are rounded to 6 dp
+    * before ranking (same cross-engine reproducibility rule as
+    * [[scoreTopK]]; with the default k₀ = 60 adjacent ranks differ by
+    * ~2.6e-4 ≫ 1e-6, so rounding never merges distinct fusion scores).
+    *
+    * One union + one grouped sum + a per-query window — list count and
+    * length are the only scale factors; nothing corpus-sized moves.
+    *
+    * Output: (query_id, id, score, rnk), rnk 1..topK per query.
+    */
+  def rrfFuse(
+      ranked: Seq[DataFrame],
+      queryCol: String,
+      idCol: String,
+      rankCol: String,
+      k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse: no ranked lists given")
+    require(k0 >= 0 && topK > 0, s"rrfFuse: bad k0/topK ($k0, $topK)")
+    val contribs = ranked.map(_.select(
+      col(queryCol).cast("long").as("query_id"),
+      col(idCol).cast("long").as("id"),
+      (lit(1.0) / (lit(k0.toDouble) + col(rankCol))).as("contrib")))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "id")
+      .agg(round(sum("contrib"), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "id", "score", "rnk")
+  }
+}
