@@ -998,6 +998,22 @@ object SparkEntry {
         "qid", "text", topK = 10)
     }),
 
+    // Persistent BM25 index: build the bucket-partitioned inverted index
+    // on disk, then probe it — exact equivalence to the one-shot q80
+    // model (identical formula and tie rule, N/avgdl from the persisted
+    // doclens), so the probe is gated by the SAME full-model SQL oracle.
+    "q82_bm25_index" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idxDir = graft.util.TempDirs.register(
+        s"/tmp/graft_bm25_index_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      graft.text.Bm25Index.build(docs, "doc_id", "text", idxDir)
+      graft.text.Bm25Index.searchTopK(s, idxDir,
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("text")),
+        "qid", "text", topK = 10)
+    }),
+
     // Hybrid retrieval: BM25 lexical ranking fused with the dense
     // cosine-kNN ranking (aligned doc_id/vec_id spaces) by reciprocal
     // rank fusion (Cormack et al. 2009). The oracle replays BOTH legs —
@@ -1999,6 +2015,47 @@ object SparkEntry {
     // dl/avgdl statistics, the Lucene idf form, the same operation order
     // in the saturation product, 4-dp rounding before the ranking
     "q80_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, tok AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |tf AS MATERIALIZED (
+        |  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS MATERIALIZED (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |       FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (
+        |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS query_id, tok AS term
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents WHERE doc_id < 5)
+        |  WHERE tok <> ''),
+        |hits AS (
+        |  SELECT q.query_id, tf.id,
+        |    ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |  FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+        |    JOIN dl ON tf.id = dl.id CROSS JOIN st),
+        |scored AS (
+        |  SELECT query_id, id, round(sum(contrib), 4) AS score
+        |  FROM hits GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, id, score, rnk FROM ranked
+        |WHERE rnk <= 10""".stripMargin,
+
+    // identical model, persisted-index probe — same oracle as q80
+    "q82_bm25_index" ->
       """WITH toks AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id, tok AS term FROM (
         |    SELECT doc_id,

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+import graft.text.{Bm25, Bm25Index}
+
+class Bm25IndexSpec extends SparkSpec {
+
+  private lazy val docs =
+    Lake.table(spark, sf0001, "documents").select("doc_id", "text").cache()
+  private lazy val queries = docs.filter(col("doc_id") < 5)
+    .select(col("doc_id").as("qid"), col("text")).cache()
+
+  private def tempDir(tag: String): String =
+    graft.util.TempDirs.register(
+      java.nio.file.Files.createTempDirectory(s"bm25_idx_$tag").toString)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+  test("probe of a built index equals the one-shot scoreTopK exactly") {
+    val dir = tempDir("parity")
+    val n = Bm25Index.build(docs, "doc_id", "text", dir)
+    assert(n == docs.count()) // every sf0.001 doc has tokens
+    val got = rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text",
+      topK = 10))
+    val want = rows(Bm25.scoreTopK(docs, "doc_id", "text", queries,
+      "qid", "text", topK = 10))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("append ≡ rebuild: identical probe results, id guards enforced") {
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 === 1)
+    val dir = tempDir("inc")
+    Bm25Index.build(first, "doc_id", "text", dir)
+    val appended = Bm25Index.append(spark, dir, rest, "doc_id", "text")
+    assert(appended == rest.count())
+    val got = rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+    val want = rows(Bm25.scoreTopK(docs, "doc_id", "text", queries,
+      "qid", "text"))
+    assert(got == want)
+    // id guards: duplicate-in-batch and already-present both refuse
+    intercept[IllegalArgumentException] {
+      Bm25Index.append(spark, dir,
+        docs.limit(1).unionAll(docs.limit(1)), "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Bm25Index.append(spark, dir, docs.limit(3), "doc_id", "text")
+    }
+  }
+
+  test("orphaned postings are probe-invisible; vacuum reclaims them") {
+    val dir = tempDir("orphan")
+    Bm25Index.build(docs, "doc_id", "text", dir)
+    val before = rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+    // crash simulation: a batch staged its postings but never committed
+    // doclens. Terms are disjoint from every query term, so even the df
+    // transient cannot shift scores here.
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$dir/params")
+      .collect().head.getInt(0)
+    Seq((9999991L, "zzorphanterm", 3L), (9999992L, "zzorphanterm", 1L))
+      .toDF("id", "term", "tf")
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    assert(rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+      == before)
+    val reclaimed = Bm25Index.vacuum(spark, dir)
+    assert(reclaimed == 2L)
+    assert(rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+      == before)
+    // idempotent: nothing left to reclaim
+    assert(Bm25Index.vacuum(spark, dir) == 0L)
+  }
+
+  test("a retried append's double-staged postings never double a score") {
+    val dir = tempDir("retry")
+    Bm25Index.build(docs, "doc_id", "text", dir)
+    val want = rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+    // retry simulation: re-stage the committed postings of docs < 5 (the
+    // query docs themselves — their self-match tf would double if the
+    // probe failed to collapse)
+    val staged = spark.read.parquet(s"$dir/postings")
+      .filter(col("id") < 5)
+      .select("term", "id", "tf", "bucket")
+    val n = staged.count()
+    assert(n > 0)
+    staged.write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    assert(rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+      == want)
+    // vacuum collapses the duplicates and probes are still identical
+    assert(Bm25Index.vacuum(spark, dir) == n)
+    assert(rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+      == want)
+  }
+
+  test("vacuum compacts files; stats cover every postings row") {
+    val dir = tempDir("compact")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    Bm25Index.build(half1, "doc_id", "text", dir)
+    Bm25Index.append(spark, dir, half2, "doc_id", "text")
+    def nFiles = {
+      val base = new java.io.File(s"$dir/postings")
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(base)
+    }
+    val filesBefore = nFiles
+    val st = Bm25Index.stats(spark, dir).collect()
+    val totalRows = st.map(_.getLong(1)).sum
+    assert(totalRows ==
+      spark.read.parquet(s"$dir/postings").count())
+    assert(st.forall(r => r.getLong(3) <= r.getLong(1)))
+    Bm25Index.vacuum(spark, dir)
+    assert(nFiles < filesBefore)
+    // post-compaction probe still matches the one-shot
+    assert(rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+      == rows(Bm25.scoreTopK(docs, "doc_id", "text", queries, "qid", "text")))
+  }
+
+  test("no-term queries yield an empty, correctly-shaped frame") {
+    val dir = tempDir("empty")
+    Bm25Index.build(docs, "doc_id", "text", dir)
+    import spark.implicits._
+    val q = Seq((1L, ""), (2L, "   ")).toDF("qid", "text")
+    val out = Bm25Index.searchTopK(spark, dir, q, "qid", "text")
+    assert(out.schema == Bm25Index.searchSchema)
+    assert(out.count() == 0)
+  }
+}
