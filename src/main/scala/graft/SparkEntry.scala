@@ -998,6 +998,28 @@ object SparkEntry {
         "qid", "text", topK = 10)
     }),
 
+    // Truncated-dimension (Matryoshka-shape) kNN: the candidate stage
+    // ranks on the 48-component prefix of the 64-dim embeddings (75% of
+    // the scan/kernel cost), an exact full-dim rerank widens back over
+    // an 8·k short list. Gate: recall@5 vs exact kNN ≥ 0.8 on RAW
+    // embeddings — the adversarial case: these are full-entropy random
+    // vectors, so the prefix carries only proportional energy (measured
+    // 0.93–0.94 at both SFs); MRL-trained prefixes, the operator's
+    // actual operating point, front-load far more. The q55 contract
+    // shape.
+    "q83_truncated_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val approx = graft.knn.ApproxKnn.truncatedKnn(emb, emb, "vec_id",
+          "embedding", k = 5, truncDim = 48, rerank = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__a"))
+      val exact = knnL2(s, d, 5).select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__a")).as("n_hits"))
+        .select(col("n_exact"),
+          when(col("n_hits") * 10 >= col("n_exact") * 8, 1L).otherwise(0L)
+            .as("recall_floor_met"))
+    }),
+
     // Persistent BM25 index: build the bucket-partitioned inverted index
     // on disk, then probe it — exact equivalence to the one-shot q80
     // model (identical formula and tie rule, N/avgdl from the persisted
@@ -1671,6 +1693,12 @@ object SparkEntry {
         | CAST(doc_id + 1000000 AS BIGINT) AS id_b,
         | CAST(1.0 AS DOUBLE) AS est_jaccard
         |FROM documents""".stripMargin,
+
+    // truncated-dim kNN recall floor: same contract as q55 (recall@5 ≥ 0.8)
+    "q83_truncated_knn" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
 
     // quantized-kNN recall floor: same contract as q45 (recall@5 ≥ 0.8)
     "q55_quant_knn" ->

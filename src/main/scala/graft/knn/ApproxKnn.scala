@@ -549,6 +549,42 @@ object ApproxKnn {
     * only on the single-broadcast path — the block path (query side too
     * large to broadcast by definition) shuffles both.
     */
+  /** Truncated-dimension kNN — the Matryoshka/prefix-search shape
+    * (Kusupati et al., NeurIPS 2022: MRL embeddings front-load
+    * information into the leading components; OpenAI's `dimensions`
+    * parameter is the same contract). Stage 1 ranks on the first
+    * `truncDim` components only, cutting the candidate pass's scan,
+    * broadcast, and distance-kernel cost by truncDim/dim; an exact
+    * full-dimension rerank over the k·`rerank` short list restores
+    * precision. Recall follows the energy the prefix carries — near-1
+    * for MRL-trained embeddings, lower for raw ones (the SparkEntry gate
+    * measures the raw case as the adversarial floor). `rerank` trades
+    * stage-2 width for recall exactly like [[pqKnn]]'s short list.
+    *
+    * Same contract as every kNN strategy here: deterministic
+    * (query_id, neighbor_id, dist, rank), dist exact in full dimension.
+    */
+  def truncatedKnn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      truncDim: Int,
+      metric: String = KnnJoin.MetricL2Sq,
+      rerank: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(truncDim > 0, s"truncatedKnn: truncDim must be positive, got $truncDim")
+    val cosine = HnswSearch.isCosine(metric)
+    def trunc(df: DataFrame) = df.select(col(idCol),
+      slice(col(vecCol), 1, truncDim).as(vecCol))
+    val keep = k * math.max(1, rerank)
+    val shortList = KnnJoin.broadcastKnn(trunc(queries), trunc(candidates),
+      idCol, vecCol, keep, metric, excludeSelf)
+    pqExactRerank(shortList, queries, candidates, idCol, vecCol, k,
+      cosine, broadcastQueries = true)
+  }
+
   private def pqExactRerank(
       shortList: DataFrame,
       queries: DataFrame,

@@ -129,4 +129,41 @@ class ApproxKnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(blocked == whole)
   }
+
+  test("truncatedKnn: full-dim degenerates to exact; dist is full-dim") {
+    val full = ApproxKnn.truncatedKnn(emb, emb, "vec_id", "embedding",
+        k = 5, truncDim = 64)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact)
+    // reported distances are exact full-dimension values even when the
+    // candidate stage saw only a prefix
+    val truncated = ApproxKnn.truncatedKnn(emb, emb, "vec_id", "embedding",
+      k = 5, truncDim = 32)
+    val withExact = truncated.join(
+      KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 500)
+        .select(col("query_id"), col("neighbor_id"),
+          col("dist").as("__exact")),
+      Seq("query_id", "neighbor_id"))
+    assert(withExact.filter(abs(col("dist") - col("__exact")) > 1e-9)
+      .count() == 0)
+  }
+
+  test("truncatedKnn: recall floor at half dim; wider rerank helps") {
+    // raw random embeddings: prefix energy is proportional, so the
+    // measured operating points are ~0.49 (32 dims, 4k list) and ~0.93
+    // (48 dims, 8k list) — floors sit under each with margin
+    val r4 = recallAt5(ApproxKnn.truncatedKnn(emb, emb, "vec_id",
+      "embedding", k = 5, truncDim = 32, rerank = 4))
+    assert(r4 > 0.4, s"truncated recall@5 too low: $r4")
+    val r48 = recallAt5(ApproxKnn.truncatedKnn(emb, emb, "vec_id",
+      "embedding", k = 5, truncDim = 48, rerank = 8))
+    assert(r48 > 0.8, s"48-dim truncated recall@5 too low: $r48")
+    val r12 = recallAt5(ApproxKnn.truncatedKnn(emb, emb, "vec_id",
+      "embedding", k = 5, truncDim = 32, rerank = 12))
+    assert(r12 >= r4 - 0.02, s"wider rerank regressed recall: $r4 -> $r12")
+  }
 }
