@@ -998,6 +998,34 @@ object SparkEntry {
         "qid", "text", topK = 10)
     }),
 
+    // Serving-stack hybrid retrieval: BOTH legs probe PERSISTED indexes
+    // — the bucket-pruned BM25 inverted index and the cosine IVF index
+    // at full probe (exact) — fused by RRF. The composition a deployed
+    // retrieval service runs; result ≡ the one-shot q81 hybrid, so it is
+    // gated by the SAME two-leg full-model SQL replay.
+    "q84_hybrid_serving" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val sfx = s"${new java.io.File(d).getName}" +
+        s"_${ProcessHandle.current().pid()}"
+      val bmDir = graft.util.TempDirs.register(s"/tmp/graft_bm25_serve_$sfx")
+      val ivfDir = graft.util.TempDirs.register(s"/tmp/graft_ivf_serve_$sfx")
+      graft.text.Bm25Index.build(docs, "doc_id", "text", bmDir)
+      graft.knn.IvfIndex.build(emb, "vec_id", "embedding", ivfDir,
+        nList = 16, metric = KnnJoin.MetricCosine)
+      val lex = graft.text.Bm25Index.searchTopK(s, bmDir,
+          docs.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("qid"), col("text")),
+          "qid", "text", topK = 10)
+        .select(col("query_id"), col("id"), col("rnk"))
+      val dense = graft.knn.IvfIndex.search(s, ivfDir,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").as("rnk"))
+      graft.text.Bm25.rrfFuse(Seq(lex, dense), "query_id", "id", "rnk")
+    }),
+
     // Truncated-dimension (Matryoshka-shape) kNN: the candidate stage
     // ranks on the 48-component prefix of the 64-dim embeddings (75% of
     // the scan/kernel cost), an exact full-dim rerank widens back over
@@ -2127,6 +2155,74 @@ object SparkEntry {
     // top-10 (the q11 idiom, queries < 5, self excluded) — then the RRF
     // 1/(60+rank) sum, 6-dp rounded before the fused (score, id) ranking
     "q81_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, tok AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |tf AS MATERIALIZED (
+        |  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS MATERIALIZED (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |       FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (
+        |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS query_id, tok AS term
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents WHERE doc_id < 5)
+        |  WHERE tok <> ''),
+        |hits AS (
+        |  SELECT q.query_id, tf.id,
+        |    ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |  FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+        |    JOIN dl ON tf.id = dl.id CROSS JOIN st),
+        |bscored AS (
+        |  SELECT query_id, id, round(sum(contrib), 4) AS score
+        |  FROM hits GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, id, rnk FROM (
+        |    SELECT query_id, id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, id) AS rnk
+        |    FROM bscored) WHERE rnk <= 10),
+        |dvals AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS id,
+        |    CASE WHEN sqrt(sum(power(CAST(a.embedding[i] AS DOUBLE), 2))) *
+        |              sqrt(sum(power(CAST(b.embedding[i] AS DOUBLE), 2))) > 0
+        |      THEN 1.0 - sum(CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]) /
+        |        (sqrt(sum(power(CAST(a.embedding[i] AS DOUBLE), 2))) *
+        |         sqrt(sum(power(CAST(b.embedding[i] AS DOUBLE), 2))))
+        |      ELSE 1.0 END AS dist
+        |  FROM embeddings a, embeddings b, generate_series(1, 64) t(i)
+        |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT query_id, id, rnk FROM (
+        |    SELECT query_id, id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY dist, id) AS rnk
+        |    FROM dvals) WHERE rnk <= 10),
+        |allc AS (
+        |  SELECT query_id, id, 1.0 / (60 + rnk) AS contrib FROM lex
+        |  UNION ALL
+        |  SELECT query_id, id, 1.0 / (60 + rnk) AS contrib FROM dense),
+        |fused AS (
+        |  SELECT query_id, id, round(sum(contrib), 6) AS score
+        |  FROM allc GROUP BY 1, 2)
+        |SELECT query_id, id, score, rnk FROM (
+        |  SELECT query_id, id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, id) AS rnk
+        |  FROM fused) WHERE rnk <= 10""".stripMargin,
+
+    // persisted-index serving ≡ the one-shot hybrid — same oracle as q81
+    "q84_hybrid_serving" ->
       """WITH toks AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id, tok AS term FROM (
         |    SELECT doc_id,

@@ -69,17 +69,28 @@ object Dsir {
     require(alpha > 0, s"importanceWeights: alpha must be > 0, got $alpha")
     val bCount = math.pow(16.0, hexChars)
 
-    val rawGrams = raw.select(col(idCol).cast("long").as("id"),
+    // (id, 3-hex-char) rows — narrow, and consumed TWICE (the bucket
+    // count and the scoring join): lazy localCheckpoint so the gram
+    // explode + md5 pass over the corpus runs once, not per consumer.
+    // Par.balance: the shingle transform + per-gram md5 is CPU-bound, and
+    // a small corpus arrives as one input partition — widen it (no-op at
+    // real scale, where scans come pre-partitioned)
+    val rawGrams = graft.util.Par.balance(raw)
+      .select(col(idCol).cast("long").as("id"),
         explode(grams(coalesce(col(textCol), lit("")), maxN)).as("g"))
       .filter(col("g") =!= "")
       .select(col("id"), bucket(col("g"), hexChars).as("b"))
-    val tgtGrams = target.select(
+      .localCheckpoint(eager = false)
+    val tgtGrams = graft.util.Par.balance(target).select(
         explode(grams(coalesce(col(targetTextCol), lit("")), maxN)).as("g"))
       .filter(col("g") =!= "")
       .select(bucket(col("g"), hexChars).as("b"))
 
+    // ≤ B-row frames, each consumed twice (totals + the ratio table)
     val rb = rawGrams.groupBy("b").agg(count(lit(1)).as("rcnt"))
+      .localCheckpoint(eager = false)
     val tb = tgtGrams.groupBy("b").agg(count(lit(1)).as("tcnt"))
+      .localCheckpoint(eager = false)
     // totals as 1-row broadcast aggregates, snapshotting at the same
     // action as the bucket counts (the unigramLogProb `totals` pattern);
     // an empty target is legal (every bucket smooths to α/(αB)) but its
@@ -96,9 +107,12 @@ object Dsir {
             ((col("rcnt") + alpha) *
              (col("ttot") + alpha * bCount))).as("lr"))
 
+    // one row per scored document, consumed twice (output + the
+    // zero-feature restore's anti-join)
     val scored = rawGrams.join(broadcast(lr), "b")
       .groupBy("id")
       .agg(count(lit(1)).as("n_feats"), round(sum("lr"), 4).as("weight"))
+      .localCheckpoint(eager = false)
     scored.unionByName(
       raw.select(col(idCol).cast("long").as("id"))
         .join(scored.select("id"), Seq("id"), "left_anti")
