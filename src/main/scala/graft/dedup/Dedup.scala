@@ -100,7 +100,10 @@ object Dedup {
   private def setJaccardPairs(
       df: DataFrame, idCol: String, elemsCol: Column, threshold: Double,
       materializeTokens: Boolean): DataFrame = {
-    val toksPlain = df.select(
+    // Par.balance: the shingle/tokenize transform is CPU-bound and a
+    // small corpus arrives as one input partition — widen it (no-op at
+    // real scale, where scans come pre-partitioned)
+    val toksPlain = graft.util.Par.balance(df).select(
       col(idCol).cast("long").as("id"),
       explode(elemsCol).as("tok"))
     // LAZY checkpoint: materializes on the first action over the returned

@@ -44,7 +44,7 @@ object Analysis {
     val nChar = length(c).cast("long")
     val punct = (nChar - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("long")
     val digits = (nChar - length(regexp_replace(c, "[0-9]", ""))).cast("long")
-    df.select(
+    graft.util.Par.balance(df).select(
       col(idCol).cast("long").as("id"),
       nTok.as("n_tokens"),
       nChar.as("n_chars"),
@@ -123,8 +123,9 @@ object Analysis {
     // NULL text reads as the empty document (all metrics 0) — an inner
     // join against the exploded lines would otherwise silently DROP the
     // row from the output
-    val base = df.select(col(idCol).cast("long").as("id"),
-      coalesce(col(textCol), lit("")).as("__text"))
+    val base = graft.util.Par.balance(df)
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("__text"))
 
     // split limit −1 keeps trailing empty lines (matches SQL string_split)
     val lineCounts = base
@@ -203,7 +204,8 @@ object Analysis {
     // add-one smoothing: denominator = total tokens + vocabulary size;
     // unseen tokens get count 0 + 1 through the left join's coalesce
     val totals = counts.agg(sum("cnt").as("n"), count(lit(1)).as("v"))
-    val docToks = docs.select(col(idCol).cast("long").as("id"),
+    val docToks = graft.util.Par.balance(docs)
+      .select(col(idCol).cast("long").as("id"),
         explode(tokens(coalesce(col(textCol), lit("")))).as("tok"))
       .filter(col("tok") =!= "")
       .select("id", "tok")
@@ -235,7 +237,8 @@ object Analysis {
     */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
       topK: Int): DataFrame = {
-    val docToks = df.select(col(idCol).cast("long").as("id"),
+    val docToks = graft.util.Par.balance(df)
+      .select(col(idCol).cast("long").as("id"),
         explode(tokens(coalesce(col(textCol), lit("")))).as("term"))
       .filter(col("term") =!= "")
     val tf = docToks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
@@ -267,7 +270,7 @@ object Analysis {
     * fewer distinct n-grams).
     */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(explode(TextFns.wordShingles(
+    graft.util.Par.balance(df).select(explode(TextFns.wordShingles(
         coalesce(col(textCol), lit("")), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram"))
@@ -286,8 +289,9 @@ object Analysis {
     */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       minDocFreq: Long): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"),
-      coalesce(col(textCol), lit("")).as("__text"))
+    val base = graft.util.Par.balance(df)
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("__text"))
     val lines = base.select(col("id"),
       posexplode(split(col("__text"), "\n", -1)).as(Seq("pos", "line")))
     val docFreq = lines
@@ -334,8 +338,9 @@ object Analysis {
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
       l: Int = 8): DataFrame = {
     require(l > 0, s"dedupSubstrings: l must be positive, got $l")
-    val base = df.select(col(idCol).cast("long").as("id"),
-      coalesce(col(textCol), lit("")).as("__text"))
+    val base = graft.util.Par.balance(df)
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("__text"))
     val toks = base.select(col("id"),
         posexplode(split(trim(col("__text")), "\\s+")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
@@ -404,9 +409,10 @@ object Analysis {
       n: Int = 8): DataFrame = {
     def shingled(df: DataFrame, idCol: String, textCol: String,
         idAlias: String) =
-      df.select(col(idCol).cast("long").as(idAlias),
-        explode(array_distinct(TextFns.wordShingles(col(textCol), n)))
-          .as("__sh"))
+      graft.util.Par.balance(df)
+        .select(col(idCol).cast("long").as(idAlias),
+          explode(array_distinct(TextFns.wordShingles(col(textCol), n)))
+            .as("__sh"))
         .select(col(idAlias), xxhash64(col("__sh")).as("__shh"))
     val cSh = shingled(corpus, corpusIdCol, corpusTextCol, "doc_id")
     val bSh = shingled(benchmark, benchIdCol, benchTextCol, "bench_id")
@@ -449,7 +455,11 @@ object Analysis {
       import org.apache.spark.sql.graft.{Interop, OptimizerBarrier}
       Interop.column(OptimizerBarrier(Interop.expression(scrubPii(col(textCol)))))
     }
-    val scrubbed = df.select(col(idCol).cast("long").as("id"),
+    // Par.balance: the regex scrub + token stats are CPU-bound and a
+    // small corpus arrives as one input partition — widen it (no-op at
+    // real scale, where scans come pre-partitioned)
+    val scrubbed = graft.util.Par.balance(df)
+      .select(col(idCol).cast("long").as("id"),
         scrubOnce.as("text"))
     val c = col("text")
     val nTok = TextFns.tokenCount(c)
