@@ -998,6 +998,42 @@ object SparkEntry {
         "qid", "text", topK = 10)
     }),
 
+    // Streaming lexical-index ingestion, EXECUTED: the BM25 index seeds
+    // with the full corpus, two batches stream in (A then B, mtime-
+    // ordered), each SEARCHED against the pre-batch index state then
+    // APPENDED. Batch A docs are exact copies of docs < 25 (their
+    // original must surface); batch B's scores see the corpus WITH
+    // batch A committed — N, avgdl, and df all advanced — and the
+    // oracle replays BOTH index states' full BM25 models in SQL.
+    "q85_stream_lex_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_stream_lex_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"), true)
+      graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
+      val t0 = 1700000000000L // fixed epoch — only ORDER matters
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")),
+        s"$base/batches", "batch_a.parquet", t0)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")),
+        s"$base/batches", "batch_b.parquet", t0 + 60000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.streaming.Streams.lexIngestOnce(s, s"$base/batches", schema,
+        s"$base/index", s"$base/out", "doc_id", "text", topK = 3)
+    }),
+
     // Serving-stack hybrid retrieval: BOTH legs probe PERSISTED indexes
     // — the bucket-pruned BM25 inverted index and the cosine IVF index
     // at full probe (exact) — fused by RRF. The composition a deployed
@@ -2220,6 +2256,95 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, id) AS rnk
         |  FROM fused) WHERE rnk <= 10""".stripMargin,
+
+    // the streaming ingest replayed as TWO full BM25 model instantiations
+    // — state 1 (seed corpus) scores batch A, state 2 (seed + batch A)
+    // scores batch B; N/avgdl/df all advance between the states
+    "q85_stream_lex_ingest" ->
+      """WITH s1corpus AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |s1queries AS (SELECT CAST(doc_id + 1000000 AS BIGINT) AS query_id, text
+        |   FROM documents WHERE doc_id < 25),
+        |s1toks AS (
+        |  SELECT id, tok AS term FROM (
+        |    SELECT id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM s1corpus)
+        |  WHERE tok <> ''),
+        |s1tf AS MATERIALIZED (
+        |  SELECT id, term, count(*) AS tf FROM s1toks GROUP BY 1, 2),
+        |s1dl AS MATERIALIZED (SELECT id, sum(tf) AS dl FROM s1tf GROUP BY 1),
+        |s1st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |       FROM s1dl),
+        |s1dfreq AS (SELECT term, count(*) AS df FROM s1tf GROUP BY 1),
+        |s1q AS (
+        |  SELECT DISTINCT query_id, tok AS term FROM (
+        |    SELECT query_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM s1queries)
+        |  WHERE tok <> ''),
+        |s1hits AS (
+        |  SELECT q.query_id, tf.id,
+        |    ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |  FROM s1tf tf JOIN s1dfreq dfreq USING (term)
+        |    JOIN s1q q USING (term)
+        |    JOIN s1dl dl ON tf.id = dl.id CROSS JOIN s1st st),
+        |s1scored AS (
+        |  SELECT query_id, id, round(sum(contrib), 4) AS score
+        |  FROM s1hits GROUP BY 1, 2),
+        |s1ranked AS (
+        |  SELECT query_id, id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, id) AS rnk
+        |  FROM s1scored),
+        |s2corpus AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+        |   UNION ALL
+        |   SELECT CAST(doc_id + 1000000 AS BIGINT) AS id, text
+        |   FROM documents WHERE doc_id < 25),
+        |s2queries AS (SELECT CAST(doc_id + 2000000 AS BIGINT) AS query_id, text
+        |   FROM documents WHERE doc_id >= 25 AND doc_id < 50),
+        |s2toks AS (
+        |  SELECT id, tok AS term FROM (
+        |    SELECT id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM s2corpus)
+        |  WHERE tok <> ''),
+        |s2tf AS MATERIALIZED (
+        |  SELECT id, term, count(*) AS tf FROM s2toks GROUP BY 1, 2),
+        |s2dl AS MATERIALIZED (SELECT id, sum(tf) AS dl FROM s2tf GROUP BY 1),
+        |s2st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |       FROM s2dl),
+        |s2dfreq AS (SELECT term, count(*) AS df FROM s2tf GROUP BY 1),
+        |s2q AS (
+        |  SELECT DISTINCT query_id, tok AS term FROM (
+        |    SELECT query_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM s2queries)
+        |  WHERE tok <> ''),
+        |s2hits AS (
+        |  SELECT q.query_id, tf.id,
+        |    ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |  FROM s2tf tf JOIN s2dfreq dfreq USING (term)
+        |    JOIN s2q q USING (term)
+        |    JOIN s2dl dl ON tf.id = dl.id CROSS JOIN s2st st),
+        |s2scored AS (
+        |  SELECT query_id, id, round(sum(contrib), 4) AS score
+        |  FROM s2hits GROUP BY 1, 2),
+        |s2ranked AS (
+        |  SELECT query_id, id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, id) AS rnk
+        |  FROM s2scored)
+        |SELECT query_id, id, score, rnk FROM s1ranked WHERE rnk <= 3
+        |UNION ALL
+        |SELECT query_id, id, score, rnk FROM s2ranked WHERE rnk <= 3""".stripMargin,
 
     // persisted-index serving ≡ the one-shot hybrid — same oracle as q81
     "q84_hybrid_serving" ->

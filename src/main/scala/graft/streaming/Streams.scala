@@ -305,6 +305,69 @@ object Streams {
       graft.dedup.LshDedupIndex.candidateSchema)
   }
 
+  /** Streaming lexical-index ingestion, EXECUTED: document batches
+    * arrive as a file stream and each micro-batch is first SEARCHED
+    * against the persisted [[graft.text.Bm25Index]] (BM25 top-k of every
+    * batch document against everything ingested so far) and then
+    * APPENDED into it — a later batch's search sees every earlier batch
+    * through the index, and the corpus statistics the scores use
+    * (N, avgdl, per-term df) advance batch over batch exactly as the
+    * committed corpus grows. Search-before-append keeps a batch from
+    * matching itself.
+    *
+    * Per batch the corpus-side work is the bucket-pruned postings probe
+    * plus one tokenize pass over the batch (the [[graft.text.Bm25Index]]
+    * scale contract — postings are never re-derived). Batch replay after
+    * a crash between the index commit and the stream checkpoint re-runs
+    * the search (at-least-once sink rows) but re-appends only the ids
+    * the index does not already hold — the [[dedupIngestOnce]] retry
+    * semantics. `outDir` is owned by the call (cleared first); returns
+    * the union of all batches' search rows (query_id, id, score, rnk).
+    */
+  def lexIngestOnce(
+      spark: SparkSession,
+      batchesDir: String,
+      batchSchema: StructType,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      textCol: String,
+      topK: Int = 10,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_lex_ckpt")
+    graft.util.TempDirs.register(checkpoint.toString)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+    spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchesDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.toDF()
+        graft.text.Bm25Index
+          .searchTopK(sp, indexDir, b, idCol, textCol, topK)
+          .write.mode("append").parquet(outDir)
+        // idempotent ingest on the doclens commit point (see scaladoc)
+        val ids = sp.read.parquet(s"$indexDir/doclens").select(col("id"))
+        val fresh = b.join(ids,
+          b(idCol).cast("long") === ids("id"), "left_anti")
+        if (!fresh.isEmpty)
+          graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol)
+        ()
+      }
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    if (fs.exists(outPath)) spark.read.parquet(outDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.text.Bm25Index.searchSchema)
+  }
+
   /** Streaming exact dedup, EXECUTED: the events file is staged TWICE
     * into the source directory, so every event genuinely arrives as a
     * duplicate; `dropDuplicatesWithinWatermark` on the key keeps the

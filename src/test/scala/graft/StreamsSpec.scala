@@ -254,4 +254,47 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
     assert(sigs(s"$base/index") == sigs(dirAll))
   }
+
+  test("streaming lexical ingestion: per-batch search sees prior state only") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val base = Files.createTempDirectory("lex_ingest").toString
+    graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
+    val t0 = 1700000000000L
+    val batchA = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val batchB = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    Streams.stageBatch(batchA, s"$base/batches", "batch_a.parquet", t0)
+    Streams.stageBatch(batchB, s"$base/batches", "batch_b.parquet", t0 + 60000)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val out = Streams.lexIngestOnce(spark, s"$base/batches", schema,
+        s"$base/index", s"$base/out", "doc_id", "text", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    // replay: batch A scored against the seed corpus; batch B against
+    // the seed PLUS batch A (exactly what the index held at each search)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val wantA = rows(graft.text.Bm25.scoreTopK(docs, "doc_id", "text",
+      batchA.withColumnRenamed("doc_id", "qid"), "qid", "text", topK = 3))
+    val wantB = rows(graft.text.Bm25.scoreTopK(docs.unionByName(batchA),
+      "doc_id", "text",
+      batchB.withColumnRenamed("doc_id", "qid"), "qid", "text", topK = 3))
+    assert(out == (wantA ++ wantB))
+    // batch A's docs ARE findable by batch B (cross-batch visibility)
+    assert(out.exists { case (q, id, _, _) => q >= 2000000 && id >= 1000000 }
+      || wantB.forall { case (_, id, _, _) => id < 1000000 })
+    // end state ≡ one-shot build over all three corpora
+    val dirAll = Files.createTempDirectory("lex_ingest_all").toString
+    graft.text.Bm25Index.build(
+      docs.unionByName(batchA).unionByName(batchB), "doc_id", "text", dirAll)
+    def dls(d: String) = spark.read.parquet(s"$d/doclens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dls(s"$base/index") == dls(dirAll))
+  }
 }
