@@ -317,12 +317,15 @@ object Streams {
     *
     * Per batch the corpus-side work is the bucket-pruned postings probe
     * plus one tokenize pass over the batch (the [[graft.text.Bm25Index]]
-    * scale contract — postings are never re-derived). Batch replay after
-    * a crash between the index commit and the stream checkpoint re-runs
-    * the search (at-least-once sink rows) but re-appends only the ids
-    * the index does not already hold — the [[dedupIngestOnce]] retry
-    * semantics. `outDir` is owned by the call (cleared first); returns
-    * the union of all batches' search rows (query_id, id, score, rnk).
+    * scale contract — postings are never re-derived). Replay semantics
+    * are exactly-once PER DOCUMENT: only not-yet-committed ids are
+    * searched and appended, so a batch replayed after a crash between
+    * the index commit and the stream checkpoint re-emits nothing instead
+    * of re-searching itself against an index that now contains it (a
+    * crash between the postings stage and the doclens commit replays
+    * cleanly — the uncommitted epoch is probe-invisible). `outDir` is
+    * owned by the call (cleared first); returns the union of all
+    * batches' search rows (query_id, id, score, rnk).
     */
   def lexIngestOnce(
       spark: SparkSession,
@@ -346,16 +349,28 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
+        // FRESH docs only — the ids the index does not already hold.
+        // Search-then-append over `fresh` (not the raw batch) keeps the
+        // "a document's search sees exactly the pre-commit index state"
+        // invariant across crash replays too: a batch already fully
+        // committed (crash after append, before the checkpoint; or a
+        // whole-call rerun) re-emits NOTHING rather than re-searching
+        // itself against an index that now contains it. One doclens read
+        // serves both this anti-join and the skipped presence re-check
+        // inside append (checkPresence = false — disjointness was just
+        // established here).
         val b = batch.toDF()
-        graft.text.Bm25Index
-          .searchTopK(sp, indexDir, b, idCol, textCol, topK)
-          .write.mode("append").parquet(outDir)
-        // idempotent ingest on the doclens commit point (see scaladoc)
         val ids = sp.read.parquet(s"$indexDir/doclens").select(col("id"))
         val fresh = b.join(ids,
           b(idCol).cast("long") === ids("id"), "left_anti")
-        if (!fresh.isEmpty)
-          graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol)
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          graft.text.Bm25Index
+            .searchTopK(sp, indexDir, fresh, idCol, textCol, topK)
+            .write.mode("append").parquet(outDir)
+          graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol,
+            checkPresence = false)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint.toString)

@@ -30,9 +30,49 @@ object Bm25 {
 
   // whitespace tokenization on trimmed lowered text — the engine-wide
   // convention (Analysis.tokens / TextFns.tokenCount), so BM25 term
-  // statistics agree with the quality/LM/TF-IDF operators
-  private def toks(c: org.apache.spark.sql.Column) =
+  // statistics agree with the quality/LM/TF-IDF operators. Shared with
+  // Bm25Index so the persisted probe can never drift from the one-shot.
+  private[text] def toks(c: org.apache.spark.sql.Column) =
     split(trim(lower(coalesce(c, lit("")))), "\\s+")
+
+  /** (query_id, term) distinct query terms under the engine tokenizer. */
+  private[text] def queryTerms(queries: DataFrame, qIdCol: String,
+      qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).cast("long").as("query_id"),
+        explode(array_distinct(toks(col(qTextCol)))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** The scoring tail shared by [[scoreTopK]] and
+    * [[Bm25Index.searchTopK]] — ONE implementation of the idf ·
+    * saturation product, the 4-dp round, and the (score, id) tie rule,
+    * so the persisted-index probe is parity-locked to the one-shot by
+    * construction. Inputs: `tf` (id, term, tf), `dfreq` (term, df),
+    * `dl` (id, dl), `stats` 1-row (n_docs, avgdl), `qterms`
+    * (query_id, term).
+    */
+  private[text] def scoreFrom(
+      tf: DataFrame, dfreq: DataFrame, dl: DataFrame, stats: DataFrame,
+      qterms: DataFrame, dlJoinKeys: Seq[String], topK: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(topK > 0, s"bm25: topK must be positive, got $topK")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bm25: bad k1/b ($k1, $b)")
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    tf.join(dfreq, "term")                 // same term-keyed exchange
+      .join(broadcast(qterms), "term")     // bounded query set
+      .join(dl, dlJoinKeys)
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+            (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy("query_id", "id")
+      .agg(round(sum("contrib"), 4).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "id", "score", "rnk")
+  }
 
   /** BM25 top-k retrieval: for each query row, the `topK` documents
     * ranked by Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
@@ -61,8 +101,6 @@ object Bm25 {
       topK: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(topK > 0, s"scoreTopK: topK must be positive, got $topK")
-    require(k1 >= 0 && b >= 0 && b <= 1, s"scoreTopK: bad k1/b ($k1, $b)")
     // inverted index: (id, term, tf). Feeds three consumers (df, dl, the
     // probe join) — lazy localCheckpoint so the corpus text is scanned
     // and exploded once, not three times (the Dedup token-frame pattern)
@@ -77,25 +115,8 @@ object Bm25 {
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
-        explode(array_distinct(toks(col(qTextCol)))).as("term"))
-      .filter(col("term") =!= "")
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
-    tf.join(dfreq, "term")                 // same term-keyed exchange
-      .join(broadcast(qterms), "term")     // bounded query set
-      .join(dl, "id")
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
-            (col("df") + 0.5)) *
-          (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("contrib"))
-      .groupBy("query_id", "id")
-      .agg(round(sum("contrib"), 4).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select("query_id", "id", "score", "rnk")
+    scoreFrom(tf, dfreq, dl, stats, queryTerms(queries, qIdCol, qTextCol),
+      Seq("id"), topK, k1, b)
   }
 
   /** Reciprocal rank fusion over any number of ranked lists, each with

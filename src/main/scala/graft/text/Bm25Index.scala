@@ -3,6 +3,7 @@ package graft.text
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Persistent BM25 inverted index — the incremental-corpus counterpart of
   * the one-shot [[Bm25.scoreTopK]] (which re-derives the whole index per
@@ -11,14 +12,14 @@ import org.apache.spark.sql.functions._
   * [[graft.dedup.LshDedupIndex]] family (reference analogue: none — the
   * reference keeps no corpus state at all, SURVEY.md §7.4):
   *
-  *  - `postings/` — (term, id, tf) parquet PARTITIONED BY `bucket` =
+  *  - `postings/` — (id, th, term, tf) parquet PARTITIONED BY `bucket` =
   *    pmod(xxhash64(term), nBuckets): the inverted index. ALL postings of
   *    a term live in that term's bucket, so a probe reads only the
   *    buckets its query terms hash to (directory-pruned at file-listing
   *    level) and per-term document frequencies counted inside a pruned
   *    read are complete;
-  *  - `doclens/` — (id, dl): one row per token-bearing document. Doubles
-  *    as the corpus-statistics source: N and avgdl are a 1-row
+  *  - `doclens/` — (id, th, dl): one row per token-bearing document.
+  *    Doubles as the corpus-statistics source: N and avgdl are a 1-row
   *    aggregation over this narrow table at probe time, so they are
   *    always consistent with the committed corpus — no separately
   *    maintained stats row to drift;
@@ -26,20 +27,56 @@ import org.apache.spark.sql.functions._
   *    and append read it from the index — a caller cannot mismatch the
   *    build.
   *
+  * `th` is the EPOCH stamp: xxhash64 of the document's raw text, carried
+  * on every postings row and on the doclens row. The probe joins
+  * postings to doclens on (id, th), so a posting is visible ONLY when
+  * the exact text version it was derived from is committed.
+  *
   * Write ORDER is the append crash-safety protocol (the LshDedupIndex
   * convention): postings stage FIRST, the doclens write is the commit
-  * point. A document is "in the index" iff its doclens row exists —
-  * [[searchTopK]]'s inner dl join makes orphaned postings (a crash
-  * between the two writes) invisible as candidates, and [[append]]'s
-  * already-present check reads doclens, so retrying the crashed append
-  * re-stages the batch and commits. Re-staged duplicate postings are
-  * collapsed at probe time (max over identical rows) and reclaimed by
-  * [[vacuum]]. One probe-visible transient: per-term df counts from a
-  * pruned read include orphaned postings of an UNretried crashed append
-  * until [[vacuum]] reclaims them — a bounded score perturbation (df
-  * over-count ≤ the crashed batch), never a phantom result row.
+  * point. A document is "in the index" iff its doclens row exists. The
+  * (id, th) join then makes every crash shape harmless:
+  *  - crash between the writes → orphaned postings, no doclens row:
+  *    invisible to probes; reclaimed by [[vacuum]];
+  *  - retry of the crashed append (same text, same th) → postings staged
+  *    twice: collapsed at probe time (max over identical rows) and
+  *    reclaimed by [[vacuum]];
+  *  - id REUSED after a crashed append with DIFFERENT text (corrected
+  *    content, no vacuum in between) → the old epoch's postings carry a
+  *    th no doclens row ever commits: permanently invisible, and
+  *    [[vacuum]] reclaims them even though the id itself is now live.
+  * One probe-visible transient remains: per-term df counts from a pruned
+  * read include orphaned postings until [[vacuum]] — a bounded score
+  * perturbation (df over-count ≤ the crashed batches), never a phantom
+  * result row.
   */
 object Bm25Index {
+
+  /** On-disk postings schema (explicit on every read: an EMPTY index —
+    * e.g. freshly built over zero documents, the streaming-ingest seed —
+    * writes no part files under the partitioned `postings/`, and a
+    * schema-less read of it would throw instead of returning no rows).
+    */
+  private val postingsSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("th", LongType),
+    StructField("term", StringType),
+    StructField("tf", LongType),
+    StructField("bucket", LongType)))
+
+  private val doclensSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("th", LongType),
+    StructField("dl", LongType)))
+
+  /** The output schema of [[searchTopK]] — the empty-probe constant, the
+    * [[graft.knn.IvfIndex.searchSchema]] convention.
+    */
+  val searchSchema: StructType = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("id", LongType),
+    StructField("score", DoubleType),
+    StructField("rnk", IntegerType, nullable = false)))
 
   /** Build the index layout under `dir`. Returns the indexed (token-
     * bearing) document count. Rebuild-in-place overwrites all tables.
@@ -60,7 +97,7 @@ object Bm25Index {
   }
 
   /** Tokenize + write shared by [[build]] and [[append]]: ONE explode +
-    * groupBy pass over the batch produces the (id, term, tf) frame
+    * groupBy pass over the batch produces the (id, th, term, tf) frame
     * (lazy-localCheckpoint-ed — it feeds the postings write, the doclens
     * write, and the returned count), then the two writes in commit order.
     */
@@ -72,10 +109,10 @@ object Bm25Index {
       nBuckets: Int,
       mode: SaveMode): Long = {
     val tf = docs.select(col(idCol).cast("long").as("id"),
-        explode(split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+"))
-          .as("term"))
+        xxhash64(coalesce(col(textCol), lit(""))).as("th"),
+        explode(Bm25.toks(col(textCol))).as("term"))
       .filter(col("term") =!= "")
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("id", "th", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false)
     tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
@@ -83,7 +120,7 @@ object Bm25Index {
       .partitionBy("bucket")
       .parquet(s"$dir/postings")
     // commit point (see the write-order doc above)
-    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val dl = tf.groupBy("id", "th").agg(sum("tf").as("dl"))
       .localCheckpoint(eager = false)
     dl.write.mode(mode).parquet(s"$dir/doclens")
     dl.count()
@@ -95,41 +132,57 @@ object Bm25Index {
     rows.head.getInt(0)
   }
 
+  private def readPostings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+
+  private def readDoclens(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(doclensSchema).parquet(s"$dir/doclens")
+
   /** Add a new batch WITHOUT touching existing state: one tokenize pass,
     * parquet-appended into the bucket partitions and `doclens/`. Ids must
     * be unique corpus-wide. Blank documents index nothing (the
     * [[Bm25.scoreTopK]] convention — they can never match a term) and do
     * not count toward the returned appended-row count.
+    *
+    * `checkPresence = false` skips the already-present doclens join for
+    * callers that have JUST established disjointness themselves (the
+    * streaming ingester's per-batch anti-join) — one fewer corpus-table
+    * scan per batch; the within-batch duplicate-id check (batch-sized)
+    * always runs.
     */
   def append(
       spark: SparkSession,
       dir: String,
       newDocs: DataFrame,
       idCol: String,
-      textCol: String): Long = {
+      textCol: String,
+      checkPresence: Boolean = true): Long = {
     val nBuckets = loadParams(spark, dir)
     val ids = newDocs.select(col(idCol).cast("long").as("id"))
     require(ids.groupBy("id").count().filter(col("count") > 1).isEmpty,
       "Bm25Index.append: duplicate ids within the appended batch")
-    require(spark.read.parquet(s"$dir/doclens").select("id")
-      .join(ids, "id").isEmpty,
-      "Bm25Index.append: id already present in the index")
+    if (checkPresence)
+      require(readDoclens(spark, dir).select("id").join(ids, "id").isEmpty,
+        "Bm25Index.append: id already present in the index")
     writeState(newDocs, idCol, textCol, dir, nBuckets, SaveMode.Append)
   }
 
   /** BM25 top-k retrieval AGAINST THE INDEXED CORPUS — exactly
     * [[Bm25.scoreTopK]]'s contract and output (query_id, id, score, rnk),
-    * computed from persisted state: identical formula, identical 4-dp
-    * round-before-rank tie rule, N/avgdl from `doclens/`. A probe of an
-    * index built from `docs` equals `scoreTopK(docs, …)` row for row.
+    * computed from persisted state through the SAME shared scoring tail
+    * ([[Bm25.scoreFrom]]), so the probe cannot drift from the one-shot:
+    * identical formula, identical 4-dp round-before-rank tie rule,
+    * N/avgdl from `doclens/`. A probe of an index built from `docs`
+    * equals `scoreTopK(docs, …)` row for row.
     *
     * Probe cost: the query batch's distinct terms hash to a bucket set
-    * (collected driver-side — bounded by the query batch, the
-    * IvfIndex probed-cid convention), and only those partition
-    * directories are listed and scanned. Per-term df is counted inside
-    * the pruned read (complete — a term's postings never span buckets);
-    * the dl join ships candidate-sized hits against the narrow doclens
-    * table; the ranking window partitions per query.
+    * (collected driver-side — bounded by the query batch, the IvfIndex
+    * probed-cid convention), and only those partition directories are
+    * listed and scanned. Per-term df is counted inside the pruned read
+    * (complete — a term's postings never span buckets); the (id, th)
+    * doclens join ships candidate-sized hits against the narrow doclens
+    * table and erases every uncommitted epoch; the ranking window
+    * partitions per query.
     */
   def searchTopK(
       spark: SparkSession,
@@ -141,13 +194,7 @@ object Bm25Index {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val nBuckets = loadParams(spark, dir)
-    require(topK > 0, s"searchTopK: topK must be positive, got $topK")
-    require(k1 >= 0 && b >= 0 && b <= 1, s"searchTopK: bad k1/b ($k1, $b)")
-    val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
-        explode(array_distinct(
-          split(trim(lower(coalesce(col(qTextCol), lit("")))), "\\s+")))
-          .as("term"))
-      .filter(col("term") =!= "")
+    val qterms = Bm25.queryTerms(queries, qIdCol, qTextCol)
       .localCheckpoint(eager = false)
     // bounded driver collect: one bucket id per distinct query term, the
     // static partition filter that prunes the postings listing
@@ -157,51 +204,21 @@ object Bm25Index {
     if (buckets.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], searchSchema)
-    val pruned = spark.read.parquet(s"$dir/postings")
+    val pruned = readPostings(spark, dir)
       .filter(col("bucket").isin(buckets: _*))
-      .select(col("term"), col("id"), col("tf"))
-      // a retried crashed append stages its postings TWICE before the
-      // single doclens commit — collapse here so no score ever double-
-      // counts (the probe-side analogue of LshDedupIndex's pair-level
-      // dropDuplicates); the staged rows are identical, so max == tf
-      .groupBy("term", "id").agg(max("tf").as("tf"))
+      .select(col("term"), col("id"), col("th"), col("tf"))
+      // a retried crashed append stages its postings TWICE (same epoch)
+      // before the single doclens commit — collapse here so no score
+      // ever double-counts; the staged rows are identical, so max == tf
+      .groupBy("term", "id", "th").agg(max("tf").as("tf"))
       .localCheckpoint(eager = false)
     val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$dir/doclens")
+    val dl = readDoclens(spark, dir)
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("score"), asc("id"))
-    pruned.join(dfreq, "term")
-      .join(broadcast(qterms), "term")
-      .join(dl, "id")
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
-            (col("df") + 0.5)) *
-          (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("contrib"))
-      .groupBy("query_id", "id")
-      .agg(round(sum("contrib"), 4).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select("query_id", "id", "score", "rnk")
+    Bm25.scoreFrom(pruned, dfreq, dl, stats, qterms, Seq("id", "th"),
+      topK, k1, b)
   }
-
-  /** The output schema of [[searchTopK]] — the empty-probe constant, the
-    * [[graft.knn.IvfIndex.searchSchema]] convention.
-    */
-  val searchSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("query_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("score",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("rnk",
-        org.apache.spark.sql.types.IntegerType, nullable = false)))
 
   /** Bucket-level occupancy: (bucket, n_rows, n_terms, max_term_rows) —
     * the [[graft.dedup.LshDedupIndex.stats]] family. Probe cost follows
@@ -210,24 +227,22 @@ object Bm25Index {
     * stopword-dominated corpus (raise nBuckets, or stoplist upstream).
     */
   def stats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/postings")
+    readPostings(spark, dir)
       .groupBy("bucket", "term").agg(count(lit(1)).as("__t"))
       .groupBy("bucket")
       .agg(sum("__t").cast("long").as("n_rows"),
         count(lit(1)).as("n_terms"),
         max("__t").cast("long").as("max_term_rows"))
 
-  /** Maintenance: reclaim orphaned postings (a crashed append's debris —
-    * rows whose id has no doclens row), collapse duplicate postings from
-    * a retried append (identical (id, term, tf) rows staged twice
-    * collapse to one; doclens rows, written once at commit, are never
-    * duplicated), and
-    * compact small files. Rewrite-then-swap with on-entry crash recovery —
-    * the [[graft.dedup.LshDedupIndex.vacuum]] contract verbatim. Probe
-    * results are unchanged by construction: orphans were invisible,
-    * duplicate postings only existed alongside their not-yet-committed
-    * doclens rows. Returns the number of postings rows reclaimed
-    * (orphans + collapsed duplicates).
+  /** Maintenance: reclaim invisible postings — orphans of crashed
+    * appends (no doclens row for their (id, th) epoch, including the
+    * stale epoch of an id that was later re-appended with different
+    * text) and the duplicate rows of retried appends — and compact small
+    * files. Rewrite-then-swap with on-entry crash recovery — the
+    * [[graft.dedup.LshDedupIndex.vacuum]] contract verbatim. Probe
+    * results are unchanged by construction: everything reclaimed was
+    * already invisible through the (id, th) join. Returns the number of
+    * postings rows reclaimed.
     */
   def vacuum(spark: SparkSession, dir: String, doclenFiles: Int = 0): Long = {
     val nBuckets = loadParams(spark, dir)
@@ -245,15 +260,15 @@ object Bm25Index {
     recover("postings")
     recover("doclens")
 
-    val dl = spark.read.parquet(s"$dir/doclens")
-    val postings = spark.read.parquet(s"$dir/postings")
-      .select("term", "id", "tf")
+    val dl = readDoclens(spark, dir)
+    val postings = readPostings(spark, dir)
+      .select("term", "id", "th", "tf")
     val live = postings
-      .join(dl.select("id"), Seq("id"), "left_semi")
+      .join(dl.select("id", "th"), Seq("id", "th"), "left_semi")
       // duplicates from a retried append are IDENTICAL rows (same batch,
-      // same tokenize) — max collapses them to the original tf; sum
-      // would double-count
-      .groupBy("id", "term").agg(max("tf").as("tf"))
+      // same tokenize, same epoch) — max collapses them to the original
+      // tf; sum would double-count
+      .groupBy("id", "th", "term").agg(max("tf").as("tf"))
     val reclaimed = postings.count() - live.count()
 
     live

@@ -94,11 +94,16 @@ object CorpusPrep {
     // (so intentional full copies were already collapsed to one canonical
     // and cross-copy spans don't erase it) and BEFORE the near-dup pair
     // stages (which should judge the deduplicated text)
+    // lazy checkpoint HERE, before the optional DSIR gate: with the gate
+    // on, this frame feeds the weight model's gram scan, its zero-feature
+    // restore, AND the gate join — without the checkpoint the regex-heavy
+    // clean (+ substring-dedup) pipeline would re-execute per consumer
     val substrDeduped = (if (cfg.substringDedupL > 0)
         Analysis.dedupSubstrings(cleanedRaw, "id", "clean_text",
           cfg.substringDedupL)
           .select(col("id"), col("clean_text"))
       else cleanedRaw)
+      .localCheckpoint(eager = false)
     // optional DSIR selection gate ([[Dsir.importanceWeights]] against
     // `dsirTarget`): keep documents at least `dsirMinWeight` log-likelier
     // under the target's hashed-n-gram model than under the corpus's own.
@@ -117,7 +122,11 @@ object CorpusPrep {
         "CorpusPrep: dsirMinWeight set but no dsirTarget given")
       case _ => substrDeduped
     }
-    val cleaned = selected.localCheckpoint(eager = false)
+    // gate off → `selected` IS the already-checkpointed frame; avoid
+    // materializing a second identical copy
+    val cleaned =
+      if (selected eq substrDeduped) substrDeduped
+      else selected.localCheckpoint(eager = false)
 
     val lexPairs = (cfg.lexicalStrategy match {
       case "minhash" =>

@@ -63,8 +63,8 @@ class Bm25IndexSpec extends SparkSpec {
     import spark.implicits._
     val nBuckets = spark.read.parquet(s"$dir/params")
       .collect().head.getInt(0)
-    Seq((9999991L, "zzorphanterm", 3L), (9999992L, "zzorphanterm", 1L))
-      .toDF("id", "term", "tf")
+    Seq((9999991L, 77L, "zzorphanterm", 3L), (9999992L, 77L, "zzorphanterm", 1L))
+      .toDF("id", "th", "term", "tf")
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
     assert(rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
@@ -86,7 +86,7 @@ class Bm25IndexSpec extends SparkSpec {
     // probe failed to collapse)
     val staged = spark.read.parquet(s"$dir/postings")
       .filter(col("id") < 5)
-      .select("term", "id", "tf", "bucket")
+      .select("term", "id", "th", "tf", "bucket")
     val n = staged.count()
     assert(n > 0)
     staged.write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
@@ -132,5 +132,64 @@ class Bm25IndexSpec extends SparkSpec {
     val out = Bm25Index.searchTopK(spark, dir, q, "qid", "text")
     assert(out.schema == Bm25Index.searchSchema)
     assert(out.count() == 0)
+  }
+
+  test("empty-seed index: search returns no rows; ingestion then works") {
+    val dir = tempDir("seed")
+    // the streaming-ingest seed: an index over ZERO documents (the
+    // partitioned postings write emits no part files — reads must not
+    // throw)
+    assert(Bm25Index.build(docs.filter(col("doc_id") < 0), "doc_id",
+      "text", dir) == 0L)
+    val out = Bm25Index.searchTopK(spark, dir, queries, "qid", "text")
+    assert(out.count() == 0)
+    assert(Bm25Index.stats(spark, dir).count() == 0)
+    assert(Bm25Index.vacuum(spark, dir) == 0L)
+    // first real batch lands and is searchable
+    Bm25Index.append(spark, dir, docs, "doc_id", "text")
+    assert(rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+      == rows(Bm25.scoreTopK(docs, "doc_id", "text", queries, "qid", "text")))
+  }
+
+  test("id reused after a crashed append with different text: no phantom") {
+    val dir = tempDir("reuse")
+    Bm25Index.build(docs, "doc_id", "text", dir)
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$dir/params")
+      .collect().head.getInt(0)
+    // crash simulation: append of (id 9999993, "zzwrongtext…") staged its
+    // postings but never committed doclens
+    val badText = "zzwrongterm zzwrongterm zzotherterm"
+    Seq((9999993L, badText)).toDF("id", "t")
+      .select(col("id"), xxhash64(col("t")).as("th"),
+        explode(split(col("t"), " ")).as("term"))
+      .groupBy("id", "th", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    // the id is REUSED with corrected content, no vacuum in between
+    Bm25Index.append(spark, dir,
+      Seq((9999993L, "replacement content entirely")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // a query for the crashed text's terms must NOT surface the doc —
+    // the stale epoch has no doclens row even though the id is now live
+    val phantom = Bm25Index.searchTopK(spark, dir,
+      Seq((1L, "zzwrongterm")).toDF("qid", "text"), "qid", "text")
+    assert(phantom.count() == 0)
+    // the committed content IS found
+    val realHit = Bm25Index.searchTopK(spark, dir,
+      Seq((1L, "replacement content")).toDF("qid", "text"), "qid", "text")
+    assert(realHit.collect().exists(_.getLong(1) == 9999993L))
+    // vacuum reclaims the stale-epoch rows despite the live id
+    assert(Bm25Index.vacuum(spark, dir) == 2L)
+    assert(Bm25Index.searchTopK(spark, dir,
+      Seq((1L, "zzwrongterm")).toDF("qid", "text"), "qid", "text")
+      .count() == 0)
+    // the committed corpus (originals + the corrected doc) is exactly
+    // what probes score against — parity with the one-shot over it
+    assert(rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text"))
+      == rows(Bm25.scoreTopK(
+        docs.unionByName(Seq((9999993L, "replacement content entirely"))
+          .toDF("doc_id", "text")),
+        "doc_id", "text", queries, "qid", "text")))
   }
 }
