@@ -42,13 +42,15 @@ object Bm25 {
         explode(array_distinct(toks(col(qTextCol)))).as("term"))
       .filter(col("term") =!= "")
 
-  /** The scoring tail shared by [[scoreTopK]] and
+  /** The scoring tail shared by [[scoreTopK]], [[prfExpand]] and
     * [[Bm25Index.searchTopK]] — ONE implementation of the idf ·
     * saturation product, the 4-dp round, and the (score, id) tie rule,
     * so the persisted-index probe is parity-locked to the one-shot by
     * construction. Inputs: `tf` (id, term, tf), `dfreq` (term, df),
     * `dl` (id, dl), `stats` 1-row (n_docs, avgdl), `qterms`
-    * (query_id, term).
+    * (query_id, term[, qw]) — when a `qw` column is present, each
+    * term's contribution is scaled by it (the weighted-query form RM3
+    * expansion rescoring needs; absent = the classic unweighted query).
     */
   private[text] def scoreFrom(
       tf: DataFrame, dfreq: DataFrame, dl: DataFrame, stats: DataFrame,
@@ -57,16 +59,18 @@ object Bm25 {
     require(topK > 0, s"bm25: topK must be positive, got $topK")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bm25: bad k1/b ($k1, $b)")
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    val core =
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)) *
+        (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val contrib =
+      if (qterms.columns.contains("qw")) col("qw") * core else core
     tf.join(dfreq, "term")                 // same term-keyed exchange
       .join(broadcast(qterms), "term")     // bounded query set
       .join(dl, dlJoinKeys)
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
-            (col("df") + 0.5)) *
-          (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("contrib"))
+      .select(col("query_id"), col("id"), contrib.as("contrib"))
       .groupBy("query_id", "id")
       .agg(round(sum("contrib"), 4).as("score"))
       .withColumn("rnk", row_number().over(w))
