@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
 
 /** Persistent MinHash+LSH dedup index — the incremental-corpus counterpart
   * of the one-shot [[Dedup.minHashLshCandidates]] self-join (which
@@ -42,6 +43,32 @@ object LshDedupIndex {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("est_jaccard",
         org.apache.spark.sql.types.DoubleType)))
+
+  /** On-disk schemas, explicit on every read (the [[graft.text.Bm25Index]]
+    * convention): an index built over an EMPTY seed corpus writes no part
+    * files, and a schema-less read of it would throw instead of returning
+    * no rows — empty-seed streaming ingest must work.
+    */
+  private val signaturesSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sig", ArrayType(IntegerType, containsNull = false))))
+
+  private val bandsSchema: StructType = StructType(Seq(
+    StructField("band_hash", LongType),
+    StructField("id", LongType),
+    StructField("band", IntegerType)))
+
+  /** The committed-membership table: (id, sig), one row per indexed
+    * document. Exposed (package-private) so per-batch callers — the
+    * streaming ingester's freshness anti-join — can read it ONCE and
+    * reuse the frame across the probe via [[candidatesAgainst]]'s
+    * `preSigs` hook instead of re-scanning per consumer.
+    */
+  private[graft] def readSignatures(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(signaturesSchema).parquet(s"$dir/signatures")
+
+  private def readBands(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(bandsSchema).parquet(s"$dir/bands")
 
   /** Sign the corpus and persist the index layout. Returns the indexed
     * document count. Rebuild-in-place overwrites all three tables.
@@ -128,20 +155,35 @@ object LshDedupIndex {
     * the same document surface as its own near-duplicate) — both the
     * within-batch and the against-index check are narrow id-only joins.
     * Returns the appended row count.
+    *
+    * `checkPresence = false` / `checkBatchUnique = false` skip the
+    * respective guard for callers that have JUST established the property
+    * themselves (the streaming ingester's per-batch anti-join establishes
+    * absence; its input contract covers within-batch uniqueness) — each
+    * skipped guard is one fewer Spark job per batch. Skipping does not
+    * change what a violation DOES (a duplicate id still surfaces as its
+    * own near-duplicate) — only who is responsible for preventing it.
     */
   def append(
       spark: SparkSession,
       dir: String,
       newDocs: DataFrame,
       idCol: String,
-      textCol: String): Long = {
+      textCol: String,
+      checkPresence: Boolean = true,
+      checkBatchUnique: Boolean = true): Long = {
     val (shingleSize, bands, rowsPerBand) = loadParams(spark, dir)
-    val ids = newDocs.select(col(idCol).cast("long").as("id"))
-    require(ids.groupBy("id").count().filter(col("count") > 1).isEmpty,
-      "LshDedupIndex.append: duplicate ids within the appended batch")
-    require(spark.read.parquet(s"$dir/signatures").select("id")
-      .join(ids, "id").isEmpty,
-      "LshDedupIndex.append: id already present in the index")
+    if (checkBatchUnique) {
+      val ids = newDocs.select(col(idCol).cast("long").as("id"))
+      require(ids.groupBy("id").count().filter(col("count") > 1).isEmpty,
+        "LshDedupIndex.append: duplicate ids within the appended batch")
+    }
+    if (checkPresence) {
+      val ids = newDocs.select(col(idCol).cast("long").as("id"))
+      require(readSignatures(spark, dir).select("id")
+        .join(ids, "id").isEmpty,
+        "LshDedupIndex.append: id already present in the index")
+    }
     writeState(spark, newDocs, idCol, textCol, dir, shingleSize, bands,
       rowsPerBand, SaveMode.Append)
   }
@@ -163,6 +205,11 @@ object LshDedupIndex {
     * partitions (directory-pruned scan): recall for pairs with Jaccard j
     * drops from 1-(1-j^r)^bands to 1-(1-j^r)^probeBands — exact
     * duplicates (j=1) are still always found. 0 = probe all bands.
+    *
+    * `preSigs`: a pre-read `signatures/` frame to reuse for the candidate
+    * signature fetch (per-batch callers that already scanned it for a
+    * freshness anti-join pass it lazy-localCheckpoint-ed — one corpus
+    * scan per batch instead of two). None = read from the index.
     */
   def candidatesAgainst(
       spark: SparkSession,
@@ -170,7 +217,8 @@ object LshDedupIndex {
       newDocs: DataFrame,
       idCol: String,
       textCol: String,
-      probeBands: Int = 0): DataFrame = {
+      probeBands: Int = 0,
+      preSigs: Option[DataFrame] = None): DataFrame = {
     val (shingleSize, bands, rowsPerBand) = loadParams(spark, dir)
     val numHashes = bands * rowsPerBand
     require(probeBands >= 0 && probeBands <= bands,
@@ -185,7 +233,7 @@ object LshDedupIndex {
         explode(Dedup.bandStructs(col("sig"), nProbe, rowsPerBand)).as("bk"))
       .select(col("new_id"), col("bk.band").as("band"),
         col("bk.band_hash").as("band_hash"))
-    val idx = spark.read.parquet(s"$dir/bands")
+    val idx = readBands(spark, dir)
       .filter(col("band") < nProbe) // static partition filter (no-op at full probe)
       .select(col("band"), col("band_hash"), col("id").as("indexed_id"))
     val pairs = newBanded
@@ -194,7 +242,7 @@ object LshDedupIndex {
       .select("new_id", "indexed_id")
       .dropDuplicates("new_id", "indexed_id")
     val newSigs = signed.select(col("id").as("new_id"), col("sig").as("sig_new"))
-    val idxSigs = spark.read.parquet(s"$dir/signatures")
+    val idxSigs = preSigs.getOrElse(readSignatures(spark, dir))
       .select(col("id").as("indexed_id"), col("sig").as("sig_idx"))
     pairs
       .join(newSigs, "new_id")
@@ -212,7 +260,7 @@ object LshDedupIndex {
     * corpus (shingle size too small, bands too coarse).
     */
   def stats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/bands")
+    readBands(spark, dir)
       .groupBy("band", "band_hash").agg(count(lit(1)).as("__b"))
       .groupBy("band")
       .agg(sum("__b").cast("long").as("n_rows"),
@@ -261,8 +309,8 @@ object LshDedupIndex {
     recover("bands")
     recover("signatures")
 
-    val sigs = spark.read.parquet(s"$dir/signatures")
-    val bands = spark.read.parquet(s"$dir/bands")
+    val sigs = readSignatures(spark, dir)
+    val bands = readBands(spark, dir)
       .select("band", "band_hash", "id")
     val liveBands = bands.join(sigs.select("id"), Seq("id"), "left_semi")
     val orphans = bands.count() - liveBands.count()

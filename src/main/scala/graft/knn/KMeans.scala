@@ -136,9 +136,12 @@ object KMeans {
         next(cid) = c
       }
       centroids = next
-      // per-iteration broadcasts are released by the ContextCleaner once
-      // the kernel goes unreferenced (eager destroy would reach inside
-      // the kernel abstraction)
+      // this iteration's job is complete (collect returned) — destroy its
+      // codebook broadcasts NOW rather than letting a long run (many
+      // iterations × 10⁵-centroid codebooks, up to 3 broadcasts each
+      // under twoLevelAssign) accumulate driver/executor broadcast
+      // memory until the ContextCleaner's GC-driven sweep fires
+      kernel.release()
     }
     centroids
   }

@@ -221,20 +221,35 @@ object Streams {
     * (modification time, path) — staged batches therefore replay in a
     * DETERMINISTIC order, which matters whenever batch N+1 must observe
     * state batch N wrote (the [[dedupIngestOnce]] contract).
+    *
+    * Pure Hadoop-FileSystem implementation, so `dir` may live on any
+    * configured filesystem (local, hdfs://, s3a://): the single-file
+    * write is staged into a DOT-PREFIXED scratch dir beside the target
+    * (hidden-path-filtered by every Spark file listing, including the
+    * file stream source, and on the same FS so the rename is atomic),
+    * renamed into place, then `fs.setTimes` stamps the mtime — a failed
+    * stamp is an ERROR, not silence, because replay ORDER is the whole
+    * point of this helper (object stores that ignore setTimes cannot
+    * honor the contract and must fail loudly).
     */
   def stageBatch(df: DataFrame, dir: String, name: String, mtimeMs: Long): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stage_batch")
-    graft.util.TempDirs.register(tmp.toString)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, s".graft_stage_$name.tmp")
+    fs.delete(tmp, true)
     df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = new java.io.File(tmp.toString).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"stageBatch: no part file written under $tmp"))
-    val target = new java.io.File(dir, name)
-    target.getParentFile.mkdirs()
-    java.nio.file.Files.move(part.toPath, target.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    target.setLastModified(mtimeMs)
+    val parts = fs.globStatus(
+      new org.apache.hadoop.fs.Path(tmp, "part-*.parquet"))
+    require(parts != null && parts.length == 1,
+      s"stageBatch: expected one part file under $tmp, " +
+        s"found ${if (parts == null) 0 else parts.length}")
+    val target = new org.apache.hadoop.fs.Path(dirPath, name)
+    fs.delete(target, false)
+    require(fs.rename(parts.head.getPath, target),
+      s"stageBatch: could not move staged file into place at $target")
+    fs.setTimes(target, mtimeMs, -1)
+    fs.delete(tmp, true)
     ()
   }
 
@@ -248,11 +263,15 @@ object Streams {
     * matching itself; within-batch duplicates are the batch-sized
     * [[graft.dedup.Dedup.minHashLshCandidates]]'s job, not this path's.
     *
-    * Per batch the corpus-side work is the band equi-join probe plus one
+    * Per batch the corpus-side work is ONE signatures scan (anti-join +
+    * candidate fetch, shared) plus the band equi-join probe plus one
     * signature pass over the batch — corpus signatures are never
     * recomputed (the [[graft.dedup.LshDedupIndex]] scale contract).
-    * `outDir` is owned by the call (cleared first, the [[knnEnrichOnce]]
-    * re-run rationale); returns the union of all batches' candidate rows
+    * Replay semantics are exactly-once PER DOCUMENT (the
+    * [[lexIngestOnce]] contract): only not-yet-committed ids are probed
+    * and appended, so a crash replay re-emits nothing. `outDir` is owned
+    * by the call (cleared first, the [[knnEnrichOnce]] re-run
+    * rationale); returns the union of all batches' candidate rows
     * (new_id, indexed_id, est_jaccard).
     */
   def dedupIngestOnce(
@@ -276,23 +295,34 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
+        // FRESH docs only — the ids the index does not already hold.
+        // Probe-then-append over `fresh` (not the raw batch, the
+        // [[lexIngestOnce]] pattern) makes replay EXACTLY-ONCE PER
+        // DOCUMENT: a batch replayed after a crash between the index
+        // commit and the stream checkpoint (or a whole-call rerun)
+        // re-emits NOTHING, instead of probing itself against an index
+        // that now contains it and emitting self-match rows (new_id ==
+        // indexed_id at est_jaccard 1.0) no correct run produces. In
+        // normal operation fresh == batch, so semantics are unchanged.
+        // ONE signatures scan serves the anti-join and (lazy-
+        // localCheckpoint-ed, via preSigs) the probe's candidate
+        // signature fetch; append skips both re-checks — absence was
+        // just established here, within-batch uniqueness is the input
+        // contract (ids unique corpus-wide).
         val b = batch.toDF()
-        graft.dedup.LshDedupIndex
-          .candidatesAgainst(sp, indexDir, b, idCol, textCol)
-          .write.mode("append").parquet(outDir)
-        // idempotent ingest: a batch REPLAYED after a crash between the
-        // index commit and the stream checkpoint must not trip append's
-        // duplicate-id guard — re-append only the ids the index does not
-        // already hold (an id-only join; standard streaming retry
-        // semantics). The candidate rows above may double in the sink on
-        // such a replay — at-least-once, like any foreachBatch sink
-        // without an idempotent write key.
-        val ids = sp.read.parquet(s"$indexDir/signatures")
-          .select(col("id"))
-        val fresh = b.join(ids,
-          b(idCol).cast("long") === ids("id"), "left_anti")
-        if (!fresh.isEmpty)
-          graft.dedup.LshDedupIndex.append(sp, indexDir, fresh, idCol, textCol)
+        val sigs = graft.dedup.LshDedupIndex.readSignatures(sp, indexDir)
+          .localCheckpoint(eager = false)
+        val fresh = b.join(sigs.select(col("id")),
+          b(idCol).cast("long") === sigs("id"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          graft.dedup.LshDedupIndex
+            .candidatesAgainst(sp, indexDir, fresh, idCol, textCol,
+              preSigs = Some(sigs))
+            .write.mode("append").parquet(outDir)
+          graft.dedup.LshDedupIndex.append(sp, indexDir, fresh, idCol, textCol,
+            checkPresence = false, checkBatchUnique = false)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint.toString)
@@ -355,21 +385,25 @@ object Streams {
         // invariant across crash replays too: a batch already fully
         // committed (crash after append, before the checkpoint; or a
         // whole-call rerun) re-emits NOTHING rather than re-searching
-        // itself against an index that now contains it. One doclens read
-        // serves both this anti-join and the skipped presence re-check
-        // inside append (checkPresence = false — disjointness was just
-        // established here).
+        // itself against an index that now contains it. ONE doclens scan
+        // per batch: the lazy-localCheckpoint-ed read serves the
+        // anti-join AND (via preDoclens) the probe's N/avgdl stats and
+        // candidate join; append skips both re-checks — absence was just
+        // established here, within-batch uniqueness is the input
+        // contract.
         val b = batch.toDF()
-        val ids = sp.read.parquet(s"$indexDir/doclens").select(col("id"))
-        val fresh = b.join(ids,
-          b(idCol).cast("long") === ids("id"), "left_anti")
+        val dl = graft.text.Bm25Index.readDoclens(sp, indexDir)
+          .localCheckpoint(eager = false)
+        val fresh = b.join(dl.select(col("id")),
+          b(idCol).cast("long") === dl("id"), "left_anti")
           .localCheckpoint()
         if (!fresh.isEmpty) {
           graft.text.Bm25Index
-            .searchTopK(sp, indexDir, fresh, idCol, textCol, topK)
+            .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
+              preDoclens = Some(dl))
             .write.mode("append").parquet(outDir)
           graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol,
-            checkPresence = false)
+            checkPresence = false, checkBatchUnique = false)
         }
         ()
       }

@@ -135,7 +135,13 @@ object Bm25Index {
   private def readPostings(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(postingsSchema).parquet(s"$dir/postings")
 
-  private def readDoclens(spark: SparkSession, dir: String): DataFrame =
+  /** The committed-membership table: (id, th, dl). Exposed
+    * (package-private) so per-batch callers — the streaming ingester's
+    * freshness anti-join — can read it ONCE, lazy-localCheckpoint it, and
+    * hand the same frame to [[searchTopK]]'s `preDoclens` hook instead of
+    * re-scanning the corpus table per consumer.
+    */
+  private[graft] def readDoclens(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(doclensSchema).parquet(s"$dir/doclens")
 
   /** Add a new batch WITHOUT touching existing state: one tokenize pass,
@@ -147,8 +153,9 @@ object Bm25Index {
     * `checkPresence = false` skips the already-present doclens join for
     * callers that have JUST established disjointness themselves (the
     * streaming ingester's per-batch anti-join) — one fewer corpus-table
-    * scan per batch; the within-batch duplicate-id check (batch-sized)
-    * always runs.
+    * scan per batch. `checkBatchUnique = false` likewise skips the
+    * within-batch duplicate-id aggregation (one fewer job) for callers
+    * whose input contract already guarantees unique ids per batch.
     */
   def append(
       spark: SparkSession,
@@ -156,14 +163,19 @@ object Bm25Index {
       newDocs: DataFrame,
       idCol: String,
       textCol: String,
-      checkPresence: Boolean = true): Long = {
+      checkPresence: Boolean = true,
+      checkBatchUnique: Boolean = true): Long = {
     val nBuckets = loadParams(spark, dir)
-    val ids = newDocs.select(col(idCol).cast("long").as("id"))
-    require(ids.groupBy("id").count().filter(col("count") > 1).isEmpty,
-      "Bm25Index.append: duplicate ids within the appended batch")
-    if (checkPresence)
+    if (checkBatchUnique) {
+      val ids = newDocs.select(col(idCol).cast("long").as("id"))
+      require(ids.groupBy("id").count().filter(col("count") > 1).isEmpty,
+        "Bm25Index.append: duplicate ids within the appended batch")
+    }
+    if (checkPresence) {
+      val ids = newDocs.select(col(idCol).cast("long").as("id"))
       require(readDoclens(spark, dir).select("id").join(ids, "id").isEmpty,
         "Bm25Index.append: id already present in the index")
+    }
     writeState(newDocs, idCol, textCol, dir, nBuckets, SaveMode.Append)
   }
 
@@ -183,6 +195,13 @@ object Bm25Index {
     * doclens join ships candidate-sized hits against the narrow doclens
     * table and erases every uncommitted epoch; the ranking window
     * partitions per query.
+    *
+    * `preDoclens`: a pre-read `doclens/` frame (from [[readDoclens]],
+    * ideally lazy-localCheckpoint-ed) to reuse for BOTH the N/avgdl
+    * stats aggregation and the candidate join — per-batch callers that
+    * already scanned doclens for a freshness anti-join pass it so the
+    * corpus table is scanned once per batch, not three times. None =
+    * read from the index.
     */
   def searchTopK(
       spark: SparkSession,
@@ -192,7 +211,8 @@ object Bm25Index {
       qTextCol: String,
       topK: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      preDoclens: Option[DataFrame] = None): DataFrame = {
     val nBuckets = loadParams(spark, dir)
     val qterms = Bm25.queryTerms(queries, qIdCol, qTextCol)
       .localCheckpoint(eager = false)
@@ -213,7 +233,7 @@ object Bm25Index {
       .groupBy("term", "id", "th").agg(max("tf").as("tf"))
       .localCheckpoint(eager = false)
     val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = readDoclens(spark, dir)
+    val dl = preDoclens.getOrElse(readDoclens(spark, dir))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
     Bm25.scoreFrom(pruned, dfreq, dl, stats, qterms, Seq("id", "th"),

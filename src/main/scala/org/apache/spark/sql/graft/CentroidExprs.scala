@@ -19,6 +19,15 @@ trait CentroidIndex extends Serializable {
     * the per-row term of the k-means quantization cost.
     */
   def nearestOneDist(v: ArrayData): Double
+
+  /** Destroy the backing broadcast(s). DRIVER-side, and only once every
+    * job using this kernel has completed — the hook that lets an
+    * iterative trainer (one kernel per Lloyd iteration, [[graft.knn
+    * .KMeans.lloyd]]) release each iteration's codebook copies eagerly
+    * instead of accumulating them until the ContextCleaner's GC-driven
+    * sweep, without reaching inside the kernel abstraction.
+    */
+  def release(): Unit
 }
 
 /** Shared nearest-centroid kernel for the IVF assign/probe expressions.
@@ -97,6 +106,8 @@ final class CentroidKernel(bc: Broadcast[Array[Array[Float]]]) extends CentroidI
     }
     new GenericArrayData(java.util.Arrays.copyOf(ids, size))
   }
+
+  def release(): Unit = bc.destroy()
 }
 
 /** Sublinear two-level assign over a large codebook: the k fine centroids
@@ -136,7 +147,12 @@ final class TwoLevelCentroidKernel(
     d
   }
 
-  /** The `probes` nearest coarse cells, ordered by (dist, index). */
+  /** The `probes` nearest coarse cells, ordered by (dist, index). The
+    * equal-distance/lower-index entry clause can never fire in this
+    * ascending scan (a tying `ci` is always greater than the held index)
+    * but is kept so the insert condition IS the (dist, index) contract,
+    * matching [[nearestN]]'s arbitrary-order form verbatim.
+    */
   private def probeCells(v: ArrayData): Array[Int] = {
     val cap = math.min(probes, coarse.length)
     val ds = new Array[Double](cap)
@@ -145,7 +161,8 @@ final class TwoLevelCentroidKernel(
     var ci = 0
     while (ci < coarse.length) {
       val d = distTo(coarse(ci), v)
-      if (size < cap || d < ds(cap - 1)) {
+      if (size < cap || d < ds(cap - 1) ||
+        (d == ds(cap - 1) && ci < ids(cap - 1))) {
         var p = if (size < cap) size else cap - 1
         while (p > 0 && (ds(p - 1) > d || (ds(p - 1) == d && ids(p - 1) > ci))) {
           ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1
@@ -224,6 +241,8 @@ final class TwoLevelCentroidKernel(
     }
     new GenericArrayData(java.util.Arrays.copyOf(ids, size))
   }
+
+  def release(): Unit = { bcFine.destroy(); bcCoarse.destroy(); bcMembers.destroy() }
 }
 
 /** IVF assign: nearest centroid index for a float vector. Replaces the
