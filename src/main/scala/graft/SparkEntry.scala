@@ -1318,6 +1318,69 @@ object SparkEntry {
         .select(col("id"), col("n_bytes"),
           size(col("features")).cast("long").as("n_features"))
     }),
+
+    // REAL image decode round trip: per-doc deterministic pixels are
+    // encoded to genuine PNG bytes (JDK ImageIO writer) inside the
+    // executor batch, then decoded back by Codecs.imageStats — PNG is
+    // lossless, so the dimensions + grayscale pixel sum match the
+    // closed-form fixture exactly. Float feature histograms
+    // (PngFeatureDecoder) are spec-gated in MultimodalSpec.
+    "q86_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 5).toInt
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Codecs.Png.encodeGray(w, 8,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt),
+              "image")
+          }
+        }
+      graft.multimodal.Codecs.imageStats(media).toDF()
+    }),
+
+    // REAL audio decode round trip: deterministic 16-bit PCM samples →
+    // genuine RIFF/WAVE bytes → chunk-walking decode; header rate,
+    // sample count and signed sample sum match the closed form.
+    "q87_wav_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (2000 + id % 1000).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Codecs.Wav.encodePcm16Mono(samples, 8000),
+              "audio")
+          }
+        }
+      graft.multimodal.Codecs.audioStats(media).toDF()
+    }),
+
+    // REAL frame sampling over decoded audio: frame count derives from
+    // the DECODED header (sample count / rate), one row per 100 ms
+    // window with its exact sample count + signed sum — the
+    // q51-family fan-out over genuine bytes.
+    "q88_wav_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (2000 + id % 1000).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Codecs.Wav.encodePcm16Mono(samples, 8000),
+              "audio")
+          }
+        }
+      graft.multimodal.Codecs.audioFrameStats(media, windowMs = 100).toDF()
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -1603,6 +1666,45 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(16 AS BIGINT) AS n_features
         |FROM documents""".stripMargin,
+
+    // closed form of the PNG fixture: w = 8 + doc_id % 5, h = 8,
+    // pixel(x,y) = (doc_id*31 + x*7 + y*13) % 256 — PNG is lossless so
+    // the decoded sum equals the generator sum
+    "q86_png_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        | CAST(8 + doc_id % 5 AS BIGINT) AS width,
+        | CAST(8 AS BIGINT) AS height,
+        | CAST(list_sum(flatten(list_transform(range(0, 8 + doc_id % 5), x ->
+        |   list_transform(range(0, 8), y ->
+        |     (doc_id * 31 + x * 7 + y * 13) % 256)))) AS BIGINT) AS gray_sum
+        |FROM documents""".stripMargin,
+
+    // closed form of the WAV fixture: n = 2000 + doc_id % 1000 samples
+    // at 8000 Hz, sample(i) = ((doc_id*7919 + i*104729) % 65536) - 32768
+    "q87_wav_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(2000 + doc_id % 1000 AS BIGINT) AS n_samples,
+        | CAST(list_sum(list_transform(range(0, 2000 + doc_id % 1000), i ->
+        |   (doc_id * 7919 + i * 104729) % 65536 - 32768)) AS BIGINT)
+        |   AS sum_samples
+        |FROM documents""".stripMargin,
+
+    // 100 ms windows at 8000 Hz = 800 samples per frame over the same
+    // WAV fixture; last frame is the remainder
+    "q88_wav_frames" ->
+      """WITH f AS (
+        | SELECT CAST(doc_id AS BIGINT) AS id,
+        |   2000 + doc_id % 1000 AS n,
+        |   unnest(range(0, (2000 + doc_id % 1000 + 799) // 800)) AS fi
+        | FROM documents)
+        |SELECT id, CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(least(n - fi * 800, 800) AS BIGINT) AS n_samples,
+        | CAST(list_sum(list_transform(
+        |   range(fi * 800, least(n, fi * 800 + 800)), i ->
+        |     (id * 7919 + i * 104729) % 65536 - 32768)) AS BIGINT)
+        |   AS sum_samples
+        |FROM f""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

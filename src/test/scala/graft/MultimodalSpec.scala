@@ -58,4 +58,122 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.extractFrameFeatures(vids, everyMs = 0).collect())
   }
+
+  // ----------------------------------------------------------------
+  // Real codecs (Codecs.scala): genuine PNG / PCM WAV bytes
+  // ----------------------------------------------------------------
+  import graft.multimodal.Codecs
+
+  test("PNG: encode→decode round trip is bit-exact, RGB decodes to band mean") {
+    val img = Codecs.Png.encodeGray(5, 3, (x, y) => x * 40 + y * 11)
+    // genuine PNG magic
+    assert((img(0) & 0xff) == 0x89 && img(1) == 'P' && img(2) == 'N' && img(3) == 'G')
+    val dec = Codecs.Png.decodeGray(img)
+    assert(dec.width == 5 && dec.height == 3)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert(dec.gray(y * 5 + x) == ((x * 40 + y * 11) & 0xff))
+
+    // an RGB PNG (not produced by our encoder) decodes via band mean
+    val rgb = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)   // mean 20
+    rgb.setRGB(1, 0, (90 << 16) | (90 << 8) | 90)   // mean 90
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", out)
+    val decRgb = Codecs.Png.decodeGray(out.toByteArray)
+    assert(decRgb.gray.toSeq == Seq(20, 90))
+
+    intercept[IllegalArgumentException](Codecs.Png.decodeGray(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](Codecs.Png.decodeGray(Array.emptyByteArray))
+  }
+
+  test("WAV: round trip, hand-built file with unknown odd-size chunk, errors") {
+    val samples = Array.tabulate(100)(i => ((i * 773) % 65536 - 32768).toShort)
+    val wav = Codecs.Wav.encodePcm16Mono(samples, 16000)
+    val dec = Codecs.Wav.decodePcm16Mono(wav)
+    assert(dec.sampleRate == 16000)
+    assert(dec.samples.toSeq == samples.toSeq)
+
+    // hand-built file, byte by byte: RIFF/WAVE, an UNKNOWN odd-size chunk
+    // ("junk", 3 bytes + pad) between fmt and data — the walker must skip
+    // it with word alignment and still find the data chunk
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + 12 + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("junk".getBytes).putInt(3).put(Array[Byte](7, 7, 7, 0)) // odd + pad
+    bb.put("data".getBytes).putInt(4).putShort(1234).putShort(-4321)
+    val hand = Codecs.Wav.decodePcm16Mono(bb.array())
+    assert(hand.sampleRate == 8000)
+    assert(hand.samples.toSeq == Seq[Short](1234, -4321))
+
+    // stereo rejected; truncated data chunk rejected; garbage rejected
+    val stereo = Codecs.Wav.encodePcm16Mono(samples, 8000).clone()
+    stereo(22) = 2 // channel count lives at offset 22
+    intercept[IllegalArgumentException](Codecs.Wav.decodePcm16Mono(stereo))
+    intercept[IllegalArgumentException](
+      Codecs.Wav.decodePcm16Mono(wav.take(wav.length - 10)))
+    intercept[IllegalArgumentException](
+      Codecs.Wav.decodePcm16Mono("not a wav at all".getBytes))
+  }
+
+  test("real decoders drive the extract operators over genuine bytes") {
+    // PNG histogram features through extractFeatures
+    val png = Codecs.Png.encodeGray(4, 4, (x, y) => if (x < 2) 0 else 255)
+    val media = Seq(Multimodal.MediaRow(1L, png, "image")).toDS()
+    val feats = Multimodal.extractFeatures(media, dim = 4,
+      decoder = new Codecs.PngFeatureDecoder).collect().head
+    // half the pixels in the lowest bin, half in the highest; sums to 1
+    assert(feats.features.toSeq == Seq(0.5f, 0f, 0f, 0.5f))
+
+    // WAV energy features: silent first half, loud second half
+    val loud = Array.tabulate(800)(i =>
+      if (i < 400) 0.toShort else 16384.toShort)
+    val wav = Codecs.Wav.encodePcm16Mono(loud, 8000)
+    val audio = Seq(Multimodal.MediaRow(2L, wav, "audio")).toDS()
+    val af = Multimodal.extractFeatures(audio, dim = 2,
+      decoder = new Codecs.WavFeatureDecoder).collect().head
+    assert(af.features(0) == 0f)
+    assert(math.abs(af.features(1) - 0.5f) < 1e-3)
+
+    // frame decoder: 100ms windows at 8000Hz = 800 samples → the 1000-
+    // sample clip yields full frame 0 and a 200-sample frame 1
+    val clip = Array.tabulate(1000)(_ => 16384.toShort)
+    val vids = Seq(Multimodal.VideoRow(3L,
+      Codecs.Wav.encodePcm16Mono(clip, 8000), 125L)).toDS()
+    val frames = Multimodal.extractFrameFeatures(vids, everyMs = 100, dim = 1,
+      decoder = new Codecs.WavFrameDecoder(100L)).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 1L))
+    assert(frames.forall(f => math.abs(f.features(0) - 0.5f) < 1e-3))
+  }
+
+  test("exact stats surfaces match closed forms (the q86–q88 fixtures)") {
+    val id = 7L
+    val w = (8 + id % 5).toInt
+    val png = Codecs.Png.encodeGray(w, 8,
+      (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+    val media = Seq(Multimodal.MediaRow(id, png, "image")).toDS()
+    val st = Codecs.imageStats(media).collect().head
+    val expected = (for (x <- 0 until w; y <- 0 until 8)
+      yield (id * 31 + x * 7 + y * 13) % 256).sum
+    assert(st.width == w && st.height == 8 && st.gray_sum == expected)
+
+    val n = (2000 + id % 1000).toInt
+    val samples = Array.tabulate(n)(i =>
+      (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+    val wav = Seq(Multimodal.MediaRow(id,
+      Codecs.Wav.encodePcm16Mono(samples, 8000), "audio")).toDS()
+    val au = Codecs.audioStats(wav).collect().head
+    assert(au.sample_rate == 8000L && au.n_samples == n)
+    assert(au.sum_samples == samples.map(_.toLong).sum)
+
+    val fr = Codecs.audioFrameStats(wav, windowMs = 100).collect()
+      .sortBy(_.frame_idx)
+    assert(fr.length == (n + 799) / 800)
+    assert(fr.map(_.n_samples).sum == n)
+    assert(fr.map(_.sum_samples).sum == samples.map(_.toLong).sum)
+    assert(fr.last.n_samples == n - (fr.length - 1) * 800)
+  }
 }
