@@ -43,15 +43,31 @@ object SemLinkGrid {
     val profiles = Profiler.profileLake(spark, dir, tables)
     val embedded = SemLink.columnTexts(profiles)
       .withColumn("vec", embedder.embedColumn(col("text")))
-      .select("key", "vec")
-      .cache()
 
-    // symmetric GT on composite keys (join_discoverer.py:392–397)
-    val truth = Discovery.symmetrizeGroundTruth(
+    // composite keys (join_discoverer.py:392–397)
+    gridCellsFromCatalog(embedded,
       groundTruth.select(
         TextFns.columnKey(col("query_table"), col("query_column")).as("q"),
         TextFns.columnKey(col("candidate_table"), col("candidate_column")).as("c")),
-      "q", "c").cache()
+      ks, thresholds)
+  }
+
+  /** The grid core over ANY (key, vec) catalog — the lake pipeline above
+    * is one caller (profile → serialize → embed); a pre-embedded corpus
+    * (the q89 oracle path, where the kNN + per-cell A8/A9 math is
+    * replayed in SQL over stored vectors) is another. `groundTruth` is a
+    * two-column (q, c) key-grain pair relation, symmetrized here.
+    */
+  def gridCellsFromCatalog(
+      catalog: DataFrame, // (key, vec) + anything else, pruned here
+      groundTruth: DataFrame, // (q, c) on catalog keys
+      ks: Seq[Int],
+      thresholds: Seq[Double]): Seq[GridCell] = {
+    val embedded = catalog.select("key", "vec").cache()
+
+    // symmetric GT (join_discoverer.py:392–397): output (query, candidate)
+    val truth = Discovery.symmetrizeGroundTruth(
+      groundTruth.toDF("q", "c"), "q", "c").cache()
 
     val kMax = ks.max
     // ONE kNN pass at kMax; every (k, t) cell is a pure filter over it
@@ -112,6 +128,15 @@ object SemLinkGrid {
       embedder: Embedder = HashEmbedder(),
       tables: Seq[String] = Lake.lakeTables): DataFrame =
     gridCells(spark, dir, groundTruth, ks, thresholds, embedder, tables)
+      .map(_.metrics).reduce(_.unionByName(_))
+
+  /** [[evaluationGrid]] over a pre-embedded (key, vec) catalog. */
+  def evaluationGridFromCatalog(
+      catalog: DataFrame,
+      groundTruth: DataFrame,
+      ks: Seq[Int],
+      thresholds: Seq[Double]): DataFrame =
+    gridCellsFromCatalog(catalog, groundTruth, ks, thresholds)
       .map(_.metrics).reduce(_.unionByName(_))
 
   /** Reference-parity export (join_discoverer.py:491–517): one CSV of
