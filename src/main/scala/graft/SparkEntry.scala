@@ -1381,6 +1381,109 @@ object SparkEntry {
         }
       graft.multimodal.Codecs.audioFrameStats(media, windowMs = 100).toDF()
     }),
+
+    // The reference's §3.1 flagship output oracle-pinned end to end: the
+    // SemLink evaluation grid (sweep k × threshold, per-cell micro
+    // P/R/F1 + NDCG@k — join_discoverer.py:454–518) over a pre-embedded
+    // (key, vec) catalog, replayed cell by cell in SQL. ONE kNN pass at
+    // max(k) serves every cell (the reference re-searches per threshold).
+    "q89_semlink_grid" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val catalog = emb.select(col("vec_id").cast("string").as("key"),
+        col("embedding").as("vec"))
+      val gt = sameLabelTruth(s, d)
+        .select(col("query").cast("string").as("q"),
+          col("candidate").cast("string").as("c"))
+      graft.pipeline.SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+          ks = Seq(5, 10), thresholds = Seq(1.3, 1.42))
+        .withColumnRenamed("precision", "prec")
+        .withColumnRenamed("recall", "rec")
+    }),
+
+    // IVF list rebalance oracled exact-equivalent: build on half the
+    // corpus, append a far-shifted other half (drifts into few lists),
+    // rebalance IN PLACE (re-trained quantizer + re-filed lists +
+    // hot-list splits), then probe exhaustively — ≡ brute-force kNN over
+    // the union corpus regardless of how rebalance re-filed the lists.
+    "q90_ivf_rebalance" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxDir = graft.util.TempDirs.register(
+        s"/tmp/graft_ivf_reb_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val base = emb.filter(col("vec_id") % 2 === 0)
+        .select("vec_id", "embedding")
+      val drift = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (x + lit(4.0f)).cast("float"))
+            .as("embedding"))
+      graft.knn.IvfIndex.build(base, "vec_id", "embedding", idxDir, nList = 16)
+      graft.knn.IvfIndex.append(s, idxDir, drift, "vec_id", "embedding")
+      graft.knn.IvfIndex.rebalance(s, idxDir)
+      val queries = base.unionByName(drift).filter(col("vec_id") < 500)
+      graft.knn.IvfIndex.search(s, idxDir, queries, "vec_id", "embedding",
+          k = 5, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
+    // Late/out-of-order arrival gate on the streaming lexical ingest:
+    // three staged batches where B and C carry rows with ANCIENT event
+    // times (arriving after the engine watermark passed them). The gate
+    // must drop exactly those rows into the late/ audit channel and
+    // commit the rest, so the final index state (doclens) equals a
+    // one-shot build over base ∪ admitted — which is what the oracle
+    // computes in closed form (the late sets are deterministic given the
+    // staging order and lateness).
+    "q91_stream_late_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_stream_latelex_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"), true)
+      // a fresh pipeline: the persisted watermark belongs to the PREVIOUS
+      // run of this entry (build() below clears the index tables but not
+      // engine ingest state)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/index/ingest_watermark"), true)
+      graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
+      val t0 = 1700000000000L
+      def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
+        .otherwise(col("doc_id") * 100)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            (col("doc_id") * 100).as("ts"), col("text")),
+        s"$base/batches", "batch_a.parquet", t0)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select((col("doc_id") + 2000000).as("doc_id"), ancientTs.as("ts"),
+            col("text")),
+        s"$base/batches", "batch_b.parquet", t0 + 60000)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
+          .select((col("doc_id") + 3000000).as("doc_id"), ancientTs.as("ts"),
+            col("text")),
+        s"$base/batches", "batch_c.parquet", t0 + 120000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.streaming.Streams.lexIngestWatermarked(s, s"$base/batches", schema,
+        s"$base/index", s"$base/out", "doc_id", "text", "ts",
+        lateness = 100L, topK = 3)
+      val committed = graft.text.Bm25Index.readDoclens(s, s"$base/index")
+        .select(col("id"), col("dl").cast("long").as("dl"),
+          lit(false).as("late"))
+      val lateRows = s.read.parquet(s"$base/out/late")
+        .select(col("id"), lit(-1L).as("dl"), lit(true).as("late"))
+      committed.unionByName(lateRows)
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -1407,6 +1510,44 @@ object SparkEntry {
       |  SELECT a.vec_id AS query, b.vec_id AS candidate
       |  FROM embeddings a JOIN embeddings b
       |    ON a.label = b.label AND a.vec_id <> b.vec_id)""".stripMargin
+
+  /** One (k, threshold) cell of the q89 grid: micro P/R/F1 via the q13
+    * set-count algebra + NDCG@k via the q14 shape (idcg from a cumulative
+    * 1/log2 table instead of a CASE ladder, so any k works). Composed
+    * over the shared knn/rel/relc/ilog CTEs by UNION ALL.
+    */
+  private def gridCellSql(k: Int, t: Double): String =
+    s"""SELECT CAST($k AS INTEGER) AS k, CAST($t AS DOUBLE) AS threshold,
+       | c.tp, c.nd - c.tp AS fp, c.nt - c.tp AS fn,
+       | round(c.tp / (c.tp + (c.nd - c.tp) + 1e-8), 4) AS prec,
+       | round(c.tp / (c.tp + (c.nt - c.tp) + 1e-8), 4) AS rec,
+       | round(2.0 * (c.tp / (c.tp + (c.nd - c.tp) + 1e-8))
+       |     * (c.tp / (c.tp + (c.nt - c.tp) + 1e-8))
+       |   / ((c.tp / (c.tp + (c.nd - c.tp) + 1e-8))
+       |     + (c.tp / (c.tp + (c.nt - c.tp) + 1e-8)) + 1e-8), 4) AS f1,
+       | (SELECT round(avg(CASE WHEN per.idcg > 0
+       |     THEN per.dcg / per.idcg ELSE 0.0 END), 4) FROM (
+       |   SELECT dcgq.dcg, ilog.cum AS idcg
+       |   FROM (SELECT k2.query_id AS query,
+       |       sum(CASE WHEN rel.query IS NOT NULL
+       |         THEN 1.0 / log2(k2.rnk + 1.0) ELSE 0.0 END) AS dcg
+       |     FROM (SELECT * FROM knn WHERE rnk <= $k) k2
+       |     LEFT JOIN rel ON k2.query_id = rel.query
+       |       AND k2.neighbor_id = rel.candidate
+       |     GROUP BY 1) dcgq
+       |   JOIN relc ON dcgq.query = relc.query
+       |   JOIN ilog ON ilog.i = least($k, relc.n_relevant)) per) AS ndcg
+       |FROM (
+       | SELECT
+       |  (SELECT count(*) FROM
+       |    (SELECT DISTINCT query_id, neighbor_id FROM knn
+       |     WHERE rnk <= $k AND sqrt(dist) <= $t) dd
+       |   JOIN rel ON dd.query_id = rel.query
+       |     AND dd.neighbor_id = rel.candidate) AS tp,
+       |  (SELECT count(*) FROM
+       |    (SELECT DISTINCT query_id, neighbor_id FROM knn
+       |     WHERE rnk <= $k AND sqrt(dist) <= $t) x) AS nd,
+       |  (SELECT count(*) FROM rel) AS nt) c""".stripMargin
 
   private def profileColSql(table: String, colName: String, typ: String,
       withLens: Boolean): String = {
@@ -1705,6 +1846,68 @@ object SparkEntry {
         |     (id * 7919 + i * 104729) % 65536 - 32768)) AS BIGINT)
         |   AS sum_samples
         |FROM f""".stripMargin,
+
+    // the full grid: shared knn/rel/relc/ilog CTEs, one UNION ALL branch
+    // per (k, threshold) cell — same cells as the Spark side
+    "q89_semlink_grid" ->
+      s"""$knnL2Cte,
+         |$truthCte,
+         |relc AS (SELECT query, count(*) AS n_relevant FROM rel GROUP BY query),
+         |ilog AS (SELECT i, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS cum
+         |         FROM generate_series(1, 50) t(i))
+         |${Seq((5, 1.3), (5, 1.42), (10, 1.3), (10, 1.42))
+            .map { case (k, t) => gridCellSql(k, t) }
+            .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // exact-equiv: full probe of the rebalanced index ≡ brute-force kNN
+    // over the union corpus (base half + float-shifted drifted half)
+    "q90_ivf_rebalance" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x + 4.0 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |d AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    sum(power(CAST(a.embedding[i] AS DOUBLE) - b.embedding[i], 2)) AS dist
+        |  FROM corpus a, corpus b, generate_series(1, 64) t(i)
+        |  WHERE a.vec_id <> b.vec_id AND a.vec_id < 500 GROUP BY 1, 2),
+        |knn AS (SELECT query_id, neighbor_id, dist,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+        |  FROM d)
+        |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+        |FROM knn WHERE rnk <= 5""".stripMargin,
+
+    // closed-form late sets: batch A (docs 0..24, ts = id*100) sets the
+    // watermark to 2400-100; in B/C every doc_id % 5 == 0 row carries
+    // ts = doc_id (ancient) and is dropped; every other row's ts = id*100
+    // clears the advancing watermark. Committed doclens ≡ one tokenize
+    // of base ∪ admitted (the one-shot-build equivalence).
+    "q91_stream_late_ingest" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS id, dl, FALSE AS late FROM tok
+        |UNION ALL
+        |SELECT CAST(doc_id + 1000000 AS BIGINT), dl, FALSE FROM tok
+        |WHERE doc_id < 25
+        |UNION ALL
+        |SELECT CAST(doc_id + 2000000 AS BIGINT), dl, FALSE FROM tok
+        |WHERE doc_id >= 25 AND doc_id < 50 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT CAST(doc_id + 3000000 AS BIGINT), dl, FALSE FROM tok
+        |WHERE doc_id >= 50 AND doc_id < 75 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT CAST(doc_id + 2000000 AS BIGINT), CAST(-1 AS BIGINT), TRUE
+        |FROM documents WHERE doc_id >= 25 AND doc_id < 50 AND doc_id % 5 = 0
+        |UNION ALL
+        |SELECT CAST(doc_id + 3000000 AS BIGINT), CAST(-1 AS BIGINT), TRUE
+        |FROM documents WHERE doc_id >= 50 AND doc_id < 75 AND doc_id % 5 = 0""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -171,7 +171,20 @@ object LshDedupIndex {
       idCol: String,
       textCol: String,
       checkPresence: Boolean = true,
-      checkBatchUnique: Boolean = true): Long = {
+      checkBatchUnique: Boolean = true): Long =
+    graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.append") {
+      appendImpl(spark, dir, newDocs, idCol, textCol, checkPresence,
+        checkBatchUnique)
+    }
+
+  private def appendImpl(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkPresence: Boolean,
+      checkBatchUnique: Boolean): Long = {
     val (shingleSize, bands, rowsPerBand) = loadParams(spark, dir)
     if (checkBatchUnique) {
       val ids = newDocs.select(col(idCol).cast("long").as("id"))
@@ -282,7 +295,10 @@ object LshDedupIndex {
     * Rewrite-then-swap: the orphan-free bands table and the compacted
     * signatures table are written BESIDE the live ones (`<table>.tmp`),
     * then swapped in via rename — the same single-writer maintenance
-    * contract as [[append]]. A crash between the two renames leaves
+    * contract as [[append]], both now enforced by [[graft.util.IndexLock]]
+    * (a concurrent append during the two-rename swap window would land
+    * files in `<table>.old` and lose them; with the lock it fails fast).
+    * A crash between the two renames leaves
     * `<table>.old` intact; this method performs that recovery on entry
     * (rename back if the live table is missing, clear completed-swap /
     * stale-tmp debris otherwise). Probe results are unchanged by
@@ -294,7 +310,12 @@ object LshDedupIndex {
     * per band per shuffle task, the [[build]] write shape. Returns the
     * number of orphaned band rows reclaimed.
     */
-  def vacuum(spark: SparkSession, dir: String, signatureFiles: Int = 0): Long = {
+  def vacuum(spark: SparkSession, dir: String, signatureFiles: Int = 0): Long =
+    graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.vacuum") {
+      vacuumImpl(spark, dir, signatureFiles)
+    }
+
+  private def vacuumImpl(spark: SparkSession, dir: String, signatureFiles: Int): Long = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
     def recover(table: String): Unit = {

@@ -45,7 +45,11 @@ object HnswIndex {
     * higher-numbered manifests pointing at generation dirs the Overwrite
     * below deletes), so concurrent readers of `dir` during a rebuild see
     * "no committed manifest" until the fresh m000000 lands. Like
-    * [[append]], build assumes a single writer per index directory.
+    * [[append]], build assumes a single writer per index directory —
+    * for append and [[vacuum]] that assumption is ENFORCED by
+    * [[graft.util.IndexLock]] (create-exclusive `_writer.lock`, stale-TTL
+    * broken): a second maintenance writer fails fast with `HeldByOther`
+    * instead of racing a swap or interleaving generations.
     */
   def build(
       candidates: DataFrame,
@@ -229,6 +233,16 @@ object HnswIndex {
       dir: String,
       newVectors: DataFrame,
       idCol: String,
+      vecCol: String): Long =
+    graft.util.IndexLock.withLock(spark, dir, "HnswIndex.append") {
+      appendImpl(spark, dir, newVectors, idCol, vecCol)
+    }
+
+  private def appendImpl(
+      spark: SparkSession,
+      dir: String,
+      newVectors: DataFrame,
+      idCol: String,
       vecCol: String): Long = {
     import spark.implicits._
     val (m, metric, shards, efConstruction, seed) = loadParams(spark, dir)
@@ -355,7 +369,12 @@ object HnswIndex {
     * are never touched, so search before/after vacuum answers identically.
     * Returns the number of paths removed.
     */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+  def vacuum(spark: SparkSession, dir: String): Int =
+    graft.util.IndexLock.withLock(spark, dir, "HnswIndex.vacuum") {
+      vacuumImpl(spark, dir)
+    }
+
+  private def vacuumImpl(spark: SparkSession, dir: String): Int = {
     val (liveGen, shardGens) = readManifest(spark, dir)
     val ndir = new Path(s"$dir/nodes")
     val fs = ndir.getFileSystem(spark.sessionState.newHadoopConf())

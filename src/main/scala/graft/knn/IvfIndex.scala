@@ -80,6 +80,10 @@ object IvfIndex {
       twoLevelProbes: Int = 4): Int = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // a crashed rebalance must not leak staged tables into this build's
+    // Overwrite (a stale assignments.tmp would roll "forward" over the
+    // fresh index at the next rebalance)
+    recoverSwap(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     // spherical kmeans trains on unit vectors, excluding raw zeros (a raw
     // zero would pull a centroid off the sphere; the distance-1.0
@@ -206,7 +210,8 @@ object IvfIndex {
       cosine: Boolean,
       pq: Option[(PqCodebooks, Boolean)],
       mode: SaveMode,
-      kernel: org.apache.spark.sql.graft.CentroidIndex): Unit = {
+      kernel: org.apache.spark.sql.graft.CentroidIndex,
+      table: String = "assignments"): Unit = {
     val spark = vectors.sparkSession
     val base = graft.util.Par.balance(
       vectors.select(col(idCol).cast("long").as("id"),
@@ -246,7 +251,7 @@ object IvfIndex {
       .repartition(col("cid"))
       .write.mode(mode)
       .partitionBy("cid")
-      .parquet(s"$dir/assignments")
+      .parquet(s"$dir/$table")
   }
 
   /** Append new vectors into the existing index WITHOUT retraining: each
@@ -261,14 +266,31 @@ object IvfIndex {
     *
     * Centroid drift: appended data from a shifted distribution degrades
     * list balance, not correctness (search stays exact within probed
-    * lists). Rebuild via [[build]] when drift warrants it.
+    * lists). [[rebalance]] re-trains the quantizer in place when drift
+    * warrants it. Maintenance is single-writer, enforced by
+    * [[graft.util.IndexLock]]: append and rebalance take the per-index
+    * `_writer.lock` and fail fast on contention.
     */
   def append(
       spark: SparkSession,
       dir: String,
       newVectors: DataFrame,
       idCol: String,
+      vecCol: String): Long =
+    graft.util.IndexLock.withLock(spark, dir, "IvfIndex.append") {
+      appendImpl(spark, dir, newVectors, idCol, vecCol)
+    }
+
+  private def appendImpl(
+      spark: SparkSession,
+      dir: String,
+      newVectors: DataFrame,
+      idCol: String,
       vecCol: String): Long = {
+    // a crashed rebalance left either staged debris or a half-committed
+    // swap; resolve it BEFORE appending — files landed in a table that a
+    // later roll-forward replaces would be lost silently
+    recoverSwap(spark, dir)
     val centroids = loadCentroids(spark, dir)
     val cosine = HnswSearch.isCosine(loadMetric(spark, dir))
     val n = newVectors.count()
@@ -288,6 +310,278 @@ object IvfIndex {
   def stats(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/assignments")
       .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+
+  /** Re-train the coarse quantizer IN PLACE on the current corpus and
+    * re-file every vector — the answer to append drift that [[stats]]
+    * diagnoses. [[append]] keeps the quantizer fixed (FAISS `IndexIVF.add`
+    * semantics), so a long append tail from a shifted distribution piles
+    * into a few hot lists and probe latency follows the largest probed
+    * list; a full [[build]] fixes that but needs the original source
+    * frame. Rebalance needs only the index directory: the persisted lists
+    * ARE the corpus.
+    *
+    * What it does: (1) trains fresh centroids on a bounded sample of the
+    * persisted vectors — same trainer as build, including the
+    * `distributedTrain` path for 10⁴⁺-list indexes; (2) re-assigns all
+    * rows and rewrites one well-sized file per list (so rebalance is also
+    * the IVF COMPACTION story — append's accumulated small files collapse
+    * here, the role vacuum plays for the other index families);
+    * (3) re-encodes PQ codes against the new centroids when the index
+    * carries residual codebooks (the codebooks themselves are kept — they
+    * quantize residual clouds, which move far less than assignments; a
+    * drift large enough to invalidate them warrants [[build]]).
+    *
+    * Commit protocol: all three tables (`centroids`, `params`,
+    * `assignments`) are written beside the live ones as `<table>.tmp`,
+    * then an intent marker (`_rebalance_commit`) is created and the
+    * swaps run marker-protected: recovery on entry rolls FORWARD (marker
+    * present — finish each table's swap from whatever rename it crashed
+    * at) or BACK (no marker — delete staged debris, live tables were
+    * never touched). Sequential renames mean a crash can leave a
+    * NEW-quantizer / OLD-lists mix until the next maintenance op runs
+    * recovery; a full probe (`nProbe = nList`) stays exact even then,
+    * and the single-writer lock plus metadata-only rename window make
+    * the exposure milliseconds.
+    *
+    * Search results at `nProbe = nList` are invariant under rebalance
+    * (every list is scanned either way); pruned probes change exactly as
+    * a rebuild would change them. Returns the new list count.
+    *
+    * `nList = 0` keeps the persisted list count; pass a larger value to
+    * grow capacity (e.g. after the corpus 10×-ed past the build-time
+    * sizing).
+    */
+  def rebalance(
+      spark: SparkSession,
+      dir: String,
+      nList: Int = 0,
+      kmeansIters: Int = 5,
+      sampleCap: Int = 20000,
+      seed: Int = 42,
+      distributedTrain: Boolean = false): Int =
+    graft.util.IndexLock.withLock(spark, dir, "IvfIndex.rebalance") {
+      rebalanceImpl(spark, dir, nList, kmeansIters, sampleCap, seed,
+        distributedTrain)
+    }
+
+  private val SwappedTables = Seq("centroids", "params", "assignments")
+  private val CommitMarker = "_rebalance_commit"
+
+  private def rebalanceImpl(
+      spark: SparkSession,
+      dir: String,
+      nList: Int,
+      kmeansIters: Int,
+      sampleCap: Int,
+      seed: Int,
+      distributedTrain: Boolean): Int = {
+    import spark.implicits._
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    recoverSwap(spark, dir)
+
+    val metric = loadMetric(spark, dir)
+    val cosine = HnswSearch.isCosine(metric)
+    val pq = loadPq(spark, dir)
+    val k0 = loadCentroids(spark, dir).length
+    val k = if (nList > 0) nList else k0
+
+    // the persisted lists are the corpus; cid is dropped — it is the old
+    // quantizer's opinion, about to be re-derived
+    val corpus = spark.read.parquet(s"$dir/assignments")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    // the corpus arrives ORDERED BY OLD LIST (partition directories) — a
+    // bare limit() would sample whichever lists happen to list first and
+    // train the new quantizer on a few old lists' neighborhoods. A seeded
+    // row-hash filter draws uniformly across lists for ~cap rows, without
+    // a global sort; the cap itself still bounds the driver
+    val nRows = spark.read.parquet(s"$dir/assignments").count()
+    val sampled =
+      if (nRows <= sampleCap) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("id"), lit(seed)), lit(nRows)) < lit(sampleCap * 2L))
+
+    // train exactly like build: spherical (unit-normalized, zero-free)
+    // sample under cosine, raw sample under L2
+    val sampleSrc =
+      if (cosine) ApproxKnn.unitNormalized(sampled, "id", "vec",
+        "__id", "__vec", "__zero").filter(!col("__zero")).select(col("__vec"))
+      else sampled.select(col("vec").as("__vec"))
+    val centroids =
+      if (distributedTrain)
+        KMeans.train(
+          if (cosine && sampleSrc.isEmpty) sampled.select(col("vec").as("__vec"))
+          else sampleSrc,
+          "__vec", k, kmeansIters, seed, "IvfIndex.rebalance")
+      else {
+        val sample0 = sampleSrc.limit(sampleCap).as[Array[Float]].collect()
+        val sample = if (sample0.nonEmpty) sample0
+          else sampled.select("vec").limit(sampleCap).as[Array[Float]].collect()
+        require(sample.nonEmpty, s"IvfIndex.rebalance: empty index under $dir")
+        val trained = ApproxKnn.kmeans(sample, math.min(k, sample.length),
+          kmeansIters, seed)
+        splitHotLists(sample, trained, kmeansIters, seed)
+      }
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    // stage all three tables beside the live ones
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "vec")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.tmp")
+    Seq((centroids.length, metric, seed))
+      .toDF("n_list", "metric", "seed")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
+    writeAssignments(corpus, "id", "vec", dir, bcCentroids, cosine, pq,
+      SaveMode.Overwrite,
+      new org.apache.spark.sql.graft.CentroidKernel(bcCentroids),
+      table = "assignments.tmp")
+
+    // intent marker, then the swaps it protects
+    fs.create(new Path(s"$dir/$CommitMarker"), false).close()
+    SwappedTables.foreach { t =>
+      val live = new Path(s"$dir/$t")
+      val old = new Path(s"$dir/$t.old")
+      val tmp = new Path(s"$dir/$t.tmp")
+      require(fs.rename(live, old), s"IvfIndex.rebalance: could not stage $live")
+      require(fs.rename(tmp, live), s"IvfIndex.rebalance: could not commit $tmp")
+      fs.delete(old, true)
+    }
+    fs.delete(new Path(s"$dir/$CommitMarker"), false)
+    centroids.length
+  }
+
+  /** Balance refinement after Lloyd (the rebalance trainer's whole point
+    * is leveling): plain Lloyd is a local-optimum method — when the init
+    * draw misses a dense far mode entirely, ONE centroid migrates to it
+    * and owns the whole mode, and more iterations never split it (every
+    * in-mode point is already nearest that centroid). The classic remedy
+    * (FAISS Clustering's split_clusters): replace the coldest centroid
+    * with an epsilon-perturbed COPY of the hottest one, so the pair sits
+    * at the cluster's center separated by a tiny vector and the
+    * perturbation hyperplane halves the members; two Lloyd steps then
+    * settle the halves. Reseeding ON a member instead would fail in high
+    * dimension: for an isotropic cluster every member is nearly
+    * equidistant from every other (concentration of measure), so a
+    * member-centroid only captures a vanishing spherical cap while the
+    * mean-centroid keeps everything else. The perturbation direction is
+    * center → farthest member — radial for isotropic clusters, toward
+    * the dominant sub-mode for bimodal ones. Repeats while the hottest
+    * list holds > `splitFactor`× the mean; a handful of rounds on the
+    * driver-side sample, never data-sized work.
+    */
+  private[knn] def splitHotLists(
+      sample: Array[Array[Float]],
+      trained: Array[Array[Float]],
+      iters: Int,
+      seed: Int,
+      splitFactor: Double = 2.0,
+      maxRounds: Int = 8): Array[Array[Float]] = {
+    var centroids = trained
+    val k = centroids.length
+    if (k < 2) return centroids
+    val mean = sample.length.toDouble / k
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      // assign the sample, count occupancy per centroid
+      val counts = new Array[Int](k)
+      val members = Array.fill(k)(List.empty[Array[Float]])
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < v.length) {
+            val x = v(i) - (if (i < centroids(c).length) centroids(c)(i) else 0f)
+            d += x * x; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        members(best) ::= v
+      }
+      val hot = counts.indices.maxBy(counts)
+      if (counts(hot) <= splitFactor * mean) done = true
+      else {
+        val cold = counts.indices.minBy(counts)
+        val c = centroids(hot)
+        val far = members(hot).maxBy { v =>
+          var d = 0.0; var i = 0
+          while (i < v.length) {
+            val x = v(i) - (if (i < c.length) c(i) else 0f); d += x * x; i += 1
+          }
+          d
+        }
+        val dim = c.length
+        var dNorm2 = 0.0
+        val dirV = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          dirV(i) = (if (i < far.length) far(i) else 0f) - c(i)
+          dNorm2 += dirV(i) * dirV(i); i += 1
+        }
+        if (dNorm2 == 0.0) done = true // all members identical: unsplittable
+        else {
+          val eps = 0.05f
+          val plus = new Array[Float](dim)
+          val minus = new Array[Float](dim)
+          i = 0
+          while (i < dim) {
+            plus(i) = c(i) + eps * dirV(i)
+            minus(i) = c(i) - eps * dirV(i); i += 1
+          }
+          centroids = centroids.clone()
+          centroids(cold) = plus
+          centroids(hot) = minus
+          centroids = ApproxKnn.lloydDriver(sample, centroids,
+            math.max(2, iters / 2))
+          round += 1
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Crash recovery for [[rebalance]]'s marker-protected triple swap —
+    * run on entry by rebalance and [[build]] (which must not inherit
+    * staged debris into its own Overwrite). Marker present = the swaps
+    * were in flight: roll each table FORWARD from whichever rename the
+    * crash interrupted. No marker = staging never committed: roll BACK
+    * by deleting staged/old debris (live tables were never renamed
+    * before the marker existed).
+    */
+  private def recoverSwap(spark: SparkSession, dir: String): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    val marker = new Path(s"$dir/$CommitMarker")
+    if (fs.exists(marker)) {
+      SwappedTables.foreach { t =>
+        val live = new Path(s"$dir/$t")
+        val old = new Path(s"$dir/$t.old")
+        val tmp = new Path(s"$dir/$t.tmp")
+        if (fs.exists(tmp)) {
+          // crashed before (live → old): stage live out of the way first
+          if (fs.exists(live))
+            require(fs.rename(live, old), s"IvfIndex.recover: could not stage $live")
+          require(fs.rename(tmp, live), s"IvfIndex.recover: could not commit $tmp")
+        }
+        if (fs.exists(old)) fs.delete(old, true)
+      }
+      fs.delete(marker, false)
+    } else {
+      SwappedTables.foreach { t =>
+        val live = new Path(s"$dir/$t")
+        val old = new Path(s"$dir/$t.old")
+        val tmp = new Path(s"$dir/$t.tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        if (!fs.exists(live) && fs.exists(old))
+          require(fs.rename(old, live), s"IvfIndex.recover: could not restore $old")
+        else if (fs.exists(old)) fs.delete(old, true)
+      }
+    }
+  }
 
   /** The persisted PQ codebooks (and their residual flag), if this index
     * was built with `pqM > 0`. Presence of `pq/` IS the marker —

@@ -87,8 +87,19 @@ object Lake {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    // layout-adaptive: a TIMESTAMP(NANOS) file resolves (under the flag
+    // above) to a LONG ts that must be truncated to micros; a
+    // TIMESTAMP(MICROS) file resolves to a native timestamp (NTZ when
+    // the writer did not adjust to UTC) that only needs the session-tz
+    // cast. Both layouts exist across driver testdata generations.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet carries TIMESTAMP(NANOS) → read ts as long
-    * (see [[graft.sources.Lake.events]]); streaming sources need the
-    * schema up front.
+  /** Historic events.parquet generations carried TIMESTAMP(NANOS) → read
+    * ts as long (see [[graft.sources.Lake.events]]); streaming sources
+    * need the schema up front. Current generations carry
+    * TIMESTAMP(MICROS) and resolve to a native timestamp — [[eventsStream]]
+    * dispatches on one batch footer read.
     */
   val eventsLongSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -28,12 +30,22 @@ object Streams {
     StructField("props", StringType)))
 
   private def tsToTimestamp(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long layout: truncate to micros
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // native timestamp (micros) layout: session-tz cast only
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
 
-  /** Streaming source over a directory of events parquet files. */
+  /** Streaming source over a directory of events parquet files. The
+    * stream schema must match the files' layout (nanos-as-long vs native
+    * micros — both exist across driver testdata generations), so one
+    * batch footer read picks it before the stream is constructed.
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsToTimestamp(spark.readStream.schema(eventsLongSchema).parquet(dir))
+    val fileSchema = spark.read.parquet(dir).schema
+    tsToTimestamp(spark.readStream.schema(fileSchema).parquet(dir))
   }
 
   /** The file stream source requires a DIRECTORY; a single-file input is
@@ -412,6 +424,121 @@ object Streams {
       .start()
       .awaitTermination()
     if (fs.exists(outPath)) spark.read.parquet(outDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.text.Bm25Index.searchSchema)
+  }
+
+  /** [[lexIngestOnce]] with an EVENT-TIME LATENESS GATE — the answer to
+    * out-of-order arrival that the plain ingester has no opinion on
+    * (its index appends are commutative, so reordering on-time batches
+    * is harmless; what needs a contract is data arriving AFTER the
+    * pipeline has moved on).
+    *
+    * Contract (explicit, replay-deterministic — Spark's built-in
+    * `withWatermark` state does not survive `foreachBatch` index writes,
+    * so the watermark here is engine-owned):
+    *
+    *  - `tsCol` is a LONG event-time column in any monotone unit;
+    *  - the watermark starts at Long.MinValue and after every batch
+    *    advances to `max(previous, max(tsCol in batch) - lateness)` —
+    *    late rows carry old times, so they never push it forward;
+    *  - a row is LATE iff its ts is below the watermark AS OF THE START
+    *    of its batch: it is DROPPED from the index (never searched,
+    *    never appended) and recorded in `<outDir>/late` as (id, ts) —
+    *    provably handled, auditable, re-ingestable by an operator;
+    *  - the watermark is PERSISTED (one-row table under
+    *    `<indexDir>/ingest_watermark`, overwritten per batch), so a
+    *    crash replay of an already-seen batch re-drops its late rows
+    *    instead of admitting them against a reset watermark; the
+    *    per-document anti-join (inherited from [[lexIngestOnce]])
+    *    independently keeps replayed COMMITTED rows exactly-once.
+    *
+    * End-state equivalence: the committed index equals a one-shot
+    * [[graft.text.Bm25Index.build]] over base ∪ admitted rows — append
+    * order cannot matter because the index state is per-document
+    * (postings + doclens), which is what the q91 oracle pins through
+    * the doclens table.
+    *
+    * Search rows of admitted fresh docs land under `<outDir>/search`
+    * (NOT outDir itself — `late/` lives beside it) and are returned.
+    */
+  def lexIngestWatermarked(
+      spark: SparkSession,
+      batchesDir: String,
+      batchSchema: StructType,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      lateness: Long,
+      topK: Int = 10,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_lexwm_ckpt")
+    graft.util.TempDirs.register(checkpoint.toString)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+    val wmPath = s"$indexDir/ingest_watermark"
+
+    def readWm(sp: SparkSession): Long = {
+      val p = new org.apache.hadoop.fs.Path(wmPath)
+      val pfs = p.getFileSystem(sp.sessionState.newHadoopConf())
+      if (!pfs.exists(p)) Long.MinValue
+      else sp.read.parquet(wmPath).select("wm").as[Long].collect().head
+    }
+
+    spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchesDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          val wm = readWm(sp)
+          val ts = col(tsCol).cast("long")
+          // freshness anti-join BEFORE the lateness split: on a replay
+          // the watermark has already advanced past a committed batch's
+          // event times, and classifying committed rows as late would
+          // pollute the late/ audit channel — a row can only be late if
+          // the index does not already hold it
+          val dl = graft.text.Bm25Index.readDoclens(sp, indexDir)
+            .localCheckpoint(eager = false)
+          val fresh0 = b.join(dl.select(col("id")),
+            b(idCol).cast("long") === dl("id"), "left_anti")
+            .localCheckpoint()
+          fresh0.filter(ts < wm)
+            .select(col(idCol).cast("long").as("id"), ts.as("ts"))
+            .write.mode("append").parquet(s"$outDir/late")
+          val fresh = fresh0.filter(ts >= wm).localCheckpoint()
+          if (!fresh.isEmpty) {
+            graft.text.Bm25Index
+              .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
+                preDoclens = Some(dl))
+              .write.mode("append").parquet(s"$outDir/search")
+            graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol,
+              checkPresence = false, checkBatchUnique = false)
+          }
+          // advance AFTER the commit: a crash inside the batch replays
+          // with the old watermark (same late verdicts), and the
+          // anti-join suppresses the already-committed admitted rows
+          val maxTs = b.agg(max(ts).as("m")).collect().head.getLong(0)
+          val newWm = math.max(wm, maxTs - lateness)
+          sp.range(1).select(lit(newWm).as("wm")).repartition(1)
+            .write.mode(SaveMode.Overwrite).parquet(wmPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val searchPath = new org.apache.hadoop.fs.Path(s"$outDir/search")
+    if (fs.exists(searchPath)) spark.read.parquet(s"$outDir/search")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       graft.text.Bm25Index.searchSchema)

@@ -164,7 +164,20 @@ object Bm25Index {
       idCol: String,
       textCol: String,
       checkPresence: Boolean = true,
-      checkBatchUnique: Boolean = true): Long = {
+      checkBatchUnique: Boolean = true): Long =
+    graft.util.IndexLock.withLock(spark, dir, "Bm25Index.append") {
+      appendImpl(spark, dir, newDocs, idCol, textCol, checkPresence,
+        checkBatchUnique)
+    }
+
+  private def appendImpl(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkPresence: Boolean,
+      checkBatchUnique: Boolean): Long = {
     val nBuckets = loadParams(spark, dir)
     if (checkBatchUnique) {
       val ids = newDocs.select(col(idCol).cast("long").as("id"))
@@ -261,10 +274,17 @@ object Bm25Index {
     * files. Rewrite-then-swap with on-entry crash recovery — the
     * [[graft.dedup.LshDedupIndex.vacuum]] contract verbatim. Probe
     * results are unchanged by construction: everything reclaimed was
-    * already invisible through the (id, th) join. Returns the number of
-    * postings rows reclaimed.
+    * already invisible through the (id, th) join. Single-writer enforced:
+    * vacuum and [[append]] both hold the [[graft.util.IndexLock]] writer
+    * lock, so an append cannot land inside the swap window. Returns the
+    * number of postings rows reclaimed.
     */
-  def vacuum(spark: SparkSession, dir: String, doclenFiles: Int = 0): Long = {
+  def vacuum(spark: SparkSession, dir: String, doclenFiles: Int = 0): Long =
+    graft.util.IndexLock.withLock(spark, dir, "Bm25Index.vacuum") {
+      vacuumImpl(spark, dir, doclenFiles)
+    }
+
+  private def vacuumImpl(spark: SparkSession, dir: String, doclenFiles: Int): Long = {
     val nBuckets = loadParams(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+import graft.util.IndexLock
+
+/** The single-writer maintenance lock (IndexLock.scala) and its wiring
+  * into all four persistent index families: a held lock makes append and
+  * vacuum FAIL FAST instead of corrupting a concurrent vacuum's
+  * rename-swap window; a stale lock (crashed writer) is broken.
+  */
+class IndexLockSpec extends SparkSpec {
+
+  private lazy val docs =
+    Lake.table(spark, sf0001, "documents").select("doc_id", "text").cache()
+  private lazy val emb =
+    Lake.table(spark, sf0001, "embeddings").select("vec_id", "embedding").cache()
+
+  private def tempDir(tag: String): String =
+    graft.util.TempDirs.register(
+      java.nio.file.Files.createTempDirectory(s"idxlock_$tag").toString)
+
+  test("withLock is exclusive, releases on exit, and reports the holder") {
+    val dir = tempDir("basic")
+    val outer = IndexLock.acquire(spark, dir, "test-holder")
+    val e = intercept[IndexLock.HeldByOther] {
+      IndexLock.withLock(spark, dir, "late-writer") { fail("must not run") }
+    }
+    assert(e.getMessage.contains("test-holder"))
+    IndexLock.release(spark, outer)
+    // released → next writer proceeds, and its lock is gone afterwards
+    assert(IndexLock.withLock(spark, dir, "w2") { 42 } == 42)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(dir, IndexLock.LockFileName)))
+  }
+
+  test("withLock releases even when the body throws") {
+    val dir = tempDir("throwing")
+    intercept[RuntimeException] {
+      IndexLock.withLock(spark, dir, "boom") { throw new RuntimeException("x") }
+    }
+    assert(IndexLock.withLock(spark, dir, "after") { 1 } == 1)
+  }
+
+  test("a stale lock (beyond TTL) is broken; a fresh one is not") {
+    val dir = tempDir("stale")
+    val held = IndexLock.acquire(spark, dir, "crashed-writer")
+    // age the lock file past a 1ms TTL
+    val fs = held.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.setTimes(held, System.currentTimeMillis() - 60000, -1)
+    assert(IndexLock.withLock(spark, dir, "breaker", staleTtlMs = 1000) { 7 } == 7)
+    // fresh lock with the default TTL still blocks
+    val fresh = IndexLock.acquire(spark, dir, "live-writer")
+    intercept[IndexLock.HeldByOther] {
+      IndexLock.withLock(spark, dir, "blocked") { fail("must not run") }
+    }
+    IndexLock.release(spark, fresh)
+  }
+
+  test("all four index families refuse append/vacuum under a held lock") {
+    import graft.dedup.LshDedupIndex
+    import graft.knn.{HnswIndex, IvfIndex}
+    import graft.text.Bm25Index
+
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 === 1).limit(5)
+    val embA = emb.filter(col("vec_id") % 2 === 0)
+    val embB = emb.filter(col("vec_id") % 2 === 1).limit(5)
+
+    val bm25Dir = tempDir("bm25")
+    val lshDir = tempDir("lsh")
+    val ivfDir = tempDir("ivf")
+    val hnswDir = tempDir("hnsw")
+    Bm25Index.build(first, "doc_id", "text", bm25Dir)
+    LshDedupIndex.build(first, "doc_id", "text", lshDir)
+    IvfIndex.build(embA, "vec_id", "embedding", ivfDir, nList = 4)
+    HnswIndex.build(embA, "vec_id", "embedding", hnswDir, shards = 2)
+
+    for (dir <- Seq(bm25Dir, lshDir, ivfDir, hnswDir)) {
+      val held = IndexLock.acquire(spark, dir, "simulated-vacuum")
+      try {
+        intercept[IndexLock.HeldByOther] {
+          dir match {
+            case `bm25Dir` => Bm25Index.append(spark, dir, rest, "doc_id", "text")
+            case `lshDir` => LshDedupIndex.append(spark, dir, rest, "doc_id", "text")
+            case `ivfDir` => IvfIndex.append(spark, dir, embB, "vec_id", "embedding")
+            case `hnswDir` => HnswIndex.append(spark, dir, embB, "vec_id", "embedding")
+          }
+        }
+        if (dir != ivfDir) intercept[IndexLock.HeldByOther] {
+          dir match {
+            case `bm25Dir` => Bm25Index.vacuum(spark, dir)
+            case `lshDir` => LshDedupIndex.vacuum(spark, dir)
+            case `hnswDir` => HnswIndex.vacuum(spark, dir)
+          }
+        }
+      } finally IndexLock.release(spark, held)
+    }
+
+    // after release the same maintenance ops go through
+    assert(Bm25Index.append(spark, bm25Dir, rest, "doc_id", "text") == rest.count())
+    assert(LshDedupIndex.append(spark, lshDir, rest, "doc_id", "text") == rest.count())
+    assert(IvfIndex.append(spark, ivfDir, embB, "vec_id", "embedding") == embB.count())
+    assert(HnswIndex.append(spark, hnswDir, embB, "vec_id", "embedding") == embB.count())
+    assert(Bm25Index.vacuum(spark, bm25Dir) == 0L)
+    assert(LshDedupIndex.vacuum(spark, lshDir) == 0L)
+    assert(HnswIndex.vacuum(spark, hnswDir) >= 0)
+  }
+}

@@ -297,4 +297,66 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dls(s"$base/index") == dls(dirAll))
   }
+
+  test("watermarked lexical ingestion: late rows dropped to the audit " +
+    "channel, end state equals one-shot build over base + admitted") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val base = Files.createTempDirectory("lexwm_ingest").toString
+    graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
+    val t0 = 1700000000000L
+    // batch A: on-time (ts = id*100) → watermark lands at 1900 - 100
+    val batchA = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        (col("doc_id") * 100).as("ts"), col("text"))
+    // batch B arrives AFTER A but every doc_id % 3 == 0 row carries an
+    // ancient event time → dropped; the rest are on-time
+    val batchB = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("doc_id"))
+          .otherwise(col("doc_id") * 100).as("ts"), col("text"))
+    Streams.stageBatch(batchA, s"$base/batches", "batch_a.parquet", t0)
+    Streams.stageBatch(batchB, s"$base/batches", "batch_b.parquet", t0 + 60000)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", LongType), StructField("text", StringType)))
+    Streams.lexIngestWatermarked(spark, s"$base/batches", schema,
+      s"$base/index", s"$base/out", "doc_id", "text", "ts",
+      lateness = 100L, topK = 3)
+
+    // the late audit channel holds EXACTLY batch B's ancient rows
+    val late = spark.read.parquet(s"$base/out/late")
+      .collect().map(_.getLong(0)).toSet
+    val wantLate = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40 &&
+        col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(late == wantLate && late.nonEmpty)
+
+    // end state ≡ one-shot build over base ∪ A ∪ admitted(B)
+    val admittedB = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40 &&
+        col("doc_id") % 3 =!= 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val dirAll = Files.createTempDirectory("lexwm_all").toString
+    graft.text.Bm25Index.build(
+      docs.unionByName(batchA.drop("ts")).unionByName(admittedB),
+      "doc_id", "text", dirAll)
+    def dls(d: String) = spark.read.parquet(s"$d/doclens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dls(s"$base/index") == dls(dirAll))
+
+    // whole-call replay (fresh checkpoint, same batches): nothing new is
+    // committed, and the late audit is re-derived identically — the
+    // persisted watermark re-drops late rows, the anti-join keeps
+    // committed rows out of both channels
+    val out2 = Streams.lexIngestWatermarked(spark, s"$base/batches", schema,
+      s"$base/index", s"$base/out", "doc_id", "text", "ts",
+      lateness = 100L, topK = 3)
+    assert(out2.isEmpty)
+    assert(dls(s"$base/index") == dls(dirAll))
+    val late2 = spark.read.parquet(s"$base/out/late")
+      .collect().map(_.getLong(0)).toSet
+    assert(late2 == wantLate)
+  }
 }
