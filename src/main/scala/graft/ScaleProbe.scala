@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up fixture generator: replicate the three added-scope tables of
+  * a driver testdata dir (`documents`, `embeddings`, `events`) `copies`×
+  * with DISTINCT content per copy, so a 10× run measures real corpus
+  * growth rather than degenerate duplication:
+  *
+  *  - documents: ids offset far above the streaming entries' staging
+  *    ranges (50M + k·5M); every 5th word of each copy gets a
+  *    copy-unique salt suffix, so copies are NOT near-duplicates of the
+  *    original (an exact 10× duplication would hand the dedup family a
+  *    corpus where every doc has 9 true near-dups — a different problem
+  *    than "10× more documents");
+  *  - embeddings: ids offset by k·50M; per-component deterministic
+  *    jitter (±0.05) keeps the distribution's shape without exact-dup
+  *    vectors;
+  *  - events: ids offset by k·100M, timestamps kept (10× denser windows
+  *    — the realistic shape of more traffic over the same wall-clock).
+  *
+  * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> [copies=10]
+  * The TPC-H relational tables are not replicated — the scale probe
+  * targets the index/ingest/dedup operators, which read these three.
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docCopies = (0 until copies).map { k =>
+      if (k == 0) docs
+      else {
+        val salted = array_join(
+          zip_with(
+            split(coalesce(col("text"), lit("")), "\\s+"),
+            sequence(lit(0), size(split(coalesce(col("text"), lit("")), "\\s+")) - 1),
+            (w, i) => concat(w,
+              when(i % 5 === 0,
+                concat(lit(s" zq${k}w"),
+                  pmod(xxhash64(col("doc_id") * 131 + i), lit(997))))
+                .otherwise(lit("")))),
+          " ")
+        docs.withColumn("doc_id",
+            col("doc_id") + lit(50000000L + k.toLong * 5000000L))
+          .withColumn("text", salted)
+      }
+    }
+    docCopies.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embCopies = (0 until copies).map { k =>
+      if (k == 0) emb
+      else emb.withColumn("vec_id", col("vec_id") + lit(k.toLong * 50000000L))
+        .withColumn("embedding",
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x +
+              (pmod(xxhash64(col("vec_id") * 64 + i + lit(k * 31)), lit(1000))
+                .cast("double") / 1000.0 - 0.5) * 0.1).cast("float")))
+    }
+    embCopies.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
+
+    val events = graft.sources.Lake.events(spark, src)
+    val evCopies = (0 until copies).map { k =>
+      if (k == 0) events
+      else events.withColumn("event_id",
+        col("event_id") + lit(k.toLong * 100000000L))
+    }
+    evCopies.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+
+    println(s"""{"made":"$dst","copies":$copies}""")
+    spark.stop()
+  }
+}
+
+/** Per-query scale-linearity probe (the sf1 gate): run a query list at a
+  * base dir and at a `MakeScale`d dir, report seconds and the growth
+  * factor. With 10× data, a linear operator grows ≲ 10× (usually much
+  * less — fixed micro-batch/driver overheads amortize); a hidden
+  * quadratic grain grows ~100× and is unmissable.
+  *
+  * Usage: runMain graft.ScaleProbe <smallDir> <bigDir> <outJson> [q,...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val small = args(0)
+    val big = args(1)
+    val outJson = args(2)
+    val names: Seq[String] =
+      if (args.length > 3) args(3).split(',').toSeq
+      else Seq("q41_ivf_index", "q58_ivfpq_index", "q59_stream_knn",
+        "q73_semantic_perturbed", "q74_stream_dedup_ingest",
+        "q75_corpus_prep", "q76_twolevel_ivf", "q82_bm25_index",
+        "q84_hybrid_serving", "q85_stream_lex_ingest")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def runOne(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      // warm once (codegen/JIT), then best-of-2 measured — the probe
+      // compares GROWTH, so the same protocol on both sides cancels
+      // fixed costs consistently
+      fn(spark, dir).count()
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    val rows = names.map { n =>
+      val s = runOne(n, small)
+      val b = runOne(n, big)
+      (n, s, b, b / s)
+    }
+    val json = rows.map { case (n, s, b, g) =>
+      f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
+    }.mkString(
+      s"""{"small":"$small","big":"$big","queries":{""", ",", "}}")
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
+    spark.stop()
+  }
+}
