@@ -441,7 +441,14 @@ object SparkEntry {
     // over every document.
     "q44_bpe_truncate" -> ((s, d) => {
       val cap = 16
-      val tik = graft.functions.TiktokenBpe.bundledDemo
+      // the DEPLOYMENT's engine, with provenance recorded in the output:
+      // `vocab` is 'demo' in this offline build (the published ~1.7 MB
+      // cl100k_base export cannot be fetched here) and flips to
+      // 'cl100k_base' the moment scripts/fetch_cl100k.sh has run — the
+      // gate then visibly reports reference-token-exact mode (and the
+      // oracle row below, which pins 'demo', flags the change loudly
+      // rather than letting vocabulary drift pass silently)
+      val (tik, vocabName) = graft.functions.BpeEngine.resolveDefaultNamed()
       t(s, d, "documents")
         .select(col("text"),
           TextFns.bpeTokenCountExact(col("text")).as("n_tok"),
@@ -467,6 +474,7 @@ object SparkEntry {
           min(when(col("n_tok_tik") <= cap ||
             length(col("trunc_tik")) < length(col("text")), 1L)
             .otherwise(0L)).as("cut_above_cap_tik"))
+        .withColumn("vocab", lit(vocabName))
     }),
 
     // Sliding windows: each event lands in size/slide overlapping windows
@@ -1444,10 +1452,9 @@ object SparkEntry {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"), true)
-      // a fresh pipeline: the persisted watermark belongs to the PREVIOUS
-      // run of this entry (build() below clears the index tables but not
-      // engine ingest state)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$base/index/ingest_watermark"), true)
+      // build() clears engine ingest state (`_ingest/`, incl. the
+      // persisted watermark of this entry's PREVIOUS run) with the index
+      // tables — no hand-reset needed
       graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
       val t0 = 1700000000000L
       def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
@@ -1482,6 +1489,64 @@ object SparkEntry {
           lit(false).as("late"))
       val lateRows = s.read.parquet(s"$base/out/late")
         .select(col("id"), lit(-1L).as("dl"), lit(true).as("late"))
+      committed.unionByName(lateRows)
+    }),
+
+    // Late-arrival parity across the ingest family: the SAME lateness
+    // gate (Streams.watermarkGatedBatch — one engine-wide contract, not
+    // a per-operator behavior) on the streaming LSH dedup ingest. Same
+    // staging scheme as q91; the gate must route exactly the ancient-ts
+    // rows of batches B and C to late/ and commit the rest, so the
+    // signatures table equals a one-shot build over base ∪ admitted —
+    // closed-form late sets, computable by the oracle from the staging
+    // arithmetic alone. Late rows keep their event time (audit channel:
+    // an operator re-ingests from it).
+    "q92_stream_dedup_late" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_stream_latededup_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"), true)
+      // build() clears `_ingest/` (the previous run's watermark) too
+      graft.dedup.LshDedupIndex.build(docs, "doc_id", "text", s"$base/index")
+      val t0 = 1700000000000L
+      def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
+        .otherwise(col("doc_id") * 100)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            (col("doc_id") * 100).as("ts"), col("text")),
+        s"$base/batches", "batch_a.parquet", t0)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select((col("doc_id") + 2000000).as("doc_id"), ancientTs.as("ts"),
+            col("text")),
+        s"$base/batches", "batch_b.parquet", t0 + 60000)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
+          .select((col("doc_id") + 3000000).as("doc_id"), ancientTs.as("ts"),
+            col("text")),
+        s"$base/batches", "batch_c.parquet", t0 + 120000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.streaming.Streams.dedupIngestWatermarked(s, s"$base/batches",
+        schema, s"$base/index", s"$base/out", "doc_id", "text", "ts",
+        lateness = 100L)
+      val committed = graft.dedup.LshDedupIndex
+        .readSignatures(s, s"$base/index")
+        .select(col("id"), lit(-1L).as("ts"), lit(false).as("late"))
+      val lateRows = s.read.parquet(s"$base/out/late")
+        .select(col("id"), col("ts").cast("long").as("ts"),
+          lit(true).as("late"))
       committed.unionByName(lateRows)
     }),
   )
@@ -1907,6 +1972,30 @@ object SparkEntry {
         |FROM documents WHERE doc_id >= 25 AND doc_id < 50 AND doc_id % 5 = 0
         |UNION ALL
         |SELECT CAST(doc_id + 3000000 AS BIGINT), CAST(-1 AS BIGINT), TRUE
+        |FROM documents WHERE doc_id >= 50 AND doc_id < 75 AND doc_id % 5 = 0""".stripMargin,
+
+    // q92: same staging arithmetic as q91, LSH-dedup ingest state. The
+    // committed id set = base ∪ batch A ∪ on-time (non-%5) rows of B/C;
+    // the late set = ancient (%5) rows of B/C with their original event
+    // times (ts = doc_id). Committed rows carry ts = -1 (no event time
+    // is stored in the signatures table).
+    "q92_stream_dedup_late" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id, CAST(-1 AS BIGINT) AS ts,
+        |  FALSE AS late FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id + 1000000 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+        |FROM documents WHERE doc_id < 25
+        |UNION ALL
+        |SELECT CAST(doc_id + 2000000 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+        |FROM documents WHERE doc_id >= 25 AND doc_id < 50 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT CAST(doc_id + 3000000 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+        |FROM documents WHERE doc_id >= 50 AND doc_id < 75 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT CAST(doc_id + 2000000 AS BIGINT), CAST(doc_id AS BIGINT), TRUE
+        |FROM documents WHERE doc_id >= 25 AND doc_id < 50 AND doc_id % 5 = 0
+        |UNION ALL
+        |SELECT CAST(doc_id + 3000000 AS BIGINT), CAST(doc_id AS BIGINT), TRUE
         |FROM documents WHERE doc_id >= 50 AND doc_id < 75 AND doc_id % 5 = 0""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3165,13 +3254,18 @@ object SparkEntry {
         |  ' characters.' AS prompt
         |FROM s""".stripMargin),
 
-    // token-exact truncation contract flags (see the q44 query comment)
+    // token-exact truncation contract flags (see the q44 query comment).
+    // `vocab` pins the vocabulary that ran: 'demo' in this offline build;
+    // after scripts/fetch_cl100k.sh installs the published cl100k_base
+    // export, the engine reports 'cl100k_base' and this row flags the
+    // (intentional) switch to reference-token-exact mode.
     "q44_bpe_truncate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(1 AS BIGINT) AS is_prefix, CAST(1 AS BIGINT) AS under_cap,
         | CAST(1 AS BIGINT) AS noop_below_cap, CAST(1 AS BIGINT) AS cut_above_cap,
         | CAST(1 AS BIGINT) AS is_prefix_tik, CAST(1 AS BIGINT) AS under_cap_tik,
-        | CAST(1 AS BIGINT) AS noop_below_cap_tik, CAST(1 AS BIGINT) AS cut_above_cap_tik
+        | CAST(1 AS BIGINT) AS noop_below_cap_tik, CAST(1 AS BIGINT) AS cut_above_cap_tik,
+        | 'demo' AS vocab
         |FROM documents""".stripMargin,
 
     "q31_token_bpe" ->

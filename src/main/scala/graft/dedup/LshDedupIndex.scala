@@ -83,12 +83,28 @@ object LshDedupIndex {
       rowsPerBand: Int = 4): Long = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((shingleSize, bands, rowsPerBand))
-      .toDF("shingle_size", "bands", "rows_per_band")
-      .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-    writeState(spark, docs, idCol, textCol, dir, shingleSize, bands,
-      rowsPerBand, SaveMode.Overwrite)
+    // same single-writer lock as append/vacuum: a build racing a live
+    // append would Overwrite tables the append is mid-commit on, silently
+    // losing the append's rows
+    graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.build") {
+      clearIngestState(spark, dir)
+      Seq((shingleSize, bands, rowsPerBand))
+        .toDF("shingle_size", "bands", "rows_per_band")
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+      writeState(spark, docs, idCol, textCol, dir, shingleSize, bands,
+        rowsPerBand, SaveMode.Overwrite)
+    }
+  }
+
+  /** Rebuild must not inherit engine ingest state (e.g. a persisted
+    * streaming watermark under `<dir>/_ingest`) from the directory's
+    * previous life — see Bm25Index.clearIngestState for the failure mode.
+    */
+  private def clearIngestState(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(s"$dir/_ingest")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Sign + write shared by [[build]] and [[append]]. ONE MinHash kernel

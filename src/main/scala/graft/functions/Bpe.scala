@@ -35,18 +35,40 @@ object BpeEngine {
     } finally src.close()
   }
 
-  /** The deployment's token-exact engine: the vocabulary file named by
-    * the `GRAFT_TIKTOKEN_VOCAB` environment variable when set (drop in
-    * the published `cl100k_base.tiktoken` export — ~1.7 MB, not bundled
-    * — for reference-exact token boundaries; a GPT-2 `merges.txt` works
-    * too, the format is sniffed), else the bundled demo tiktoken
-    * vocabulary. `env` is injectable for tests; callers use the default.
+  /** Conventional install path of the published cl100k export, relative
+    * to the working directory — where `scripts/fetch_cl100k.sh` puts it.
     */
-  def resolveDefault(env: Map[String, String] = sys.env): BpeEngine =
+  val ConventionalCl100kPath = "data/cl100k_base.tiktoken"
+
+  /** The deployment's token-exact engine with its provenance label:
+    *
+    *  1. the vocabulary file named by `GRAFT_TIKTOKEN_VOCAB` when set
+    *     (label = the file's basename, either format, sniffed);
+    *  2. else [[ConventionalCl100kPath]] when present (label =
+    *     `cl100k_base` — run `scripts/fetch_cl100k.sh` once in a
+    *     connected deployment for reference-exact token boundaries,
+    *     join_discoverer.py:34–62);
+    *  3. else the bundled demo tiktoken vocabulary (label = `demo` —
+    *     this offline build cannot fetch the ~1.7 MB export, so
+    *     truncation is format-correct but not reference-token-exact).
+    *
+    * `env` is injectable for tests; callers use the default.
+    */
+  def resolveDefaultNamed(env: Map[String, String] = sys.env): (BpeEngine, String) =
     env.get("GRAFT_TIKTOKEN_VOCAB")
       .filter(p => new java.io.File(p).isFile)
-      .map(fromVocabFile)
-      .getOrElse(TiktokenBpe.bundledDemo)
+      .map(p => (fromVocabFile(p),
+        new java.io.File(p).getName.replaceAll("\\.[^.]*$", "")))
+      .orElse {
+        val conv = new java.io.File(ConventionalCl100kPath)
+        if (conv.isFile) Some((fromVocabFile(conv.getPath), "cl100k_base"))
+        else None
+      }
+      .getOrElse((TiktokenBpe.bundledDemo, "demo"))
+
+  /** [[resolveDefaultNamed]] without the provenance label. */
+  def resolveDefault(env: Map[String, String] = sys.env): BpeEngine =
+    resolveDefaultNamed(env)._1
 
   private[functions] def looksTiktoken(lines: Seq[String]): Boolean =
     lines.iterator.map(_.trim)

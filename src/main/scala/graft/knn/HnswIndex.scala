@@ -60,7 +60,26 @@ object HnswIndex {
       efConstruction: Int = 100,
       metric: String = KnnJoin.MetricL2Sq,
       shards: Int = 16,
-      seed: Int = 42): Long = {
+      seed: Int = 42): Long =
+    // same single-writer lock as append/vacuum: a build racing a live
+    // append would clear manifests and Overwrite nodes/ the append is
+    // mid-commit on, silently losing the append's generation
+    graft.util.IndexLock.withLock(candidates.sparkSession, dir,
+        "HnswIndex.build") {
+      buildLocked(candidates, idCol, vecCol, dir, m, efConstruction, metric,
+        shards, seed)
+    }
+
+  private def buildLocked(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      m: Int,
+      efConstruction: Int,
+      metric: String,
+      shards: Int,
+      seed: Int): Long = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)

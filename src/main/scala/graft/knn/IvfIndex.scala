@@ -77,7 +77,33 @@ object IvfIndex {
       pqByResidual: Boolean = true,
       distributedTrain: Boolean = false,
       twoLevelAssign: Boolean = false,
-      twoLevelProbes: Int = 4): Int = {
+      twoLevelProbes: Int = 4): Int =
+    // same single-writer lock as append/rebalance: a build racing a live
+    // append would Overwrite lists the append is mid-commit on, silently
+    // losing the append's rows
+    graft.util.IndexLock.withLock(candidates.sparkSession, dir,
+        "IvfIndex.build") {
+      buildLocked(candidates, idCol, vecCol, dir, nList, metric, kmeansIters,
+        sampleCap, seed, pqM, pqKsub, pqByResidual, distributedTrain,
+        twoLevelAssign, twoLevelProbes)
+    }
+
+  private def buildLocked(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nList: Int,
+      metric: String,
+      kmeansIters: Int,
+      sampleCap: Int,
+      seed: Int,
+      pqM: Int,
+      pqKsub: Int,
+      pqByResidual: Boolean,
+      distributedTrain: Boolean,
+      twoLevelAssign: Boolean,
+      twoLevelProbes: Int): Int = {
     val spark = candidates.sparkSession
     import spark.implicits._
     // a crashed rebalance must not leak staged tables into this build's

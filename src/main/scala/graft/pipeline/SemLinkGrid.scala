@@ -100,14 +100,24 @@ object SemLinkGrid {
     * (cross join + ranking window partitioned by STRING keys) pushed N²
     * rows through a shuffle — fine at 10⁴ columns, fatal at a 10⁶-column
     * catalog. Output: (query_id, neighbor_id, dist, rank) on string keys.
+    *
+    * Driver-memory gate: the self-kNN's query side IS the whole catalog,
+    * so an unconditional broadcastKnn would `collect()` every vector to
+    * the driver — fine at 10⁴ columns, a scale-killer at a 10⁶-column
+    * lake. [[graft.knn.ApproxKnn.blockKnn]] bounds what the driver ever
+    * holds to `blockSize` query rows per block (quantile-cut id ranges,
+    * exact union of per-block top-k), and collapses to the single
+    * broadcast pass when the catalog fits one block — so the metadata-
+    * sized case pays nothing for the gate.
     */
-  private[graft] def gridKnn(embedded: DataFrame, kMax: Int): DataFrame = {
+  private[graft] def gridKnn(embedded: DataFrame, kMax: Int,
+      blockSize: Int = 100000): DataFrame = {
     val withId = embedded
       .withColumn("id", xxhash64(col("key")))
       .select("id", "key", "vec")
     val keys = withId.select("id", "key")
-    KnnJoin.broadcastKnn(withId, withId, "id", "vec", kMax,
-        KnnJoin.MetricL2Sq, excludeSelf = true)
+    graft.knn.ApproxKnn.blockKnn(withId, withId, "id", "vec", kMax,
+        KnnJoin.MetricL2Sq, blockSize = blockSize, excludeSelf = true)
       .join(broadcast(keys.withColumnRenamed("id", "query_id")
         .withColumnRenamed("key", "__qkey")), Seq("query_id"))
       .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")

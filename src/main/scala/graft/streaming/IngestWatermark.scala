@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Engine-owned persisted event-time watermark for streaming index
+  * ingest ([[Streams.lexIngestWatermarked]] /
+  * [[Streams.dedupIngestWatermarked]]) — Spark's built-in `withWatermark`
+  * state does not survive `foreachBatch` index writes, so the gate's
+  * high-water mark lives beside the index it protects, under
+  * `<indexDir>/_ingest/`.
+  *
+  * Stored as direct-FileSystem JSON, NOT a one-row parquet table: reading
+  * or advancing the watermark must not cost Spark jobs — at one read plus
+  * one write per micro-batch, two scheduler round-trips per batch were the
+  * dominant fixed overhead of the whole ingest path (round-10 verdict;
+  * the [[graft.util.IndexLock]] lock file uses the same direct-FS shape).
+  *
+  * Crash safety is by VERSIONED FILES, not overwrite: each advance writes
+  * a whole new `wm-NNNNNNNN.json` (dot-prefixed temp, renamed to its
+  * unique final name — never a destructive rename), then best-effort
+  * deletes older versions. A crash at ANY point leaves the previous
+  * version intact, so a replay reads the pre-crash watermark instead of
+  * Long.MinValue (the delete-then-overwrite shape lost it in exactly that
+  * window). The watermark is monotone, so the worst crash outcome —
+  * surviving older versions beside the new one — is resolved by "highest
+  * parseable version wins".
+  *
+  * Index `build` clears the whole `_ingest/` dir (see
+  * Bm25Index.clearIngestState): a rebuilt index starting from an empty
+  * corpus must not inherit the previous corpus's high-water mark, which
+  * would classify the entire next ingest as late.
+  */
+object IngestWatermark {
+
+  private val SubDir = "_ingest"
+  private val FilePattern = """wm-(\d+)\.json""".r
+
+  private def ingestDir(indexDir: String) = new Path(indexDir, SubDir)
+
+  /** Current watermark, or Long.MinValue if never advanced. Highest
+    * parseable version wins; a torn file from a crashed write (possible
+    * only for the newest version) falls through to the one before it.
+    */
+  def read(spark: SparkSession, indexDir: String): Long = {
+    val dir = ingestDir(indexDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return Long.MinValue
+    val versions = fs.listStatus(dir).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case FilePattern(n) => Some((n.toLong, st.getPath))
+        case _              => None
+      }
+    }.toSeq.sortBy(-_._1)
+    versions.iterator.flatMap { case (_, p) => parse(fs, p) }
+      .nextOption()
+      .getOrElse(Long.MinValue)
+  }
+
+  /** Persist `wm` as the next version and prune older ones. Not
+    * concurrency-safe against itself — the ingest gate is single-writer
+    * per index by the [[graft.util.IndexLock]] maintenance contract.
+    */
+  def write(spark: SparkSession, indexDir: String, wm: Long): Unit = {
+    val dir = ingestDir(indexDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val existing = fs.listStatus(dir).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case FilePattern(n) => Some(n.toLong)
+        case _              => None
+      }
+    }.toSeq
+    val next = existing.maxOption.getOrElse(-1L) + 1
+    val name = f"wm-$next%08d.json"
+    val tmp = new Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, /* overwrite = */ true)
+    try out.write(s"""{"wm":$wm}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new Path(dir, name)),
+      s"IngestWatermark: could not publish $name under $dir")
+    existing.foreach { n =>
+      try fs.delete(new Path(dir, f"wm-$n%08d.json"), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private def parse(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Long] =
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](128)
+        val n = math.max(0, in.read(buf))
+        val s = new String(buf, 0, n, StandardCharsets.UTF_8)
+        val m = """\{"wm":(-?\d+)\}""".r.findFirstMatchIn(s.trim)
+        m.map(_.group(1).toLong)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -40,11 +40,22 @@ object Streams {
   /** Streaming source over a directory of events parquet files. The
     * stream schema must match the files' layout (nanos-as-long vs native
     * micros — both exist across driver testdata generations), so one
-    * batch footer read picks it before the stream is constructed.
+    * batch footer read picks it before the stream is constructed. An
+    * EMPTY source directory — a normal starting state for a file stream
+    * (files arrive later) — has no footer to read; the inference failure
+    * falls back to [[eventsLongSchema]] instead of failing stream
+    * construction.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") ||
+              e.getMessage.contains("does not exist") =>
+          eventsLongSchema
+      }
     tsToTimestamp(spark.readStream.schema(fileSchema).parquet(dir))
   }
 
@@ -447,12 +458,17 @@ object Streams {
     *    of its batch: it is DROPPED from the index (never searched,
     *    never appended) and recorded in `<outDir>/late` as (id, ts) —
     *    provably handled, auditable, re-ingestable by an operator;
-    *  - the watermark is PERSISTED (one-row table under
-    *    `<indexDir>/ingest_watermark`, overwritten per batch), so a
-    *    crash replay of an already-seen batch re-drops its late rows
-    *    instead of admitting them against a reset watermark; the
-    *    per-document anti-join (inherited from [[lexIngestOnce]])
-    *    independently keeps replayed COMMITTED rows exactly-once.
+    *  - a row with NULL event time is unclassifiable and is audited to
+    *    `late/` (ts NULL) rather than admitted — or silently dropped,
+    *    which is what a bare pair of `ts < wm` / `ts >= wm` filters
+    *    would do;
+    *  - the watermark is PERSISTED ([[IngestWatermark]]: versioned
+    *    direct-FS JSON under `<indexDir>/_ingest/`, crash-safe, zero
+    *    Spark jobs), so a crash replay of an already-seen batch re-drops
+    *    its late rows instead of admitting them against a reset
+    *    watermark; the per-document anti-join (inherited from
+    *    [[lexIngestOnce]]) independently keeps replayed COMMITTED rows
+    *    exactly-once.
     *
     * End-state equivalence: the committed index equals a one-shot
     * [[graft.text.Bm25Index.build]] over base ∪ admitted rows — append
@@ -475,20 +491,11 @@ object Streams {
       lateness: Long,
       topK: Int = 10,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    import spark.implicits._
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_lexwm_ckpt")
     graft.util.TempDirs.register(checkpoint.toString)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(outPath, true)
-    val wmPath = s"$indexDir/ingest_watermark"
-
-    def readWm(sp: SparkSession): Long = {
-      val p = new org.apache.hadoop.fs.Path(wmPath)
-      val pfs = p.getFileSystem(sp.sessionState.newHadoopConf())
-      if (!pfs.exists(p)) Long.MinValue
-      else sp.read.parquet(wmPath).select("wm").as[Long].collect().head
-    }
 
     spark.readStream
       .schema(batchSchema)
@@ -499,8 +506,6 @@ object Streams {
         val sp = batch.sparkSession
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
-          val wm = readWm(sp)
-          val ts = col(tsCol).cast("long")
           // freshness anti-join BEFORE the lateness split: on a replay
           // the watermark has already advanced past a committed batch's
           // event times, and classifying committed rows as late would
@@ -511,11 +516,8 @@ object Streams {
           val fresh0 = b.join(dl.select(col("id")),
             b(idCol).cast("long") === dl("id"), "left_anti")
             .localCheckpoint()
-          fresh0.filter(ts < wm)
-            .select(col(idCol).cast("long").as("id"), ts.as("ts"))
-            .write.mode("append").parquet(s"$outDir/late")
-          val fresh = fresh0.filter(ts >= wm).localCheckpoint()
-          if (!fresh.isEmpty) {
+          watermarkGatedBatch(sp, indexDir, outDir, b, fresh0, idCol, tsCol,
+              lateness) { fresh =>
             graft.text.Bm25Index
               .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
                 preDoclens = Some(dl))
@@ -523,13 +525,6 @@ object Streams {
             graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol,
               checkPresence = false, checkBatchUnique = false)
           }
-          // advance AFTER the commit: a crash inside the batch replays
-          // with the old watermark (same late verdicts), and the
-          // anti-join suppresses the already-committed admitted rows
-          val maxTs = b.agg(max(ts).as("m")).collect().head.getLong(0)
-          val newWm = math.max(wm, maxTs - lateness)
-          sp.range(1).select(lit(newWm).as("wm")).repartition(1)
-            .write.mode(SaveMode.Overwrite).parquet(wmPath)
         }
         ()
       }
@@ -542,6 +537,114 @@ object Streams {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       graft.text.Bm25Index.searchSchema)
+  }
+
+  /** The operator-agnostic core of the event-time lateness gate — the
+    * watermark contract is engine-wide, not a property of any one index
+    * family, so [[lexIngestWatermarked]] (BM25) and
+    * [[dedupIngestWatermarked]] (LSH) share it verbatim.
+    *
+    * `b` is the whole micro-batch (the watermark advances off its max
+    * event time, index state notwithstanding — replay-deterministic);
+    * `fresh0` is the not-yet-committed subset (the anti-join's output);
+    * `admit` commits the on-time fresh rows (probe + append). Late and
+    * null-ts rows are audited to `<outDir>/late` as (id, ts). The
+    * watermark write happens AFTER the commit: a crash inside the batch
+    * replays with the old watermark (same late verdicts), and the
+    * anti-join suppresses the already-committed admitted rows.
+    */
+  private def watermarkGatedBatch(
+      sp: SparkSession,
+      indexDir: String,
+      outDir: String,
+      b: DataFrame,
+      fresh0: DataFrame,
+      idCol: String,
+      tsCol: String,
+      lateness: Long)(admit: DataFrame => Unit): Unit = {
+    val wm = IngestWatermark.read(sp, indexDir)
+    val ts = col(tsCol).cast("long")
+    // NULL event time is unclassifiable — audited to late/ (ts NULL),
+    // never admitted. A bare `ts < wm` / `ts >= wm` filter pair would
+    // silently drop null-ts rows from BOTH channels.
+    fresh0.filter(ts.isNull || ts < wm)
+      .select(col(idCol).cast("long").as("id"), ts.as("ts"))
+      .write.mode("append").parquet(s"$outDir/late")
+    val fresh = fresh0.filter(ts >= wm).localCheckpoint()
+    if (!fresh.isEmpty) admit(fresh)
+    val maxRow = b.agg(max(ts).as("m")).collect().head
+    if (!maxRow.isNullAt(0)) // an all-null-ts batch advances nothing
+      IngestWatermark.write(sp, indexDir,
+        math.max(wm, maxRow.getLong(0) - lateness))
+  }
+
+  /** [[dedupIngestOnce]] with the same event-time lateness gate as
+    * [[lexIngestWatermarked]] — late-arrival parity across the ingest
+    * family: the gate is one engine-wide contract
+    * ([[watermarkGatedBatch]]), not a per-operator behavior.
+    *
+    * Late rows (event time below the persisted watermark as of their
+    * batch's start, or NULL) are dropped from the index — never probed,
+    * never appended — and audited to `<outDir>/late` as (id, ts).
+    * Candidate rows of admitted fresh docs land under `<outDir>/cands`
+    * and are returned. End-state equivalence: the committed index equals
+    * a one-shot [[graft.dedup.LshDedupIndex.build]] over base ∪ admitted
+    * (signature state is per-document; append order cannot matter).
+    */
+  def dedupIngestWatermarked(
+      spark: SparkSession,
+      batchesDir: String,
+      batchSchema: StructType,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      lateness: Long,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_dedupwm_ckpt")
+    graft.util.TempDirs.register(checkpoint.toString)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+
+    spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchesDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          // ONE signatures scan serves the anti-join and (via preSigs)
+          // the probe's candidate fetch — the dedupIngestOnce shape
+          val sigs = graft.dedup.LshDedupIndex.readSignatures(sp, indexDir)
+            .localCheckpoint(eager = false)
+          val fresh0 = b.join(sigs.select(col("id")),
+            b(idCol).cast("long") === sigs("id"), "left_anti")
+            .localCheckpoint()
+          watermarkGatedBatch(sp, indexDir, outDir, b, fresh0, idCol, tsCol,
+              lateness) { fresh =>
+            graft.dedup.LshDedupIndex
+              .candidatesAgainst(sp, indexDir, fresh, idCol, textCol,
+                preSigs = Some(sigs))
+              .write.mode("append").parquet(s"$outDir/cands")
+            graft.dedup.LshDedupIndex.append(sp, indexDir, fresh, idCol,
+              textCol, checkPresence = false, checkBatchUnique = false)
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val candsPath = new org.apache.hadoop.fs.Path(s"$outDir/cands")
+    if (fs.exists(candsPath)) spark.read.parquet(s"$outDir/cands")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.dedup.LshDedupIndex.candidateSchema)
   }
 
   /** Streaming exact dedup, EXECUTED: the events file is staged TWICE

@@ -15,14 +15,25 @@ import org.apache.spark.sql.SparkSession
   * into an enforced one:
   *
   *  - acquisition is a create-exclusive of `<dir>/_writer.lock` (atomic on
-  *    HDFS and local FS; on S3-like stores create-exclusive is emulated
-  *    and the lock degrades to advisory — hence "best-effort");
+  *    HDFS; on the local FS create(overwrite=false) is check-then-create
+  *    and on S3-like stores it is emulated, so the lock degrades to
+  *    advisory there — hence "best-effort");
   *  - the file carries (pid, host, operation, epoch-millis) for
-  *    diagnosability;
+  *    diagnosability plus a per-acquisition UUID fencing token;
   *  - a lock older than `staleTtlMs` is presumed abandoned by a crashed
-  *    writer and is broken (deleted, then acquisition retried once) — the
+  *    writer and is broken — by RENAMING it to a unique tombstone, never
+  *    by deleting it in place. Rename arbitrates the break race: of N
+  *    contenders that all observed the same stale lock, exactly one
+  *    rename succeeds, and nobody ever deletes a lock file that a faster
+  *    contender just created (the delete-then-create shape would). The
   *    TTL must exceed the longest legitimate maintenance op, so the
   *    default is generous;
+  *  - release is FENCED: it deletes the lock file only while the file
+  *    still carries this acquisition's token. A writer that overran the
+  *    TTL and had its lock broken therefore cannot release the
+  *    successor's lock and admit a third writer (the read-compare-delete
+  *    is itself not atomic, but it shrinks the unfenced window from "the
+  *    whole overrun" to microseconds and never fires in the common case);
   *  - contention FAILS FAST with [[IndexLock.HeldByOther]] rather than
   *    blocking: maintenance is scheduled work, and the right response to
   *    overlap is "retry later", not a distributed wait queue.
@@ -39,6 +50,11 @@ object IndexLock {
 
   val LockFileName = "_writer.lock"
 
+  /** A held acquisition: the lock path plus the fencing token written into
+    * the file. [[release]] only deletes while the token still matches.
+    */
+  final case class Held(path: Path, token: String)
+
   /** Default stale TTL: 30 min — far beyond any single maintenance op in
     * the suite, small enough that a crashed writer does not brick the
     * index for a day.
@@ -53,30 +69,31 @@ object IndexLock {
       dir: String,
       op: String,
       staleTtlMs: Long = DefaultStaleTtlMs)(body: => A): A = {
-    val lockPath = acquire(spark, dir, op, staleTtlMs)
+    val held = acquire(spark, dir, op, staleTtlMs)
     try body
-    finally release(spark, lockPath)
+    finally release(spark, held)
   }
 
   /** Acquire (create-exclusive, breaking a stale holder once) and return
-    * the lock path. Prefer [[withLock]]; this exists for callers whose
+    * the held lock. Prefer [[withLock]]; this exists for callers whose
     * critical section spans non-lexical scope (tests, streaming drivers).
     */
   def acquire(
       spark: SparkSession,
       dir: String,
       op: String,
-      staleTtlMs: Long = DefaultStaleTtlMs): Path = {
+      staleTtlMs: Long = DefaultStaleTtlMs): Held = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) fs.mkdirs(base)
     val lockPath = new Path(base, LockFileName)
+    val token = java.util.UUID.randomUUID().toString
 
     def tryCreate(): Boolean =
       try {
         val out = fs.create(lockPath, /* overwrite = */ false)
         try out.write(
-          s"""{"pid":${ProcessHandle.current().pid()},"host":"${java.net.InetAddress.getLocalHost.getHostName}","op":"$op","acquired_ms":${System.currentTimeMillis()}}
+          s"""{"pid":${ProcessHandle.current().pid()},"host":"${java.net.InetAddress.getLocalHost.getHostName}","op":"$op","token":"$token","acquired_ms":${System.currentTimeMillis()}}
              |""".stripMargin.getBytes(StandardCharsets.UTF_8))
         finally out.close()
         true
@@ -85,9 +102,10 @@ object IndexLock {
         case _: org.apache.hadoop.fs.PathExistsException => false
       }
 
-    if (tryCreate()) return lockPath
+    if (tryCreate()) return Held(lockPath, token)
 
-    // holder exists: break it only if provably stale (mtime beyond TTL)
+    // Holder exists: break it only if provably stale (mtime beyond TTL),
+    // and only via rename-to-tombstone so the break race has one winner.
     val stale =
       try {
         val st = fs.getFileStatus(lockPath)
@@ -97,9 +115,19 @@ object IndexLock {
         case _: java.io.FileNotFoundException => true
       }
     if (stale) {
-      try fs.delete(lockPath, false)
-      catch { case _: java.io.FileNotFoundException => () }
-      if (tryCreate()) return lockPath
+      val tomb = new Path(base, s"$LockFileName.tomb.$token")
+      val won =
+        try fs.rename(lockPath, tomb)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (won) {
+        try fs.delete(tomb, false)
+        catch { case _: java.io.FileNotFoundException => () }
+      }
+      // Retry the create whether or not this contender won the rename:
+      // the winner's path is now clear; a loser may still slip in ahead
+      // of the winner's create — either way exactly one create succeeds
+      // and nobody deleted anyone's fresh lock.
+      if (tryCreate()) return Held(lockPath, token)
     }
     val holder =
       try {
@@ -116,10 +144,25 @@ object IndexLock {
         s"${staleTtlMs / 1000}s stale TTL if it crashed)")
   }
 
-  /** Release a lock returned by [[acquire]]. Idempotent. */
-  def release(spark: SparkSession, lockPath: Path): Unit = {
-    val fs = lockPath.getFileSystem(spark.sessionState.newHadoopConf())
-    try fs.delete(lockPath, false)
-    catch { case _: java.io.FileNotFoundException => () }
+  /** Release a lock returned by [[acquire]]. Idempotent, and FENCED: the
+    * file is deleted only if it still carries this acquisition's token —
+    * a holder whose lock was TTL-broken mid-op finds a successor's token
+    * (or nothing) and leaves the successor's lock alone.
+    */
+  def release(spark: SparkSession, held: Held): Unit = {
+    val fs = held.path.getFileSystem(spark.sessionState.newHadoopConf())
+    val mine =
+      try {
+        val in = fs.open(held.path)
+        try {
+          val buf = new Array[Byte](512)
+          val n = math.max(0, in.read(buf))
+          new String(buf, 0, n, StandardCharsets.UTF_8).contains(held.token)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (mine) {
+      try fs.delete(held.path, false)
+      catch { case _: java.io.FileNotFoundException => () }
+    }
   }
 }

@@ -48,8 +48,8 @@ class IndexLockSpec extends SparkSpec {
     val dir = tempDir("stale")
     val held = IndexLock.acquire(spark, dir, "crashed-writer")
     // age the lock file past a 1ms TTL
-    val fs = held.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.setTimes(held, System.currentTimeMillis() - 60000, -1)
+    val fs = held.path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.setTimes(held.path, System.currentTimeMillis() - 60000, -1)
     assert(IndexLock.withLock(spark, dir, "breaker", staleTtlMs = 1000) { 7 } == 7)
     // fresh lock with the default TTL still blocks
     val fresh = IndexLock.acquire(spark, dir, "live-writer")
@@ -57,6 +57,63 @@ class IndexLockSpec extends SparkSpec {
       IndexLock.withLock(spark, dir, "blocked") { fail("must not run") }
     }
     IndexLock.release(spark, fresh)
+  }
+
+  test("fenced release: a TTL-broken holder cannot delete its successor's lock") {
+    val dir = tempDir("fence")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // writer A acquires, then overruns the TTL (simulated by aging mtime)
+    val a = IndexLock.acquire(spark, dir, "slow-writer")
+    fs.setTimes(a.path, System.currentTimeMillis() - 60000, -1)
+    // writer B breaks the stale lock and becomes the holder
+    val b = IndexLock.acquire(spark, dir, "successor", staleTtlMs = 1000)
+    // A finishes late and releases — fencing must leave B's lock in place
+    IndexLock.release(spark, a)
+    assert(fs.exists(new Path(dir, IndexLock.LockFileName)),
+      "A's unfenced release deleted B's lock")
+    intercept[IndexLock.HeldByOther] {
+      IndexLock.withLock(spark, dir, "third-writer") { fail("must not run") }
+    }
+    // B's own release (matching token) clears it
+    IndexLock.release(spark, b)
+    assert(!fs.exists(new Path(dir, IndexLock.LockFileName)))
+  }
+
+  test("stale break uses rename arbitration: no tombstones or locks leak") {
+    val dir = tempDir("tomb")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val crashed = IndexLock.acquire(spark, dir, "crashed")
+    fs.setTimes(crashed.path, System.currentTimeMillis() - 60000, -1)
+    assert(IndexLock.withLock(spark, dir, "breaker", staleTtlMs = 1000) { 9 } == 9)
+    // the break renamed the stale lock to a tombstone and deleted it —
+    // the dir must hold neither a lock nor any *.tomb.* remnant
+    val leftovers = fs.listStatus(new Path(dir))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(IndexLock.LockFileName))
+    assert(leftovers.isEmpty, s"leaked lock artifacts: ${leftovers.toSeq}")
+  }
+
+  test("all four index families refuse build under a held lock (build-vs-append contention)") {
+    import graft.dedup.LshDedupIndex
+    import graft.knn.{HnswIndex, IvfIndex}
+    import graft.text.Bm25Index
+
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val embA = emb.filter(col("vec_id") % 2 === 0)
+    for ((tag, attempt) <- Seq[(String, String => Any)](
+        ("bm25", d => Bm25Index.build(first, "doc_id", "text", d)),
+        ("lsh", d => LshDedupIndex.build(first, "doc_id", "text", d)),
+        ("ivf", d => IvfIndex.build(embA, "vec_id", "embedding", d, nList = 4)),
+        ("hnsw", d => HnswIndex.build(embA, "vec_id", "embedding", d, shards = 2)))) {
+      val dir = tempDir(s"build_$tag")
+      // simulate an in-flight append holding the writer lock
+      val held = IndexLock.acquire(spark, dir, "in-flight-append")
+      try {
+        intercept[IndexLock.HeldByOther] { attempt(dir) }
+      } finally IndexLock.release(spark, held)
+      // released → the same build goes through
+      attempt(dir)
+    }
   }
 
   test("all four index families refuse append/vacuum under a held lock") {

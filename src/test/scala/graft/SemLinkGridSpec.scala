@@ -70,6 +70,54 @@ class SemLinkGridSpec extends SparkSpec {
     assert(row.getAs[Long]("tp") == 8L && row.getAs[Double]("recall") == 0.8)
   }
 
+  test("exportGrid golden files: byte-level content of the reference-parity CSVs") {
+    // Pins the EXPORTED ARTIFACTS themselves (not just the metrics frame
+    // the other tests cover): the deterministic pipeline on the sf0.001
+    // fixture lake must reproduce these files byte-for-byte — header
+    // text, row order (sorted by distance then keys), float rendering.
+    def csvLines(dir: String): Seq[String] = {
+      val f = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".csv"))
+      assert(f.length == 1, s"expected ONE csv under $dir")
+      scala.io.Source.fromFile(f.head).getLines().toSeq
+    }
+    val out = java.nio.file.Files.createTempDirectory("grid_golden").toString
+    SemLinkGrid.exportGrid(spark, sf0001, gt, out,
+      ks = Seq(5), thresholds = Seq(1.1))
+    assert(csvLines(s"$out/evaluation_results") == Seq(
+      "k,threshold,tp,fp,fn,precision,recall,f1,ndcg",
+      "5,1.1,8,127,2,0.0593,0.8,0.1103,0.693"))
+    val pairs = csvLines(s"$out/pairs_k5_t1.1")
+    assert(pairs.size == 136) // header + 135 discovered pairs
+    assert(pairs.take(4) == Seq(
+      "t1,c1,t2,c2,distance_anns",
+      "lineitem,l_shipdate,orders,o_orderdate,0.021429170682671934",
+      "orders,o_orderdate,lineitem,l_shipdate,0.021429170682671934",
+      "lineitem,l_discount,lineitem,l_tax,0.08806261538393166"))
+    assert(pairs.last == "supplier,s_acctbal,customer,c_custkey,1.199283911921412")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(pairs.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md5 == "3fb35232a8362e8138d99abc090bfa43",
+      "pairs_k5_t1.1 content drifted from the golden export")
+  }
+
+  test("gridKnn size gate: forced block path ≡ single-broadcast path (no full-catalog collect)") {
+    // 60 catalog keys; blockSize=7 forces the multi-block escalation the
+    // gate exists for (each block collects ≤ 7 query rows to the driver),
+    // while blockSize=10⁵ collapses to the one-broadcast fast path. Both
+    // are exact — results must be identical, including ranks.
+    val catalog = (1 to 60).map { i =>
+      (s"t$i:c$i", Array.tabulate(8)(j => ((i * 31 + j * 7) % 17).toFloat / 17f))
+    }.toDF("key", "vec")
+    val blocked = SemLinkGrid.gridKnn(catalog, 5, blockSize = 7)
+      .orderBy("query_id", "rank").collect().toSeq
+    val single = SemLinkGrid.gridKnn(catalog, 5, blockSize = 100000)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(blocked == single)
+    assert(blocked.size == 60 * 5)
+  }
+
   test("seeded sample: deterministic, exact size, subset of input") {
     val df = (1 to 100).toDF("v")
     val s1 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq

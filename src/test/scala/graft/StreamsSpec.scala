@@ -359,4 +359,136 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(late2 == wantLate)
   }
+
+  test("watermarked dedup ingestion: same gate contract on the LSH path " +
+    "(late audit, one-shot-build end state, replay determinism)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val base = Files.createTempDirectory("dedupwm_ingest").toString
+    graft.dedup.LshDedupIndex.build(docs, "doc_id", "text", s"$base/index")
+    val t0 = 1700000000000L
+    val batchA = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        (col("doc_id") * 100).as("ts"), col("text"))
+    val batchB = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("doc_id"))
+          .otherwise(col("doc_id") * 100).as("ts"), col("text"))
+    Streams.stageBatch(batchA, s"$base/batches", "batch_a.parquet", t0)
+    Streams.stageBatch(batchB, s"$base/batches", "batch_b.parquet", t0 + 60000)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", LongType), StructField("text", StringType)))
+    val cands = Streams.dedupIngestWatermarked(spark, s"$base/batches", schema,
+      s"$base/index", s"$base/out", "doc_id", "text", "ts", lateness = 100L)
+    // every batch doc is a near-dup of its source doc — candidates flow
+    assert(cands.count() > 0)
+
+    val late = spark.read.parquet(s"$base/out/late")
+      .collect().map(_.getLong(0)).toSet
+    val wantLate = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40 &&
+        col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(late == wantLate && late.nonEmpty)
+
+    // end state ≡ one-shot build over base ∪ A ∪ admitted(B)
+    val admittedB = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40 &&
+        col("doc_id") % 3 =!= 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val dirAll = Files.createTempDirectory("dedupwm_all").toString
+    graft.dedup.LshDedupIndex.build(
+      docs.unionByName(batchA.drop("ts")).unionByName(admittedB),
+      "doc_id", "text", dirAll)
+    def sigIds(d: String) = spark.read.parquet(s"$d/signatures")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sigIds(s"$base/index") == sigIds(dirAll))
+
+    // whole-call replay: nothing admitted, late audit re-derived identically
+    val cands2 = Streams.dedupIngestWatermarked(spark, s"$base/batches",
+      schema, s"$base/index", s"$base/out", "doc_id", "text", "ts",
+      lateness = 100L)
+    assert(cands2.isEmpty)
+    assert(sigIds(s"$base/index") == sigIds(dirAll))
+    assert(spark.read.parquet(s"$base/out/late")
+      .collect().map(_.getLong(0)).toSet == wantLate)
+  }
+
+  test("lateness gate: NULL event times are audited to late/, never admitted, " +
+    "never silently dropped; an all-null batch advances nothing") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 30)
+    val base = Files.createTempDirectory("nullts_ingest").toString
+    graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
+    val t0 = 1700000000000L
+    // one batch, doc_id % 4 == 0 rows carry NULL event time
+    val batch = docs
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 4 === 0, lit(null).cast(LongType))
+          .otherwise(col("doc_id") * 100).as("ts"), col("text"))
+    Streams.stageBatch(batch, s"$base/batches", "batch_a.parquet", t0)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", LongType), StructField("text", StringType)))
+    Streams.lexIngestWatermarked(spark, s"$base/batches", schema,
+      s"$base/index", s"$base/out", "doc_id", "text", "ts",
+      lateness = 100L, topK = 3)
+    val lateRows = spark.read.parquet(s"$base/out/late").collect()
+    val wantNull = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(lateRows.map(_.getLong(0)).toSet == wantNull)
+    assert(lateRows.forall(_.isNullAt(1)), "late null-ts rows must keep NULL ts")
+    // admitted = exactly the non-null rows; nulls are NOT in the index
+    val committed = spark.read.parquet(s"$base/index/doclens")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val wantAdmitted = docs.filter(col("doc_id") % 4 =!= 0)
+      .select((col("doc_id") + 1000000).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(committed.filter(_ >= 1000000) == wantAdmitted)
+
+    // an ALL-null-ts batch must not throw on the max() and not advance
+    // the watermark
+    val wmBefore = graft.streaming.IngestWatermark.read(spark, s"$base/index")
+    val nullBatch = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        lit(null).cast(LongType).as("ts"), col("text"))
+    Streams.stageBatch(nullBatch, s"$base/batches2", "batch_n.parquet", t0)
+    Streams.lexIngestWatermarked(spark, s"$base/batches2", schema,
+      s"$base/index", s"$base/out2", "doc_id", "text", "ts",
+      lateness = 100L, topK = 3)
+    assert(graft.streaming.IngestWatermark.read(spark, s"$base/index") == wmBefore)
+  }
+
+  test("IngestWatermark: versioned FS JSON — crash-safe, monotone, " +
+    "cleared by index build") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("wm_store").toString
+    val wm = graft.streaming.IngestWatermark
+    assert(wm.read(spark, dir) == Long.MinValue)
+    wm.write(spark, dir, 100L)
+    assert(wm.read(spark, dir) == 100L)
+    wm.write(spark, dir, 250L)
+    assert(wm.read(spark, dir) == 250L)
+    // a torn newest version (crashed write) falls back to the previous one
+    val ingest = new org.apache.hadoop.fs.Path(s"$dir/_ingest")
+    val fs = ingest.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(ingest).map(_.getPath.getName).sorted
+    val maxSeq = names.filter(_.startsWith("wm-")).last
+      .stripPrefix("wm-").stripSuffix(".json").toLong
+    val torn = new org.apache.hadoop.fs.Path(ingest,
+      f"wm-${maxSeq + 1}%08d.json")
+    val out = fs.create(torn, true)
+    out.write("{\"wm\":".getBytes); out.close()
+    assert(wm.read(spark, dir) == 250L)
+    // Bm25Index.build clears the whole _ingest dir (fresh corpus, fresh gate)
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 10)
+    graft.text.Bm25Index.build(docs, "doc_id", "text", dir)
+    assert(wm.read(spark, dir) == Long.MinValue)
+  }
 }

@@ -129,6 +129,32 @@ class TiktokenSpec extends SparkSpec {
     assert(own.countTokens("xy") == 1L)
   }
 
+  test("published cl100k_base vectors (activates when scripts/fetch_cl100k.sh has run)") {
+    // This offline build cannot fetch the ~1.7 MB export; the vectors
+    // below are the published cl100k_base token boundaries (OpenAI's
+    // tiktoken documentation examples) and run the moment the file is
+    // present at the conventional path — reference-token-exactness
+    // (join_discoverer.py:34–62) then stops being an untested claim.
+    val f = new java.io.File(BpeEngine.ConventionalCl100kPath)
+    assume(f.isFile, s"cl100k export not fetched (${f.getPath}) — skipping")
+    val t = BpeEngine.fromVocabFile(f.getPath).asInstanceOf[TiktokenBpe]
+    // the canonical tiktoken documentation example: 6 tokens
+    assert(t.countTokens("tiktoken is great!") == 6L)
+    assert(tokStrings(t, "tiktoken is great!") ==
+      Seq("t", "ik", "token", " is", " great", "!"))
+    // two-token words with/without leading-space fusion
+    assert(t.countTokens("hello world") == 2L)
+    assert(tokStrings(t, "hello world") == Seq("hello", " world"))
+    // digit runs cap at 3 under the cl100k pre-tokenizer
+    assert(t.countTokens("1234567") == 3L)
+    // truncation at a published boundary is byte-prefix-exact
+    assert(t.truncate("tiktoken is great!", 3) == "tiktoken")
+    assert(t.truncate("hello world", 1) == "hello")
+    // and resolveDefaultNamed reports the real vocabulary
+    val (_, name) = BpeEngine.resolveDefaultNamed(Map.empty)
+    assert(name == "cl100k_base")
+  }
+
   test("Spark expressions run the tiktoken engine: counts, truncation, nulls") {
     val tik = TiktokenBpe.bundledDemo
     val df = Seq(
