@@ -87,7 +87,8 @@ object LshDedupIndex {
     // append would Overwrite tables the append is mid-commit on, silently
     // losing the append's rows
     graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.build") {
-      clearIngestState(spark, dir)
+      // fresh corpus → fresh ingest state (graft.util.IngestState contract)
+      graft.util.IngestState.clear(spark, dir)
       Seq((shingleSize, bands, rowsPerBand))
         .toDF("shingle_size", "bands", "rows_per_band")
         .repartition(1)
@@ -95,16 +96,6 @@ object LshDedupIndex {
       writeState(spark, docs, idCol, textCol, dir, shingleSize, bands,
         rowsPerBand, SaveMode.Overwrite)
     }
-  }
-
-  /** Rebuild must not inherit engine ingest state (e.g. a persisted
-    * streaming watermark under `<dir>/_ingest`) from the directory's
-    * previous life — see Bm25Index.clearIngestState for the failure mode.
-    */
-  private def clearIngestState(spark: SparkSession, dir: String): Unit = {
-    val p = new Path(s"$dir/_ingest")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Sign + write shared by [[build]] and [[append]]. ONE MinHash kernel

@@ -83,6 +83,8 @@ object HnswIndex {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
+    // fresh corpus → fresh ingest state (graft.util.IngestState contract)
+    graft.util.IngestState.clear(spark, dir)
     // clear stale manifests BEFORE touching nodes/: readers take the
     // highest-numbered manifest, and one surviving m000001+.json from a
     // previous index's appends would outrank the fresh m000000 and resolve

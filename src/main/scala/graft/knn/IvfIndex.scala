@@ -110,6 +110,8 @@ object IvfIndex {
     // Overwrite (a stale assignments.tmp would roll "forward" over the
     // fresh index at the next rebalance)
     recoverSwap(spark, dir)
+    // fresh corpus → fresh ingest state (graft.util.IngestState contract)
+    graft.util.IngestState.clear(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     // spherical kmeans trains on unit vectors, excluding raw zeros (a raw
     // zero would pull a centroid off the sphere; the distance-1.0

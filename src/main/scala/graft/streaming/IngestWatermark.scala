@@ -28,14 +28,15 @@ import org.apache.spark.sql.SparkSession
   * surviving older versions beside the new one — is resolved by "highest
   * parseable version wins".
   *
-  * Index `build` clears the whole `_ingest/` dir (see
-  * Bm25Index.clearIngestState): a rebuilt index starting from an empty
-  * corpus must not inherit the previous corpus's high-water mark, which
-  * would classify the entire next ingest as late.
+  * Index `build` clears the whole `_ingest/` dir
+  * ([[graft.util.IngestState.clear]], called by all four families): a
+  * rebuilt index starting from an empty corpus must not inherit the
+  * previous corpus's high-water mark, which would classify the entire
+  * next ingest as late.
   */
 object IngestWatermark {
 
-  private val SubDir = "_ingest"
+  private val SubDir = graft.util.IngestState.SubDir
   private val FilePattern = """wm-(\d+)\.json""".r
 
   private def ingestDir(indexDir: String) = new Path(indexDir, SubDir)

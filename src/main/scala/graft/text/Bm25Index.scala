@@ -94,26 +94,14 @@ object Bm25Index {
     // append would Overwrite tables the append is mid-commit on, silently
     // losing the append's rows
     graft.util.IndexLock.withLock(spark, dir, "Bm25Index.build") {
-      clearIngestState(spark, dir)
+      // fresh corpus → fresh ingest state: a surviving watermark from the
+      // directory's previous life would route the next ingest to late/
+      graft.util.IngestState.clear(spark, dir)
       Seq(Tuple1(nBuckets)).toDF("n_buckets")
         .repartition(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
       writeState(docs, idCol, textCol, dir, nBuckets, SaveMode.Overwrite)
     }
-  }
-
-  /** Rebuilding an index must not inherit engine ingest state from the
-    * directory's previous life: a persisted streaming watermark
-    * ([[graft.streaming.Streams.lexIngestWatermarked]] stores one under
-    * `<dir>/_ingest`) would otherwise classify ALL rows of the next
-    * ingest against the OLD corpus's event-time high-water mark — every
-    * batch silently routed to the late channel. Build clears it; append
-    * and vacuum keep it (they extend the same corpus).
-    */
-  private def clearIngestState(spark: SparkSession, dir: String): Unit = {
-    val p = new Path(s"$dir/_ingest")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Tokenize + write shared by [[build]] and [[append]]: ONE explode +
