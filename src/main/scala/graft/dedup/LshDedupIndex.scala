@@ -170,6 +170,9 @@ object LshDedupIndex {
     * skipped guard is one fewer Spark job per batch. Skipping does not
     * change what a violation DOES (a duplicate id still surfaces as its
     * own near-duplicate) — only who is responsible for preventing it.
+    * `takeLock = false` is for callers ALREADY holding the directory's
+    * writer lock (the watermarked ingest gate locks the whole
+    * micro-batch); the lock is not reentrant.
     */
   def append(
       spark: SparkSession,
@@ -178,11 +181,16 @@ object LshDedupIndex {
       idCol: String,
       textCol: String,
       checkPresence: Boolean = true,
-      checkBatchUnique: Boolean = true): Long =
-    graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.append") {
+      checkBatchUnique: Boolean = true,
+      takeLock: Boolean = true): Long =
+    if (!takeLock)
       appendImpl(spark, dir, newDocs, idCol, textCol, checkPresence,
         checkBatchUnique)
-    }
+    else
+      graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.append") {
+        appendImpl(spark, dir, newDocs, idCol, textCol, checkPresence,
+          checkBatchUnique)
+      }
 
   private def appendImpl(
       spark: SparkSession,

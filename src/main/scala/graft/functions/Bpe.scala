@@ -37,6 +37,12 @@ object BpeEngine {
 
   /** Conventional install path of the published cl100k export, relative
     * to the working directory — where `scripts/fetch_cl100k.sh` puts it.
+    * CWD-relative by design: it serves repo-rooted runs (tests, the
+    * correctness driver). A deployment whose driver launches from an
+    * arbitrary CWD (spark-submit under a scheduler) must use the
+    * `GRAFT_TIKTOKEN_VOCAB` env var — the production mechanism — and can
+    * confirm which vocabulary actually ran via the q44 gate's `vocab`
+    * column or [[resolveDefaultNamed]]'s label.
     */
   val ConventionalCl100kPath = "data/cl100k_base.tiktoken"
 

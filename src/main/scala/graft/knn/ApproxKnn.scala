@@ -296,9 +296,22 @@ object ApproxKnn {
     if (nBlocks == 1)
       return KnnJoin.broadcastKnn(queries, candidates, idCol, vecCol, k,
         metric, excludeSelf)
-    val parts = idBlockBounds(queries, idCol, nBlocks).map { case (lo, hi) =>
-      val block = idBlock(queries, idCol, lo, hi)
-      KnnJoin.broadcastKnn(block, candidates, idCol, vecCol, k, metric, excludeSelf)
+    val bounds = idBlockBounds(queries, idCol, nBlocks)
+    // Quantile rank error can leave an edge block with NO ids once it
+    // approaches the block width (large n × coarse relErr) — and
+    // broadcastKnn treats an empty query side as caller error. One scan
+    // finds which blocks actually hold ids (block index of an id = how
+    // many cuts are ≤ it); empty blocks are skipped, which is exact: an
+    // empty block contributes no queries, hence no result rows.
+    val cuts = bounds.flatMap(_._1)
+    val cutArr = array(cuts.map(lit(_)): _*)
+    val present = queries
+      .select(size(filter(cutArr, c => c <= col(idCol).cast("long"))).as("b"))
+      .groupBy("b").count().collect().map(_.getInt(0)).toSet
+    val parts = bounds.zipWithIndex.collect {
+      case ((lo, hi), i) if present(i) =>
+        KnnJoin.broadcastKnn(idBlock(queries, idCol, lo, hi), candidates,
+          idCol, vecCol, k, metric, excludeSelf)
     }
     parts.reduce(_.unionByName(_))
   }

@@ -92,11 +92,16 @@ object IngestWatermark {
     try {
       val in = fs.open(p)
       try {
+        // read to EOF in a loop — a single `read` may legally return a
+        // partial buffer on chunked stores, and a short read here would
+        // misparse the ONLY surviving version as torn and silently reset
+        // the gate to Long.MinValue
+        val out = new java.io.ByteArrayOutputStream(128)
         val buf = new Array[Byte](128)
-        val n = math.max(0, in.read(buf))
-        val s = new String(buf, 0, n, StandardCharsets.UTF_8)
-        val m = """\{"wm":(-?\d+)\}""".r.findFirstMatchIn(s.trim)
-        m.map(_.group(1).toLong)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        val s = out.toString(StandardCharsets.UTF_8)
+        """\{"wm":(-?\d+)\}""".r.findFirstMatchIn(s.trim).map(_.group(1).toLong)
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -44,16 +44,19 @@ object Streams {
     * EMPTY source directory — a normal starting state for a file stream
     * (files arrive later) — has no footer to read; the inference failure
     * falls back to [[eventsLongSchema]] instead of failing stream
-    * construction.
+    * construction. A MISSING directory still fails loudly (a typo'd
+    * path must not become a silent empty stream with a guessed schema).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"eventsStream: no such directory: $dir")
     val fileSchema =
       try spark.read.parquet(dir).schema
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("infer schema") ||
-              e.getMessage.contains("does not exist") =>
+            if e.getMessage.contains("infer schema") =>
           eventsLongSchema
       }
     tsToTimestamp(spark.readStream.schema(fileSchema).parquet(dir))
@@ -456,8 +459,10 @@ object Streams {
     *    late rows carry old times, so they never push it forward;
     *  - a row is LATE iff its ts is below the watermark AS OF THE START
     *    of its batch: it is DROPPED from the index (never searched,
-    *    never appended) and recorded in `<outDir>/late` as (id, ts) —
-    *    provably handled, auditable, re-ingestable by an operator;
+    *    never appended) and recorded under `<outDir>/late` as (id, ts),
+    *    batch-keyed and overwritten per batch (exactly-once even across
+    *    crash replays) — provably handled, auditable, re-ingestable by
+    *    an operator;
     *  - a row with NULL event time is unclassifiable and is audited to
     *    `late/` (ts NULL) rather than admitted — or silently dropped,
     *    which is what a bare pair of `ts < wm` / `ts >= wm` filters
@@ -502,7 +507,7 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(batchesDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
@@ -516,14 +521,15 @@ object Streams {
           val fresh0 = b.join(dl.select(col("id")),
             b(idCol).cast("long") === dl("id"), "left_anti")
             .localCheckpoint()
-          watermarkGatedBatch(sp, indexDir, outDir, b, fresh0, idCol, tsCol,
-              lateness) { fresh =>
+          watermarkGatedBatch(sp, indexDir, outDir, batchId, b, fresh0,
+              idCol, tsCol, lateness) { fresh =>
             graft.text.Bm25Index
               .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
                 preDoclens = Some(dl))
               .write.mode("append").parquet(s"$outDir/search")
             graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol,
-              checkPresence = false, checkBatchUnique = false)
+              checkPresence = false, checkBatchUnique = false,
+              takeLock = false)
           }
         }
         ()
@@ -547,36 +553,52 @@ object Streams {
     * `b` is the whole micro-batch (the watermark advances off its max
     * event time, index state notwithstanding — replay-deterministic);
     * `fresh0` is the not-yet-committed subset (the anti-join's output);
-    * `admit` commits the on-time fresh rows (probe + append). Late and
-    * null-ts rows are audited to `<outDir>/late` as (id, ts). The
-    * watermark write happens AFTER the commit: a crash inside the batch
-    * replays with the old watermark (same late verdicts), and the
-    * anti-join suppresses the already-committed admitted rows.
+    * `admit` commits the on-time fresh rows (probe + append, with
+    * `takeLock = false` — see below). Late and null-ts rows are audited
+    * under `<outDir>/late` as (id, ts), keyed by `batch=<id>` and
+    * OVERWRITTEN per batch: a crash replay of an in-flight batch
+    * re-derives the same late set into the same directory instead of
+    * append-duplicating it — the audit channel is exactly-once per
+    * batch, safe to re-ingest from. The watermark write happens AFTER
+    * the commit: a crash inside the batch replays with the old watermark
+    * (same late verdicts), and the anti-join suppresses the
+    * already-committed admitted rows.
+    *
+    * The WHOLE batch — watermark read, late audit, probe + append,
+    * watermark advance — runs under the index's writer lock: the
+    * micro-batch is one maintenance op. Without it, an index `build`
+    * interleaving between this batch's append and its watermark write
+    * would have its freshly-cleared `_ingest/` state resurrected by the
+    * in-flight batch's stale watermark, silently routing the rebuilt
+    * corpus's next ingest to late/.
     */
   private def watermarkGatedBatch(
       sp: SparkSession,
       indexDir: String,
       outDir: String,
+      batchId: Long,
       b: DataFrame,
       fresh0: DataFrame,
       idCol: String,
       tsCol: String,
-      lateness: Long)(admit: DataFrame => Unit): Unit = {
-    val wm = IngestWatermark.read(sp, indexDir)
-    val ts = col(tsCol).cast("long")
-    // NULL event time is unclassifiable — audited to late/ (ts NULL),
-    // never admitted. A bare `ts < wm` / `ts >= wm` filter pair would
-    // silently drop null-ts rows from BOTH channels.
-    fresh0.filter(ts.isNull || ts < wm)
-      .select(col(idCol).cast("long").as("id"), ts.as("ts"))
-      .write.mode("append").parquet(s"$outDir/late")
-    val fresh = fresh0.filter(ts >= wm).localCheckpoint()
-    if (!fresh.isEmpty) admit(fresh)
-    val maxRow = b.agg(max(ts).as("m")).collect().head
-    if (!maxRow.isNullAt(0)) // an all-null-ts batch advances nothing
-      IngestWatermark.write(sp, indexDir,
-        math.max(wm, maxRow.getLong(0) - lateness))
-  }
+      lateness: Long)(admit: DataFrame => Unit): Unit =
+    graft.util.IndexLock.withLock(sp, indexDir, "ingest-batch") {
+      val wm = IngestWatermark.read(sp, indexDir)
+      val ts = col(tsCol).cast("long")
+      // NULL event time is unclassifiable — audited to late/ (ts NULL),
+      // never admitted. A bare `ts < wm` / `ts >= wm` filter pair would
+      // silently drop null-ts rows from BOTH channels.
+      fresh0.filter(ts.isNull || ts < wm)
+        .select(col(idCol).cast("long").as("id"), ts.as("ts"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/late/batch=$batchId")
+      val fresh = fresh0.filter(ts >= wm).localCheckpoint()
+      if (!fresh.isEmpty) admit(fresh)
+      val maxRow = b.agg(max(ts).as("m")).collect().head
+      if (!maxRow.isNullAt(0)) // an all-null-ts batch advances nothing
+        IngestWatermark.write(sp, indexDir,
+          math.max(wm, maxRow.getLong(0) - lateness))
+    }
 
   /** [[dedupIngestOnce]] with the same event-time lateness gate as
     * [[lexIngestWatermarked]] — late-arrival parity across the ingest
@@ -613,7 +635,7 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(batchesDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
         val b = batch.toDF().localCheckpoint()
         if (!b.isEmpty) {
@@ -624,14 +646,15 @@ object Streams {
           val fresh0 = b.join(sigs.select(col("id")),
             b(idCol).cast("long") === sigs("id"), "left_anti")
             .localCheckpoint()
-          watermarkGatedBatch(sp, indexDir, outDir, b, fresh0, idCol, tsCol,
-              lateness) { fresh =>
+          watermarkGatedBatch(sp, indexDir, outDir, batchId, b, fresh0,
+              idCol, tsCol, lateness) { fresh =>
             graft.dedup.LshDedupIndex
               .candidatesAgainst(sp, indexDir, fresh, idCol, textCol,
                 preSigs = Some(sigs))
               .write.mode("append").parquet(s"$outDir/cands")
             graft.dedup.LshDedupIndex.append(sp, indexDir, fresh, idCol,
-              textCol, checkPresence = false, checkBatchUnique = false)
+              textCol, checkPresence = false, checkBatchUnique = false,
+              takeLock = false)
           }
         }
         ()

@@ -164,6 +164,10 @@ object Bm25Index {
     * scan per batch. `checkBatchUnique = false` likewise skips the
     * within-batch duplicate-id aggregation (one fewer job) for callers
     * whose input contract already guarantees unique ids per batch.
+    * `takeLock = false` is for callers ALREADY holding the directory's
+    * writer lock (the watermarked ingest gate locks the whole
+    * micro-batch); the lock is not reentrant, so a nested acquire would
+    * fail fast against the caller's own hold.
     */
   def append(
       spark: SparkSession,
@@ -172,11 +176,16 @@ object Bm25Index {
       idCol: String,
       textCol: String,
       checkPresence: Boolean = true,
-      checkBatchUnique: Boolean = true): Long =
-    graft.util.IndexLock.withLock(spark, dir, "Bm25Index.append") {
+      checkBatchUnique: Boolean = true,
+      takeLock: Boolean = true): Long =
+    if (!takeLock)
       appendImpl(spark, dir, newDocs, idCol, textCol, checkPresence,
         checkBatchUnique)
-    }
+    else
+      graft.util.IndexLock.withLock(spark, dir, "Bm25Index.append") {
+        appendImpl(spark, dir, newDocs, idCol, textCol, checkPresence,
+          checkBatchUnique)
+      }
 
   private def appendImpl(
       spark: SparkSession,

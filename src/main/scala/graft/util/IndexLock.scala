@@ -61,8 +61,26 @@ object IndexLock {
     */
   val DefaultStaleTtlMs: Long = 30L * 60 * 1000
 
+  // Single shared daemon thread for lock heartbeats — idle unless a
+  // withLock body is running.
+  private lazy val heartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-indexlock-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+
   /** Run `body` holding the writer lock on `dir`; always releases. Throws
     * [[HeldByOther]] (without running `body`) if a live writer holds it.
+    *
+    * The lock is HEARTBEATED while `body` runs: a daemon thread touches
+    * the lock file's mtime every `staleTtlMs / 4`, so a LIVE writer's
+    * lock never ages past the stale TTL no matter how long the op runs
+    * (a 100 TB-scale build can legitimately exceed any fixed TTL; without
+    * the heartbeat a scheduled append would "break" the still-running
+    * build's lock at minute 31 and race its table Overwrites). Only a
+    * CRASHED writer's lock stops being touched and ages out — which is
+    * exactly what the TTL is for.
     */
   def withLock[A](
       spark: SparkSession,
@@ -70,8 +88,18 @@ object IndexLock {
       op: String,
       staleTtlMs: Long = DefaultStaleTtlMs)(body: => A): A = {
     val held = acquire(spark, dir, op, staleTtlMs)
+    val fs = held.path.getFileSystem(spark.sessionState.newHadoopConf())
+    val period = math.max(staleTtlMs / 4, 1000L)
+    val beat = heartbeats.scheduleAtFixedRate(
+      () =>
+        try fs.setTimes(held.path, System.currentTimeMillis(), -1)
+        catch { case scala.util.control.NonFatal(_) => () },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
-    finally release(spark, held)
+    finally {
+      beat.cancel(false)
+      release(spark, held)
+    }
   }
 
   /** Acquire (create-exclusive, breaking a stale holder once) and return
@@ -129,15 +157,7 @@ object IndexLock {
       // and nobody deleted anyone's fresh lock.
       if (tryCreate()) return Held(lockPath, token)
     }
-    val holder =
-      try {
-        val in = fs.open(lockPath)
-        try {
-          val buf = new Array[Byte](512)
-          val n = math.max(0, in.read(buf))
-          new String(buf, 0, n, StandardCharsets.UTF_8).trim
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+    val holder = readWhole(fs, lockPath).getOrElse("<unreadable>").trim
     throw new HeldByOther(
       s"IndexLock: $dir is held by another writer ($holder); " +
         s"this ${op} must wait for it to finish (or for the " +
@@ -148,21 +168,39 @@ object IndexLock {
     * file is deleted only if it still carries this acquisition's token —
     * a holder whose lock was TTL-broken mid-op finds a successor's token
     * (or nothing) and leaves the successor's lock alone.
+    *
+    * The fence fails OPEN on unreadability: if the file cannot be read at
+    * all after retries (transient IO, not a token mismatch), the lock is
+    * deleted anyway — the overwhelmingly likely owner of an unreadable
+    * lock is this (live, releasing) writer, and leaving it would brick
+    * the index for the full stale TTL. The fence exists for the case it
+    * can actually decide: a READABLE file carrying a successor's token.
     */
   def release(spark: SparkSession, held: Held): Unit = {
     val fs = held.path.getFileSystem(spark.sessionState.newHadoopConf())
-    val mine =
-      try {
-        val in = fs.open(held.path)
-        try {
-          val buf = new Array[Byte](512)
-          val n = math.max(0, in.read(buf))
-          new String(buf, 0, n, StandardCharsets.UTF_8).contains(held.token)
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => false }
-    if (mine) {
+    val content = (1 to 3).iterator
+      .map(_ => readWhole(fs, held.path))
+      .collectFirst { case Some(s) => s }
+    val keep = content.exists(s => !s.contains(held.token))
+    if (!keep) {
       try fs.delete(held.path, false)
       catch { case _: java.io.FileNotFoundException => () }
     }
   }
+
+  /** Read a small file fully (looping — a single `read` may legally
+    * return a partial buffer on chunked stores). None on any failure.
+    */
+  private def readWhole(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream(512)
+        val buf = new Array[Byte](512)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toString(StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

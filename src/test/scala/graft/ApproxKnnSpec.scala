@@ -130,6 +130,26 @@ class ApproxKnnSpec extends SparkSpec {
     assert(blocked == whole)
   }
 
+  test("blockKnn survives degenerate quantile cuts (empty edge blocks skipped)") {
+    // blockSize=1 over 10 ids: the lowest quantile cut lands ON the
+    // minimum id, so the first half-open block (None, min) holds no ids
+    // at all — the exact shape large-n quantile rank error produces at
+    // scale. Skipping the empty block must be exact: the result still
+    // equals the single-broadcast answer.
+    import spark.implicits._
+    val tiny = (1 to 10)
+      .map(i => (i.toLong, Array.tabulate(4)(j => ((i * 13 + j) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val whole = KnnJoin.broadcastKnn(tiny, tiny, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = ApproxKnn.blockKnn(tiny, tiny, "vec_id", "embedding", 3,
+        blockSize = 1)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == whole)
+  }
+
   test("truncatedKnn: full-dim degenerates to exact; dist is full-dim") {
     val full = ApproxKnn.truncatedKnn(emb, emb, "vec_id", "embedding",
         k = 5, truncDim = 64)

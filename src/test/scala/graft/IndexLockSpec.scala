@@ -59,6 +59,29 @@ class IndexLockSpec extends SparkSpec {
     IndexLock.release(spark, fresh)
   }
 
+  test("heartbeat: a live withLock holder outlasts its stale TTL unbroken") {
+    val dir = tempDir("beat")
+    val ttl = 1200L
+    @volatile var contenderBlocked = false
+    val got = IndexLock.withLock(spark, dir, "long-op", staleTtlMs = ttl) {
+      // sleep well past the TTL — the heartbeat (every ttl/4) must keep
+      // the lock's mtime fresh so a contender still fails fast instead
+      // of "breaking" a live writer
+      Thread.sleep(ttl * 2)
+      contenderBlocked =
+        try {
+          IndexLock.withLock(spark, dir, "contender", staleTtlMs = ttl) { () }
+          false
+        } catch { case _: IndexLock.HeldByOther => true }
+      11
+    }
+    assert(got == 11)
+    assert(contenderBlocked,
+      "a contender broke a live, heartbeated lock after the TTL elapsed")
+    // and after release the next writer proceeds normally
+    assert(IndexLock.withLock(spark, dir, "next") { 12 } == 12)
+  }
+
   test("fenced release: a TTL-broken holder cannot delete its successor's lock") {
     val dir = tempDir("fence")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())

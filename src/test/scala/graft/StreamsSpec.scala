@@ -356,8 +356,10 @@ class StreamsSpec extends SparkSpec {
     assert(out2.isEmpty)
     assert(dls(s"$base/index") == dls(dirAll))
     val late2 = spark.read.parquet(s"$base/out/late")
-      .collect().map(_.getLong(0)).toSet
-    assert(late2 == wantLate)
+      .collect().map(_.getLong(0))
+    // set-equal AND duplicate-free: the batch-keyed overwrite keeps the
+    // audit channel exactly-once per row even across replays
+    assert(late2.toSet == wantLate && late2.length == wantLate.size)
   }
 
   test("watermarked dedup ingestion: same gate contract on the LSH path " +
@@ -411,8 +413,9 @@ class StreamsSpec extends SparkSpec {
       lateness = 100L)
     assert(cands2.isEmpty)
     assert(sigIds(s"$base/index") == sigIds(dirAll))
-    assert(spark.read.parquet(s"$base/out/late")
-      .collect().map(_.getLong(0)).toSet == wantLate)
+    val late2 = spark.read.parquet(s"$base/out/late")
+      .collect().map(_.getLong(0))
+    assert(late2.toSet == wantLate && late2.length == wantLate.size)
   }
 
   test("lateness gate: NULL event times are audited to late/, never admitted, " +
