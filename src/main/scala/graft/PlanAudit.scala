@@ -15,10 +15,12 @@ object PlanAudit {
       val df = SparkEntry.queries(q)(spark, d)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    def c(s: String) = plan.linesIterator.count(_.contains(s))
+      def c(s: String) = plan.linesIterator.count(_.contains(s))
+      // codegen stages print as "*(n) Op" in executed-plan strings, not
+      // as the literal WholeStageCodegen node name
       println(f"$q%-28s exch=${c("Exchange")}%2d bcast=${c("BroadcastExchange")}%2d " +
         f"scan=${c("FileScan")}%2d win=${c("Window")}%2d sort=${c("Sort ")}%2d " +
-        f"wsc=${c("WholeStageCodegen")}%2d")
+        f"wsc=${c("*(")}%2d")
     }
     spark.stop()
   }
