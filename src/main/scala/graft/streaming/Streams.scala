@@ -509,7 +509,10 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
-        val b = batch.toDF().localCheckpoint()
+        // lazy checkpoints: each frame is materialized by its first
+        // action (isEmpty / the late write) and reused from blocks after
+        // — eager would pay one extra dedicated job per frame per batch
+        val b = batch.toDF().localCheckpoint(eager = false)
         if (!b.isEmpty) {
           // freshness anti-join BEFORE the lateness split: on a replay
           // the watermark has already advanced past a committed batch's
@@ -520,7 +523,7 @@ object Streams {
             .localCheckpoint(eager = false)
           val fresh0 = b.join(dl.select(col("id")),
             b(idCol).cast("long") === dl("id"), "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           watermarkGatedBatch(sp, indexDir, outDir, batchId, b, fresh0,
               idCol, tsCol, lateness) { fresh =>
             graft.text.Bm25Index
@@ -592,7 +595,7 @@ object Streams {
         .select(col(idCol).cast("long").as("id"), ts.as("ts"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/late/batch=$batchId")
-      val fresh = fresh0.filter(ts >= wm).localCheckpoint()
+      val fresh = fresh0.filter(ts >= wm).localCheckpoint(eager = false)
       if (!fresh.isEmpty) admit(fresh)
       val maxRow = b.agg(max(ts).as("m")).collect().head
       if (!maxRow.isNullAt(0)) // an all-null-ts batch advances nothing
@@ -637,7 +640,8 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
-        val b = batch.toDF().localCheckpoint()
+        // lazy checkpoints — see lexIngestWatermarked
+        val b = batch.toDF().localCheckpoint(eager = false)
         if (!b.isEmpty) {
           // ONE signatures scan serves the anti-join and (via preSigs)
           // the probe's candidate fetch — the dedupIngestOnce shape
@@ -645,7 +649,7 @@ object Streams {
             .localCheckpoint(eager = false)
           val fresh0 = b.join(sigs.select(col("id")),
             b(idCol).cast("long") === sigs("id"), "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           watermarkGatedBatch(sp, indexDir, outDir, batchId, b, fresh0,
               idCol, tsCol, lateness) { fresh =>
             graft.dedup.LshDedupIndex
