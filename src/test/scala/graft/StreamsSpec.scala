@@ -18,6 +18,23 @@ class StreamsSpec extends SparkSpec {
     dir.toString
   }
 
+  test("eventsStream: empty dir falls back to the long schema; missing dir fails loudly") {
+    // empty source dir is a normal file-stream starting state (files
+    // arrive later): stream construction must succeed on the fallback
+    // schema rather than die on 'unable to infer schema'
+    val empty = Files.createTempDirectory("events_empty").toString
+    val stream = Streams.eventsStream(spark, empty)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType) // tsToTimestamp applied
+    // a missing dir stays a loud failure — a typo must not become a
+    // silent empty stream
+    val e = intercept[IllegalArgumentException] {
+      Streams.eventsStream(spark, s"$empty/no_such_subdir")
+    }
+    assert(e.getMessage.contains("no such directory"))
+  }
+
   test("streaming windowed agg equals the batch result (complete mode)") {
     val stream = Streams.eventsStream(spark, eventsDir)
     val q = Streams.windowedAgg(stream)
