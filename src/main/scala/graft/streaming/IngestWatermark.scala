@@ -86,6 +86,16 @@ object IngestWatermark {
       try fs.delete(new Path(dir, f"wm-$n%08d.json"), false)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // sweep tmp leftovers from crashed writes (never read — dot-prefixed
+    // and pattern-excluded — but they should not accumulate forever)
+    fs.listStatus(dir).iterator
+      .map(_.getPath)
+      .filter(q => q.getName.startsWith(".wm-") && q.getName.endsWith(".tmp")
+        && q.getName != tmp.getName)
+      .foreach { q =>
+        try fs.delete(q, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
   }
 
   private def parse(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Long] =

@@ -504,6 +504,15 @@ class StreamsSpec extends SparkSpec {
     val out = fs.create(torn, true)
     out.write("{\"wm\":".getBytes); out.close()
     assert(wm.read(spark, dir) == 250L)
+    // a crashed write's tmp leftover is swept by the next write, and
+    // pruning keeps exactly one committed version
+    val strayTmp = new org.apache.hadoop.fs.Path(ingest, ".wm-99999999.json.tmp")
+    fs.create(strayTmp, true).close()
+    wm.write(spark, dir, 300L)
+    assert(wm.read(spark, dir) == 300L)
+    val left = fs.listStatus(ingest).map(_.getPath.getName)
+    assert(left.count(_.endsWith(".json")) == 1, s"versions not pruned: ${left.toSeq}")
+    assert(!left.exists(_.endsWith(".tmp")), s"tmp not swept: ${left.toSeq}")
     // Bm25Index.build clears the whole _ingest dir (fresh corpus, fresh gate)
     val docs = graft.sources.Lake.table(spark, sf0001, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
