@@ -508,33 +508,8 @@ object Streams {
       .parquet(batchesDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sp = batch.sparkSession
-        // lazy checkpoints: each frame is materialized by its first
-        // action (isEmpty / the late write) and reused from blocks after
-        // — eager would pay one extra dedicated job per frame per batch
-        val b = batch.toDF().localCheckpoint(eager = false)
-        if (!b.isEmpty) {
-          // freshness anti-join BEFORE the lateness split: on a replay
-          // the watermark has already advanced past a committed batch's
-          // event times, and classifying committed rows as late would
-          // pollute the late/ audit channel — a row can only be late if
-          // the index does not already hold it
-          val dl = graft.text.Bm25Index.readDoclens(sp, indexDir)
-            .localCheckpoint(eager = false)
-          val fresh0 = b.join(dl.select(col("id")),
-            b(idCol).cast("long") === dl("id"), "left_anti")
-            .localCheckpoint(eager = false)
-          watermarkGatedBatch(sp, indexDir, outDir, batchId, b, fresh0,
-              idCol, tsCol, lateness) { fresh =>
-            graft.text.Bm25Index
-              .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
-                preDoclens = Some(dl))
-              .write.mode("append").parquet(s"$outDir/search")
-            graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol,
-              checkPresence = false, checkBatchUnique = false,
-              takeLock = false)
-          }
-        }
+        lexIngestBatch(batch.sparkSession, indexDir, outDir, batchId,
+          batch.toDF(), idCol, textCol, tsCol, lateness, topK)
         ()
       }
       .option("checkpointLocation", checkpoint.toString)
@@ -542,10 +517,55 @@ object Streams {
       .start()
       .awaitTermination()
     val searchPath = new org.apache.hadoop.fs.Path(s"$outDir/search")
-    if (fs.exists(searchPath)) spark.read.parquet(s"$outDir/search")
+    // the channel is batch-keyed (search/batch=<id>); partition discovery
+    // adds the batch column — drop it to keep the searchTopK schema
+    if (fs.exists(searchPath))
+      spark.read.parquet(s"$outDir/search").drop("batch")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       graft.text.Bm25Index.searchSchema)
+  }
+
+  /** One micro-batch of [[lexIngestWatermarked]] — extracted so a spec
+    * can replay an in-flight batch (same batchId twice, or a crash
+    * between the search write and the index append) and assert the
+    * exactly-once contract directly. The search channel is batch-keyed
+    * (`search/batch=<id>`, Overwrite): a replayed batch overwrites its
+    * own prior rows instead of appending duplicates.
+    */
+  private[graft] def lexIngestBatch(
+      sp: SparkSession,
+      indexDir: String,
+      outDir: String,
+      batchId: Long,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      lateness: Long,
+      topK: Int): Unit = {
+    // lazy checkpoints: each frame is materialized by its first action
+    // (the gate's one-pass agg) and reused from blocks after — eager
+    // would pay one extra dedicated job per frame per batch
+    val b = batch.localCheckpoint(eager = false)
+    // freshness marker-join BEFORE the lateness split (inside the gate):
+    // on a replay the watermark has already advanced past a committed
+    // batch's event times, and classifying committed rows as late would
+    // pollute the late/ audit channel — a row can only be late if the
+    // index does not already hold it
+    val dl = graft.text.Bm25Index.readDoclens(sp, indexDir)
+      .localCheckpoint(eager = false)
+    watermarkGatedBatch(sp, indexDir, outDir, batchId, b,
+        dl.select(col("id")), idCol, tsCol, lateness) { fresh =>
+      graft.text.Bm25Index
+        .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
+          preDoclens = Some(dl))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/search/batch=$batchId")
+      graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol,
+        checkPresence = false, checkBatchUnique = false,
+        takeLock = false)
+    }
   }
 
   /** The operator-agnostic core of the event-time lateness gate — the
@@ -555,16 +575,23 @@ object Streams {
     *
     * `b` is the whole micro-batch (the watermark advances off its max
     * event time, index state notwithstanding — replay-deterministic);
-    * `fresh0` is the not-yet-committed subset (the anti-join's output);
-    * `admit` commits the on-time fresh rows (probe + append, with
-    * `takeLock = false` — see below). Late and null-ts rows are audited
+    * `committedIds` is the index's current id set (one `id` column) —
+    * the gate marker-joins it against the batch so freshness, the late
+    * split, the batch max event time, and both emptiness checks all
+    * come from ONE pass over the batch (a single scheduler round-trip
+    * where a naive formulation pays four: b.isEmpty, fresh.isEmpty,
+    * max(ts), plus a separate anti-join). `admit` commits the on-time
+    * fresh rows (probe + append, with `takeLock = false` — see below)
+    * and MUST write its output channel batch-keyed
+    * (`<channel>/batch=<id>`, Overwrite) so a crash replay overwrites
+    * rather than append-duplicates. Late and null-ts rows are audited
     * under `<outDir>/late` as (id, ts), keyed by `batch=<id>` and
     * OVERWRITTEN per batch: a crash replay of an in-flight batch
     * re-derives the same late set into the same directory instead of
     * append-duplicating it — the audit channel is exactly-once per
     * batch, safe to re-ingest from. The watermark write happens AFTER
     * the commit: a crash inside the batch replays with the old watermark
-    * (same late verdicts), and the anti-join suppresses the
+    * (same late verdicts), and the marker join suppresses the
     * already-committed admitted rows.
     *
     * The WHOLE batch — watermark read, late audit, probe + append,
@@ -575,32 +602,46 @@ object Streams {
     * in-flight batch's stale watermark, silently routing the rebuilt
     * corpus's next ingest to late/.
     */
-  private def watermarkGatedBatch(
+  private[graft] def watermarkGatedBatch(
       sp: SparkSession,
       indexDir: String,
       outDir: String,
       batchId: Long,
       b: DataFrame,
-      fresh0: DataFrame,
+      committedIds: DataFrame,
       idCol: String,
       tsCol: String,
       lateness: Long)(admit: DataFrame => Unit): Unit =
     graft.util.IndexLock.withLock(sp, indexDir, "ingest-batch") {
       val wm = IngestWatermark.read(sp, indexDir)
       val ts = col(tsCol).cast("long")
-      // NULL event time is unclassifiable — audited to late/ (ts NULL),
-      // never admitted. A bare `ts < wm` / `ts >= wm` filter pair would
-      // silently drop null-ts rows from BOTH channels.
-      fresh0.filter(ts.isNull || ts < wm)
-        .select(col(idCol).cast("long").as("id"), ts.as("ts"))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/late/batch=$batchId")
-      val fresh = fresh0.filter(ts >= wm).localCheckpoint(eager = false)
-      if (!fresh.isEmpty) admit(fresh)
-      val maxRow = b.agg(max(ts).as("m")).collect().head
-      if (!maxRow.isNullAt(0)) // an all-null-ts batch advances nothing
-        IngestWatermark.write(sp, indexDir,
-          math.max(wm, maxRow.getLong(0) - lateness))
+      // left join with a presence marker instead of a left_anti: same
+      // shuffle, but the joined frame ALSO answers "is the batch empty",
+      // "is the admitted set empty" and "max event time" in one agg
+      val marked = b
+        .join(committedIds.select(col("id").cast("long").as("__cid")),
+          col(idCol).cast("long") === col("__cid"), "left")
+        .localCheckpoint(eager = false)
+      val isFresh = col("__cid").isNull
+      val stats = marked.agg(
+        count(lit(1)).as("n"),
+        max(ts).as("max_ts"),
+        count(when(isFresh && ts >= wm, 1)).as("n_admit")).collect().head
+      if (stats.getLong(0) > 0) {
+        // NULL event time is unclassifiable — audited to late/ (ts NULL),
+        // never admitted. A bare `ts < wm` / `ts >= wm` filter pair would
+        // silently drop null-ts rows from BOTH channels.
+        marked.filter(isFresh && (ts.isNull || ts < wm))
+          .select(col(idCol).cast("long").as("id"), ts.as("ts"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/late/batch=$batchId")
+        if (stats.getLong(2) > 0)
+          admit(marked.filter(isFresh && ts >= wm).drop("__cid")
+            .localCheckpoint(eager = false))
+        if (!stats.isNullAt(1)) // an all-null-ts batch advances nothing
+          IngestWatermark.write(sp, indexDir,
+            math.max(wm, stats.getLong(1) - lateness))
+      }
     }
 
   /** [[dedupIngestOnce]] with the same event-time lateness gate as
@@ -639,28 +680,8 @@ object Streams {
       .parquet(batchesDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sp = batch.sparkSession
-        // lazy checkpoints — see lexIngestWatermarked
-        val b = batch.toDF().localCheckpoint(eager = false)
-        if (!b.isEmpty) {
-          // ONE signatures scan serves the anti-join and (via preSigs)
-          // the probe's candidate fetch — the dedupIngestOnce shape
-          val sigs = graft.dedup.LshDedupIndex.readSignatures(sp, indexDir)
-            .localCheckpoint(eager = false)
-          val fresh0 = b.join(sigs.select(col("id")),
-            b(idCol).cast("long") === sigs("id"), "left_anti")
-            .localCheckpoint(eager = false)
-          watermarkGatedBatch(sp, indexDir, outDir, batchId, b, fresh0,
-              idCol, tsCol, lateness) { fresh =>
-            graft.dedup.LshDedupIndex
-              .candidatesAgainst(sp, indexDir, fresh, idCol, textCol,
-                preSigs = Some(sigs))
-              .write.mode("append").parquet(s"$outDir/cands")
-            graft.dedup.LshDedupIndex.append(sp, indexDir, fresh, idCol,
-              textCol, checkPresence = false, checkBatchUnique = false,
-              takeLock = false)
-          }
-        }
+        dedupIngestBatch(batch.sparkSession, indexDir, outDir, batchId,
+          batch.toDF(), idCol, textCol, tsCol, lateness)
         ()
       }
       .option("checkpointLocation", checkpoint.toString)
@@ -668,10 +689,45 @@ object Streams {
       .start()
       .awaitTermination()
     val candsPath = new org.apache.hadoop.fs.Path(s"$outDir/cands")
-    if (fs.exists(candsPath)) spark.read.parquet(s"$outDir/cands")
+    // batch-keyed channel (cands/batch=<id>) — see lexIngestWatermarked
+    if (fs.exists(candsPath))
+      spark.read.parquet(s"$outDir/cands").drop("batch")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       graft.dedup.LshDedupIndex.candidateSchema)
+  }
+
+  /** One micro-batch of [[dedupIngestWatermarked]] — extracted for the
+    * same crash-replay testability as [[lexIngestBatch]]; the cands
+    * channel is batch-keyed (`cands/batch=<id>`, Overwrite).
+    */
+  private[graft] def dedupIngestBatch(
+      sp: SparkSession,
+      indexDir: String,
+      outDir: String,
+      batchId: Long,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      lateness: Long): Unit = {
+    // lazy checkpoints — see lexIngestBatch
+    val b = batch.localCheckpoint(eager = false)
+    // ONE signatures scan serves the gate's marker join and (via
+    // preSigs) the probe's candidate fetch — the dedupIngestOnce shape
+    val sigs = graft.dedup.LshDedupIndex.readSignatures(sp, indexDir)
+      .localCheckpoint(eager = false)
+    watermarkGatedBatch(sp, indexDir, outDir, batchId, b,
+        sigs.select(col("id")), idCol, tsCol, lateness) { fresh =>
+      graft.dedup.LshDedupIndex
+        .candidatesAgainst(sp, indexDir, fresh, idCol, textCol,
+          preSigs = Some(sigs))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/cands/batch=$batchId")
+      graft.dedup.LshDedupIndex.append(sp, indexDir, fresh, idCol,
+        textCol, checkPresence = false, checkBatchUnique = false,
+        takeLock = false)
+    }
   }
 
   /** Streaming exact dedup, EXECUTED: the events file is staged TWICE

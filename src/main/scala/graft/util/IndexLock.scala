@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
   * into an enforced one:
   *
   *  - acquisition is a create-exclusive of `<dir>/_writer.lock` (atomic on
-  *    HDFS; on the local FS create(overwrite=false) is check-then-create
-  *    and on S3-like stores it is emulated, so the lock degrades to
+  *    HDFS; on the `file://` scheme Hadoop's create(overwrite=false) is
+  *    check-then-create, so the local path dispatches to
+  *    `java.io.File.createNewFile` — O_CREAT|O_EXCL, atomic on POSIX;
+  *    on S3-like stores exclusivity is emulated, so the lock degrades to
   *    advisory there — hence "best-effort");
   *  - the file carries (pid, host, operation, epoch-millis) for
   *    diagnosability plus a per-acquisition UUID fencing token;
@@ -44,6 +46,8 @@ import org.apache.spark.sql.SparkSession
   * concurrent reads were already safe by the commit protocols.
   */
 object IndexLock {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Another writer holds the lock — retry after it finishes. */
   final class HeldByOther(msg: String) extends IllegalStateException(msg)
@@ -90,10 +94,9 @@ object IndexLock {
     val held = acquire(spark, dir, op, staleTtlMs)
     val fs = held.path.getFileSystem(spark.sessionState.newHadoopConf())
     val period = math.max(staleTtlMs / 4, 1000L)
+    val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = heartbeats.scheduleAtFixedRate(
-      () =>
-        try fs.setTimes(held.path, System.currentTimeMillis(), -1)
-        catch { case scala.util.control.NonFatal(_) => () },
+      () => heartbeatOnce(fs, held, warned),
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
@@ -101,6 +104,37 @@ object IndexLock {
       release(spark, held)
     }
   }
+
+  /** One heartbeat tick. `setTimes` is the cheap path (one metadata op);
+    * S3A-like stores don't support it, so the failure path (a) WARNS once
+    * per hold — a silent no-op would leave operators unaware that the
+    * live-writer TTL protection is degraded — and (b) falls back to a
+    * token-checked content rewrite, which refreshes mtime on any store
+    * that can write at all. The token check keeps a TTL-broken holder
+    * from clobbering its successor's lock via the fallback (the
+    * read-check-write window is microseconds, vs a whole-TTL silent
+    * degradation without the fallback).
+    */
+  private def heartbeatOnce(
+      fs: org.apache.hadoop.fs.FileSystem,
+      held: Held,
+      warned: java.util.concurrent.atomic.AtomicBoolean): Unit =
+    try fs.setTimes(held.path, System.currentTimeMillis(), -1)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (warned.compareAndSet(false, true))
+          log.warn(
+            s"IndexLock: heartbeat setTimes failed on ${held.path} " +
+              s"(${e.getClass.getName}: ${e.getMessage}); falling back to " +
+              "token-checked content rewrite — live-writer stale-TTL " +
+              "protection is degraded on this store")
+        try readWhole(fs, held.path).filter(_.contains(held.token)).foreach {
+          s =>
+            val out = fs.create(held.path, /* overwrite = */ true)
+            try out.write(s.getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Acquire (create-exclusive, breaking a stale holder once) and return
     * the held lock. Prefer [[withLock]]; this exists for callers whose
@@ -117,18 +151,36 @@ object IndexLock {
     val lockPath = new Path(base, LockFileName)
     val token = java.util.UUID.randomUUID().toString
 
+    def payload: String =
+      s"""{"pid":${ProcessHandle.current().pid()},"host":"${java.net.InetAddress.getLocalHost.getHostName}","op":"$op","token":"$token","acquired_ms":${System.currentTimeMillis()}}
+         |""".stripMargin
+
+    // On the file:// scheme Hadoop's create(overwrite=false) is
+    // check-then-create (a lost race double-acquires); java.io's
+    // createNewFile is O_CREAT|O_EXCL — truly atomic on POSIX — so the
+    // local path dispatches to it. Elsewhere the Hadoop create is the
+    // best the store offers (atomic on HDFS, emulated on S3-likes).
     def tryCreate(): Boolean =
-      try {
-        val out = fs.create(lockPath, /* overwrite = */ false)
-        try out.write(
-          s"""{"pid":${ProcessHandle.current().pid()},"host":"${java.net.InetAddress.getLocalHost.getHostName}","op":"$op","token":"$token","acquired_ms":${System.currentTimeMillis()}}
-             |""".stripMargin.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch {
-        case _: FileAlreadyExistsException => false
-        case _: org.apache.hadoop.fs.PathExistsException => false
-      }
+      if (fs.getUri.getScheme == "file") {
+        val f = new java.io.File(fs.makeQualified(lockPath).toUri.getPath)
+        try {
+          if (!f.createNewFile()) false
+          else {
+            java.nio.file.Files.write(f.toPath,
+              payload.getBytes(StandardCharsets.UTF_8))
+            true
+          }
+        } catch { case _: java.io.IOException => false }
+      } else
+        try {
+          val out = fs.create(lockPath, /* overwrite = */ false)
+          try out.write(payload.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.PathExistsException => false
+        }
 
     if (tryCreate()) return Held(lockPath, token)
 
@@ -169,22 +221,35 @@ object IndexLock {
     * a holder whose lock was TTL-broken mid-op finds a successor's token
     * (or nothing) and leaves the successor's lock alone.
     *
-    * The fence fails OPEN on unreadability: if the file cannot be read at
-    * all after retries (transient IO, not a token mismatch), the lock is
-    * deleted anyway — the overwhelmingly likely owner of an unreadable
-    * lock is this (live, releasing) writer, and leaving it would brick
-    * the index for the full stale TTL. The fence exists for the case it
-    * can actually decide: a READABLE file carrying a successor's token.
+    * The fence fails CLOSED on unreadability: if the file EXISTS but
+    * cannot be read after retries (degraded object-store IO — exactly
+    * the stores where TTL breaks are most likely), the file is KEPT and
+    * the decision logged. Deleting on unreadability would let a
+    * TTL-overrunning writer destroy its successor's lock precisely when
+    * the store is too degraded for the fence to check. The cost of
+    * failing closed is bounded: an abandoned unreadable lock stops being
+    * heartbeated and ages out at the stale TTL. A file that is simply
+    * GONE (the successor already released) needs no action.
     */
   def release(spark: SparkSession, held: Held): Unit = {
     val fs = held.path.getFileSystem(spark.sessionState.newHadoopConf())
     val content = (1 to 3).iterator
       .map(_ => readWhole(fs, held.path))
       .collectFirst { case Some(s) => s }
-    val keep = content.exists(s => !s.contains(held.token))
-    if (!keep) {
-      try fs.delete(held.path, false)
-      catch { case _: java.io.FileNotFoundException => () }
+    content match {
+      case Some(s) if s.contains(held.token) =>
+        try fs.delete(held.path, false)
+        catch { case _: java.io.FileNotFoundException => () }
+      case Some(_) => () // a successor's token — fenced out, leave it
+      case None =>
+        val exists =
+          try fs.exists(held.path)
+          catch { case scala.util.control.NonFatal(_) => true }
+        if (exists)
+          log.warn(
+            s"IndexLock: ${held.path} exists but is unreadable at release; " +
+              "failing CLOSED (keeping the file) — if abandoned it ages " +
+              "out at the stale TTL")
     }
   }
 

@@ -102,6 +102,46 @@ class IndexLockSpec extends SparkSpec {
     assert(!fs.exists(new Path(dir, IndexLock.LockFileName)))
   }
 
+  test("concurrent acquire on the local FS: exactly one winner per round " +
+    "(atomic createNewFile, not check-then-create)") {
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      for (round <- 1 to 5) {
+        val dir = tempDir(s"race$round")
+        val barrier = new java.util.concurrent.CyclicBarrier(n)
+        val futures = (1 to n).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Option[IndexLock.Held]] {
+            def call(): Option[IndexLock.Held] = {
+              barrier.await()
+              try Some(IndexLock.acquire(spark, dir, s"racer-$i"))
+              catch { case _: IndexLock.HeldByOther => None }
+            }
+          })
+        }
+        val held = futures.flatMap(_.get())
+        assert(held.size == 1,
+          s"round $round: ${held.size} concurrent acquires succeeded")
+        IndexLock.release(spark, held.head)
+        assert(IndexLock.withLock(spark, dir, "after") { 1 } == 1)
+      }
+    } finally pool.shutdown()
+  }
+
+  test("release fails closed when the lock file exists but is unreadable") {
+    val dir = tempDir("failclosed")
+    val held = IndexLock.acquire(spark, dir, "degraded-store-writer")
+    val fs = held.path.getFileSystem(spark.sessionState.newHadoopConf())
+    // make the path exist but be unreadable as a file (a directory of the
+    // same name — fs.open throws, every read retry fails)
+    fs.delete(held.path, false)
+    fs.mkdirs(held.path)
+    IndexLock.release(spark, held)
+    assert(fs.exists(held.path),
+      "release deleted an unreadable lock — the fence failed open")
+    fs.delete(held.path, true)
+  }
+
   test("stale break uses rename arbitration: no tombstones or locks leak") {
     val dir = tempDir("tomb")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())

@@ -483,6 +483,78 @@ class StreamsSpec extends SparkSpec {
     assert(graft.streaming.IngestWatermark.read(spark, s"$base/index") == wmBefore)
   }
 
+  test("ingest channels are exactly-once across crash replays: a batch " +
+    "killed between the search write and the index append re-derives the " +
+    "same search rows on replay instead of duplicating them") {
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 30)
+    val base = Files.createTempDirectory("lexwm_replay").toString
+    graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
+    val batch = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        (col("doc_id") * 100).as("ts"), col("text"))
+
+    // ATTEMPT 1 — crash between the search-channel write and the index
+    // append: the admit callback writes the channel then dies. The gate
+    // propagates the failure; the channel now holds rows for a batch the
+    // index never committed.
+    val boom = intercept[RuntimeException] {
+      Streams.watermarkGatedBatch(spark, s"$base/index", s"$base/out", 0L,
+          batch, graft.text.Bm25Index.readDoclens(spark, s"$base/index")
+            .select(col("id")), "doc_id", "ts", 100L) { fresh =>
+        graft.text.Bm25Index
+          .searchTopK(spark, s"$base/index", fresh, "doc_id", "text", 3)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/out/search/batch=0")
+        throw new RuntimeException("crash before append")
+      }
+    }
+    assert(boom.getMessage == "crash before append")
+    val firstAttempt = spark.read.parquet(s"$base/out/search/batch=0").count()
+    assert(firstAttempt > 0, "channel write must have landed before the crash")
+    assert(!spark.read.parquet(s"$base/index/doclens")
+      .collect().exists(_.getLong(0) >= 1000000), "append must NOT have landed")
+
+    // REPLAY — the full batch body runs again with the same batchId: the
+    // docs are still fresh (append never committed), so the probe re-runs
+    // and the batch-keyed Overwrite REPLACES the channel rows; an
+    // append-mode channel would now hold every row twice.
+    Streams.lexIngestBatch(spark, s"$base/index", s"$base/out", 0L, batch,
+      "doc_id", "text", "ts", 100L, 3)
+    val afterReplay = spark.read.parquet(s"$base/out/search").drop("batch")
+    assert(afterReplay.count() == firstAttempt,
+      "replay must overwrite, not duplicate, the search channel")
+    assert(afterReplay.count() == afterReplay.distinct().count())
+    val committed = spark.read.parquet(s"$base/index/doclens")
+      .collect().map(_.getLong(0)).filter(_ >= 1000000)
+    assert(committed.length == 10 && committed.distinct.length == 10)
+
+    // REPLAY AFTER FULL COMMIT — same batchId once more (crash after
+    // append, before the streaming checkpoint advanced): the marker join
+    // empties the admitted set, so neither channel nor index moves.
+    Streams.lexIngestBatch(spark, s"$base/index", s"$base/out", 0L, batch,
+      "doc_id", "text", "ts", 100L, 3)
+    assert(spark.read.parquet(s"$base/out/search").count() == firstAttempt)
+    assert(spark.read.parquet(s"$base/index/doclens")
+      .collect().map(_.getLong(0)).count(_ >= 1000000) == 10)
+
+    // same contract on the LSH path: full-commit replay of one batch
+    // leaves the cands channel and the signatures table unchanged
+    val dbase = Files.createTempDirectory("dedupwm_replay").toString
+    graft.dedup.LshDedupIndex.build(docs, "doc_id", "text", s"$dbase/index")
+    Streams.dedupIngestBatch(spark, s"$dbase/index", s"$dbase/out", 0L,
+      batch, "doc_id", "text", "ts", 100L)
+    val cands1 = spark.read.parquet(s"$dbase/out/cands").drop("batch").count()
+    Streams.dedupIngestBatch(spark, s"$dbase/index", s"$dbase/out", 0L,
+      batch, "doc_id", "text", "ts", 100L)
+    assert(spark.read.parquet(s"$dbase/out/cands").drop("batch").count() == cands1)
+    val sigIds = spark.read.parquet(s"$dbase/index/signatures")
+      .select("id").collect().map(_.getLong(0))
+    assert(sigIds.length == sigIds.distinct.length)
+  }
+
   test("IngestWatermark: versioned FS JSON — crash-safe, monotone, " +
     "cleared by index build") {
     import org.apache.spark.sql.functions._
