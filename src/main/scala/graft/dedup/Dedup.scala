@@ -407,20 +407,36 @@ object Dedup {
     * turns ANY of the pair producers above into dedup GROUPS (transitive
     * closure: a~b, b~c ⟹ {a,b,c} even when a,c never paired directly).
     *
-    * Iterative min-label propagation: every id starts as its own label;
-    * each round every id takes the minimum label in its neighborhood,
-    * checked to a fixpoint (≤ `maxIters` rounds, converging in
-    * O(graph diameter) — near-dup clusters are short-diameter in
-    * practice, so this is a handful of narrow (id, label) shuffles; no
-    * vectors, no texts, no N² anywhere). Each round's frame is
-    * `localCheckpoint`ed to cut the iterative lineage. Throws if the
-    * fixpoint is not reached within `maxIters` (truncated labels would
-    * silently split components).
+    * Iterative min-label FRONTIER propagation: every id starts as its
+    * own label; each round, only the labels that changed LAST round are
+    * delivered to their neighbors (a label that did not change was
+    * already delivered the round after it was set, and labels only
+    * decrease, so re-delivering it is a no-op — the frontier restriction
+    * is exact). Round count is O(graph diameter) — identical to full
+    * per-round propagation — but per-round cost shrinks with the
+    * frontier: once a cluster settles, its edges leave the join
+    * entirely, so late rounds touch only the few still-moving chains
+    * rather than re-shuffling every edge. The convergence check is fused
+    * into the label update (a `__changed` flag computed in the same
+    * projection), so each round costs ONE join+aggregate job plus a scan
+    * of the checkpointed result — not a second full-width join. Each
+    * round's frame is `localCheckpoint`ed to cut the iterative lineage.
+    * Throws if the fixpoint is not reached within `maxIters` (truncated
+    * labels would silently split components).
     *
     * Input: (id_a, id_b) pair rows (any extra columns ignored). Output:
     * (id, component) — component = min id of the connected component.
     */
-  def nearDupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    nearDupComponentsWithRounds(pairs, maxIters)._1
+
+  /** [[nearDupComponents]] plus the number of propagation rounds it took
+    * — the scale-contract observable (rounds track component DIAMETER,
+    * not corpus size; DedupSpec pins that invariant by measuring the
+    * same graph at 1× and 10× replication).
+    */
+  private[graft] def nearDupComponentsWithRounds(pairs: DataFrame,
+      maxIters: Int = 20): (DataFrame, Int) = {
     // symmetric edge list; self-loops drop out of min-propagation anyway
     val fwd = pairs.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
@@ -430,30 +446,34 @@ object Dedup {
       .select(col("src").as("id"),
         least(col("src"), col("component")).as("component"))
       .localCheckpoint()
+    // every initial label still awaits its first delivery to neighbors
+    var frontier = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // neighborhood minimum: my label vs the labels my neighbors carry
+      // deliver last round's changed labels to their neighbors
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(frontier.select(col("id").as("dst"),
+          col("component").as("__nbr")), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min("component").as("nbr_component"))
+        .agg(min("__nbr").as("nbr_component"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_component"),
-            col("component"))).as("component"))
+            col("component"))).as("component"),
+          // null nbr_component (no changed neighbor) compares to null →
+          // the filter below drops it, exactly "unchanged"
+          (col("nbr_component") < col("component")).as("__changed"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = next
+      frontier = next.filter(col("__changed")).select("id", "component")
+      converged = frontier.isEmpty
+      labels = next.select("id", "component")
       iter += 1
     }
     require(converged,
       s"nearDupComponents: no fixpoint after $maxIters iterations — " +
         "raise maxIters (component diameter exceeds the cap)")
-    labels
+    (labels, iter)
   }
 
   /** Ids to DROP for a near-dup-free corpus: everything except each

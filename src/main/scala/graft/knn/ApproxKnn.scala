@@ -303,17 +303,45 @@ object ApproxKnn {
     // finds which blocks actually hold ids (block index of an id = how
     // many cuts are ≤ it); empty blocks are skipped, which is exact: an
     // empty block contributes no queries, hence no result rows.
+    //
+    // The presence predicate and idBlock's per-block filters MUST
+    // evaluate the same comparison over the same RAW column: block index
+    // of an id = number of cuts c with id >= c, exactly mirroring
+    // idBlock's half-open [lo, hi) bounds. A casted copy here can
+    // disagree with the raw comparison there (a negative fractional id
+    // truncates toward zero under cast("long")), marking a block present
+    // that idBlock then empties — re-triggering the empty-query
+    // broadcastKnn failure this scan exists to prevent. Null ids satisfy
+    // no block filter, so they are dropped from the count explicitly.
     val cuts = bounds.flatMap(_._1)
     val cutArr = array(cuts.map(lit(_)): _*)
     val present = queries
-      .select(size(filter(cutArr, c => c <= col(idCol).cast("long"))).as("b"))
+      .filter(col(idCol).isNotNull)
+      .select(size(filter(cutArr, c => col(idCol) >= c)).as("b"))
       .groupBy("b").count().collect().map(_.getInt(0)).toSet
     val parts = bounds.zipWithIndex.collect {
       case ((lo, hi), i) if present(i) =>
         KnnJoin.broadcastKnn(idBlock(queries, idCol, lo, hi), candidates,
           idCol, vecCol, k, metric, excludeSelf)
     }
-    parts.reduce(_.unionByName(_))
+    unionChunked(parts)
+  }
+
+  /** Union many per-block top-k results with a bounded-lineage
+    * guarantee: every `chunk` frames, the running union is eagerly
+    * `localCheckpoint`ed, so a 1000-block catalog (10⁸ ids / 10⁵
+    * blockSize) yields a plan of ~nBlocks/chunk checkpointed leaves
+    * instead of a 1000-deep Union lineage that Catalyst must re-analyze
+    * on every action. Per-block results are top-k-sized (≤ blockSize × k
+    * rows), so the materialized chunks are small by construction; at
+    * ≤ chunk blocks — every plausible near-term catalog — no checkpoint
+    * happens and the fold is the plain union it always was.
+    */
+  private[graft] def unionChunked(parts: Seq[DataFrame],
+      chunk: Int = 32): DataFrame = {
+    val grouped = parts.grouped(chunk).map(_.reduce(_.unionByName(_))).toSeq
+    if (grouped.size == 1) grouped.head
+    else grouped.map(_.localCheckpoint()).reduce(_.unionByName(_))
   }
 
   /** Quantile-cut id-line block boundaries shared by [[blockKnn]] and
@@ -477,7 +505,7 @@ object ApproxKnn {
       else Some(pqAdcPartials(codes, bcBooks, qRows, keep, excludeSelf, cosine))
     }
     require(partials.nonEmpty, "pqBlockKnn: empty query side")
-    val shortList = HnswSearch.topKMerge(partials.reduce(_.unionByName(_)), keep)
+    val shortList = HnswSearch.topKMerge(unionChunked(partials), keep)
     if (rerank <= 0) shortList.filter(col("rank") <= k)
     else pqExactRerank(shortList, queries, candidates, idCol, vecCol, k,
       cosine, broadcastQueries = false)

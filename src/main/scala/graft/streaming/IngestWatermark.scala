@@ -44,20 +44,47 @@ object IngestWatermark {
   /** Current watermark, or Long.MinValue if never advanced. Highest
     * parseable version wins; a torn file from a crashed write (possible
     * only for the newest version) falls through to the one before it.
+    *
+    * Indexes written before the versioned-JSON store kept the watermark
+    * as a one-row parquet table at `<indexDir>/ingest_watermark`; when no
+    * JSON version exists, that legacy table is read as the seed — an
+    * index upgraded in place must NOT silently reset to Long.MinValue
+    * and re-admit rows its previous life already classified as late. The
+    * legacy read costs one Spark job, paid only on the first read after
+    * an upgrade (the next [[write]] publishes a JSON version, after
+    * which the legacy table is never consulted again).
     */
   def read(spark: SparkSession, indexDir: String): Long = {
     val dir = ingestDir(indexDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) return Long.MinValue
-    val versions = fs.listStatus(dir).iterator.flatMap { st =>
-      st.getPath.getName match {
-        case FilePattern(n) => Some((n.toLong, st.getPath))
-        case _              => None
+    val fromJson: Option[Long] =
+      if (!fs.exists(dir)) None
+      else {
+        val versions = fs.listStatus(dir).iterator.flatMap { st =>
+          st.getPath.getName match {
+            case FilePattern(n) => Some((n.toLong, st.getPath))
+            case _              => None
+          }
+        }.toSeq.sortBy(-_._1)
+        versions.iterator.flatMap { case (_, p) => parse(fs, p) }.nextOption()
       }
-    }.toSeq.sortBy(-_._1)
-    versions.iterator.flatMap { case (_, p) => parse(fs, p) }
-      .nextOption()
+    fromJson.orElse(readLegacy(spark, indexDir, fs))
       .getOrElse(Long.MinValue)
+  }
+
+  /** Pre-versioned-store watermark: one-row parquet under
+    * `<indexDir>/ingest_watermark` with a single `wm` long column.
+    */
+  private def readLegacy(spark: SparkSession, indexDir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Option[Long] = {
+    val legacy = new Path(indexDir, "ingest_watermark")
+    if (!fs.exists(legacy)) None
+    else
+      try {
+        import spark.implicits._
+        spark.read.parquet(legacy.toString).select("wm").as[Long]
+          .collect().headOption
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Persist `wm` as the next version and prune older ones. Not

@@ -150,6 +150,32 @@ class ApproxKnnSpec extends SparkSpec {
     assert(blocked == whole)
   }
 
+  test("blockKnn: ≥32 blocks takes the chunked-checkpoint fold, bounded lineage") {
+    // 80 ids at blockSize=2 forces ~40 blocks — past the 32-block chunk
+    // where unionChunked starts checkpointing — so this exercises BOTH
+    // the eager chunk materialization and the cross-chunk union. Results
+    // must still be rank-exact vs one broadcast, and the final plan must
+    // be a shallow union of checkpointed leaves, not a 40-deep Union.
+    import spark.implicits._
+    val many = (1 to 80)
+      .map(i => (i.toLong, Array.tabulate(4)(j => ((i * 13 + j) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val whole = KnnJoin.broadcastKnn(many, many, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blockedDf = ApproxKnn.blockKnn(many, many, "vec_id", "embedding", 3,
+      blockSize = 2)
+    val unions = blockedDf.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.size
+    assert(unions <= 4,
+      s"expected a shallow post-checkpoint plan, found $unions Union nodes")
+    val blocked = blockedDf
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == whole)
+  }
+
   test("truncatedKnn: full-dim degenerates to exact; dist is full-dim") {
     val full = ApproxKnn.truncatedKnn(emb, emb, "vec_id", "embedding",
         k = 5, truncDim = 64)

@@ -294,6 +294,31 @@ class DedupSpec extends SparkSpec {
     assert(dropped == expected.toMap.keySet -- Set(1L, 10L, 20L, 100L))
   }
 
+  test("nearDupComponents: rounds track diameter, NOT corpus size (scale contract)") {
+    import spark.implicits._
+    // the q66-at-10× growth question (round-11 probe's worst, 4.8×):
+    // the iteration count must be a function of component DIAMETER
+    // alone — replicating the same graph shape 10× (disjoint id ranges)
+    // must not add a single round. The per-round work grows with data,
+    // the number of rounds does not; growth is therefore bounded by
+    // rounds(diameter) × per-round-linear.
+    def pathGraph(copies: Int): org.apache.spark.sql.DataFrame =
+      (0 until copies).flatMap { c =>
+        (0L until 8L).map(i => (c * 1000L + i, c * 1000L + i + 1))
+      }.toDF("id_a", "id_b")
+    val (one, r1) = Dedup.nearDupComponentsWithRounds(pathGraph(1), 20)
+    val (ten, r10) = Dedup.nearDupComponentsWithRounds(pathGraph(10), 20)
+    assert(r10 == r1, s"rounds grew with replication: $r1 → $r10")
+    assert(one.count() == 9 && ten.count() == 90)
+    // and the labels are still the transitive-closure minimum per copy
+    assert(ten.collect().forall(r => r.getLong(1) == (r.getLong(0) / 1000L) * 1000L))
+    // q66's own graph shape (disjoint pairs, diameter 1) settles in the
+    // minimum possible 2 rounds: one delivery + one empty-frontier check
+    val pairs = (0L until 100L).map(i => (i, i + 1000000L)).toDF("id_a", "id_b")
+    val (_, rPairs) = Dedup.nearDupComponentsWithRounds(pairs, 20)
+    assert(rPairs <= 2, s"diameter-1 graph took $rPairs rounds")
+  }
+
   test("nearDupComponents: diameter beyond maxIters fails loudly") {
     import spark.implicits._
     val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")

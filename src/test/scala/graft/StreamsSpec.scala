@@ -592,4 +592,29 @@ class StreamsSpec extends SparkSpec {
     graft.text.Bm25Index.build(docs, "doc_id", "text", dir)
     assert(wm.read(spark, dir) == Long.MinValue)
   }
+
+  test("IngestWatermark: legacy one-row-parquet store is read as the seed " +
+    "on upgrade, superseded by the first JSON write") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wm_legacy").toString
+    val wm = graft.streaming.IngestWatermark
+    // an index written before the versioned-JSON store: watermark lives
+    // as a one-row parquet table at <indexDir>/ingest_watermark
+    Seq(1234L).toDF("wm").write.parquet(s"$dir/ingest_watermark")
+    // upgraded-in-place read must see the legacy value, not MinValue
+    // (a silent reset would re-admit rows already classified as late)
+    assert(wm.read(spark, dir) == 1234L)
+    // the first advance publishes a JSON version, which then wins even
+    // though the legacy table still exists on disk
+    wm.write(spark, dir, 2000L)
+    assert(wm.read(spark, dir) == 2000L)
+    assert(new java.io.File(s"$dir/ingest_watermark").exists())
+    // an unreadable legacy table degrades to MinValue, not a crash
+    val dir2 = Files.createTempDirectory("wm_legacy2").toString
+    new java.io.File(s"$dir2/ingest_watermark").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/ingest_watermark/part-0.parquet"),
+      "not parquet")
+    assert(wm.read(spark, dir2) == Long.MinValue)
+  }
 }
