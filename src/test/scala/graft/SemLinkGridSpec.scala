@@ -70,36 +70,67 @@ class SemLinkGridSpec extends SparkSpec {
     assert(row.getAs[Long]("tp") == 8L && row.getAs[Double]("recall") == 0.8)
   }
 
-  test("exportGrid golden files: byte-level content of the reference-parity CSVs") {
+  test("exportGrid golden files: pinned content of the reference-parity CSVs") {
     // Pins the EXPORTED ARTIFACTS themselves (not just the metrics frame
     // the other tests cover): the deterministic pipeline on the sf0.001
-    // fixture lake must reproduce these files byte-for-byte — header
-    // text, row order (sorted by distance then keys), float rendering.
+    // fixture lake must reproduce these files exactly — header text, row
+    // order (sorted by distance then keys), and VALUES. Distances are
+    // pinned as parsed doubles (bit-exact via doubleToLongBits), not as
+    // rendered strings: JDK 19 changed Double.toString to
+    // shortest-decimal form, so an MD5 over raw renderings would break
+    // on a JDK upgrade with numerically identical results. Two cells are
+    // pinned — (k=5, t=1.1) and the looser (k=10, t=1.4) — so the
+    // multi-cell export loop's per-cell file layout is covered too.
     def csvLines(dir: String): Seq[String] = {
       val f = new java.io.File(dir).listFiles
         .filter(_.getName.endsWith(".csv"))
       assert(f.length == 1, s"expected ONE csv under $dir")
       scala.io.Source.fromFile(f.head).getLines().toSeq
     }
+    // canonical digest: key columns verbatim, distance as raw double bits
+    def pairsDigest(lines: Seq[String]): String = {
+      val canon = lines.tail.map { l =>
+        val cols = l.split(",")
+        assert(cols.length == 5, s"bad pair line: $l")
+        cols.take(4).mkString(",") + "," +
+          java.lang.Double.doubleToLongBits(cols(4).toDouble).toHexString
+      }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
     val out = java.nio.file.Files.createTempDirectory("grid_golden").toString
     SemLinkGrid.exportGrid(spark, sf0001, gt, out,
-      ks = Seq(5), thresholds = Seq(1.1))
-    assert(csvLines(s"$out/evaluation_results") == Seq(
-      "k,threshold,tp,fp,fn,precision,recall,f1,ndcg",
-      "5,1.1,8,127,2,0.0593,0.8,0.1103,0.693"))
+      ks = Seq(5, 10), thresholds = Seq(1.1, 1.4))
+    val eval = csvLines(s"$out/evaluation_results")
+    assert(eval.head == "k,threshold,tp,fp,fn,precision,recall,f1,ndcg")
+    assert(eval.size == 5) // header + 4 cells
+    // metric values parse-compared (4-dp rounded upstream, so exact)
+    val evalParsed = eval.tail.map { l =>
+      val c = l.split(",")
+      (c(0).toInt, c(1).toDouble, c(2).toLong, c(3).toLong, c(4).toLong,
+        c(5).toDouble, c(6).toDouble, c(7).toDouble, c(8).toDouble)
+    }
+    assert(evalParsed.contains((5, 1.1, 8L, 127L, 2L, 0.0593, 0.8, 0.1103, 0.693)))
+    assert(evalParsed.contains((10, 1.4, 10L, 360L, 0L, 0.027, 1.0, 0.0526, 0.7651)))
+    // cell (5, 1.1): 135 discovered pairs, order + values pinned
     val pairs = csvLines(s"$out/pairs_k5_t1.1")
     assert(pairs.size == 136) // header + 135 discovered pairs
-    assert(pairs.take(4) == Seq(
-      "t1,c1,t2,c2,distance_anns",
-      "lineitem,l_shipdate,orders,o_orderdate,0.021429170682671934",
-      "orders,o_orderdate,lineitem,l_shipdate,0.021429170682671934",
-      "lineitem,l_discount,lineitem,l_tax,0.08806261538393166"))
-    assert(pairs.last == "supplier,s_acctbal,customer,c_custkey,1.199283911921412")
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(pairs.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(md5 == "3fb35232a8362e8138d99abc090bfa43",
+    assert(pairs.head == "t1,c1,t2,c2,distance_anns")
+    val first = pairs(1).split(",")
+    assert(first.take(4).toSeq == Seq("lineitem", "l_shipdate", "orders", "o_orderdate"))
+    assert(first(4).toDouble == 0.021429170682671934)
+    assert(pairs.last.split(",").take(4).toSeq ==
+      Seq("supplier", "s_acctbal", "customer", "c_custkey"))
+    assert(pairs.last.split(",")(4).toDouble == 1.199283911921412)
+    assert(pairsDigest(pairs) == "24426b31b66a00df1c6421dad14fb64b",
       "pairs_k5_t1.1 content drifted from the golden export")
+    // cell (10, 1.4): the looser threshold at the deeper k — a superset
+    // of the (5, 1.1) pair set, separately pinned
+    val pairs14 = csvLines(s"$out/pairs_k10_t1.4")
+    assert(pairs14.size == 371) // header + 370 discovered pairs
+    assert(pairsDigest(pairs14) == "40c98ff116abc2bee4736cb6b87117fc",
+      "pairs_k10_t1.4 content drifted from the golden export")
   }
 
   test("gridKnn size gate: forced block path ≡ single-broadcast path (no full-catalog collect)") {
