@@ -96,6 +96,14 @@ object MakeScale {
   * less — fixed micro-batch/driver overheads amortize); a hidden
   * quadratic grain grows ~100× and is unmissable.
   *
+  * Besides the named `SparkEntry.queries`, the probe always measures the
+  * flagship grid's MULTI-BLOCK kNN escalation directly: `blockKnn` over
+  * the embeddings corpus with blockSize forced to ~n/8 (8 quantile-cut
+  * blocks — the path a 10⁶-column catalog takes) vs the single-broadcast
+  * collapse, asserting the two paths' result hashes are EQUAL on the
+  * scaled corpus (the spec-level guarantee, re-checked at probe scale)
+  * and reporting both paths' growth.
+  *
   * Usage: runMain graft.ScaleProbe <smallDir> <bigDir> <outJson> [q,...]
   */
 object ScaleProbe {
@@ -136,10 +144,52 @@ object ScaleProbe {
       val b = runOne(n, big)
       (n, s, b, b / s)
     }
-    val json = rows.map { case (n, s, b, g) =>
+
+    // Flagship multi-block escalation, measured directly: blockKnn with
+    // 8 forced quantile-cut blocks vs the one-broadcast collapse. The
+    // unordered result hash (bit_xor of per-row xxhash64 over ids +
+    // rank + 6-dp dist — order-independent, cannot overflow under ANSI
+    // arithmetic the way a sum of full-range longs does) must MATCH
+    // between the two paths — both are exact kNN.
+    def blockProbe(dir: String): (Double, Double, Long, Long) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val n = emb.count()
+      val multiBlock = math.max(1L, n / 8).toInt
+      def run(blockSize: Int): (Double, Long) = {
+        def once(): Long = graft.knn.ApproxKnn
+          .blockKnn(emb, emb, "vec_id", "embedding", k = 10,
+            blockSize = blockSize)
+          .select(xxhash64(col("query_id"), col("neighbor_id"),
+            col("rank"), round(col("dist"), 6)).as("rh"))
+          .agg(expr("bit_xor(rh)").as("h"))
+          .collect()(0).getLong(0)
+        once() // warm
+        val timed = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val h = once()
+          ((System.nanoTime() - t0) / 1e9, h)
+        }
+        (timed.map(_._1).min, timed.head._2)
+      }
+      val (tMulti, hMulti) = run(multiBlock)
+      val (tSingle, hSingle) = run(Int.MaxValue)
+      (tMulti, tSingle, hMulti, hSingle)
+    }
+    val (smM, smS, smHm, smHs) = blockProbe(small)
+    val (bgM, bgS, bgHm, bgHs) = blockProbe(big)
+    require(smHm == smHs && bgHm == bgHs,
+      s"blockKnn multi-block hash diverged from single-block: " +
+        s"small $smHm/$smHs big $bgHm/$bgHs")
+
+    val extra = Seq(
+      f""""blockknn_multi8":{"small_s":$smM%.3f,"big_s":$bgM%.3f,"growth":${bgM / smM}%.2f}""",
+      f""""blockknn_single":{"small_s":$smS%.3f,"big_s":$bgS%.3f,"growth":${bgS / smS}%.2f}""")
+    val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
-    }.mkString(
-      s"""{"small":"$small","big":"$big","queries":{""", ",", "}}")
+    } ++ extra).mkString(
+      s"""{"small":"$small","big":"$big","block_hash_equal":true,"queries":{""",
+      ",", "}}")
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     spark.stop()
