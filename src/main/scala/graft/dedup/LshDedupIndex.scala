@@ -132,6 +132,26 @@ object LshDedupIndex {
     val numHashes = bands * rowsPerBand
     val signed = Dedup.minhashSigned(docs, idCol, textCol, shingleSize, numHashes)
       .localCheckpoint()
+    writeSigned(signed, dir, bands, rowsPerBand, mode, needCount = true)
+  }
+
+  /** The write half of [[writeState]], callable with a caller-shared
+    * `signed` frame (one [[Dedup.minhashSigned]] kernel pass,
+    * localCheckpoint-ed) — a streaming micro-batch signs its batch ONCE
+    * and both its probe ([[candidatesAgainst]] `preSigned`) and its
+    * append reuse the materialized signatures, instead of running the
+    * MinHash kernel over the text twice. Write order is the append
+    * crash-safety protocol (bands stage first, the signatures write is
+    * the commit point). `needCount = false` skips the count job for
+    * callers that ignore the return value and returns -1.
+    */
+  private[graft] def writeSigned(
+      signed: DataFrame,
+      dir: String,
+      bands: Int,
+      rowsPerBand: Int,
+      mode: SaveMode,
+      needCount: Boolean): Long = {
     // band rows are (band, band_hash, id) — 20 bytes of data per row, the
     // whole bucket structure; partitioned by band so a reduced-band probe
     // prunes directories at file-listing level
@@ -146,7 +166,7 @@ object LshDedupIndex {
       .parquet(s"$dir/bands")
     // commit point (see the write-order doc above)
     signed.write.mode(mode).parquet(s"$dir/signatures")
-    signed.count()
+    if (needCount) signed.count() else -1L
   }
 
   private def loadParams(spark: SparkSession, dir: String): (Int, Int, Int) = {
@@ -154,6 +174,25 @@ object LshDedupIndex {
       .select("shingle_size", "bands", "rows_per_band").collect()
     require(rows.length == 1, s"LshDedupIndex: malformed params under $dir")
     (rows.head.getInt(0), rows.head.getInt(1), rows.head.getInt(2))
+  }
+
+  /** (shingleSize, bands, rowsPerBand) — exposed so a per-batch caller
+    * loads params ONCE for both its [[candidatesAgainst]] probe
+    * (`preParams`) and its [[writeSigned]] append.
+    */
+  private[graft] def paramsOf(spark: SparkSession, dir: String): (Int, Int, Int) =
+    loadParams(spark, dir)
+
+  /** Sign a batch under `params` ([[paramsOf]]) — the one MinHash kernel
+    * pass a streaming micro-batch shares between its probe (`preSigned`)
+    * and its append ([[appendSigned]]); localCheckpoint-ed so both
+    * consumers read the materialized signatures.
+    */
+  private[graft] def signBatch(docs: DataFrame, idCol: String,
+      textCol: String, params: (Int, Int, Int)): DataFrame = {
+    val (shingleSize, bands, rowsPerBand) = params
+    Dedup.minhashSigned(docs, idCol, textCol, shingleSize,
+      bands * rowsPerBand).localCheckpoint()
   }
 
   /** Add a new batch WITHOUT touching existing state: one signature pass
@@ -190,6 +229,29 @@ object LshDedupIndex {
       graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.append") {
         appendImpl(spark, dir, newDocs, idCol, textCol, checkPresence,
           checkBatchUnique)
+      }
+
+  /** Streaming-batch append over a caller-shared signed frame
+    * ([[Dedup.minhashSigned]] under this index's params,
+    * localCheckpoint-ed): the per-batch fast path — no re-sign, no
+    * params read, no count job. The caller owns the guards [[append]]'s
+    * flags would run. `takeLock = false` for callers already holding the
+    * writer lock.
+    */
+  private[graft] def appendSigned(
+      spark: SparkSession,
+      dir: String,
+      signed: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      takeLock: Boolean): Unit =
+    if (!takeLock) {
+      writeSigned(signed, dir, bands, rowsPerBand, SaveMode.Append,
+        needCount = false); ()
+    } else
+      graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.append") {
+        writeSigned(signed, dir, bands, rowsPerBand, SaveMode.Append,
+          needCount = false); ()
       }
 
   private def appendImpl(
@@ -246,16 +308,24 @@ object LshDedupIndex {
       idCol: String,
       textCol: String,
       probeBands: Int = 0,
-      preSigs: Option[DataFrame] = None): DataFrame = {
-    val (shingleSize, bands, rowsPerBand) = loadParams(spark, dir)
+      preSigs: Option[DataFrame] = None,
+      preSigned: Option[DataFrame] = None,
+      preParams: Option[(Int, Int, Int)] = None): DataFrame = {
+    val (shingleSize, bands, rowsPerBand) =
+      preParams.getOrElse(loadParams(spark, dir))
     val numHashes = bands * rowsPerBand
     require(probeBands >= 0 && probeBands <= bands,
       s"LshDedupIndex: probeBands must be in [0, $bands], got $probeBands")
     val nProbe = if (probeBands == 0) bands else probeBands
     // one kernel pass over the (batch-sized) probe side: referenced by
-    // both the band explode and the signature fetch below
-    val signed = Dedup.minhashSigned(newDocs, idCol, textCol, shingleSize,
-      numHashes).localCheckpoint()
+    // both the band explode and the signature fetch below — or shared
+    // wider via preSigned: a streaming micro-batch signs once and this
+    // probe AND its index append ([[writeSigned]]) reuse the same
+    // materialized signatures (must be [[Dedup.minhashSigned]] output
+    // under THIS index's params)
+    val signed = preSigned.getOrElse(
+      Dedup.minhashSigned(newDocs, idCol, textCol, shingleSize,
+        numHashes).localCheckpoint())
     val newBanded = signed
       .select(col("id").as("new_id"),
         explode(Dedup.bandStructs(col("sig"), nProbe, rowsPerBand)).as("bk"))

@@ -342,12 +342,19 @@ object Streams {
           b(idCol).cast("long") === sigs("id"), "left_anti")
           .localCheckpoint()
         if (!fresh.isEmpty) {
+          // one MinHash kernel pass + one params read per batch, shared
+          // by the probe and the append — the dedupIngestBatch fast path
+          val params @ (_, bands, rpb) = graft.dedup.LshDedupIndex
+            .paramsOf(sp, indexDir)
+          val signed = graft.dedup.LshDedupIndex
+            .signBatch(fresh, idCol, textCol, params)
           graft.dedup.LshDedupIndex
             .candidatesAgainst(sp, indexDir, fresh, idCol, textCol,
-              preSigs = Some(sigs))
+              preSigs = Some(sigs), preSigned = Some(signed),
+              preParams = Some(params))
             .write.mode("append").parquet(outDir)
-          graft.dedup.LshDedupIndex.append(sp, indexDir, fresh, idCol, textCol,
-            checkPresence = false, checkBatchUnique = false)
+          graft.dedup.LshDedupIndex.appendSigned(sp, indexDir, signed,
+            bands, rpb, takeLock = true)
         }
         ()
       }
@@ -424,12 +431,21 @@ object Streams {
           b(idCol).cast("long") === dl("id"), "left_anti")
           .localCheckpoint()
         if (!fresh.isEmpty) {
+          // one tokenize pass + one params read per batch, shared by the
+          // probe and the append — the lexIngestBatch gate's fast path
+          val nb = graft.text.Bm25Index.nBucketsOf(sp, indexDir)
+          val tf = graft.text.Bm25Index
+            .tokenFrequencies(fresh, idCol, textCol)
+            .localCheckpoint(eager = false)
           graft.text.Bm25Index
             .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
-              preDoclens = Some(dl))
+              preDoclens = Some(dl),
+              preQTerms = Some(tf.select(col("id").as("query_id"),
+                col("term"))),
+              preNBuckets = Some(nb))
             .write.mode("append").parquet(outDir)
-          graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol,
-            checkPresence = false, checkBatchUnique = false)
+          graft.text.Bm25Index.appendTf(sp, indexDir, tf, nb,
+            takeLock = true)
         }
         ()
       }
@@ -557,14 +573,24 @@ object Streams {
       .localCheckpoint(eager = false)
     watermarkGatedBatch(sp, indexDir, outDir, batchId, b,
         dl.select(col("id")), idCol, tsCol, lateness) { fresh =>
+      // ONE tokenize pass for the whole batch: the tf frame feeds the
+      // probe's query-term set (preQTerms — tf rows are unique per
+      // (id, term), matching queryTerms' array_distinct) AND the index
+      // append (appendTf); params are read once and shared the same way
+      val nb = graft.text.Bm25Index.nBucketsOf(sp, indexDir)
+      val tf = graft.text.Bm25Index
+        .tokenFrequencies(fresh, idCol, textCol)
+        .localCheckpoint(eager = false)
+      sp.sparkContext.setJobDescription("graft ingest: search")
       graft.text.Bm25Index
         .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
-          preDoclens = Some(dl))
+          preDoclens = Some(dl),
+          preQTerms = Some(tf.select(col("id").as("query_id"), col("term"))),
+          preNBuckets = Some(nb))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/search/batch=$batchId")
-      graft.text.Bm25Index.append(sp, indexDir, fresh, idCol, textCol,
-        checkPresence = false, checkBatchUnique = false,
-        takeLock = false)
+      sp.sparkContext.setJobDescription("graft ingest: append")
+      graft.text.Bm25Index.appendTf(sp, indexDir, tf, nb, takeLock = false)
     }
   }
 
@@ -623,18 +649,29 @@ object Streams {
           col(idCol).cast("long") === col("__cid"), "left")
         .localCheckpoint(eager = false)
       val isFresh = col("__cid").isNull
+      sp.sparkContext.setJobDescription("graft ingest: lateness gate")
       val stats = marked.agg(
         count(lit(1)).as("n"),
         max(ts).as("max_ts"),
-        count(when(isFresh && ts >= wm, 1)).as("n_admit")).collect().head
+        count(when(isFresh && ts >= wm, 1)).as("n_admit"),
+        count(when(isFresh && (ts.isNull || ts < wm), 1)).as("n_late"))
+        .collect().head
       if (stats.getLong(0) > 0) {
         // NULL event time is unclassifiable — audited to late/ (ts NULL),
         // never admitted. A bare `ts < wm` / `ts >= wm` filter pair would
-        // silently drop null-ts rows from BOTH channels.
-        marked.filter(isFresh && (ts.isNull || ts < wm))
-          .select(col(idCol).cast("long").as("id"), ts.as("ts"))
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$outDir/late/batch=$batchId")
+        // silently drop null-ts rows from BOTH channels. A batch with NO
+        // late rows skips the (empty) audit write entirely — one fewer
+        // job per on-time batch, and still exactly-once on replay: the
+        // late verdict is deterministic in (batch, pre-batch watermark),
+        // so a replay that computes zero late rows computed zero the
+        // first time too — there is no stale partition to overwrite.
+        if (stats.getLong(3) > 0) {
+          sp.sparkContext.setJobDescription("graft ingest: late audit")
+          marked.filter(isFresh && (ts.isNull || ts < wm))
+            .select(col(idCol).cast("long").as("id"), ts.as("ts"))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/late/batch=$batchId")
+        }
         if (stats.getLong(2) > 0)
           admit(marked.filter(isFresh && ts >= wm).drop("__cid")
             .localCheckpoint(eager = false))
@@ -642,6 +679,7 @@ object Streams {
           IngestWatermark.write(sp, indexDir,
             math.max(wm, stats.getLong(1) - lateness))
       }
+      sp.sparkContext.setJobDescription(null)
     }
 
   /** [[dedupIngestOnce]] with the same event-time lateness gate as
@@ -719,14 +757,23 @@ object Streams {
       .localCheckpoint(eager = false)
     watermarkGatedBatch(sp, indexDir, outDir, batchId, b,
         sigs.select(col("id")), idCol, tsCol, lateness) { fresh =>
+      // ONE MinHash kernel pass for the whole batch: the signed frame
+      // feeds the probe (preSigned) AND the index append (appendSigned);
+      // params are read once and shared the same way
+      val params @ (_, bands, rpb) = graft.dedup.LshDedupIndex
+        .paramsOf(sp, indexDir)
+      val signed = graft.dedup.LshDedupIndex
+        .signBatch(fresh, idCol, textCol, params)
+      sp.sparkContext.setJobDescription("graft ingest: probe")
       graft.dedup.LshDedupIndex
         .candidatesAgainst(sp, indexDir, fresh, idCol, textCol,
-          preSigs = Some(sigs))
+          preSigs = Some(sigs), preSigned = Some(signed),
+          preParams = Some(params))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/cands/batch=$batchId")
-      graft.dedup.LshDedupIndex.append(sp, indexDir, fresh, idCol,
-        textCol, checkPresence = false, checkBatchUnique = false,
-        takeLock = false)
+      sp.sparkContext.setJobDescription("graft ingest: append")
+      graft.dedup.LshDedupIndex.appendSigned(sp, indexDir, signed,
+        bands, rpb, takeLock = false)
     }
   }
 

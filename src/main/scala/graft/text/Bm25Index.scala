@@ -104,6 +104,22 @@ object Bm25Index {
     }
   }
 
+  /** The (id, th, term, tf) term-frequency frame of a document batch —
+    * the ONE tokenize (explode + groupBy) pass whose output feeds every
+    * index-state consumer: the postings write, the doclens write, and
+    * (via [[searchTopK]]'s `preQTerms`) the probe's query-term set. A
+    * streaming micro-batch computes this once, lazy-localCheckpoint-ed,
+    * and both its search and its append reuse it — one text scan per
+    * batch, not two.
+    */
+  private[graft] def tokenFrequencies(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        xxhash64(coalesce(col(textCol), lit(""))).as("th"),
+        explode(Bm25.toks(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "th", "term").agg(count(lit(1)).as("tf"))
+
   /** Tokenize + write shared by [[build]] and [[append]]: ONE explode +
     * groupBy pass over the batch produces the (id, th, term, tf) frame
     * (lazy-localCheckpoint-ed — it feeds the postings write, the doclens
@@ -115,13 +131,25 @@ object Bm25Index {
       textCol: String,
       dir: String,
       nBuckets: Int,
-      mode: SaveMode): Long = {
-    val tf = docs.select(col(idCol).cast("long").as("id"),
-        xxhash64(coalesce(col(textCol), lit(""))).as("th"),
-        explode(Bm25.toks(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("id", "th", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      mode: SaveMode): Long =
+    writeTf(tokenFrequencies(docs, idCol, textCol)
+      .localCheckpoint(eager = false), dir, nBuckets, mode,
+      needCount = true)
+
+  /** The write half of [[writeState]], callable with a caller-shared
+    * `tf` frame ([[tokenFrequencies]], ideally lazy-localCheckpoint-ed).
+    * Write order is the crash-safety protocol (postings stage first, the
+    * doclens write is the commit point). `needCount = false` skips the
+    * final count job for callers that ignore the return value (the
+    * streaming ingesters — one fewer scheduler round-trip per batch) and
+    * returns -1.
+    */
+  private[graft] def writeTf(
+      tf: DataFrame,
+      dir: String,
+      nBuckets: Int,
+      mode: SaveMode,
+      needCount: Boolean): Long = {
     tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode(mode)
@@ -131,7 +159,7 @@ object Bm25Index {
     val dl = tf.groupBy("id", "th").agg(sum("tf").as("dl"))
       .localCheckpoint(eager = false)
     dl.write.mode(mode).parquet(s"$dir/doclens")
-    dl.count()
+    if (needCount) dl.count() else -1L
   }
 
   private def loadParams(spark: SparkSession, dir: String): Int = {
@@ -139,6 +167,14 @@ object Bm25Index {
     require(rows.length == 1, s"Bm25Index: malformed params under $dir")
     rows.head.getInt(0)
   }
+
+  /** The index's bucket count — exposed so a per-batch caller can load
+    * params ONCE and hand them to both [[searchTopK]] (`preNBuckets`)
+    * and [[writeTf]], instead of paying the params collect twice per
+    * micro-batch.
+    */
+  private[graft] def nBucketsOf(spark: SparkSession, dir: String): Int =
+    loadParams(spark, dir)
 
   private def readPostings(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(postingsSchema).parquet(s"$dir/postings")
@@ -185,6 +221,25 @@ object Bm25Index {
       graft.util.IndexLock.withLock(spark, dir, "Bm25Index.append") {
         appendImpl(spark, dir, newDocs, idCol, textCol, checkPresence,
           checkBatchUnique)
+      }
+
+  /** Streaming-batch append over a caller-shared [[tokenFrequencies]]
+    * frame and preloaded bucket count: the per-batch fast path — no
+    * re-tokenize, no params read, no count job. The caller owns the
+    * guards [[append]]'s flags would run (absence via its anti-join,
+    * within-batch uniqueness by input contract). `takeLock = false` for
+    * callers already holding the writer lock.
+    */
+  private[graft] def appendTf(
+      spark: SparkSession,
+      dir: String,
+      tf: DataFrame,
+      nBuckets: Int,
+      takeLock: Boolean): Unit =
+    if (!takeLock) { writeTf(tf, dir, nBuckets, SaveMode.Append, needCount = false); () }
+    else
+      graft.util.IndexLock.withLock(spark, dir, "Bm25Index.append") {
+        writeTf(tf, dir, nBuckets, SaveMode.Append, needCount = false); ()
       }
 
   private def appendImpl(
@@ -242,10 +297,22 @@ object Bm25Index {
       topK: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75,
-      preDoclens: Option[DataFrame] = None): DataFrame = {
-    val nBuckets = loadParams(spark, dir)
-    val qterms = Bm25.queryTerms(queries, qIdCol, qTextCol)
-      .localCheckpoint(eager = false)
+      preDoclens: Option[DataFrame] = None,
+      preQTerms: Option[DataFrame] = None,
+      preNBuckets: Option[Int] = None): DataFrame = {
+    val nBuckets = preNBuckets.getOrElse(loadParams(spark, dir))
+    // preQTerms: a caller-supplied (query_id, term) frame — a streaming
+    // micro-batch that already tokenized the batch for its index append
+    // ([[tokenFrequencies]]) derives the query-term set from the same
+    // checkpointed pass (tf rows are unique per (id, term), matching
+    // queryTerms' array_distinct) instead of re-tokenizing the text
+    preQTerms.foreach { q =>
+      require(q.columns.contains("query_id") && q.columns.contains("term"),
+        "Bm25Index.searchTopK: preQTerms needs (query_id, term) columns")
+    }
+    val qterms = preQTerms.getOrElse(
+      Bm25.queryTerms(queries, qIdCol, qTextCol)
+        .localCheckpoint(eager = false))
     // bounded driver collect: one bucket id per distinct query term, the
     // static partition filter that prunes the postings listing
     val buckets = qterms
