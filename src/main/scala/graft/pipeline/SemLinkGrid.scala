@@ -62,7 +62,10 @@ object SemLinkGrid {
       catalog: DataFrame, // (key, vec) + anything else, pruned here
       groundTruth: DataFrame, // (q, c) on catalog keys
       ks: Seq[Int],
-      thresholds: Seq[Double]): Seq[GridCell] = {
+      thresholds: Seq[Double],
+      annAbove: Long = Long.MaxValue,
+      nList: Int = 64,
+      nProbe: Int = 16): Seq[GridCell] = {
     val embedded = catalog.select("key", "vec").cache()
 
     // symmetric GT (join_discoverer.py:392–397): output (query, candidate)
@@ -71,7 +74,8 @@ object SemLinkGrid {
 
     val kMax = ks.max
     // ONE kNN pass at kMax; every (k, t) cell is a pure filter over it
-    val knn = gridKnn(embedded, kMax).cache()
+    val knn = gridKnn(embedded, kMax, annAbove = annAbove,
+      nList = nList, nProbe = nProbe).cache()
     knn.count() // materialize once
 
     for (k <- ks; t <- thresholds) yield {
@@ -109,15 +113,37 @@ object SemLinkGrid {
     * exact union of per-block top-k), and collapses to the single
     * broadcast pass when the catalog fits one block — so the metadata-
     * sized case pays nothing for the gate.
+    *
+    * Compute gate (`annAbove`): exact self-kNN is O(N²·d) distance work
+    * no matter how it is blocked — the right ENGINE for a catalog past
+    * ~annAbove keys is IVF ([[graft.knn.ApproxKnn.ivfKnn]]: cluster-
+    * pruned candidate generation, same output contract), trading exact
+    * recall for cluster-bounded work exactly as the reference's FAISS
+    * switch from IndexFlatL2 to an IVF index would
+    * (join_discoverer.py:209 trains a flat index — the reference never
+    * met a catalog big enough to need this; at nProbe = nList the IVF
+    * path degenerates to exhaustive search and reproduces the exact
+    * ranking, which is how the spec pins it). Default = MaxValue: every
+    * oracle path stays exact.
     */
   private[graft] def gridKnn(embedded: DataFrame, kMax: Int,
-      blockSize: Int = 100000): DataFrame = {
+      blockSize: Int = 100000,
+      annAbove: Long = Long.MaxValue,
+      nList: Int = 64,
+      nProbe: Int = 16): DataFrame = {
     val withId = embedded
       .withColumn("id", xxhash64(col("key")))
       .select("id", "key", "vec")
     val keys = withId.select("id", "key")
-    graft.knn.ApproxKnn.blockKnn(withId, withId, "id", "vec", kMax,
-        KnnJoin.MetricL2Sq, blockSize = blockSize, excludeSelf = true)
+    val core =
+      if (annAbove != Long.MaxValue && withId.count() > annAbove)
+        graft.knn.ApproxKnn.ivfKnn(withId, withId, "id", "vec", kMax,
+          nList = nList, nProbe = nProbe, metric = KnnJoin.MetricL2Sq,
+          excludeSelf = true)
+      else
+        graft.knn.ApproxKnn.blockKnn(withId, withId, "id", "vec", kMax,
+          KnnJoin.MetricL2Sq, blockSize = blockSize, excludeSelf = true)
+    core
       .join(broadcast(keys.withColumnRenamed("id", "query_id")
         .withColumnRenamed("key", "__qkey")), Seq("query_id"))
       .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")
@@ -140,13 +166,21 @@ object SemLinkGrid {
     gridCells(spark, dir, groundTruth, ks, thresholds, embedder, tables)
       .map(_.metrics).reduce(_.unionByName(_))
 
-  /** [[evaluationGrid]] over a pre-embedded (key, vec) catalog. */
+  /** [[evaluationGrid]] over a pre-embedded (key, vec) catalog.
+    * `annAbove` / `nList` / `nProbe`: the [[gridKnn]] compute gate — a
+    * catalog past `annAbove` keys routes the single kNN pass through IVF
+    * instead of exact blocked search (default never).
+    */
   def evaluationGridFromCatalog(
       catalog: DataFrame,
       groundTruth: DataFrame,
       ks: Seq[Int],
-      thresholds: Seq[Double]): DataFrame =
-    gridCellsFromCatalog(catalog, groundTruth, ks, thresholds)
+      thresholds: Seq[Double],
+      annAbove: Long = Long.MaxValue,
+      nList: Int = 64,
+      nProbe: Int = 16): DataFrame =
+    gridCellsFromCatalog(catalog, groundTruth, ks, thresholds,
+        annAbove, nList, nProbe)
       .map(_.metrics).reduce(_.unionByName(_))
 
   /** Reference-parity export (join_discoverer.py:491–517): one CSV of

@@ -149,6 +149,39 @@ class SemLinkGridSpec extends SparkSpec {
     assert(blocked.size == 60 * 5)
   }
 
+  test("gridKnn ANN gate: forced IVF path at full probe ≡ exact path; grid metrics equal") {
+    // the compute gate for catalogs past annAbove keys: at nProbe ==
+    // nList the IVF engine probes every list — exhaustive search — so
+    // its ranking must be IDENTICAL to the exact blocked path (the q28
+    // exact-equivalence contract applied to the flagship's own kNN).
+    // With fewer probes it is a recall trade, covered by the ANN specs;
+    // here the gate's wiring is what's under test.
+    val catalog = (1 to 80).map { i =>
+      (s"t$i:c$i", Array.tabulate(8)(j => ((i * 29 + j * 11) % 19).toFloat / 19f))
+    }.toDF("key", "vec")
+    val exact = SemLinkGrid.gridKnn(catalog, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val ann = SemLinkGrid.gridKnn(catalog, 5, annAbove = 10,
+        nList = 8, nProbe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ann == exact)
+    // and below the threshold the gate stays on the exact path (no
+    // count-gated surprise for metadata-sized catalogs)
+    val under = SemLinkGrid.gridKnn(catalog, 5, annAbove = 1000,
+        nList = 8, nProbe = 1)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(under == exact)
+    // end-to-end: the evaluation grid through the forced-ANN kNN equals
+    // the exact grid cell for cell
+    val gt = Seq(("t1:c1", "t2:c2"), ("t3:c3", "t4:c4")).toDF("q", "c")
+    val gridExact = SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+      Seq(5), Seq(0.5)).collect().toSeq
+    val gridAnn = SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+      Seq(5), Seq(0.5), annAbove = 10, nList = 8, nProbe = 8)
+      .collect().toSeq
+    assert(gridAnn == gridExact)
+  }
+
   test("seeded sample: deterministic, exact size, subset of input") {
     val df = (1 to 100).toDF("v")
     val s1 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq
