@@ -1549,6 +1549,26 @@ object SparkEntry {
           lit(true).as("late"))
       committed.unionByName(lateRows)
     }),
+
+    // The flagship grid's ANN compute gate, ORACLED: the same evaluation
+    // grid as q89, but the single kNN pass is forced through the IVF
+    // escalation (annAbove=1) at FULL probe (nProbe = nList), where
+    // cluster pruning degenerates to exhaustive search — so the grid
+    // must reproduce the q89 exact-replay oracle cell for cell (the q28
+    // exact-equivalence contract applied to the grid's scale path).
+    "q93_semlink_grid_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val catalog = emb.select(col("vec_id").cast("string").as("key"),
+        col("embedding").as("vec"))
+      val gt = sameLabelTruth(s, d)
+        .select(col("query").cast("string").as("q"),
+          col("candidate").cast("string").as("c"))
+      graft.pipeline.SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+          ks = Seq(5, 10), thresholds = Seq(1.3, 1.42),
+          annAbove = 1, nList = 16, nProbe = 16)
+        .withColumnRenamed("precision", "prec")
+        .withColumnRenamed("recall", "rec")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -1915,6 +1935,18 @@ object SparkEntry {
     // the full grid: shared knn/rel/relc/ilog CTEs, one UNION ALL branch
     // per (k, threshold) cell — same cells as the Spark side
     "q89_semlink_grid" ->
+      s"""$knnL2Cte,
+         |$truthCte,
+         |relc AS (SELECT query, count(*) AS n_relevant FROM rel GROUP BY query),
+         |ilog AS (SELECT i, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS cum
+         |         FROM generate_series(1, 50) t(i))
+         |${Seq((5, 1.3), (5, 1.42), (10, 1.3), (10, 1.42))
+            .map { case (k, t) => gridCellSql(k, t) }
+            .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // q93 forces the grid's IVF escalation at full probe — exhaustive
+    // search, so the EXACT replay oracle (identical to q89's) must hold
+    "q93_semlink_grid_ann" ->
       s"""$knnL2Cte,
          |$truthCte,
          |relc AS (SELECT query, count(*) AS n_relevant FROM rel GROUP BY query),
