@@ -1569,6 +1569,24 @@ object SparkEntry {
         .withColumnRenamed("precision", "prec")
         .withColumnRenamed("recall", "rec")
     }),
+
+    // The grid's AUTO-sized escalation (nList <= 0 → nList ∝ √N, the
+    // scale sizing rule; nProbe <= 0 → full probe): exhaustive over the
+    // auto-sized lists, so the same exact-replay oracle as q93/q89 must
+    // hold cell for cell — pinning the sentinel wiring end to end.
+    "q94_semlink_grid_auto" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val catalog = emb.select(col("vec_id").cast("string").as("key"),
+        col("embedding").as("vec"))
+      val gt = sameLabelTruth(s, d)
+        .select(col("query").cast("string").as("q"),
+          col("candidate").cast("string").as("c"))
+      graft.pipeline.SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+          ks = Seq(5, 10), thresholds = Seq(1.3, 1.42),
+          annAbove = 1, nList = 0, nProbe = 0)
+        .withColumnRenamed("precision", "prec")
+        .withColumnRenamed("recall", "rec")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -1947,6 +1965,18 @@ object SparkEntry {
     // q93 forces the grid's IVF escalation at full probe — exhaustive
     // search, so the EXACT replay oracle (identical to q89's) must hold
     "q93_semlink_grid_ann" ->
+      s"""$knnL2Cte,
+         |$truthCte,
+         |relc AS (SELECT query, count(*) AS n_relevant FROM rel GROUP BY query),
+         |ilog AS (SELECT i, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS cum
+         |         FROM generate_series(1, 50) t(i))
+         |${Seq((5, 1.3), (5, 1.42), (10, 1.3), (10, 1.42))
+            .map { case (k, t) => gridCellSql(k, t) }
+            .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // q94: the auto-sized (√N) escalation at full probe — exhaustive
+    // over the auto-sized lists, same exact replay oracle as q93
+    "q94_semlink_grid_auto" ->
       s"""$knnL2Cte,
          |$truthCte,
          |relc AS (SELECT query, count(*) AS n_relevant FROM rel GROUP BY query),

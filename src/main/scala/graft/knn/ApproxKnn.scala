@@ -93,6 +93,14 @@ object ApproxKnn {
       .filter(col("rank") <= k)
   }
 
+  /** The standard IVF list-sizing rule: nList = max(16, ⌈√n⌉), so each
+    * inverted list holds ~√n vectors and a constant-nProbe search does
+    * O(nProbe·√n) candidate work per query. Shared by every auto-sizing
+    * sentinel (gridKnn escalation, IvfIndex build/rebalance).
+    */
+  private[graft] def autoNList(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
   /** Driver-side mini k-means over a bounded sample (Lloyd iterations).
     * Deterministic: seeded sample, fixed iteration count. For cluster
     * counts beyond the sample cap (the 100 TB IVF/SemDeDup operating

@@ -61,6 +61,13 @@ object IvfIndex {
     * buys materially lower quantization error. Codebooks persist under
     * `pq/` as (s, c, vec, residual) rows; their absence marks a
     * vectors-only index.
+    *
+    * `nList <= 0` sizes the list count automatically as max(16, ⌈√N⌉)
+    * over the candidate count ([[ApproxKnn.autoNList]]) — the standard
+    * IVF rule; costs one extra count job, only on the sentinel path.
+    * Auto sizing past the sample cap (N ≳ 4·10⁸ at the default cap)
+    * still wants `distributedTrain` — the driver trainer clamps the
+    * centroid count to the collected sample as before.
     */
   def build(
       candidates: DataFrame,
@@ -83,7 +90,9 @@ object IvfIndex {
     // losing the append's rows
     graft.util.IndexLock.withLock(candidates.sparkSession, dir,
         "IvfIndex.build") {
-      buildLocked(candidates, idCol, vecCol, dir, nList, metric, kmeansIters,
+      val lists =
+        if (nList > 0) nList else ApproxKnn.autoNList(candidates.count())
+      buildLocked(candidates, idCol, vecCol, dir, lists, metric, kmeansIters,
         sampleCap, seed, pqM, pqKsub, pqByResidual, distributedTrain,
         twoLevelAssign, twoLevelProbes)
     }
@@ -377,7 +386,11 @@ object IvfIndex {
     *
     * `nList = 0` keeps the persisted list count; pass a larger value to
     * grow capacity (e.g. after the corpus 10×-ed past the build-time
-    * sizing).
+    * sizing); `nList < 0` re-sizes automatically as max(16, ⌈√N⌉) over
+    * the CURRENT index row count ([[ApproxKnn.autoNList]]) — the knob a
+    * periodic maintenance job wants, since it tracks the corpus as it
+    * grows with no caller-side bookkeeping. The count rides the row
+    * scan rebalance already does.
     */
   def rebalance(
       spark: SparkSession,
@@ -411,7 +424,6 @@ object IvfIndex {
     val cosine = HnswSearch.isCosine(metric)
     val pq = loadPq(spark, dir)
     val k0 = loadCentroids(spark, dir).length
-    val k = if (nList > 0) nList else k0
 
     // the persisted lists are the corpus; cid is dropped — it is the old
     // quantizer's opinion, about to be re-derived
@@ -423,6 +435,10 @@ object IvfIndex {
     // row-hash filter draws uniformly across lists for ~cap rows, without
     // a global sort; the cap itself still bounds the driver
     val nRows = spark.read.parquet(s"$dir/assignments").count()
+    val k =
+      if (nList > 0) nList
+      else if (nList < 0) ApproxKnn.autoNList(nRows)
+      else k0
     val sampled =
       if (nRows <= sampleCap) corpus
       else corpus.filter(

@@ -125,6 +125,15 @@ object SemLinkGrid {
     * path degenerates to exhaustive search and reproduces the exact
     * ranking, which is how the spec pins it). Default = MaxValue: every
     * oracle path stays exact.
+    *
+    * Auto sizing (`nList <= 0`): a FIXED nList keeps the probed
+    * fraction nProbe/nList constant, so per-query candidate work stays
+    * O(N) and the escalation only shaves a constant off the N² grid.
+    * The sentinel sizes nList ∝ √N (each inverted list holds ~√N
+    * vectors), so constant-nProbe per-query work is O(nProbe·√N) and
+    * the whole grid is O(N^1.5) — the standard IVF sizing rule.
+    * `nProbe <= 0` means full probe (nProbe = resolved nList):
+    * exhaustive, rank-exact — the oracle form of the auto path.
     */
   private[graft] def gridKnn(embedded: DataFrame, kMax: Int,
       blockSize: Int = 100000,
@@ -135,12 +144,15 @@ object SemLinkGrid {
       .withColumn("id", xxhash64(col("key")))
       .select("id", "key", "vec")
     val keys = withId.select("id", "key")
+    // one catalog count serves both the gate and the auto-nList rule
+    val n = if (annAbove != Long.MaxValue) withId.count() else 0L
     val core =
-      if (annAbove != Long.MaxValue && withId.count() > annAbove)
+      if (annAbove != Long.MaxValue && n > annAbove) {
+        val (lists, probe) = resolveIvfParams(n, nList, nProbe)
         graft.knn.ApproxKnn.ivfKnn(withId, withId, "id", "vec", kMax,
-          nList = nList, nProbe = nProbe, metric = KnnJoin.MetricL2Sq,
+          nList = lists, nProbe = probe, metric = KnnJoin.MetricL2Sq,
           excludeSelf = true)
-      else
+      } else
         graft.knn.ApproxKnn.blockKnn(withId, withId, "id", "vec", kMax,
           KnnJoin.MetricL2Sq, blockSize = blockSize, excludeSelf = true)
     core
@@ -150,6 +162,21 @@ object SemLinkGrid {
         .withColumnRenamed("key", "__nkey")), Seq("neighbor_id"))
       .select(col("__qkey").as("query_id"), col("__nkey").as("neighbor_id"),
         col("dist"), col("rank"))
+  }
+
+  /** The escalation's IVF sizing rule, isolated for direct spec pinning.
+    * `nList <= 0` → nList = max(16, ⌈√n⌉) (each list holds ~√n vectors;
+    * with constant nProbe the per-query work is O(nProbe·√n)).
+    * `nProbe <= 0` → full probe (= resolved nList: exhaustive, exact);
+    * a positive nProbe is clamped to the resolved nList.
+    */
+  private[graft] def resolveIvfParams(n: Long, nList: Int,
+      nProbe: Int): (Int, Int) = {
+    val lists =
+      if (nList > 0) nList
+      else graft.knn.ApproxKnn.autoNList(n)
+    val probe = if (nProbe > 0) math.min(nProbe, lists) else lists
+    (lists, probe)
   }
 
   /** One grid cell row per (k, threshold):
@@ -169,7 +196,8 @@ object SemLinkGrid {
   /** [[evaluationGrid]] over a pre-embedded (key, vec) catalog.
     * `annAbove` / `nList` / `nProbe`: the [[gridKnn]] compute gate — a
     * catalog past `annAbove` keys routes the single kNN pass through IVF
-    * instead of exact blocked search (default never).
+    * instead of exact blocked search (default never). `nList <= 0` sizes
+    * lists ∝ √N automatically; `nProbe <= 0` means full probe (exact).
     */
   def evaluationGridFromCatalog(
       catalog: DataFrame,

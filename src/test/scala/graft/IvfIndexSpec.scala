@@ -313,4 +313,37 @@ class IvfIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pq"))
   }
+
+  test("auto nList: build(0) sizes √N, rebalance(-1) tracks the grown corpus") {
+    import spark.implicits._
+    import graft.knn.ApproxKnn
+    // the rule itself
+    assert(ApproxKnn.autoNList(100) == 16)      // √100 < the 16 floor
+    assert(ApproxKnn.autoNList(400) == 20)
+    assert(ApproxKnn.autoNList(2000000) == 1415) // ⌈√n⌉
+    // build with the sentinel: 256 candidates → √256 = 16 lists
+    val vecs = (1 to 400).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 13 + j * 5) % 23).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_auto").toString
+    val n0 = IvfIndex.build(vecs.filter(col("vec_id") <= 256),
+      "vec_id", "embedding", dir, nList = 0)
+    assert(n0 == 16)
+    // corpus grows past the build-time sizing; rebalance(-1) re-derives
+    // the list count from the CURRENT row count with no caller-side math
+    IvfIndex.append(spark, dir, vecs.filter(col("vec_id") > 256),
+      "vec_id", "embedding")
+    assert(IvfIndex.rebalance(spark, dir, nList = -1) == 20) // ⌈√400⌉
+    // the 0 sentinel still means "keep" (unchanged contract)
+    assert(IvfIndex.rebalance(spark, dir) == 20)
+    // and the resized index stays exact at full probe
+    val got = IvfIndex
+      .search(spark, dir, vecs, "vec_id", "embedding", k = 3, nProbe = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = KnnJoin.broadcastKnn(vecs, vecs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+  }
 }

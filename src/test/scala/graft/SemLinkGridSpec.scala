@@ -182,6 +182,29 @@ class SemLinkGridSpec extends SparkSpec {
     assert(gridAnn == gridExact)
   }
 
+  test("gridKnn auto IVF sizing: nList ∝ √N, probe clamp, full-probe sentinel exact") {
+    // the sizing rule itself (resolveIvfParams is what the escalation
+    // calls with the gate's own catalog count):
+    assert(SemLinkGrid.resolveIvfParams(100, 0, 4) == ((16, 4)))  // √100 < floor 16
+    assert(SemLinkGrid.resolveIvfParams(1000000, 0, 16) == ((1000, 16)))
+    assert(SemLinkGrid.resolveIvfParams(2000000, 0, 16) == ((1415, 16))) // ⌈√n⌉
+    assert(SemLinkGrid.resolveIvfParams(1000000, 0, 0) == ((1000, 1000))) // full probe
+    assert(SemLinkGrid.resolveIvfParams(1000000, 64, 0) == ((64, 64)))
+    assert(SemLinkGrid.resolveIvfParams(1000000, 64, 999) == ((64, 64))) // clamp
+    // end to end: both sentinels through the forced escalation — auto
+    // nList (floor 16 at this scale) at full probe is exhaustive, so the
+    // ranking must be IDENTICAL to the exact blocked path
+    val catalog = (1 to 80).map { i =>
+      (s"t$i:c$i", Array.tabulate(8)(j => ((i * 29 + j * 11) % 19).toFloat / 19f))
+    }.toDF("key", "vec")
+    val exact = SemLinkGrid.gridKnn(catalog, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val auto = SemLinkGrid.gridKnn(catalog, 5, annAbove = 10,
+        nList = 0, nProbe = 0)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(auto == exact)
+  }
+
   test("seeded sample: deterministic, exact size, subset of input") {
     val df = (1 to 100).toDF("v")
     val s1 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq
