@@ -34,20 +34,34 @@ object PerfProbe {
         }
       })
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // listener events arrive on an async bus: without a drain, a short
+    // query's tail jobs land in the NEXT run's count — poll until the
+    // counter stops moving before sampling it
+    def drainedJobs(): Int = {
+      var prev = -1
+      var cur = jobs.get()
+      var spins = 0
+      while (cur != prev && spins < 20) {
+        prev = cur; Thread.sleep(50); cur = jobs.get(); spins += 1
+      }
+      cur
+    }
     for (q <- args; i <- 1 to 3) {
-      val j0 = jobs.get()
+      val j0 = drainedJobs()
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, d).count()
       println(f"$q run$i ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        s"jobs=${jobs.get() - j0}")
-      if (traceSites && i == 3) {
-        import scala.jdk.CollectionConverters._
-        sites.asScala.toSeq.sortBy(-_._2.intValue).foreach { case (s, n) =>
-          println(s"  SITE $n  $s")
+        s"jobs=${drainedJobs() - j0}")
+      // per-run site histogram: dump on the last run, reset between runs
+      if (traceSites) {
+        if (i == 3) {
+          import scala.jdk.CollectionConverters._
+          sites.asScala.toSeq.sortBy(-_._2.intValue).foreach { case (s, n) =>
+            println(s"  SITE $n  $s")
+          }
         }
         sites.clear()
       }
-      if (traceSites) sites.clear()
     }
     spark.stop()
   }

@@ -1587,6 +1587,77 @@ object SparkEntry {
         .withColumnRenamed("precision", "prec")
         .withColumnRenamed("recall", "rec")
     }),
+
+    // Late-arrival parity on the VECTOR path: the engine-wide lateness
+    // gate (Streams.watermarkGatedBatch) driving streaming embedding
+    // ingest into the persistent IVF index — same staging arithmetic as
+    // q91/q92 on the embeddings table. The oracle pins THREE contracts
+    // at once: the late split (ancient-ts rows of batches B/C → late/
+    // with their event times), the end-state id set (assignments =
+    // base ∪ admitted), and — via n_hits with k larger than the corpus
+    // at FULL probe — that each batch's serving probe ran against
+    // exactly the index state as of ITS batch start (batch A sees N0
+    // committed vectors, B sees N0+25, C sees N0+45): n_hits IS the
+    // probed index size, closed-form per batch.
+    "q95_stream_ann_ingest" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_stream_lateann_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"), true)
+      // build() clears `_ingest/` (the previous run's watermark) too
+      graft.knn.IvfIndex.build(emb, "vec_id", "embedding",
+        s"$base/index", nList = 16)
+      val t0 = 1700000000000L
+      def ancientTs = when(col("vec_id") % 5 === 0, col("vec_id"))
+        .otherwise(col("vec_id") * 100)
+      graft.streaming.Streams.stageBatch(
+        emb.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            (col("vec_id") * 100).as("ts"), col("embedding")),
+        s"$base/batches", "batch_a.parquet", t0)
+      graft.streaming.Streams.stageBatch(
+        emb.filter(col("vec_id") >= 25 && col("vec_id") < 50)
+          .select((col("vec_id") + 2000000).as("vec_id"), ancientTs.as("ts"),
+            col("embedding")),
+        s"$base/batches", "batch_b.parquet", t0 + 60000)
+      graft.streaming.Streams.stageBatch(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 75)
+          .select((col("vec_id") + 3000000).as("vec_id"), ancientTs.as("ts"),
+            col("embedding")),
+        s"$base/batches", "batch_c.parquet", t0 + 120000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      // k beyond any corpus size + full probe → n_hits = probed index
+      // size exactly (query ids are offset out of the id space, so
+      // excludeSelf removes nothing)
+      graft.streaming.Streams.annIngestWatermarked(s, s"$base/batches",
+        schema, s"$base/index", s"$base/out", "vec_id", "embedding", "ts",
+        lateness = 100L, k = 10000000, nProbe = 16)
+      val committed = graft.knn.IvfIndex.readIds(s, s"$base/index")
+        .select(col("id").cast("long").as("id"))
+      val hits = s.read.parquet(s"$base/out/search")
+        .groupBy(col("query_id").cast("long").as("id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val committedRows = committed.join(hits, Seq("id"), "left")
+        .select(col("id"), lit(-1L).as("ts"),
+          coalesce(col("n_hits"), lit(-1L)).as("n_hits"),
+          lit(false).as("late"))
+      val lateRows = s.read.parquet(s"$base/out/late")
+        .select(col("id"), col("ts").cast("long").as("ts"),
+          lit(-1L).as("n_hits"), lit(true).as("late"))
+      committedRows.unionByName(lateRows)
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -2059,6 +2130,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(doc_id + 3000000 AS BIGINT), CAST(doc_id AS BIGINT), TRUE
         |FROM documents WHERE doc_id >= 50 AND doc_id < 75 AND doc_id % 5 = 0""".stripMargin,
+
+    // q95: same staging arithmetic on the embeddings table, IVF ingest
+    // state. Committed = base ∪ batch A ∪ on-time (non-%5) rows of B/C;
+    // late = ancient (%5) rows of B/C with their event times. n_hits for
+    // an admitted query is the INDEX SIZE AS OF ITS BATCH (k exceeds the
+    // corpus and the probe is exhaustive): A → N0, B → N0+25, C → N0+45;
+    // base rows (never probed) and late rows carry -1.
+    "q95_stream_ann_ingest" ->
+      """WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+        |SELECT CAST(vec_id AS BIGINT) AS id, CAST(-1 AS BIGINT) AS ts,
+        |  CAST(-1 AS BIGINT) AS n_hits, FALSE AS late FROM embeddings
+        |UNION ALL
+        |SELECT CAST(vec_id + 1000000 AS BIGINT), CAST(-1 AS BIGINT),
+        |  (SELECT n FROM n0), FALSE FROM embeddings WHERE vec_id < 25
+        |UNION ALL
+        |SELECT CAST(vec_id + 2000000 AS BIGINT), CAST(-1 AS BIGINT),
+        |  (SELECT n FROM n0) + 25, FALSE FROM embeddings
+        |WHERE vec_id >= 25 AND vec_id < 50 AND vec_id % 5 <> 0
+        |UNION ALL
+        |SELECT CAST(vec_id + 3000000 AS BIGINT), CAST(-1 AS BIGINT),
+        |  (SELECT n FROM n0) + 45, FALSE FROM embeddings
+        |WHERE vec_id >= 50 AND vec_id < 75 AND vec_id % 5 <> 0
+        |UNION ALL
+        |SELECT CAST(vec_id + 2000000 AS BIGINT), CAST(vec_id AS BIGINT),
+        |  CAST(-1 AS BIGINT), TRUE FROM embeddings
+        |WHERE vec_id >= 25 AND vec_id < 50 AND vec_id % 5 = 0
+        |UNION ALL
+        |SELECT CAST(vec_id + 3000000 AS BIGINT), CAST(vec_id AS BIGINT),
+        |  CAST(-1 AS BIGINT), TRUE FROM embeddings
+        |WHERE vec_id >= 50 AND vec_id < 75 AND vec_id % 5 = 0""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

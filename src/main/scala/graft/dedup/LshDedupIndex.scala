@@ -169,21 +169,18 @@ object LshDedupIndex {
     if (needCount) signed.count() else -1L
   }
 
-  private def loadParams(spark: SparkSession, dir: String): (Int, Int, Int) = {
+  /** (shingleSize, bands, rowsPerBand). Package-private so a per-batch
+    * caller loads params ONCE for both its [[candidatesAgainst]] probe
+    * (`preParams`) and its [[writeSigned]] append.
+    */
+  private[graft] def loadParams(spark: SparkSession, dir: String): (Int, Int, Int) = {
     val rows = spark.read.parquet(s"$dir/params")
       .select("shingle_size", "bands", "rows_per_band").collect()
     require(rows.length == 1, s"LshDedupIndex: malformed params under $dir")
     (rows.head.getInt(0), rows.head.getInt(1), rows.head.getInt(2))
   }
 
-  /** (shingleSize, bands, rowsPerBand) — exposed so a per-batch caller
-    * loads params ONCE for both its [[candidatesAgainst]] probe
-    * (`preParams`) and its [[writeSigned]] append.
-    */
-  private[graft] def paramsOf(spark: SparkSession, dir: String): (Int, Int, Int) =
-    loadParams(spark, dir)
-
-  /** Sign a batch under `params` ([[paramsOf]]) — the one MinHash kernel
+  /** Sign a batch under `params` ([[loadParams]]) — the one MinHash kernel
     * pass a streaming micro-batch shares between its probe (`preSigned`)
     * and its append ([[appendSigned]]); localCheckpoint-ed so both
     * consumers read the materialized signatures.

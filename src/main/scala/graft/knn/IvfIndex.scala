@@ -328,15 +328,47 @@ object IvfIndex {
     // swap; resolve it BEFORE appending — files landed in a table that a
     // later roll-forward replaces would be lost silently
     recoverSwap(spark, dir)
-    val centroids = loadCentroids(spark, dir)
-    val cosine = HnswSearch.isCosine(loadMetric(spark, dir))
     val n = newVectors.count()
-    val bc = spark.sparkContext.broadcast(centroids)
-    writeAssignments(newVectors, idCol, vecCol, dir, bc, cosine,
-      loadPq(spark, dir), SaveMode.Append,
-      new org.apache.spark.sql.graft.CentroidKernel(bc))
+    appendPrepared(spark, dir, newVectors, idCol, vecCol,
+      loadCentroids(spark, dir), loadMetric(spark, dir), loadPq(spark, dir))
     n
   }
+
+  /** [[append]]'s assign-and-write body against CALLER-loaded metadata —
+    * for per-batch callers (the streaming ANN ingester) that load the
+    * centroid/metric/PQ tables ONCE and share them between their
+    * [[search]] probe (`preMeta`) and their append, instead of paying
+    * the three metadata collects twice per micro-batch. The caller must
+    * already hold the writer lock and have run [[recoverSwap]] (both are
+    * part of the gated-batch critical section).
+    */
+  private[graft] def appendPrepared(
+      spark: SparkSession,
+      dir: String,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      metric: String,
+      pq: Option[(PqCodebooks, Boolean)]): Unit = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    writeAssignments(newVectors, idCol, vecCol, dir, bc,
+      HnswSearch.isCosine(metric), pq, SaveMode.Append,
+      new org.apache.spark.sql.graft.CentroidKernel(bc))
+  }
+
+  /** (centroids, metric, pq) in one load — see [[appendPrepared]]. */
+  private[graft] def loadIndexMeta(spark: SparkSession, dir: String)
+      : (Array[Array[Float]], String, Option[(PqCodebooks, Boolean)]) =
+    (loadCentroids(spark, dir), loadMetric(spark, dir), loadPq(spark, dir))
+
+  /** The committed id set (one `id` column, column-pruned scan — no
+    * vector I/O). Package-private for the streaming ingester's freshness
+    * marker join, mirroring [[graft.text.Bm25Index.readDoclens]] /
+    * [[graft.dedup.LshDedupIndex.readSignatures]].
+    */
+  private[graft] def readIds(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/assignments").select(col("id"))
 
   /** Per-list occupancy of a persisted index: (cid, n_vectors), one row
     * per inverted list. The balance diagnostic that decides rebuild
@@ -595,7 +627,7 @@ object IvfIndex {
     * by deleting staged/old debris (live tables were never renamed
     * before the marker existed).
     */
-  private def recoverSwap(spark: SparkSession, dir: String): Unit = {
+  private[graft] def recoverSwap(spark: SparkSession, dir: String): Unit = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return
@@ -699,10 +731,15 @@ object IvfIndex {
       nProbe: Int = 4,
       excludeSelf: Boolean = true,
       usePq: Boolean = false,
-      rerank: Int = 4): DataFrame = {
+      rerank: Int = 4,
+      preMeta: Option[(Array[Array[Float]], String)] = None): DataFrame = {
     import spark.implicits._
-    val centroids = loadCentroids(spark, dir)
-    val cosine = HnswSearch.isCosine(loadMetric(spark, dir))
+    // preMeta: caller-loaded (centroids, metric) — a per-batch caller
+    // (the streaming ANN ingester) loads the metadata ONCE via
+    // [[loadIndexMeta]] and shares it between probe and append
+    val (centroids, metric) = preMeta.getOrElse(
+      (loadCentroids(spark, dir), loadMetric(spark, dir)))
+    val cosine = HnswSearch.isCosine(metric)
     // probe-cid selection via the native codegen expression (broadcast
     // codebook, no boxed Seq[Float] per query row)
     val bcCentroids = spark.sparkContext.broadcast(centroids)

@@ -77,7 +77,7 @@ object IngestWatermark {
     */
   private def readLegacy(spark: SparkSession, indexDir: String,
       fs: org.apache.hadoop.fs.FileSystem): Option[Long] = {
-    val legacy = new Path(indexDir, "ingest_watermark")
+    val legacy = new Path(indexDir, graft.util.IngestState.LegacyWatermarkDir)
     if (!fs.exists(legacy)) None
     else
       try {
@@ -109,6 +109,14 @@ object IngestWatermark {
     finally out.close()
     require(fs.rename(tmp, new Path(dir, name)),
       s"IngestWatermark: could not publish $name under $dir")
+    // retire the legacy one-row parquet once a JSON version exists: the
+    // versioned store now owns the watermark, and a surviving legacy table
+    // would otherwise be resurrected as a STALE seed if a later build
+    // wiped `_ingest/` without also wiping it (belt to IngestState.clear's
+    // braces — both sides delete it so neither is load-bearing alone)
+    val legacy = new Path(indexDir, graft.util.IngestState.LegacyWatermarkDir)
+    try { if (fs.exists(legacy)) fs.delete(legacy, true) }
+    catch { case scala.util.control.NonFatal(_) => () }
     existing.foreach { n =>
       try fs.delete(new Path(dir, f"wm-$n%08d.json"), false)
       catch { case scala.util.control.NonFatal(_) => () }

@@ -345,7 +345,7 @@ object Streams {
           // one MinHash kernel pass + one params read per batch, shared
           // by the probe and the append — the dedupIngestBatch fast path
           val params @ (_, bands, rpb) = graft.dedup.LshDedupIndex
-            .paramsOf(sp, indexDir)
+            .loadParams(sp, indexDir)
           val signed = graft.dedup.LshDedupIndex
             .signBatch(fresh, idCol, textCol, params)
           graft.dedup.LshDedupIndex
@@ -433,7 +433,7 @@ object Streams {
         if (!fresh.isEmpty) {
           // one tokenize pass + one params read per batch, shared by the
           // probe and the append — the lexIngestBatch gate's fast path
-          val nb = graft.text.Bm25Index.nBucketsOf(sp, indexDir)
+          val nb = graft.text.Bm25Index.loadParams(sp, indexDir)
           val tf = graft.text.Bm25Index
             .tokenFrequencies(fresh, idCol, textCol)
             .localCheckpoint(eager = false)
@@ -577,7 +577,7 @@ object Streams {
       // probe's query-term set (preQTerms — tf rows are unique per
       // (id, term), matching queryTerms' array_distinct) AND the index
       // append (appendTf); params are read once and shared the same way
-      val nb = graft.text.Bm25Index.nBucketsOf(sp, indexDir)
+      val nb = graft.text.Bm25Index.loadParams(sp, indexDir)
       val tf = graft.text.Bm25Index
         .tokenFrequencies(fresh, idCol, textCol)
         .localCheckpoint(eager = false)
@@ -638,7 +638,7 @@ object Streams {
       idCol: String,
       tsCol: String,
       lateness: Long)(admit: DataFrame => Unit): Unit =
-    graft.util.IndexLock.withLock(sp, indexDir, "ingest-batch") {
+    graft.util.IndexLock.withLock(sp, indexDir, "ingest-batch") { try {
       val wm = IngestWatermark.read(sp, indexDir)
       val ts = col(tsCol).cast("long")
       // left join with a presence marker instead of a left_anti: same
@@ -679,8 +679,10 @@ object Streams {
           IngestWatermark.write(sp, indexDir,
             math.max(wm, stats.getLong(1) - lateness))
       }
-      sp.sparkContext.setJobDescription(null)
-    }
+      // finally, not a trailing call: descriptions are session-global, so
+      // a throw from the audit write / admit / watermark write would
+      // otherwise label every later unrelated job "graft ingest: …"
+    } finally sp.sparkContext.setJobDescription(null) }
 
   /** [[dedupIngestOnce]] with the same event-time lateness gate as
     * [[lexIngestWatermarked]] — late-arrival parity across the ingest
@@ -761,7 +763,7 @@ object Streams {
       // feeds the probe (preSigned) AND the index append (appendSigned);
       // params are read once and shared the same way
       val params @ (_, bands, rpb) = graft.dedup.LshDedupIndex
-        .paramsOf(sp, indexDir)
+        .loadParams(sp, indexDir)
       val signed = graft.dedup.LshDedupIndex
         .signBatch(fresh, idCol, textCol, params)
       sp.sparkContext.setJobDescription("graft ingest: probe")
@@ -774,6 +776,112 @@ object Streams {
       sp.sparkContext.setJobDescription("graft ingest: append")
       graft.dedup.LshDedupIndex.appendSigned(sp, indexDir, signed,
         bands, rpb, takeLock = false)
+    }
+  }
+
+  /** Watermark-gated streaming VECTOR ingest into a persistent
+    * [[graft.knn.IvfIndex]] — the third index family on the engine-wide
+    * lateness contract ([[watermarkGatedBatch]]), completing ANN-serving
+    * parity with the lexical ([[lexIngestWatermarked]]) and dedup
+    * ([[dedupIngestWatermarked]]) paths. Each micro-batch of embeddings
+    * is (1) freshness-filtered against the committed id set, (2) split
+    * on event time against the persisted watermark — late/null-ts rows
+    * are audited to `<outDir>/late`, never probed or appended — and
+    * (3) for the admitted rows: probed against the index AS OF batch
+    * start (serving results land batch-keyed under `<outDir>/search`,
+    * exactly-once on crash replay) and appended into their inverted
+    * lists. End-state equivalence: the committed assignments id set
+    * equals base ∪ admitted, and a full probe (`nProbe = nList`) over
+    * the committed index is exact — both closed-form oracle-checkable
+    * from the staging arithmetic.
+    *
+    * Reference anchor: the reference builds its ANN index once and
+    * serves lookups from it (DeepJoin/annIndex.py:42–51); continuous
+    * index maintenance under event-time lateness is the at-scale
+    * extension of that serving loop.
+    */
+  def annIngestWatermarked(
+      spark: SparkSession,
+      batchesDir: String,
+      batchSchema: StructType,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      lateness: Long,
+      k: Int = 10,
+      nProbe: Int = 4,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_annwm_ckpt")
+    graft.util.TempDirs.register(checkpoint.toString)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+
+    spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchesDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        annIngestBatch(batch.sparkSession, indexDir, outDir, batchId,
+          batch.toDF(), idCol, vecCol, tsCol, lateness, k, nProbe)
+        ()
+      }
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val searchPath = new org.apache.hadoop.fs.Path(s"$outDir/search")
+    // batch-keyed channel (search/batch=<id>) — see lexIngestWatermarked
+    if (fs.exists(searchPath))
+      spark.read.parquet(s"$outDir/search").drop("batch")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.knn.IvfIndex.searchSchema)
+  }
+
+  /** One micro-batch of [[annIngestWatermarked]] — extracted for the
+    * same crash-replay testability as [[lexIngestBatch]]; the search
+    * channel is batch-keyed (`search/batch=<id>`, Overwrite).
+    */
+  private[graft] def annIngestBatch(
+      sp: SparkSession,
+      indexDir: String,
+      outDir: String,
+      batchId: Long,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      lateness: Long,
+      k: Int,
+      nProbe: Int): Unit = {
+    // lazy checkpoints — see lexIngestBatch
+    val b = batch.localCheckpoint(eager = false)
+    val ids = graft.knn.IvfIndex.readIds(sp, indexDir)
+      .localCheckpoint(eager = false)
+    watermarkGatedBatch(sp, indexDir, outDir, batchId, b, ids,
+        idCol, tsCol, lateness) { fresh =>
+      // resolve any crashed-rebalance swap BEFORE loading metadata or
+      // appending (we hold the writer lock — the gate's critical section
+      // IS the maintenance op), then ONE metadata load serves both the
+      // probe (preMeta) and the append (appendPrepared)
+      graft.knn.IvfIndex.recoverSwap(sp, indexDir)
+      val (centroids, metric, pq) =
+        graft.knn.IvfIndex.loadIndexMeta(sp, indexDir)
+      sp.sparkContext.setJobDescription("graft ingest: probe")
+      // probe against the index AS OF batch start (fresh ids are not yet
+      // members, so excludeSelf has nothing to exclude — kept for the
+      // re-ingest-own-output case where it does)
+      graft.knn.IvfIndex.search(sp, indexDir, fresh, idCol, vecCol, k,
+          nProbe, preMeta = Some((centroids, metric)))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/search/batch=$batchId")
+      sp.sparkContext.setJobDescription("graft ingest: append")
+      graft.knn.IvfIndex.appendPrepared(sp, indexDir, fresh, idCol, vecCol,
+        centroids, metric, pq)
     }
   }
 

@@ -162,19 +162,16 @@ object Bm25Index {
     if (needCount) dl.count() else -1L
   }
 
-  private def loadParams(spark: SparkSession, dir: String): Int = {
+  /** The index's bucket count. Package-private so a per-batch caller can
+    * load params ONCE and hand them to both [[searchTopK]] (`preNBuckets`)
+    * and [[writeTf]], instead of paying the params collect twice per
+    * micro-batch.
+    */
+  private[graft] def loadParams(spark: SparkSession, dir: String): Int = {
     val rows = spark.read.parquet(s"$dir/params").select("n_buckets").collect()
     require(rows.length == 1, s"Bm25Index: malformed params under $dir")
     rows.head.getInt(0)
   }
-
-  /** The index's bucket count — exposed so a per-batch caller can load
-    * params ONCE and hand them to both [[searchTopK]] (`preNBuckets`)
-    * and [[writeTf]], instead of paying the params collect twice per
-    * micro-batch.
-    */
-  private[graft] def nBucketsOf(spark: SparkSession, dir: String): Int =
-    loadParams(spark, dir)
 
   private def readPostings(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(postingsSchema).parquet(s"$dir/postings")

@@ -95,12 +95,24 @@ object IndexLock {
     val fs = held.path.getFileSystem(spark.sessionState.newHadoopConf())
     val period = math.max(staleTtlMs / 4, 1000L)
     val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // cancel(false) neither interrupts nor waits for an in-flight tick, and
+    // the content-rewrite fallback's create(overwrite=true) is not atomic
+    // against release's delete — an unsynchronized tick could RESURRECT
+    // the lock file (dead token, no heartbeat, no releaser) right after
+    // release removed it. Ticks and release therefore share a monitor:
+    // release flips `stopped` INSIDE the monitor, which both drains any
+    // in-flight tick and makes queued ticks no-op before they touch FS.
+    val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val tickGate = new Object
     val beat = heartbeats.scheduleAtFixedRate(
-      () => heartbeatOnce(fs, held, warned),
+      () => tickGate.synchronized {
+        if (!stopped.get) heartbeatOnce(fs, held, warned)
+      },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
       beat.cancel(false)
+      tickGate.synchronized { stopped.set(true) }
       release(spark, held)
     }
   }
@@ -165,11 +177,18 @@ object IndexLock {
         val f = new java.io.File(fs.makeQualified(lockPath).toUri.getPath)
         try {
           if (!f.createNewFile()) false
-          else {
-            java.nio.file.Files.write(f.toPath,
-              payload.getBytes(StandardCharsets.UTF_8))
-            true
-          }
+          else
+            try {
+              java.nio.file.Files.write(f.toPath,
+                payload.getBytes(StandardCharsets.UTF_8))
+              true
+            } catch {
+              // payload write failed AFTER the exclusive create: remove
+              // the empty file we own, else it sits holder-less (no
+              // heartbeat, no release path) and locks everyone out for
+              // the full stale TTL
+              case e: java.io.IOException => f.delete(); throw e
+            }
         } catch { case _: java.io.IOException => false }
       } else
         try {

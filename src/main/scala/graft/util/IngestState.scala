@@ -19,9 +19,19 @@ object IngestState {
 
   val SubDir = "_ingest"
 
+  /** Pre-versioned-store watermark location; cleared alongside `_ingest`
+    * so the legacy-migration fallback in
+    * [[graft.streaming.IngestWatermark.read]] cannot resurrect the dead
+    * pre-rebuild watermark after a build wiped the JSON versions.
+    */
+  val LegacyWatermarkDir = "ingest_watermark"
+
   def clear(spark: SparkSession, indexDir: String): Unit = {
-    val p = new Path(indexDir, SubDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
+    val fs = new Path(indexDir, SubDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(SubDir, LegacyWatermarkDir).foreach { sub =>
+      val p = new Path(indexDir, sub)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 }

@@ -555,6 +555,59 @@ class StreamsSpec extends SparkSpec {
     assert(sigIds.length == sigIds.distinct.length)
   }
 
+  test("ANN ingest shares the engine lateness/replay contract: a batch " +
+    "killed between the search write and the IVF append re-derives the " +
+    "same rows on replay, and a full-commit replay moves nothing") {
+    val emb = graft.sources.Lake.table(spark, sf0001, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 40)
+    val base = Files.createTempDirectory("annwm_replay").toString
+    graft.knn.IvfIndex.build(emb, "vec_id", "embedding", s"$base/index",
+      nList = 4)
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        (col("vec_id") * 100).as("ts"), col("embedding"))
+
+    // ATTEMPT 1 — crash between the search-channel write and the append:
+    // the channel holds rows for a batch the index never committed
+    val boom = intercept[RuntimeException] {
+      Streams.watermarkGatedBatch(spark, s"$base/index", s"$base/out", 0L,
+          batch, graft.knn.IvfIndex.readIds(spark, s"$base/index"),
+          "vec_id", "ts", 100L) { fresh =>
+        graft.knn.IvfIndex.search(spark, s"$base/index", fresh, "vec_id",
+            "embedding", 3, nProbe = 4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/out/search/batch=0")
+        throw new RuntimeException("crash before append")
+      }
+    }
+    assert(boom.getMessage == "crash before append")
+    val firstAttempt = spark.read.parquet(s"$base/out/search/batch=0").count()
+    assert(firstAttempt > 0, "channel write must have landed before the crash")
+    assert(!graft.knn.IvfIndex.readIds(spark, s"$base/index")
+      .collect().exists(_.getLong(0) >= 1000000),
+      "append must NOT have landed")
+
+    // REPLAY — docs still fresh, so the probe re-runs and the batch-keyed
+    // Overwrite REPLACES the channel rows; the append lands exactly once
+    Streams.annIngestBatch(spark, s"$base/index", s"$base/out", 0L, batch,
+      "vec_id", "embedding", "ts", 100L, 3, 4)
+    val afterReplay = spark.read.parquet(s"$base/out/search").drop("batch")
+    assert(afterReplay.count() == firstAttempt,
+      "replay must overwrite, not duplicate, the search channel")
+    val ids = graft.knn.IvfIndex.readIds(spark, s"$base/index")
+      .collect().map(_.getLong(0)).filter(_ >= 1000000)
+    assert(ids.length == 10 && ids.distinct.length == 10)
+
+    // REPLAY AFTER FULL COMMIT — the marker join empties the admitted
+    // set: neither channel nor index moves
+    Streams.annIngestBatch(spark, s"$base/index", s"$base/out", 0L, batch,
+      "vec_id", "embedding", "ts", 100L, 3, 4)
+    assert(spark.read.parquet(s"$base/out/search").count() == firstAttempt)
+    assert(graft.knn.IvfIndex.readIds(spark, s"$base/index")
+      .collect().map(_.getLong(0)).count(_ >= 1000000) == 10)
+  }
+
   test("IngestWatermark: versioned FS JSON — crash-safe, monotone, " +
     "cleared by index build") {
     import org.apache.spark.sql.functions._
@@ -604,11 +657,12 @@ class StreamsSpec extends SparkSpec {
     // upgraded-in-place read must see the legacy value, not MinValue
     // (a silent reset would re-admit rows already classified as late)
     assert(wm.read(spark, dir) == 1234L)
-    // the first advance publishes a JSON version, which then wins even
-    // though the legacy table still exists on disk
+    // the first advance publishes a JSON version AND retires the legacy
+    // table — a surviving legacy table would be resurrected as a STALE
+    // seed if a later build wiped _ingest/ without it
     wm.write(spark, dir, 2000L)
     assert(wm.read(spark, dir) == 2000L)
-    assert(new java.io.File(s"$dir/ingest_watermark").exists())
+    assert(!new java.io.File(s"$dir/ingest_watermark").exists())
     // an unreadable legacy table degrades to MinValue, not a crash
     val dir2 = Files.createTempDirectory("wm_legacy2").toString
     new java.io.File(s"$dir2/ingest_watermark").mkdirs()
@@ -616,5 +670,20 @@ class StreamsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir2/ingest_watermark/part-0.parquet"),
       "not parquet")
     assert(wm.read(spark, dir2) == Long.MinValue)
+  }
+
+  test("IngestWatermark: rebuild clears the legacy store too — no stale " +
+    "pre-rebuild watermark resurrected through the migration fallback") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wm_legacy_rebuild").toString
+    val wm = graft.streaming.IngestWatermark
+    // upgraded-in-place index that was REBUILT before any JSON advance:
+    // the legacy table still holds the dead pre-rebuild watermark
+    Seq(999999L).toDF("wm").write.parquet(s"$dir/ingest_watermark")
+    graft.util.IngestState.clear(spark, dir)
+    // a rebuilt index must start from MinValue — seeding from the dead
+    // legacy value would classify the entire next ingest as late
+    assert(wm.read(spark, dir) == Long.MinValue)
+    assert(!new java.io.File(s"$dir/ingest_watermark").exists())
   }
 }
