@@ -1658,6 +1658,64 @@ object SparkEntry {
           lit(-1L).as("n_hits"), lit(true).as("late"))
       committedRows.unionByName(lateRows)
     }),
+
+    // The FOURTH index family under the one lateness gate: streaming
+    // ingest into the sharded HNSW graph index, same staging arithmetic
+    // as q91/q92/q95. The oracle pins the gate's EXACT contracts — the
+    // committed-id end state (live manifest = base ∪ admitted) and the
+    // late split with original event times; the search channel is
+    // approximate (HNSW recall) and is therefore pinned by spec-level
+    // recall floors (q49/q58), not by this oracle.
+    "q96_stream_hnsw_late" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_stream_latehnsw_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"), true)
+      // build() clears `_ingest/` (the previous run's watermark) too
+      graft.knn.HnswIndex.build(emb, "vec_id", "embedding",
+        s"$base/index", shards = 4)
+      val t0 = 1700000000000L
+      def ancientTs = when(col("vec_id") % 5 === 0, col("vec_id"))
+        .otherwise(col("vec_id") * 100)
+      graft.streaming.Streams.stageBatch(
+        emb.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            (col("vec_id") * 100).as("ts"), col("embedding")),
+        s"$base/batches", "batch_a.parquet", t0)
+      graft.streaming.Streams.stageBatch(
+        emb.filter(col("vec_id") >= 25 && col("vec_id") < 50)
+          .select((col("vec_id") + 2000000).as("vec_id"), ancientTs.as("ts"),
+            col("embedding")),
+        s"$base/batches", "batch_b.parquet", t0 + 60000)
+      graft.streaming.Streams.stageBatch(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 75)
+          .select((col("vec_id") + 3000000).as("vec_id"), ancientTs.as("ts"),
+            col("embedding")),
+        s"$base/batches", "batch_c.parquet", t0 + 120000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      graft.streaming.Streams.hnswIngestWatermarked(s, s"$base/batches",
+        schema, s"$base/index", s"$base/out", "vec_id", "embedding", "ts",
+        lateness = 100L, k = 3)
+      val committed = graft.knn.HnswIndex.readIds(s, s"$base/index")
+        .select(col("id").cast("long").as("id"), lit(-1L).as("ts"),
+          lit(false).as("late"))
+      val lateRows = s.read.parquet(s"$base/out/late")
+        .select(col("id"), col("ts").cast("long").as("ts"),
+          lit(true).as("late"))
+      committed.unionByName(lateRows)
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -2160,6 +2218,28 @@ object SparkEntry {
         |SELECT CAST(vec_id + 3000000 AS BIGINT), CAST(vec_id AS BIGINT),
         |  CAST(-1 AS BIGINT), TRUE FROM embeddings
         |WHERE vec_id >= 50 AND vec_id < 75 AND vec_id % 5 = 0""".stripMargin,
+
+    // q96: q92's oracle shape on the HNSW family — committed id end
+    // state (base ∪ batch A ∪ on-time rows of B/C, ts = -1) plus the
+    // late set with original event times.
+    "q96_stream_hnsw_late" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id, CAST(-1 AS BIGINT) AS ts,
+        |  FALSE AS late FROM embeddings
+        |UNION ALL
+        |SELECT CAST(vec_id + 1000000 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+        |FROM embeddings WHERE vec_id < 25
+        |UNION ALL
+        |SELECT CAST(vec_id + 2000000 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+        |FROM embeddings WHERE vec_id >= 25 AND vec_id < 50 AND vec_id % 5 <> 0
+        |UNION ALL
+        |SELECT CAST(vec_id + 3000000 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+        |FROM embeddings WHERE vec_id >= 50 AND vec_id < 75 AND vec_id % 5 <> 0
+        |UNION ALL
+        |SELECT CAST(vec_id + 2000000 AS BIGINT), CAST(vec_id AS BIGINT), TRUE
+        |FROM embeddings WHERE vec_id >= 25 AND vec_id < 50 AND vec_id % 5 = 0
+        |UNION ALL
+        |SELECT CAST(vec_id + 3000000 AS BIGINT), CAST(vec_id AS BIGINT), TRUE
+        |FROM embeddings WHERE vec_id >= 50 AND vec_id < 75 AND vec_id % 5 = 0""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

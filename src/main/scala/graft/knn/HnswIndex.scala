@@ -254,10 +254,32 @@ object HnswIndex {
       dir: String,
       newVectors: DataFrame,
       idCol: String,
-      vecCol: String): Long =
-    graft.util.IndexLock.withLock(spark, dir, "HnswIndex.append") {
-      appendImpl(spark, dir, newVectors, idCol, vecCol)
-    }
+      vecCol: String,
+      takeLock: Boolean = true): Long =
+    // takeLock = false is for callers ALREADY holding the directory's
+    // writer lock (the watermarked ingest gate locks the whole
+    // micro-batch); the lock is not reentrant, so a nested acquire would
+    // fail fast against the caller's own hold
+    if (!takeLock) appendImpl(spark, dir, newVectors, idCol, vecCol)
+    else
+      graft.util.IndexLock.withLock(spark, dir, "HnswIndex.append") {
+        appendImpl(spark, dir, newVectors, idCol, vecCol)
+      }
+
+  /** The committed id set (one `id` column over the live generations).
+    * Package-private for the streaming ingester's freshness marker join,
+    * mirroring [[IvfIndex.readIds]].
+    */
+  private[graft] def readIds(spark: SparkSession, dir: String): DataFrame = {
+    val (_, shardGens) = readManifest(spark, dir)
+    if (shardGens.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+    else loadNodes(spark, dir, shardGens).select(col("id"))
+  }
 
   private def appendImpl(
       spark: SparkSession,

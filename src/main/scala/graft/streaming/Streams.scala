@@ -885,6 +885,96 @@ object Streams {
     }
   }
 
+  /** [[annIngestWatermarked]]'s contract on the sharded
+    * [[graft.knn.HnswIndex]] — the FOURTH index family under the one
+    * engine-wide lateness gate. Per micro-batch: freshness marker-join
+    * against the live manifest's id set, late/null-ts rows audited
+    * batch-keyed, admitted vectors beam-probed against the graph AS OF
+    * batch start (`search/batch=<id>`, exactly-once on replay) and then
+    * inserted into their shards' graphs via the generation-committed
+    * append (whose manifest rename is the batch's index commit — a crash
+    * before it leaves only unreferenced g=N+1 debris, and the replayed
+    * batch still sees its docs as fresh).
+    *
+    * The committed-id end state (base ∪ admitted) and the late split are
+    * EXACT regardless of graph quality — only the search channel is
+    * approximate (HNSW recall), which is why the oracle pins membership
+    * and lateness, not neighbor sets.
+    */
+  def hnswIngestWatermarked(
+      spark: SparkSession,
+      batchesDir: String,
+      batchSchema: StructType,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      lateness: Long,
+      k: Int = 10,
+      efSearch: Int = 64,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_hnswwm_ckpt")
+    graft.util.TempDirs.register(checkpoint.toString)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+
+    spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchesDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        hnswIngestBatch(batch.sparkSession, indexDir, outDir, batchId,
+          batch.toDF(), idCol, vecCol, tsCol, lateness, k, efSearch)
+        ()
+      }
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val searchPath = new org.apache.hadoop.fs.Path(s"$outDir/search")
+    // batch-keyed channel (search/batch=<id>) — see lexIngestWatermarked
+    if (fs.exists(searchPath))
+      spark.read.parquet(s"$outDir/search").drop("batch")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.knn.IvfIndex.searchSchema) // the engine-wide kNN output shape
+  }
+
+  /** One micro-batch of [[hnswIngestWatermarked]] — extracted for the
+    * same crash-replay testability as [[annIngestBatch]].
+    */
+  private[graft] def hnswIngestBatch(
+      sp: SparkSession,
+      indexDir: String,
+      outDir: String,
+      batchId: Long,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      lateness: Long,
+      k: Int,
+      efSearch: Int): Unit = {
+    // lazy checkpoints — see lexIngestBatch
+    val b = batch.localCheckpoint(eager = false)
+    val ids = graft.knn.HnswIndex.readIds(sp, indexDir)
+      .localCheckpoint(eager = false)
+    watermarkGatedBatch(sp, indexDir, outDir, batchId, b, ids,
+        idCol, tsCol, lateness) { fresh =>
+      sp.sparkContext.setJobDescription("graft ingest: probe")
+      graft.knn.HnswIndex.search(sp, indexDir, fresh, idCol, vecCol, k,
+          efSearch)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/search/batch=$batchId")
+      sp.sparkContext.setJobDescription("graft ingest: append")
+      graft.knn.HnswIndex.append(sp, indexDir, fresh, idCol, vecCol,
+        takeLock = false)
+    }
+  }
+
   /** Streaming exact dedup, EXECUTED: the events file is staged TWICE
     * into the source directory, so every event genuinely arrives as a
     * duplicate; `dropDuplicatesWithinWatermark` on the key keeps the

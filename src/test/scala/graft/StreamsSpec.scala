@@ -608,6 +608,56 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).count(_ >= 1000000) == 10)
   }
 
+  test("HNSW ingest shares the lateness/replay contract: crash between " +
+    "the search write and the generation commit replays exactly-once") {
+    val emb = graft.sources.Lake.table(spark, sf0001, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 40)
+    val base = Files.createTempDirectory("hnswwm_replay").toString
+    graft.knn.HnswIndex.build(emb, "vec_id", "embedding", s"$base/index",
+      shards = 2)
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        (col("vec_id") * 100).as("ts"), col("embedding"))
+
+    // crash between the channel write and the append: the manifest never
+    // advanced, so the batch docs are still fresh on replay
+    val boom = intercept[RuntimeException] {
+      Streams.watermarkGatedBatch(spark, s"$base/index", s"$base/out", 0L,
+          batch, graft.knn.HnswIndex.readIds(spark, s"$base/index"),
+          "vec_id", "ts", 100L) { fresh =>
+        graft.knn.HnswIndex.search(spark, s"$base/index", fresh, "vec_id",
+            "embedding", 3)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/out/search/batch=0")
+        throw new RuntimeException("crash before append")
+      }
+    }
+    assert(boom.getMessage == "crash before append")
+    val firstAttempt = spark.read.parquet(s"$base/out/search/batch=0").count()
+    assert(firstAttempt > 0)
+    assert(!graft.knn.HnswIndex.readIds(spark, s"$base/index")
+      .collect().exists(_.getLong(0) >= 1000000),
+      "generation commit must NOT have landed")
+
+    // replay: batch-keyed Overwrite replaces the channel; the append's
+    // manifest rename commits each doc exactly once
+    Streams.hnswIngestBatch(spark, s"$base/index", s"$base/out", 0L, batch,
+      "vec_id", "embedding", "ts", 100L, 3, 64)
+    assert(spark.read.parquet(s"$base/out/search").drop("batch").count()
+      == firstAttempt)
+    val ids = graft.knn.HnswIndex.readIds(spark, s"$base/index")
+      .collect().map(_.getLong(0)).filter(_ >= 1000000)
+    assert(ids.length == 10 && ids.distinct.length == 10)
+
+    // full-commit replay: the marker join empties the admitted set
+    Streams.hnswIngestBatch(spark, s"$base/index", s"$base/out", 0L, batch,
+      "vec_id", "embedding", "ts", 100L, 3, 64)
+    assert(spark.read.parquet(s"$base/out/search").count() == firstAttempt)
+    assert(graft.knn.HnswIndex.readIds(spark, s"$base/index")
+      .collect().map(_.getLong(0)).count(_ >= 1000000) == 10)
+  }
+
   test("IngestWatermark: versioned FS JSON — crash-safe, monotone, " +
     "cleared by index build") {
     import org.apache.spark.sql.functions._
