@@ -1488,7 +1488,8 @@ object SparkEntry {
         .select(col("id"), col("dl").cast("long").as("dl"),
           lit(false).as("late"))
       val lateRows = s.read.parquet(s"$base/out/late")
-        .select(col("id"), lit(-1L).as("dl"), lit(true).as("late"))
+        .select(col("doc_id").cast("long").as("id"), lit(-1L).as("dl"),
+          lit(true).as("late"))
       committed.unionByName(lateRows)
     }),
 
@@ -1545,8 +1546,8 @@ object SparkEntry {
         .readSignatures(s, s"$base/index")
         .select(col("id"), lit(-1L).as("ts"), lit(false).as("late"))
       val lateRows = s.read.parquet(s"$base/out/late")
-        .select(col("id"), col("ts").cast("long").as("ts"),
-          lit(true).as("late"))
+        .select(col("doc_id").cast("long").as("id"),
+          col("ts").cast("long").as("ts"), lit(true).as("late"))
       committed.unionByName(lateRows)
     }),
 
@@ -1654,7 +1655,8 @@ object SparkEntry {
           coalesce(col("n_hits"), lit(-1L)).as("n_hits"),
           lit(false).as("late"))
       val lateRows = s.read.parquet(s"$base/out/late")
-        .select(col("id"), col("ts").cast("long").as("ts"),
+        .select(col("vec_id").cast("long").as("id"),
+          col("ts").cast("long").as("ts"),
           lit(-1L).as("n_hits"), lit(true).as("late"))
       committedRows.unionByName(lateRows)
     }),
@@ -1712,8 +1714,8 @@ object SparkEntry {
         .select(col("id").cast("long").as("id"), lit(-1L).as("ts"),
           lit(false).as("late"))
       val lateRows = s.read.parquet(s"$base/out/late")
-        .select(col("id"), col("ts").cast("long").as("ts"),
-          lit(true).as("late"))
+        .select(col("vec_id").cast("long").as("id"),
+          col("ts").cast("long").as("ts"), lit(true).as("late"))
       committed.unionByName(lateRows)
     }),
   )

@@ -611,11 +611,12 @@ object Streams {
     * and MUST write its output channel batch-keyed
     * (`<channel>/batch=<id>`, Overwrite) so a crash replay overwrites
     * rather than append-duplicates. Late and null-ts rows are audited
-    * under `<outDir>/late` as (id, ts), keyed by `batch=<id>` and
-    * OVERWRITTEN per batch: a crash replay of an in-flight batch
-    * re-derives the same late set into the same directory instead of
-    * append-duplicating it — the audit channel is exactly-once per
-    * batch, safe to re-ingest from. The watermark write happens AFTER
+    * under `<outDir>/late` as the FULL original batch rows (the audit
+    * channel is self-contained — [[lateRows]] re-ingests from it with
+    * no upstream replay), keyed by `batch=<id>` and OVERWRITTEN per
+    * batch: a crash replay of an in-flight batch re-derives the same
+    * late set into the same directory instead of append-duplicating it
+    * — the audit channel is exactly-once per batch. The watermark write happens AFTER
     * the commit: a crash inside the batch replays with the old watermark
     * (same late verdicts), and the marker join suppresses the
     * already-committed admitted rows.
@@ -667,8 +668,12 @@ object Streams {
         // first time too — there is no stale partition to overwrite.
         if (stats.getLong(3) > 0) {
           sp.sparkContext.setJobDescription("graft ingest: late audit")
+          // the FULL original row, not just (id, ts): a self-contained
+          // audit channel is what makes [[lateRows]]-driven re-ingest
+          // possible without replaying the upstream source — the price
+          // is a payload-width write, bounded by the batch's late rows
           marked.filter(isFresh && (ts.isNull || ts < wm))
-            .select(col(idCol).cast("long").as("id"), ts.as("ts"))
+            .drop("__cid")
             .write.mode(SaveMode.Overwrite)
             .parquet(s"$outDir/late/batch=$batchId")
         }
@@ -683,6 +688,24 @@ object Streams {
       // a throw from the audit write / admit / watermark write would
       // otherwise label every later unrelated job "graft ingest: …"
     } finally sp.sparkContext.setJobDescription(null) }
+
+  /** The late audit channel's full payload rows (every original batch
+    * column; the `batch` partition key dropped) — the re-ingest surface
+    * the gate's audit contract promises. Late rows carry event times
+    * BELOW the index's watermark by definition, so feeding them back
+    * through the gated path would route them straight back to `late/`;
+    * the loop closes through the NON-gated ingest instead
+    * ([[lexIngestOnce]] / [[dedupIngestOnce]] / the index `append`s),
+    * whose freshness anti-join still dedups against committed state.
+    * Empty (schema-less dirs included) → None, so callers distinguish
+    * "no late rows ever" from an empty frame of unknown shape.
+    */
+  def lateRows(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/late")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).drop("batch"))
+  }
 
   /** [[dedupIngestOnce]] with the same event-time lateness gate as
     * [[lexIngestWatermarked]] — late-arrival parity across the ingest

@@ -658,6 +658,64 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).count(_ >= 1000000) == 10)
   }
 
+  test("late audit channel is self-contained: lateRows returns the full " +
+    "payload, and re-ingesting it through the non-gated path commits " +
+    "every late doc exactly once") {
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 30)
+    val base = Files.createTempDirectory("latereingest").toString
+    graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
+    val t0 = 1700000000000L
+    // batch A advances the watermark; batch B's %3 rows arrive ancient
+    Streams.stageBatch(
+      docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          (col("doc_id") * 100).as("ts"), col("text")),
+      s"$base/batches", "batch_a.parquet", t0)
+    Streams.stageBatch(
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("doc_id"))
+            .otherwise(col("doc_id") * 100).as("ts"), col("text")),
+      s"$base/batches", "batch_b.parquet", t0 + 60000)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", LongType), StructField("text", StringType)))
+    Streams.lexIngestWatermarked(spark, s"$base/batches", schema,
+      s"$base/index", s"$base/out", "doc_id", "text", "ts",
+      lateness = 100L, topK = 3)
+
+    // an outDir that never saw a late write answers None, not a crash
+    assert(Streams.lateRows(spark, s"$base/never_out").isEmpty)
+
+    // the audit rows carry the WHOLE original payload (text included)
+    val late = Streams.lateRows(spark, s"$base/out").get
+    assert(late.columns.toSet == Set("doc_id", "ts", "text"))
+    val lateIds = late.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lateIds.nonEmpty && lateIds.forall(_ >= 2000000))
+    assert(late.filter(col("text").isNull).isEmpty,
+      "payload must survive the audit round-trip")
+
+    // close the loop: stage the audit rows as a batch and run the
+    // NON-gated ingest (its freshness anti-join still dedups; no
+    // lateness gate to re-drop them)
+    Streams.stageBatch(late.drop("ts"), s"$base/rebatches",
+      "late_redo.parquet", t0 + 120000)
+    Streams.lexIngestOnce(spark, s"$base/rebatches",
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      s"$base/index", s"$base/out2", "doc_id", "text", topK = 3)
+    val committed = spark.read.parquet(s"$base/index/doclens")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lateIds.subsetOf(committed),
+      "every late doc must be committed after re-ingest")
+    // exactly once: no duplicate doclens rows for the re-ingested ids
+    val dl = spark.read.parquet(s"$base/index/doclens")
+      .groupBy("id").count().filter(col("count") > 1)
+    assert(dl.isEmpty)
+  }
+
   test("IngestWatermark: versioned FS JSON — crash-safe, monotone, " +
     "cleared by index build") {
     import org.apache.spark.sql.functions._
