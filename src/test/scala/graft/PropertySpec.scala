@@ -117,4 +117,72 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("lateness gate == closed-form simulation over random batch " +
+    "sequences (null ts, resends of committed and of late ids)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", LongType), StructField("text", StringType)))
+    for (caseN <- 1 to 4) {
+      val crnd = new Random(1000 + caseN)
+      val base = java.nio.file.Files
+        .createTempDirectory(s"gate_prop_$caseN").toString
+      val baseDocs = (0L to 4L).map(i => (i, s"base doc number $i"))
+        .toDF("doc_id", "text")
+      graft.text.Bm25Index.build(baseDocs, "doc_id", "text", s"$base/index")
+      val lateness = 50L
+      // simulation state: the gate's contract in ~10 lines
+      var wm = Long.MinValue
+      val simCommitted = scala.collection.mutable.Set[Long](0L to 4L: _*)
+      val simLate = scala.collection.mutable.Set[Long]()
+      var nextId = 100L
+      val resendPool = scala.collection.mutable.ArrayBuffer[Long]()
+      for (b <- 0 until 2 + crnd.nextInt(3)) {
+        val usedThisBatch = scala.collection.mutable.Set[Long]()
+        val rows = (1 to 3 + crnd.nextInt(8)).flatMap { _ =>
+          val id =
+            if (resendPool.nonEmpty && crnd.nextInt(5) == 0)
+              resendPool(crnd.nextInt(resendPool.length))
+            else { val i = nextId; nextId += 1; i }
+          if (!usedThisBatch.add(id)) None // batch ids must be unique
+          else {
+            val ts: java.lang.Long =
+              if (crnd.nextInt(5) == 0) null
+              else java.lang.Long.valueOf(crnd.nextInt(5000).toLong)
+            Some(Row(java.lang.Long.valueOf(id), ts, s"document $id body"))
+          }
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+        graft.streaming.Streams.lexIngestBatch(spark, s"$base/index",
+          s"$base/out", b.toLong, df, "doc_id", "text", "ts", lateness, 3)
+        // simulate: committed resends are no-ops (marker join); anything
+        // else classifies against the PRE-batch watermark; the watermark
+        // advances off the whole batch's max event time
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val ts = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+          if (!simCommitted.contains(id)) {
+            if (ts == null || ts.longValue < wm) simLate += id
+            else simCommitted += id
+            resendPool += id
+          }
+        }
+        val tss = rows.filter(!_.isNullAt(1)).map(_.getLong(1))
+        if (tss.nonEmpty) wm = math.max(wm, tss.max - lateness)
+      }
+      val committed = spark.read.parquet(s"$base/index/doclens")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(committed == simCommitted.toSet,
+        s"case $caseN committed mismatch: " +
+          s"extra=${committed -- simCommitted} missing=${simCommitted.toSet -- committed}")
+      val late = graft.streaming.Streams.lateRows(spark, s"$base/out")
+        .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long])
+      assert(late == simLate.toSet,
+        s"case $caseN late mismatch: " +
+          s"extra=${late -- simLate} missing=${simLate.toSet -- late}")
+    }
+  }
 }
