@@ -764,9 +764,17 @@ object IvfIndex {
     // static IN-filter on the partition column: the probed cid UNION is at
     // most nList values (collect is bounded by the centroid count, never
     // the data), and the filter prunes unprobed list directories at the
-    // file-listing level — guaranteed, not dependent on dynamic pruning
-    val probedCids = probed.select("cid").distinct().as[Int].collect()
-    val listFilter = col("cid").isin(probedCids.map(Integer.valueOf).toSeq: _*)
+    // file-listing level — guaranteed, not dependent on dynamic pruning.
+    // At FULL probe (nProbe >= nList) every query probes every list, so
+    // the filter is a tautology — skip its collect (one scheduler
+    // round-trip per search; exhaustive probes are the exact-equivalence
+    // oracle form AND the streaming serving default at small nList)
+    val listFilter =
+      if (nProbe >= centroids.length) lit(true)
+      else {
+        val probedCids = probed.select("cid").distinct().as[Int].collect()
+        col("cid").isin(probedCids.map(Integer.valueOf).toSeq: _*)
+      }
     val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
 
     if (!usePq) {
