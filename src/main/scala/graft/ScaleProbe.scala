@@ -116,7 +116,9 @@ object ScaleProbe {
       else Seq("q41_ivf_index", "q58_ivfpq_index", "q59_stream_knn",
         "q73_semantic_perturbed", "q74_stream_dedup_ingest",
         "q75_corpus_prep", "q76_twolevel_ivf", "q82_bm25_index",
-        "q84_hybrid_serving", "q85_stream_lex_ingest")
+        "q84_hybrid_serving", "q85_stream_lex_ingest",
+        "q91_stream_late_ingest", "q92_stream_dedup_late",
+        "q95_stream_ann_ingest", "q96_stream_hnsw_late")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
