@@ -38,12 +38,16 @@ object PerfProbe {
     // query's tail jobs land in the NEXT run's count — poll until the
     // counter stops moving before sampling it
     def drainedJobs(): Int = {
-      var prev = -1
+      var prev = jobs.get()
+      Thread.sleep(50) // one settle window even for an already-idle bus
       var cur = jobs.get()
       var spins = 0
-      while (cur != prev && spins < 20) {
+      while (cur != prev && spins < 100) {
         prev = cur; Thread.sleep(50); cur = jobs.get(); spins += 1
       }
+      if (cur != prev)
+        println("  WARN listener bus still draining after 5s — " +
+          "jobs= counts may bleed into the next run")
       cur
     }
     for (q <- args; i <- 1 to 3) {

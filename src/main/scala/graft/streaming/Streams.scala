@@ -300,16 +300,20 @@ object Streams {
     * rationale); returns the union of all batches' candidate rows
     * (new_id, indexed_id, est_jaccard).
     */
-  def dedupIngestOnce(
+  /** Shared driver for the file-staged micro-batch ingest family: temp
+    * checkpoint (registered for cleanup), caller-owned `outDir` cleared,
+    * one AvailableNow pass over the staged batch files, `perBatch` per
+    * micro-batch. Returns the filesystem handle for the result read.
+    */
+  private def runFileBatches(
       spark: SparkSession,
       batchesDir: String,
       batchSchema: StructType,
-      indexDir: String,
       outDir: String,
-      idCol: String,
-      textCol: String,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
-    val checkpoint = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt")
+      ckptPrefix: String,
+      maxFilesPerTrigger: Int)(
+      perBatch: (DataFrame, Long) => Unit): org.apache.hadoop.fs.FileSystem = {
+    val checkpoint = java.nio.file.Files.createTempDirectory(ckptPrefix)
     graft.util.TempDirs.register(checkpoint.toString)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -319,53 +323,89 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(batchesDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        // FRESH docs only — the ids the index does not already hold.
-        // Probe-then-append over `fresh` (not the raw batch, the
-        // [[lexIngestOnce]] pattern) makes replay EXACTLY-ONCE PER
-        // DOCUMENT: a batch replayed after a crash between the index
-        // commit and the stream checkpoint (or a whole-call rerun)
-        // re-emits NOTHING, instead of probing itself against an index
-        // that now contains it and emitting self-match rows (new_id ==
-        // indexed_id at est_jaccard 1.0) no correct run produces. In
-        // normal operation fresh == batch, so semantics are unchanged.
-        // ONE signatures scan serves the anti-join and (lazy-
-        // localCheckpoint-ed, via preSigs) the probe's candidate
-        // signature fetch; append skips both re-checks — absence was
-        // just established here, within-batch uniqueness is the input
-        // contract (ids unique corpus-wide).
-        val b = batch.toDF()
-        val sigs = graft.dedup.LshDedupIndex.readSignatures(sp, indexDir)
-          .localCheckpoint(eager = false)
-        val fresh = b.join(sigs.select(col("id")),
-          b(idCol).cast("long") === sigs("id"), "left_anti")
-          .localCheckpoint()
-        if (!fresh.isEmpty) {
-          // one MinHash kernel pass + one params read per batch, shared
-          // by the probe and the append — the dedupIngestBatch fast path
-          val params @ (_, bands, rpb) = graft.dedup.LshDedupIndex
-            .loadParams(sp, indexDir)
-          val signed = graft.dedup.LshDedupIndex
-            .signBatch(fresh, idCol, textCol, params)
-          graft.dedup.LshDedupIndex
-            .candidatesAgainst(sp, indexDir, fresh, idCol, textCol,
-              preSigs = Some(sigs), preSigned = Some(signed),
-              preParams = Some(params))
-            .write.mode("append").parquet(outDir)
-          graft.dedup.LshDedupIndex.appendSigned(sp, indexDir, signed,
-            bands, rpb, takeLock = true)
-        }
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        perBatch(batch.toDF(), batchId)
         ()
       }
       .option("checkpointLocation", checkpoint.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    if (fs.exists(outPath)) spark.read.parquet(outDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.dedup.LshDedupIndex.candidateSchema)
+    fs
+  }
+
+  /** The result channel of a [[runFileBatches]] run, or an empty frame
+    * of the operator's schema when no batch ever wrote it. `dropBatch`
+    * for batch-keyed channels (`<channel>/batch=<id>`), where partition
+    * discovery adds the key column.
+    */
+  private def channelOrEmpty(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      emptySchema: StructType,
+      dropBatch: Boolean): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(p)) {
+      val df = spark.read.parquet(path)
+      if (dropBatch) df.drop("batch") else df
+    } else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+  }
+
+  def dedupIngestOnce(
+      spark: SparkSession,
+      batchesDir: String,
+      batchSchema: StructType,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      textCol: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
+        "graft_dedup_ckpt", maxFilesPerTrigger) { (b, batchId) =>
+      val sp = b.sparkSession
+      // FRESH docs only — the ids the index does not already hold.
+      // Probe-then-append over `fresh` (not the raw batch, the
+      // [[lexIngestOnce]] pattern) makes replay EXACTLY-ONCE PER
+      // DOCUMENT: a batch replayed after a crash between the index
+      // commit and the stream checkpoint (or a whole-call rerun)
+      // re-emits NOTHING, instead of probing itself against an index
+      // that now contains it and emitting self-match rows (new_id ==
+      // indexed_id at est_jaccard 1.0) no correct run produces. In
+      // normal operation fresh == batch, so semantics are unchanged.
+      // ONE signatures scan serves the anti-join and (lazy-
+      // localCheckpoint-ed, via preSigs) the probe's candidate
+      // signature fetch; append skips both re-checks — absence was
+      // just established here, within-batch uniqueness is the input
+      // contract (ids unique corpus-wide).
+      val sigs = graft.dedup.LshDedupIndex.readSignatures(sp, indexDir)
+        .localCheckpoint(eager = false)
+      val fresh = b.join(sigs.select(col("id")),
+        b(idCol).cast("long") === sigs("id"), "left_anti")
+        .localCheckpoint()
+      if (!fresh.isEmpty) {
+        // one MinHash kernel pass + one params read per batch, shared
+        // by the probe and the append — the dedupIngestBatch fast path
+        val params @ (_, bands, rpb) = graft.dedup.LshDedupIndex
+          .loadParams(sp, indexDir)
+        val signed = graft.dedup.LshDedupIndex
+          .signBatch(fresh, idCol, textCol, params)
+        // batch-keyed Overwrite: a crash between this write and the
+        // appendSigned commit leaves the docs fresh, so the replay
+        // re-probes — an append-mode channel would then hold every row
+        // twice (the lexIngestWatermarked exactly-once contract)
+        graft.dedup.LshDedupIndex
+          .candidatesAgainst(sp, indexDir, fresh, idCol, textCol,
+            preSigs = Some(sigs), preSigned = Some(signed),
+            preParams = Some(params))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+        graft.dedup.LshDedupIndex.appendSigned(sp, indexDir, signed,
+          bands, rpb, takeLock = true)
+      }
+    }
+    channelOrEmpty(spark, fs, outDir,
+      graft.dedup.LshDedupIndex.candidateSchema, dropBatch = true)
   }
 
   /** Streaming lexical-index ingestion, EXECUTED: document batches
@@ -400,63 +440,48 @@ object Streams {
       textCol: String,
       topK: Int = 10,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val checkpoint = java.nio.file.Files.createTempDirectory("graft_lex_ckpt")
-    graft.util.TempDirs.register(checkpoint.toString)
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(outPath, true)
-    spark.readStream
-      .schema(batchSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(batchesDir)
-      .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        // FRESH docs only — the ids the index does not already hold.
-        // Search-then-append over `fresh` (not the raw batch) keeps the
-        // "a document's search sees exactly the pre-commit index state"
-        // invariant across crash replays too: a batch already fully
-        // committed (crash after append, before the checkpoint; or a
-        // whole-call rerun) re-emits NOTHING rather than re-searching
-        // itself against an index that now contains it. ONE doclens scan
-        // per batch: the lazy-localCheckpoint-ed read serves the
-        // anti-join AND (via preDoclens) the probe's N/avgdl stats and
-        // candidate join; append skips both re-checks — absence was just
-        // established here, within-batch uniqueness is the input
-        // contract.
-        val b = batch.toDF()
-        val dl = graft.text.Bm25Index.readDoclens(sp, indexDir)
+    val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
+        "graft_lex_ckpt", maxFilesPerTrigger) { (b, batchId) =>
+      val sp = b.sparkSession
+      // FRESH docs only — the ids the index does not already hold.
+      // Search-then-append over `fresh` (not the raw batch) keeps the
+      // "a document's search sees exactly the pre-commit index state"
+      // invariant across crash replays too: a batch already fully
+      // committed (crash after append, before the checkpoint; or a
+      // whole-call rerun) re-emits NOTHING rather than re-searching
+      // itself against an index that now contains it. ONE doclens scan
+      // per batch: the lazy-localCheckpoint-ed read serves the
+      // anti-join AND (via preDoclens) the probe's N/avgdl stats and
+      // candidate join; append skips both re-checks — absence was just
+      // established here, within-batch uniqueness is the input
+      // contract.
+      val dl = graft.text.Bm25Index.readDoclens(sp, indexDir)
+        .localCheckpoint(eager = false)
+      val fresh = b.join(dl.select(col("id")),
+        b(idCol).cast("long") === dl("id"), "left_anti")
+        .localCheckpoint()
+      if (!fresh.isEmpty) {
+        // one tokenize pass + one params read per batch, shared by the
+        // probe and the append — the lexIngestBatch gate's fast path
+        val nb = graft.text.Bm25Index.loadParams(sp, indexDir)
+        val tf = graft.text.Bm25Index
+          .tokenFrequencies(fresh, idCol, textCol)
           .localCheckpoint(eager = false)
-        val fresh = b.join(dl.select(col("id")),
-          b(idCol).cast("long") === dl("id"), "left_anti")
-          .localCheckpoint()
-        if (!fresh.isEmpty) {
-          // one tokenize pass + one params read per batch, shared by the
-          // probe and the append — the lexIngestBatch gate's fast path
-          val nb = graft.text.Bm25Index.loadParams(sp, indexDir)
-          val tf = graft.text.Bm25Index
-            .tokenFrequencies(fresh, idCol, textCol)
-            .localCheckpoint(eager = false)
-          graft.text.Bm25Index
-            .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
-              preDoclens = Some(dl),
-              preQTerms = Some(tf.select(col("id").as("query_id"),
-                col("term"))),
-              preNBuckets = Some(nb))
-            .write.mode("append").parquet(outDir)
-          graft.text.Bm25Index.appendTf(sp, indexDir, tf, nb,
-            takeLock = true)
-        }
-        ()
+        // batch-keyed Overwrite — crash-replay exactly-once, see
+        // dedupIngestOnce
+        graft.text.Bm25Index
+          .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
+            preDoclens = Some(dl),
+            preQTerms = Some(tf.select(col("id").as("query_id"),
+              col("term"))),
+            preNBuckets = Some(nb))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+        graft.text.Bm25Index.appendTf(sp, indexDir, tf, nb,
+          takeLock = true)
       }
-      .option("checkpointLocation", checkpoint.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    if (fs.exists(outPath)) spark.read.parquet(outDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.text.Bm25Index.searchSchema)
+    }
+    channelOrEmpty(spark, fs, outDir,
+      graft.text.Bm25Index.searchSchema, dropBatch = true)
   }
 
   /** [[lexIngestOnce]] with an EVENT-TIME LATENESS GATE — the answer to
@@ -512,34 +537,13 @@ object Streams {
       lateness: Long,
       topK: Int = 10,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val checkpoint = java.nio.file.Files.createTempDirectory("graft_lexwm_ckpt")
-    graft.util.TempDirs.register(checkpoint.toString)
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(outPath, true)
-
-    spark.readStream
-      .schema(batchSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(batchesDir)
-      .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        lexIngestBatch(batch.sparkSession, indexDir, outDir, batchId,
-          batch.toDF(), idCol, textCol, tsCol, lateness, topK)
-        ()
-      }
-      .option("checkpointLocation", checkpoint.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    val searchPath = new org.apache.hadoop.fs.Path(s"$outDir/search")
-    // the channel is batch-keyed (search/batch=<id>); partition discovery
-    // adds the batch column — drop it to keep the searchTopK schema
-    if (fs.exists(searchPath))
-      spark.read.parquet(s"$outDir/search").drop("batch")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.text.Bm25Index.searchSchema)
+    val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
+        "graft_lexwm_ckpt", maxFilesPerTrigger) { (b, batchId) =>
+      lexIngestBatch(b.sparkSession, indexDir, outDir, batchId,
+        b, idCol, textCol, tsCol, lateness, topK)
+    }
+    channelOrEmpty(spark, fs, s"$outDir/search",
+      graft.text.Bm25Index.searchSchema, dropBatch = true)
   }
 
   /** One micro-batch of [[lexIngestWatermarked]] — extracted so a spec
@@ -635,7 +639,13 @@ object Streams {
       outDir: String,
       batchId: Long,
       b: DataFrame,
-      committedIds: DataFrame,
+      // BY-NAME: evaluated once INSIDE the writer lock, so a family whose
+      // committed-id read needs crash recovery first (IvfIndex.readIds
+      // after a rebalance died mid-swap) can run that recovery in the
+      // thunk without racing a live writer — constructing the frame
+      // before the lock would throw on the missing mid-swap table and
+      // the ingest could never self-heal
+      committedIds: => DataFrame,
       idCol: String,
       tsCol: String,
       lateness: Long)(admit: DataFrame => Unit): Unit =
@@ -704,7 +714,12 @@ object Streams {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/late")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).drop("batch"))
+    else
+      // a crash during the audit write can leave late/ holding only
+      // _temporary debris — no committed files, no inferable schema;
+      // that is "no late rows recoverable", not an operator-facing crash
+      try Some(spark.read.parquet(p.toString).drop("batch"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
   /** [[dedupIngestOnce]] with the same event-time lateness gate as
@@ -731,33 +746,13 @@ object Streams {
       tsCol: String,
       lateness: Long,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val checkpoint = java.nio.file.Files.createTempDirectory("graft_dedupwm_ckpt")
-    graft.util.TempDirs.register(checkpoint.toString)
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(outPath, true)
-
-    spark.readStream
-      .schema(batchSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(batchesDir)
-      .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        dedupIngestBatch(batch.sparkSession, indexDir, outDir, batchId,
-          batch.toDF(), idCol, textCol, tsCol, lateness)
-        ()
-      }
-      .option("checkpointLocation", checkpoint.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    val candsPath = new org.apache.hadoop.fs.Path(s"$outDir/cands")
-    // batch-keyed channel (cands/batch=<id>) — see lexIngestWatermarked
-    if (fs.exists(candsPath))
-      spark.read.parquet(s"$outDir/cands").drop("batch")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.dedup.LshDedupIndex.candidateSchema)
+    val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
+        "graft_dedupwm_ckpt", maxFilesPerTrigger) { (b, batchId) =>
+      dedupIngestBatch(b.sparkSession, indexDir, outDir, batchId,
+        b, idCol, textCol, tsCol, lateness)
+    }
+    channelOrEmpty(spark, fs, s"$outDir/cands",
+      graft.dedup.LshDedupIndex.candidateSchema, dropBatch = true)
   }
 
   /** One micro-batch of [[dedupIngestWatermarked]] — extracted for the
@@ -836,33 +831,13 @@ object Streams {
       k: Int = 10,
       nProbe: Int = 4,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val checkpoint = java.nio.file.Files.createTempDirectory("graft_annwm_ckpt")
-    graft.util.TempDirs.register(checkpoint.toString)
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(outPath, true)
-
-    spark.readStream
-      .schema(batchSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(batchesDir)
-      .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        annIngestBatch(batch.sparkSession, indexDir, outDir, batchId,
-          batch.toDF(), idCol, vecCol, tsCol, lateness, k, nProbe)
-        ()
-      }
-      .option("checkpointLocation", checkpoint.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    val searchPath = new org.apache.hadoop.fs.Path(s"$outDir/search")
-    // batch-keyed channel (search/batch=<id>) — see lexIngestWatermarked
-    if (fs.exists(searchPath))
-      spark.read.parquet(s"$outDir/search").drop("batch")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.knn.IvfIndex.searchSchema)
+    val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
+        "graft_annwm_ckpt", maxFilesPerTrigger) { (b, batchId) =>
+      annIngestBatch(b.sparkSession, indexDir, outDir, batchId,
+        b, idCol, vecCol, tsCol, lateness, k, nProbe)
+    }
+    channelOrEmpty(spark, fs, s"$outDir/search",
+      graft.knn.IvfIndex.searchSchema, dropBatch = true)
   }
 
   /** One micro-batch of [[annIngestWatermarked]] — extracted for the
@@ -883,15 +858,18 @@ object Streams {
       nProbe: Int): Unit = {
     // lazy checkpoints — see lexIngestBatch
     val b = batch.localCheckpoint(eager = false)
-    val ids = graft.knn.IvfIndex.readIds(sp, indexDir)
-      .localCheckpoint(eager = false)
-    watermarkGatedBatch(sp, indexDir, outDir, batchId, b, ids,
-        idCol, tsCol, lateness) { fresh =>
-      // resolve any crashed-rebalance swap BEFORE loading metadata or
-      // appending (we hold the writer lock — the gate's critical section
-      // IS the maintenance op), then ONE metadata load serves both the
-      // probe (preMeta) and the append (appendPrepared)
-      graft.knn.IvfIndex.recoverSwap(sp, indexDir)
+    watermarkGatedBatch(sp, indexDir, outDir, batchId, b, {
+        // the committed-id thunk runs INSIDE the writer lock: resolve any
+        // crashed-rebalance swap FIRST — a rebalance that died between
+        // its table renames leaves no live assignments dir, and reading
+        // it before recovery would throw on every replay, bricking the
+        // ingest instead of healing the index
+        graft.knn.IvfIndex.recoverSwap(sp, indexDir)
+        graft.knn.IvfIndex.readIds(sp, indexDir)
+          .localCheckpoint(eager = false)
+      }, idCol, tsCol, lateness) { fresh =>
+      // ONE metadata load (post-recovery — the thunk above ran first)
+      // serves both the probe (preMeta) and the append (appendPrepared)
       val (centroids, metric, pq) =
         graft.knn.IvfIndex.loadIndexMeta(sp, indexDir)
       sp.sparkContext.setJobDescription("graft ingest: probe")
@@ -937,33 +915,13 @@ object Streams {
       k: Int = 10,
       efSearch: Int = 64,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val checkpoint = java.nio.file.Files.createTempDirectory("graft_hnswwm_ckpt")
-    graft.util.TempDirs.register(checkpoint.toString)
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(outPath, true)
-
-    spark.readStream
-      .schema(batchSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(batchesDir)
-      .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        hnswIngestBatch(batch.sparkSession, indexDir, outDir, batchId,
-          batch.toDF(), idCol, vecCol, tsCol, lateness, k, efSearch)
-        ()
-      }
-      .option("checkpointLocation", checkpoint.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    val searchPath = new org.apache.hadoop.fs.Path(s"$outDir/search")
-    // batch-keyed channel (search/batch=<id>) — see lexIngestWatermarked
-    if (fs.exists(searchPath))
-      spark.read.parquet(s"$outDir/search").drop("batch")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.knn.IvfIndex.searchSchema) // the engine-wide kNN output shape
+    val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
+        "graft_hnswwm_ckpt", maxFilesPerTrigger) { (b, batchId) =>
+      hnswIngestBatch(b.sparkSession, indexDir, outDir, batchId,
+        b, idCol, vecCol, tsCol, lateness, k, efSearch)
+    }
+    channelOrEmpty(spark, fs, s"$outDir/search",
+      graft.knn.IvfIndex.searchSchema, dropBatch = true) // engine kNN shape
   }
 
   /** One micro-batch of [[hnswIngestWatermarked]] — extracted for the
