@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Drift-proof idle benchmark: N full graft.Bench runs in FRESH JVMs,
+merged per query into median / min / spread.
+
+Round-12 adjudication measured three same-code idle runs spreading
+89.5 -> 132.2 s total on this host; single-run idle numbers are noise
+to +/-40%, so the idle artifact gates on the per-query MEDIAN across
+runs (each run itself already medians 3 in-JVM samples per query).
+
+Usage: python3 scripts/bench_idle.py OUT.json [runs=3] [sfDir]
+Writes OUT.json:
+  {"metric":"total","value":<sum of per-query medians>,"unit":"sec",
+   "runs":N,"queries":{q:median},"queries_min":{q:min},
+   "queries_spread":{q:max-min},"totals":[per-run totals],"sf":dir}
+"""
+import json, subprocess, sys, os, statistics
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "BENCH_idle.json"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS="32")
+    samples = []          # list of {query: sec}
+    totals = []
+    for i in range(runs):
+        p = subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench"],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+        line = next(l for l in p.stdout.splitlines()
+                    if l.startswith('{"metric"'))
+        rec = json.loads(line)
+        samples.append(rec["queries"])
+        totals.append(rec["value"])
+        print(f"run {i+1}/{runs}: total {rec['value']:.1f} s", flush=True)
+    qs = sorted(samples[0])
+    med = {q: statistics.median(s[q] for s in samples) for q in qs}
+    mn = {q: min(s[q] for s in samples) for q in qs}
+    spread = {q: max(s[q] for s in samples) - mn[q] for q in qs}
+    doc = {"metric": "total", "value": sum(med.values()), "unit": "sec",
+           "runs": runs, "queries": med, "queries_min": mn,
+           "queries_spread": spread, "totals": totals, "sf": sf}
+    with open(out, "w") as f:
+        json.dump(doc, f)
+        f.write("\n")
+    print(f"median-of-{runs} total: {sum(med.values()):.1f} s "
+          f"(run totals: {', '.join(f'{t:.1f}' for t in totals)})")
+
+if __name__ == "__main__":
+    main()

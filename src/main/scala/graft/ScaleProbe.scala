@@ -188,12 +188,18 @@ object ScaleProbe {
     // the path a catalog too large for exact O(N²) self-kNN takes —
     // cluster-pruned candidate work should grow FAR slower than the
     // exact pair count's 100× at 10× data.
-    def gridAnnProbe(dir: String, nList: Int): Double = {
+    def gridAnnProbe(dir: String, nList: Option[Int]): Double = {
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
-      def once(): Unit = { graft.pipeline.SemLinkGrid
-        .gridKnn(cat, 10, annAbove = 1, nList = nList, nProbe = 8).count(); () }
+      def once(): Unit = nList match {
+        // None = the DEFAULT nList (the auto √N sentinel since r13) —
+        // what an untuned escalation caller actually runs
+        case None => graft.pipeline.SemLinkGrid
+          .gridKnn(cat, 10, annAbove = 1, nProbe = 8).count(); ()
+        case Some(nl) => graft.pipeline.SemLinkGrid
+          .gridKnn(cat, 10, annAbove = 1, nList = nl, nProbe = 8).count(); ()
+      }
       once() // warm
       (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -201,19 +207,20 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    val smG = gridAnnProbe(small, 64)
-    val bgG = gridAnnProbe(big, 64)
-    // the auto (√N) sizing: nList grows with the catalog, so per-query
-    // candidate work is O(nProbe·√N) — the growth this entry measures
-    // should sit below the fixed-nList entry's
-    val smGa = gridAnnProbe(small, 0)
-    val bgGa = gridAnnProbe(big, 0)
+    // the default path: auto (√N) sizing — nList grows with the
+    // catalog, so per-query candidate work is O(nProbe·√N)
+    val smG = gridAnnProbe(small, None)
+    val bgG = gridAnnProbe(big, None)
+    // the old fixed-64 sizing, kept as the comparison row: constant
+    // probed fraction → per-query work stays O(N)
+    val smGf = gridAnnProbe(small, Some(64))
+    val bgGf = gridAnnProbe(big, Some(64))
 
     val extra = Seq(
       f""""blockknn_multi8":{"small_s":$smM%.3f,"big_s":$bgM%.3f,"growth":${bgM / smM}%.2f}""",
       f""""blockknn_single":{"small_s":$smS%.3f,"big_s":$bgS%.3f,"growth":${bgS / smS}%.2f}""",
       f""""gridknn_ivf":{"small_s":$smG%.3f,"big_s":$bgG%.3f,"growth":${bgG / smG}%.2f}""",
-      f""""gridknn_ivf_auto":{"small_s":$smGa%.3f,"big_s":$bgGa%.3f,"growth":${bgGa / smGa}%.2f}""")
+      f""""gridknn_ivf_fixed64":{"small_s":$smGf%.3f,"big_s":$bgGf%.3f,"growth":${bgGf / smGf}%.2f}""")
     val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
     } ++ extra).mkString(

@@ -58,6 +58,65 @@ object Canonicalize {
       .filter(_.size >= 2)
       .toSeq
 
+  /** Parse a Princeton WordNet `data.{noun,verb,adj,adv}` file (the
+    * wndb database format, publicly documented in wndb(5WN)): each
+    * non-header line is one synset —
+    *
+    *   `offset lex_filenum ss_type w_cnt word lex_id [word lex_id...]
+    *    p_cnt [ptr...] | gloss`
+    *
+    * — from which only the member words matter here (`w_cnt` is 2-digit
+    * hex; words are underscore-joined; adjectives may carry a syntactic
+    * marker suffix `(a)`/`(p)`/`(ip)`, stripped). License-header lines
+    * start with two spaces. Words are lowercased; WordNet's own
+    * underscore convention already matches the engine's snake
+    * normalization. Single-word synsets carry no synonymy and are
+    * dropped, exactly as [[parseSynonymGroups]] does.
+    *
+    * This is the full-breadth dictionary path the reference gets from
+    * `wordnet.synsets` (json_parser.py:99–126, ~117k synsets): run
+    * `scripts/fetch_wordnet.sh` in a connected deployment, then load
+    * with [[loadWordNetDir]] and pass the result to
+    * [[canonicalizeAnnotations]]. Without the files the bundled
+    * ~800-group dictionary keeps working unchanged.
+    */
+  def parseWordNetData(lines: Iterator[String]): Seq[Set[String]] =
+    lines.filterNot(l => l.isEmpty || l.startsWith("  "))
+      .flatMap { line =>
+        val f = line.split(" ")
+        // f(0)=offset f(1)=lex_filenum f(2)=ss_type f(3)=w_cnt(hex)
+        if (f.length < 5) None
+        else {
+          val wCnt =
+            try Integer.parseInt(f(3), 16)
+            catch { case _: NumberFormatException => 0 }
+          val words = (0 until wCnt).map { i =>
+            // words sit at f(4), f(6), f(8)… (each followed by lex_id)
+            f(4 + 2 * i).toLowerCase
+              .replaceAll("\\((a|p|ip)\\)$", "")
+          }.filter(_.nonEmpty).toSet
+          if (words.size >= 2) Some(words) else None
+        }
+      }.toSeq
+
+  /** Load every `data.*` database file under a WordNet dict directory
+    * (the layout `scripts/fetch_wordnet.sh` produces) into the term →
+    * synset-union map [[canonicalizeAnnotations]] takes. All four POS
+    * files are merged — the reference's `wordnet.synsets(term)` is
+    * POS-blind too (json_parser.py:99).
+    */
+  def loadWordNetDir(dir: String): Map[String, Set[String]] = {
+    val files = Seq("data.noun", "data.verb", "data.adj", "data.adv")
+      .map(n => new java.io.File(dir, n)).filter(_.isFile)
+    require(files.nonEmpty, s"no WordNet data.* files under $dir " +
+      "(run scripts/fetch_wordnet.sh)")
+    val groups = files.flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try parseWordNetData(src.getLines()) finally src.close()
+    }
+    mergeGroups(groups)
+  }
+
   /** Synonym dictionary standing in for WordNet (the corpus itself isn't
     * shippable offline; the reference consults `wordnet.synsets`,
     * json_parser.py:95–209): loaded from the bundled public-vocabulary

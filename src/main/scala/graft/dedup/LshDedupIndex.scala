@@ -171,7 +171,8 @@ object LshDedupIndex {
 
   /** (shingleSize, bands, rowsPerBand). Package-private so a per-batch
     * caller loads params ONCE for both its [[candidatesAgainst]] probe
-    * (`preParams`) and its [[writeSigned]] append.
+    * (`preParams`) and its [[appendSigned]] append (via the shared
+    * [[signBatch]] kernel pass).
     */
   private[graft] def loadParams(spark: SparkSession, dir: String): (Int, Int, Int) = {
     val rows = spark.read.parquet(s"$dir/params")

@@ -714,12 +714,31 @@ object Streams {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/late")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else
+    else {
       // a crash during the audit write can leave late/ holding only
       // _temporary debris — no committed files, no inferable schema;
-      // that is "no late rows recoverable", not an operator-facing crash
-      try Some(spark.read.parquet(p.toString).drop("batch"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      // that is "no late rows recoverable", not an operator-facing
+      // crash. Decide by LISTING for committed parquet (non-hidden)
+      // rather than catching AnalysisException wholesale: a blanket
+      // catch would also convert genuine read failures (conflicting
+      // schemas across late/batch=N partitions from mixed-version
+      // runs) into "no late rows", silently dropping auditable data.
+      val committed = new java.util.ArrayDeque[org.apache.hadoop.fs.Path]()
+      committed.push(p)
+      var found = false
+      while (!found && !committed.isEmpty) {
+        val dir = committed.pop()
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (st.isDirectory) committed.push(st.getPath)
+            else if (n.endsWith(".parquet")) found = true
+          }
+        }
+      }
+      if (!found) None
+      else Some(spark.read.parquet(p.toString).drop("batch"))
+    }
   }
 
   /** [[dedupIngestOnce]] with the same event-time lateness gate as
@@ -941,10 +960,15 @@ object Streams {
       efSearch: Int): Unit = {
     // lazy checkpoints — see lexIngestBatch
     val b = batch.localCheckpoint(eager = false)
-    val ids = graft.knn.HnswIndex.readIds(sp, indexDir)
-      .localCheckpoint(eager = false)
-    watermarkGatedBatch(sp, indexDir, outDir, batchId, b, ids,
-        idCol, tsCol, lateness) { fresh =>
+    watermarkGatedBatch(sp, indexDir, outDir, batchId, b, {
+        // the committed-id thunk runs INSIDE the writer lock (readIds
+        // reads the manifest eagerly — captured before the lock, a
+        // concurrent append/vacuum committing in between would make
+        // already-committed ids look fresh or pin the scan to deleted
+        // generation dirs; same contract as annIngestBatch)
+        graft.knn.HnswIndex.readIds(sp, indexDir)
+          .localCheckpoint(eager = false)
+      }, idCol, tsCol, lateness) { fresh =>
       sp.sparkContext.setJobDescription("graft ingest: probe")
       graft.knn.HnswIndex.search(sp, indexDir, fresh, idCol, vecCol, k,
           efSearch)

@@ -108,6 +108,41 @@ class AnnotateSpec extends SparkSpec {
     assert(m2("wise") == "sagacious" && m2("astute") == "sagacious")
   }
 
+  test("WordNet wndb format: synsets parsed, markers stripped, header skipped") {
+    // three synthetic data.noun lines in the documented wndb(5WN) shape:
+    // offset lex_filenum ss_type w_cnt(hex) word lex_id ... p_cnt | gloss
+    val lines = Seq(
+      "  1 This software and database is a license header line",
+      "00001740 03 n 02 car 0 automobile 0 001 @ 00001930 n 0000 | a motor vehicle",
+      "00002000 00 a 03 fast(a) 0 quick 0 speedy 0 000 | moving rapidly",
+      "00003000 03 n 01 singleton 0 000 | alone in its synset")
+    val groups = Canonicalize.parseWordNetData(lines.iterator)
+    assert(groups == Seq(Set("car", "automobile"),
+      Set("fast", "quick", "speedy"))) // marker stripped; singleton dropped
+    // groups feed the same fold as the bundled dictionary
+    val merged = Canonicalize.foldCanonical(Seq("automobile", "car"),
+      groups.flatMap(g => g.map(t => t -> (g - t)))
+        .groupMapReduce(_._1)(_._2)(_ ++ _))
+    assert(merged("car") == "automobile")
+  }
+
+  test("full WordNet database (activates when scripts/fetch_wordnet.sh has run)") {
+    val dictDir = new java.io.File("data/wordnet/dict")
+    assume(new java.io.File(dictDir, "data.noun").isFile,
+      s"WordNet export not fetched (${dictDir.getPath}) — skipping")
+    val dict = Canonicalize.loadWordNetDir(dictDir.getPath)
+    // breadth: the reference's wordnet.synsets sees ~117k synsets /
+    // ~150k words; the merged term map must be the same order of size
+    assert(dict.size > 50000, s"WordNet dict suspiciously small: ${dict.size}")
+    // known synset: car/auto/automobile (WordNet 3.0 noun 02958343)
+    assert(dict("car").contains("automobile"))
+    assert(dict("automobile").contains("car"))
+    // and the fold behaves identically to the bundled-dictionary path
+    val mapping = Canonicalize.foldCanonical(
+      Seq("automobile", "car", "custkey"), dict)
+    assert(mapping("car") == "automobile" && mapping("custkey") == "custkey")
+  }
+
   test("canonicalizeAnnotations applies the mapping over the frame") {
     val ann = Seq(
       ("t1", "a", "title"), ("t1", "b", "name"), ("t2", "c", "custkey"))

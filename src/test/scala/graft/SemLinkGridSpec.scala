@@ -205,6 +205,25 @@ class SemLinkGridSpec extends SparkSpec {
     assert(auto == exact)
   }
 
+  test("gridKnn escalation DEFAULT is the auto √N sentinel (nList <= 0)") {
+    // An untuned escalation caller must get the O(N^1.5) auto sizing,
+    // not a fixed list count (SCALE_r12: fixed 64 grew 4.83× at 10×
+    // data vs 3.21× auto). The compiler materializes default args as
+    // synthetic `$default$N` methods — read them back directly so a
+    // silent default regression fails here, not in a scale probe.
+    def defaultOf(method: String, pos: Int): Int = SemLinkGrid.getClass
+      .getMethod(s"$method$$default$$$pos").invoke(SemLinkGrid)
+      .asInstanceOf[Int]
+    // gridKnn(embedded, kMax, blockSize, annAbove, nList, nProbe)
+    assert(defaultOf("gridKnn", 5) <= 0, "gridKnn nList default not auto")
+    // evaluationGridFromCatalog(catalog, gt, ks, thresholds, annAbove, nList, nProbe)
+    assert(defaultOf("evaluationGridFromCatalog", 6) <= 0,
+      "evaluationGridFromCatalog nList default not auto")
+    // gridCellsFromCatalog(catalog, gt, ks, thresholds, annAbove, nList, nProbe)
+    assert(defaultOf("gridCellsFromCatalog", 6) <= 0,
+      "gridCellsFromCatalog nList default not auto")
+  }
+
   test("seeded sample: deterministic, exact size, subset of input") {
     val df = (1 to 100).toDF("v")
     val s1 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq
