@@ -1718,6 +1718,29 @@ object SparkEntry {
           col("ts").cast("long").as("ts"), lit(true).as("late"))
       committed.unionByName(lateRows)
     }),
+
+    // HNSW re-shard parity with the IVF rebalance (q90): build sharded,
+    // re-shard IN PLACE to a different shard count (per-shard graphs
+    // rebuilt from persisted node rows under the writer lock), then
+    // search at FULL beam — every shard's whole graph is explored, so
+    // the merged top-k must equal brute-force kNN over the corpus no
+    // matter how reshard re-filed the nodes. The corpus/query cut is
+    // id-bounded so the oracle is identical at every SF.
+    "q97_hnsw_reshard" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxDir = graft.util.TempDirs.register(
+        s"/tmp/graft_hnsw_reshard_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val corpus = emb.filter(col("vec_id") < 400).select("vec_id", "embedding")
+      graft.knn.HnswIndex.build(corpus, "vec_id", "embedding", idxDir,
+        shards = 8)
+      graft.knn.HnswIndex.reshard(s, idxDir, newShards = 3)
+      val queries = corpus.filter(col("vec_id") < 200)
+      graft.knn.HnswIndex.search(s, idxDir, queries, "vec_id", "embedding",
+          k = 5, efSearch = 500)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -2242,6 +2265,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(vec_id + 3000000 AS BIGINT), CAST(vec_id AS BIGINT), TRUE
         |FROM embeddings WHERE vec_id >= 50 AND vec_id < 75 AND vec_id % 5 = 0""".stripMargin,
+
+    // brute-force kNN over the id-bounded corpus with the engine tie
+    // rule (dist, neighbor_id) — the full-beam HNSW search must match
+    // exactly, before OR after reshard (q90's contract on the graph
+    // family)
+    "q97_hnsw_reshard" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+        |d AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    sum(power(CAST(a.embedding[i] AS DOUBLE) - b.embedding[i], 2)) AS dist
+        |  FROM corpus a, corpus b, generate_series(1, 64) t(i)
+        |  WHERE a.vec_id <> b.vec_id AND a.vec_id < 200 GROUP BY 1, 2),
+        |knn AS (SELECT query_id, neighbor_id, dist,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+        |  FROM d)
+        |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
+        |FROM knn WHERE rnk <= 5""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

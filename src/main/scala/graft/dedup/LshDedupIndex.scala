@@ -131,7 +131,7 @@ object LshDedupIndex {
       mode: SaveMode): Long = {
     val numHashes = bands * rowsPerBand
     val signed = Dedup.minhashSigned(docs, idCol, textCol, shingleSize, numHashes)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     writeSigned(signed, dir, bands, rowsPerBand, mode, needCount = true)
   }
 
@@ -151,16 +151,22 @@ object LshDedupIndex {
       bands: Int,
       rowsPerBand: Int,
       mode: SaveMode,
-      needCount: Boolean): Long = {
+      needCount: Boolean,
+      repartitionByBand: Boolean = true): Long = {
     // band rows are (band, band_hash, id) — 20 bytes of data per row, the
     // whole bucket structure; partitioned by band so a reduced-band probe
     // prunes directories at file-listing level
-    signed
+    val banded = signed
       .select(col("id"),
         explode(Dedup.bandStructs(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.band_hash").as("band_hash"),
         col("id"))
-      .repartition(col("band"))
+    // repartitionByBand = false: a micro-batch append's band rows sit in
+    // a handful of partitions already — partitionBy fans its few tasks
+    // into per-band files directly, and the clustering exchange would
+    // cost a whole extra stage to produce the same file count (the
+    // Bm25Index.writeTf convention)
+    (if (repartitionByBand) banded.repartition(col("band")) else banded)
       .write.mode(mode)
       .partitionBy("band")
       .parquet(s"$dir/bands")
@@ -190,7 +196,7 @@ object LshDedupIndex {
       textCol: String, params: (Int, Int, Int)): DataFrame = {
     val (shingleSize, bands, rowsPerBand) = params
     Dedup.minhashSigned(docs, idCol, textCol, shingleSize,
-      bands * rowsPerBand).localCheckpoint()
+      bands * rowsPerBand).localCheckpoint(eager = false)
   }
 
   /** Add a new batch WITHOUT touching existing state: one signature pass
@@ -245,11 +251,11 @@ object LshDedupIndex {
       takeLock: Boolean): Unit =
     if (!takeLock) {
       writeSigned(signed, dir, bands, rowsPerBand, SaveMode.Append,
-        needCount = false); ()
+        needCount = false, repartitionByBand = false); ()
     } else
       graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.append") {
         writeSigned(signed, dir, bands, rowsPerBand, SaveMode.Append,
-          needCount = false); ()
+          needCount = false, repartitionByBand = false); ()
       }
 
   private def appendImpl(
@@ -323,7 +329,7 @@ object LshDedupIndex {
     // under THIS index's params)
     val signed = preSigned.getOrElse(
       Dedup.minhashSigned(newDocs, idCol, textCol, shingleSize,
-        numHashes).localCheckpoint())
+        numHashes).localCheckpoint(eager = false))
     val newBanded = signed
       .select(col("id").as("new_id"),
         explode(Dedup.bandStructs(col("sig"), nProbe, rowsPerBand)).as("bk"))

@@ -403,6 +403,163 @@ object HnswIndex {
     HnswSearch.topKMerge(partials, k)
   }
 
+  private val ReshardMarker = "_reshard_commit"
+
+  /** Re-shard the persisted index IN PLACE — the [[IvfIndex.rebalance]]
+    * counterpart for the graph family: shard count is the scale knob
+    * (per-shard graph size bounds both build memory and probe latency),
+    * and an index whose corpus 10×-ed past its build-time sizing needs
+    * the knob turnable without a from-scratch rebuild of the caller's
+    * pipeline. Every live node row is re-assigned by the deterministic
+    * id hash under `newShards` and each new shard's graph is rebuilt
+    * with the build recipe (id-ascending insertion — the resharded
+    * index is byte-deterministic, exactly as a fresh [[build]] of the
+    * same corpus at `newShards` would be).
+    *
+    * Crash-atomic via the manifest pivot: the new shards stage into
+    * generation `gen+1` (no live file touched), the new `params/`
+    * (updated shard count) stages beside the live table, and a marker
+    * file carrying the target generation brackets the params swap +
+    * manifest commit. [[recoverReshard]] — run on entry here and inside
+    * the streaming ingest's locked committed-id thunk — rolls an
+    * interrupted swap FORWARD when the manifest committed and BACK when
+    * it did not, so no crash point leaves params and manifest durably
+    * disagreeing. Search is shard-layout-blind (every shard is beamed,
+    * partials merge globally), so a search at full beam answers
+    * identically before and after. Returns the node count resharded.
+    */
+  def reshard(
+      spark: SparkSession,
+      dir: String,
+      newShards: Int): Long =
+    graft.util.IndexLock.withLock(spark, dir, "HnswIndex.reshard") {
+      reshardImpl(spark, dir, newShards)
+    }
+
+  private def reshardImpl(
+      spark: SparkSession,
+      dir: String,
+      newShards: Int): Long = {
+    import spark.implicits._
+    require(newShards > 0, s"HnswIndex.reshard: newShards must be positive, got $newShards")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    recoverReshardLocked(spark, fs, dir)
+    val (m, metric, _, efConstruction, seed) = loadParams(spark, dir)
+    val cosine = HnswSearch.isCosine(metric)
+    val (gen, shardGens) = readManifest(spark, dir)
+    val corpus = (if (shardGens.isEmpty)
+        spark.emptyDataset[(Long, Array[Float])].toDF("id", "vec")
+      else loadNodes(spark, dir, shardGens).select(col("id"), col("vec")))
+      .select(col("id").cast("long"), col("vec").cast("array<float>"))
+    // same deterministic recipe as buildLocked: contiguous shard rows,
+    // id-ascending insertion
+    val rebuilt = corpus
+      .withColumn("shard", pmod(xxhash64(col("id")), lit(newShards)).cast("int"))
+      .repartition(newShards, col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._3).iterator.flatMap { case (shard, rows) =>
+          val g = new HnswGraph(m, efConstruction, cosine, seed)
+          rows.foreach { case (id, vec, _) => g.insert(id, vec) }
+          g.nodes.iterator.zipWithIndex.map { case ((id, vec, links), pos) =>
+            (shard, pos, id, vec, links)
+          }
+        }
+      }
+      .toDF("shard", "pos", "id", "vec", "links")
+      .withColumn("g", lit(gen + 1))
+      .repartition(col("shard"))
+    // anything already under g=gen+1 is debris from a crashed attempt
+    // (same single-writer argument as appendImpl)
+    fs.delete(new Path(s"$dir/nodes/g=${gen + 1}"), true)
+    rebuilt.write.mode(SaveMode.Append)
+      .partitionBy("g", "shard")
+      .parquet(s"$dir/nodes")
+    Seq((m, metric, newShards, efConstruction, seed))
+      .toDF("m", "metric", "shards", "ef_construction", "seed")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
+    val byShard = (if (fs.exists(new Path(s"$dir/nodes/g=${gen + 1}")))
+        spark.read.option("basePath", s"$dir/nodes")
+          .parquet(s"$dir/nodes/g=${gen + 1}")
+          .groupBy("shard").count().as[(Int, Long)].collect().toSeq
+      else Seq.empty[(Int, Long)])
+    // the marker carries the target generation: recovery rolls FORWARD
+    // iff a manifest at (or past) it committed, BACK otherwise
+    val marker = new Path(s"$dir/$ReshardMarker")
+    val out = fs.create(marker, false)
+    try out.write(String.valueOf(gen + 1).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val live = new Path(s"$dir/params")
+    val old = new Path(s"$dir/params.old")
+    val tmp = new Path(s"$dir/params.tmp")
+    require(fs.rename(live, old), s"HnswIndex.reshard: could not stage $live")
+    require(fs.rename(tmp, live), s"HnswIndex.reshard: could not commit $tmp")
+    writeManifest(spark, dir, gen + 1, byShard.map(_._1 -> (gen + 1)).toMap)
+    fs.delete(old, true)
+    fs.delete(marker, false)
+    // superseded generations are garbage once the manifest committed;
+    // best-effort (a failure leaves orphans for vacuum, never an
+    // inconsistent index)
+    shardGens.foreach { case (s, g) =>
+      try fs.delete(new Path(s"$dir/nodes/g=$g/shard=$s"), true)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    byShard.map(_._2).sum
+  }
+
+  /** On-entry crash recovery for an interrupted [[reshard]] — the
+    * [[IvfIndex.recoverSwap]] counterpart, safe to call any time the
+    * caller holds the writer lock (the streaming ingest's committed-id
+    * thunk calls it before [[readIds]], so a crashed reshard heals on
+    * the next micro-batch instead of bricking the ingest). Roll
+    * FORWARD (delete debris) when the marker's target manifest
+    * committed; roll BACK (restore the old params) when it did not.
+    */
+  private[graft] def recoverReshard(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    recoverReshardLocked(spark, fs, dir)
+  }
+
+  private def recoverReshardLocked(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val marker = new Path(s"$dir/$ReshardMarker")
+    val live = new Path(s"$dir/params")
+    val old = new Path(s"$dir/params.old")
+    val tmp = new Path(s"$dir/params.tmp")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val target =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      val committed =
+        try readManifest(spark, dir)._1 >= target
+        catch { case _: IllegalArgumentException => false }
+      if (committed) { // forward: the swap's leftovers are garbage
+        fs.delete(old, true)
+        fs.delete(tmp, true)
+      } else { // back: restore the pre-reshard params
+        if (fs.exists(old)) {
+          fs.delete(live, true)
+          require(fs.rename(old, live),
+            s"HnswIndex: could not roll back params under $dir")
+        }
+        fs.delete(tmp, true)
+      }
+      fs.delete(marker, false)
+    } else {
+      // markerless debris: a staging-only crash (tmp) or a completed
+      // swap's failed cleanup (old, only when live params exist)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) {
+        if (fs.exists(live)) fs.delete(old, true)
+        else require(fs.rename(old, live),
+          s"HnswIndex: could not restore params under $dir")
+      }
+    }
+  }
+
   /** Garbage-collect orphaned state: generation directories not referenced
     * by the live manifest (left behind when an append crashed after staging
     * its new generation but before the manifest rename, or when the

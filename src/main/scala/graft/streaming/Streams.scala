@@ -464,19 +464,19 @@ object Streams {
         // one tokenize pass + one params read per batch, shared by the
         // probe and the append — the lexIngestBatch gate's fast path
         val nb = graft.text.Bm25Index.loadParams(sp, indexDir)
-        val tf = graft.text.Bm25Index
-          .tokenFrequencies(fresh, idCol, textCol)
+        val rows = graft.text.Bm25Index
+          .tokenRows(fresh, idCol, textCol)
           .localCheckpoint(eager = false)
         // batch-keyed Overwrite — crash-replay exactly-once, see
         // dedupIngestOnce
         graft.text.Bm25Index
           .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
             preDoclens = Some(dl),
-            preQTerms = Some(tf.select(col("id").as("query_id"),
-              col("term"))),
+            preQTerms = Some(graft.text.Bm25Index.tfFromRows(rows)
+              .select(col("id").as("query_id"), col("term"))),
             preNBuckets = Some(nb))
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
-        graft.text.Bm25Index.appendTf(sp, indexDir, tf, nb,
+        graft.text.Bm25Index.appendRows(sp, indexDir, rows, nb,
           takeLock = true)
       }
     }
@@ -577,24 +577,25 @@ object Streams {
       .localCheckpoint(eager = false)
     watermarkGatedBatch(sp, indexDir, outDir, batchId, b,
         dl.select(col("id")), idCol, tsCol, lateness) { fresh =>
-      // ONE tokenize pass for the whole batch: the tf frame feeds the
-      // probe's query-term set (preQTerms — tf rows are unique per
+      // ONE tokenize pass for the whole batch: the tokenRows frame feeds
+      // the probe's query-term set (preQTerms — tf rows are unique per
       // (id, term), matching queryTerms' array_distinct) AND the index
-      // append (appendTf); params are read once and shared the same way
+      // append (appendRows); params are read once and shared the same way
       val nb = graft.text.Bm25Index.loadParams(sp, indexDir)
-      val tf = graft.text.Bm25Index
-        .tokenFrequencies(fresh, idCol, textCol)
+      val rows = graft.text.Bm25Index
+        .tokenRows(fresh, idCol, textCol)
         .localCheckpoint(eager = false)
       sp.sparkContext.setJobDescription("graft ingest: search")
       graft.text.Bm25Index
         .searchTopK(sp, indexDir, fresh, idCol, textCol, topK,
           preDoclens = Some(dl),
-          preQTerms = Some(tf.select(col("id").as("query_id"), col("term"))),
+          preQTerms = Some(graft.text.Bm25Index.tfFromRows(rows)
+            .select(col("id").as("query_id"), col("term"))),
           preNBuckets = Some(nb))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/search/batch=$batchId")
       sp.sparkContext.setJobDescription("graft ingest: append")
-      graft.text.Bm25Index.appendTf(sp, indexDir, tf, nb, takeLock = false)
+      graft.text.Bm25Index.appendRows(sp, indexDir, rows, nb, takeLock = false)
     }
   }
 
@@ -965,7 +966,9 @@ object Streams {
         // reads the manifest eagerly — captured before the lock, a
         // concurrent append/vacuum committing in between would make
         // already-committed ids look fresh or pin the scan to deleted
-        // generation dirs; same contract as annIngestBatch)
+        // generation dirs; same contract as annIngestBatch). A reshard
+        // that died mid-swap heals here first, like the IVF recoverSwap
+        graft.knn.HnswIndex.recoverReshard(sp, indexDir)
         graft.knn.HnswIndex.readIds(sp, indexDir)
           .localCheckpoint(eager = false)
       }, idCol, tsCol, lateness) { fresh =>

@@ -35,12 +35,36 @@ object Bm25 {
   private[text] def toks(c: org.apache.spark.sql.Column) =
     split(trim(lower(coalesce(c, lit("")))), "\\s+")
 
-  /** (query_id, term) distinct query terms under the engine tokenizer. */
+  /** (query_id, term) distinct query terms — derived from the SAME
+    * [[termFreqs]] kernel as the postings (a term in the array is
+    * unique and non-blank by construction), so query-side and
+    * corpus-side tokenization cannot drift.
+    */
   private[text] def queryTerms(queries: DataFrame, qIdCol: String,
       qTextCol: String): DataFrame =
     queries.select(col(qIdCol).cast("long").as("query_id"),
-        explode(array_distinct(toks(col(qTextCol)))).as("term"))
-      .filter(col("term") =!= "")
+        explode(termFreqs(col(qTextCol))).as("r"))
+      .select(col("query_id"), col("r.term").as("term"))
+
+  private type Col = org.apache.spark.sql.Column
+
+  /** A document's (term, tf) pairs as a per-ROW array — term frequency
+    * is document-local, so computing it with an explode + groupBy (the
+    * obvious idiom) pays a corpus-wide shuffle for what is actually a
+    * per-row count. Native one-pass kernel
+    * ([[org.apache.spark.sql.graft.TermFreqKernel]]): O(tokens) per
+    * document, runs inside the whole-stage-codegen span, zero exchanges
+    * at any corpus size — the build, the per-batch append and the
+    * probe's query-term prep all drop their tokenize shuffle. (A
+    * Column-HOF formulation was measured 30× slower: lambda bodies are
+    * excluded from codegen CSE, so every element access re-evaluated
+    * the captured sorted-token subtree.)
+    */
+  private[text] def termFreqs(c: Col): Col =
+    org.apache.spark.sql.graft.Interop.column(
+      org.apache.spark.sql.graft.TermFreqs(
+        org.apache.spark.sql.graft.Interop.expression(
+          coalesce(c, lit(""))))) // null text = blank text, the toks rule
 
   /** The scoring tail shared by [[scoreTopK]], [[prfExpand]] and
     * [[Bm25Index.searchTopK]] — ONE implementation of the idf ·
@@ -52,30 +76,70 @@ object Bm25 {
     * term's contribution is scaled by it (the weighted-query form RM3
     * expansion rescoring needs; absent = the classic unweighted query).
     */
+  /** The one BM25 contribution formula — idf · saturation, with the
+    * corpus constants injected as columns (broadcast-stats form) or
+    * literals (the probe's collected form), so the two call shapes
+    * cannot drift numerically: identical Column tree, identical doubles.
+    */
+  private def contribCore(nDocs: org.apache.spark.sql.Column,
+      avgdl: org.apache.spark.sql.Column, k1: Double, b: Double) =
+    log(lit(1.0) + (nDocs - col("df") + 0.5) /
+        (col("df") + 0.5)) *
+      (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+
+  /** The shared ranking tail: per-(query, doc) contribution sum with the
+    * 4-dp round-before-rank tie rule, per-query top-k.
+    */
+  private def rankTail(scored: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    scored
+      .groupBy("query_id", "id")
+      .agg(round(sum("contrib"), 4).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "id", "score", "rnk")
+  }
+
   private[text] def scoreFrom(
       tf: DataFrame, dfreq: DataFrame, dl: DataFrame, stats: DataFrame,
       qterms: DataFrame, dlJoinKeys: Seq[String], topK: Int,
       k1: Double, b: Double): DataFrame = {
     require(topK > 0, s"bm25: topK must be positive, got $topK")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bm25: bad k1/b ($k1, $b)")
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
-    val core =
-      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
-          (col("df") + 0.5)) *
-        (col("tf") * (k1 + 1)) /
-        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val core = contribCore(col("n_docs"), col("avgdl"), k1, b)
     val contrib =
       if (qterms.columns.contains("qw")) col("qw") * core else core
-    tf.join(dfreq, "term")                 // same term-keyed exchange
-      .join(broadcast(qterms), "term")     // bounded query set
-      .join(dl, dlJoinKeys)
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("id"), contrib.as("contrib"))
-      .groupBy("query_id", "id")
-      .agg(round(sum("contrib"), 4).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select("query_id", "id", "score", "rnk")
+    rankTail(
+      tf.join(dfreq, "term")                 // same term-keyed exchange
+        .join(broadcast(qterms), "term")     // bounded query set
+        .join(dl, dlJoinKeys)
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("id"), contrib.as("contrib")),
+      topK)
+  }
+
+  /** [[scoreFrom]] for a per-batch probe that has already (a) fused the
+    * document-frequency count INTO the candidate frame (`tfdf`: (term,
+    * id, th, tf, df) — one term-keyed exchange instead of the dedup
+    * aggregation + df aggregation + df join's three) and (b) collected
+    * the 1-row corpus stats driver-side (it pays collects per micro-
+    * batch anyway; literals skip the broadcast-stage round-trip). Same
+    * formula via [[contribCore]], same [[rankTail]] — numerically
+    * identical to [[scoreFrom]] by construction.
+    */
+  private[text] def scoreJoined(
+      tfdf: DataFrame, dl: DataFrame, nDocs: Double, avgdl: Double,
+      qterms: DataFrame, dlJoinKeys: Seq[String], topK: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(topK > 0, s"bm25: topK must be positive, got $topK")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bm25: bad k1/b ($k1, $b)")
+    rankTail(
+      tfdf.join(broadcast(qterms), "term")
+        .join(dl, dlJoinKeys)
+        .select(col("query_id"), col("id"),
+          contribCore(lit(nDocs), lit(avgdl), k1, b).as("contrib")),
+      topK)
   }
 
   /** BM25 top-k retrieval: for each query row, the `topK` documents
@@ -105,15 +169,19 @@ object Bm25 {
       topK: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    // inverted index: (id, term, tf). Feeds three consumers (df, dl, the
-    // probe join) — lazy localCheckpoint so the corpus text is scanned
-    // and exploded once, not three times (the Dedup token-frame pattern)
-    val tf = docs.select(col(idCol).cast("long").as("id"),
-        explode(toks(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // per-document (term, tf) arrays, checkpointed BEFORE the explode:
+    // one text scan feeds the inverted index (explode), the document
+    // lengths (array sum — no shuffle; [[termFreqs]] makes term
+    // frequency a per-row run-length count, so neither tf nor dl pays
+    // the corpus-wide shuffle the explode + groupBy idiom cost)
+    val rows = docs.select(col(idCol).cast("long").as("id"),
+        termFreqs(col(textCol)).as("tfs"))
       .localCheckpoint(eager = false)
-    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val tf = rows.select(col("id"), explode(col("tfs")).as("r"))
+      .select(col("id"), col("r.term").as("term"), col("r.tf").as("tf"))
+    val dl = rows.select(col("id"),
+        aggregate(col("tfs"), lit(0L), (a, x) => a + x.getField("tf")).as("dl"))
+      .filter(col("dl") > 0)
     // corpus constants snapshot at the same action as the index — a
     // 1-row broadcast, never a driver count() at plan construction
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),

@@ -104,26 +104,42 @@ object Bm25Index {
     }
   }
 
-  /** The (id, th, term, tf) term-frequency frame of a document batch —
-    * the ONE tokenize (explode + groupBy) pass whose output feeds every
-    * index-state consumer: the postings write, the doclens write, and
-    * (via [[searchTopK]]'s `preQTerms`) the probe's query-term set. A
-    * streaming micro-batch computes this once, lazy-localCheckpoint-ed,
-    * and both its search and its append reuse it — one text scan per
-    * batch, not two.
+  /** The per-document token frame of a batch: (id, th, tfs) with `tfs`
+    * an array<struct<term, tf>> computed PER ROW ([[Bm25.termFreqs]] —
+    * term frequency is document-local, so no tokenize shuffle exists at
+    * any corpus size). The ONE text scan whose output feeds every
+    * index-state consumer: the postings write ([[tfFromRows]] explode),
+    * the doclens write ([[dlFromRows]] array sum — no shuffle either),
+    * and (via [[searchTopK]]'s `preQTerms`) the probe's query-term set.
+    * A streaming micro-batch computes this once, lazy-localCheckpoint-ed,
+    * and both its search and its append reuse it.
     */
-  private[graft] def tokenFrequencies(docs: DataFrame, idCol: String,
+  private[graft] def tokenRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
         xxhash64(coalesce(col(textCol), lit(""))).as("th"),
-        explode(Bm25.toks(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("id", "th", "term").agg(count(lit(1)).as("tf"))
+        Bm25.termFreqs(col(textCol)).as("tfs"))
 
-  /** Tokenize + write shared by [[build]] and [[append]]: ONE explode +
-    * groupBy pass over the batch produces the (id, th, term, tf) frame
-    * (lazy-localCheckpoint-ed — it feeds the postings write, the doclens
-    * write, and the returned count), then the two writes in commit order.
+  /** (id, th, term, tf) — the inverted-index rows of a [[tokenRows]]
+    * frame.
+    */
+  private[graft] def tfFromRows(rows: DataFrame): DataFrame =
+    rows.select(col("id"), col("th"), explode(col("tfs")).as("r"))
+      .select(col("id"), col("th"), col("r.term").as("term"),
+        col("r.tf").as("tf"))
+
+  /** (id, th, dl) document lengths of a [[tokenRows]] frame — blank
+    * documents (dl 0) index nothing, exactly the explode-side filter.
+    */
+  private[graft] def dlFromRows(rows: DataFrame): DataFrame =
+    rows.select(col("id"), col("th"),
+        aggregate(col("tfs"), lit(0L), (a, x) => a + x.getField("tf")).as("dl"))
+      .filter(col("dl") > 0)
+
+  /** Tokenize + write shared by [[build]] and [[append]]: ONE per-row
+    * tokenize pass over the batch (lazy-localCheckpoint-ed — it feeds
+    * the postings write, the doclens write, and the returned count),
+    * then the two writes in commit order.
     */
   private def writeState(
       docs: DataFrame,
@@ -131,33 +147,39 @@ object Bm25Index {
       textCol: String,
       dir: String,
       nBuckets: Int,
-      mode: SaveMode): Long =
-    writeTf(tokenFrequencies(docs, idCol, textCol)
-      .localCheckpoint(eager = false), dir, nBuckets, mode,
+      mode: SaveMode): Long = {
+    val rows = tokenRows(docs, idCol, textCol).localCheckpoint(eager = false)
+    writeTf(tfFromRows(rows), dlFromRows(rows), dir, nBuckets, mode,
       needCount = true)
+  }
 
-  /** The write half of [[writeState]], callable with a caller-shared
-    * `tf` frame ([[tokenFrequencies]], ideally lazy-localCheckpoint-ed).
-    * Write order is the crash-safety protocol (postings stage first, the
-    * doclens write is the commit point). `needCount = false` skips the
-    * final count job for callers that ignore the return value (the
-    * streaming ingesters — one fewer scheduler round-trip per batch) and
-    * returns -1.
+  /** The write half of [[writeState]], callable with caller-shared
+    * `tf`/`dl` frames (from ONE [[tokenRows]] pass, ideally lazy-
+    * localCheckpoint-ed). Write order is the crash-safety protocol
+    * (postings stage first, the doclens write is the commit point).
+    * `needCount = false` skips the final count job for callers that
+    * ignore the return value (the streaming ingesters — one fewer
+    * scheduler round-trip per batch) and returns -1.
     */
   private[graft] def writeTf(
       tf: DataFrame,
+      dl: DataFrame,
       dir: String,
       nBuckets: Int,
       mode: SaveMode,
-      needCount: Boolean): Long = {
-    tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .repartition(col("bucket"))
+      needCount: Boolean,
+      repartitionByBucket: Boolean = true): Long = {
+    val bucketed = tf.withColumn("bucket",
+      pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    // repartitionByBucket = false: a micro-batch append's tf sits in a
+    // handful of post-AQE partitions already — partitionBy fans its few
+    // tasks into per-bucket files directly, and the clustering exchange
+    // would cost a whole extra stage to produce the same file count
+    (if (repartitionByBucket) bucketed.repartition(col("bucket")) else bucketed)
       .write.mode(mode)
       .partitionBy("bucket")
       .parquet(s"$dir/postings")
     // commit point (see the write-order doc above)
-    val dl = tf.groupBy("id", "th").agg(sum("tf").as("dl"))
-      .localCheckpoint(eager = false)
     dl.write.mode(mode).parquet(s"$dir/doclens")
     if (needCount) dl.count() else -1L
   }
@@ -220,23 +242,26 @@ object Bm25Index {
           checkBatchUnique)
       }
 
-  /** Streaming-batch append over a caller-shared [[tokenFrequencies]]
-    * frame and preloaded bucket count: the per-batch fast path — no
-    * re-tokenize, no params read, no count job. The caller owns the
-    * guards [[append]]'s flags would run (absence via its anti-join,
-    * within-batch uniqueness by input contract). `takeLock = false` for
-    * callers already holding the writer lock.
+  /** Streaming-batch append over a caller-shared [[tokenRows]] frame
+    * and preloaded bucket count: the per-batch fast path — no
+    * re-tokenize, no params read, no count job, no clustering exchange.
+    * The caller owns the guards [[append]]'s flags would run (absence
+    * via its anti-join, within-batch uniqueness by input contract).
+    * `takeLock = false` for callers already holding the writer lock.
     */
-  private[graft] def appendTf(
+  private[graft] def appendRows(
       spark: SparkSession,
       dir: String,
-      tf: DataFrame,
+      rows: DataFrame,
       nBuckets: Int,
       takeLock: Boolean): Unit =
-    if (!takeLock) { writeTf(tf, dir, nBuckets, SaveMode.Append, needCount = false); () }
-    else
+    if (!takeLock) {
+      writeTf(tfFromRows(rows), dlFromRows(rows), dir, nBuckets,
+        SaveMode.Append, needCount = false, repartitionByBucket = false); ()
+    } else
       graft.util.IndexLock.withLock(spark, dir, "Bm25Index.append") {
-        writeTf(tf, dir, nBuckets, SaveMode.Append, needCount = false); ()
+        writeTf(tfFromRows(rows), dlFromRows(rows), dir, nBuckets,
+          SaveMode.Append, needCount = false, repartitionByBucket = false); ()
       }
 
   private def appendImpl(
@@ -307,30 +332,62 @@ object Bm25Index {
       require(q.columns.contains("query_id") && q.columns.contains("term"),
         "Bm25Index.searchTopK: preQTerms needs (query_id, term) columns")
     }
-    val qterms = preQTerms.getOrElse(
-      Bm25.queryTerms(queries, qIdCol, qTextCol)
-        .localCheckpoint(eager = false))
-    // bounded driver collect: one bucket id per distinct query term, the
-    // static partition filter that prunes the postings listing
-    val buckets = qterms
-      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("bucket"))
-      .distinct().collect().map(_.getLong(0))
-    if (buckets.isEmpty)
+    val qterms0 = preQTerms.getOrElse(
+      Bm25.queryTerms(queries, qIdCol, qTextCol))
+    // ONE bounded driver collect serves the bucket set (the static
+    // partition filter that prunes the postings listing), AND the
+    // query-term relation itself: the scoring join broadcasts qterms
+    // anyway — a broadcast IS a driver materialization — so collecting
+    // it here costs nothing extra at scale and saves the per-batch jobs
+    // that re-derived the same rows for the bucket distinct
+    val qtCollected = qterms0
+      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .collect()
+    if (qtCollected.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], searchSchema)
-    val pruned = readPostings(spark, dir)
-      .filter(col("bucket").isin(buckets: _*))
-      .select(col("term"), col("id"), col("th"), col("tf"))
-      // a retried crashed append stages its postings TWICE (same epoch)
-      // before the single doclens commit — collapse here so no score
-      // ever double-counts; the staged rows are identical, so max == tf
-      .groupBy("term", "id", "th").agg(max("tf").as("tf"))
-      .localCheckpoint(eager = false)
-    val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    val buckets = qtCollected.map(r => r.getLong(r.length - 1)).distinct
+    val qterms = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        qtCollected.map(r => org.apache.spark.sql.Row(r.toSeq.dropRight(1): _*))
+          .toList.asJava,
+        qterms0.schema)
+    }
+    // corpus stats: one tiny agg over the (caller-checkpointed) doclens
+    // frame, collected — the probe pays driver round-trips per call, so
+    // literals beat a broadcast-stage for the two scalars
     val dl = preDoclens.getOrElse(readDoclens(spark, dir))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg("dl").as("avgdl"))
-    Bm25.scoreFrom(pruned, dfreq, dl, stats, qterms, Seq("id", "th"),
+    val statsRow = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl")).collect().head
+    val nDocs = statsRow.getDouble(0)
+    val avgdl = if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1)
+    // candidate generation in ONE term-keyed exchange: repartition by
+    // term, then the duplicate collapse (a retried crashed append stages
+    // its postings TWICE before the single doclens commit — identical
+    // rows, so max == tf) and the per-term document-frequency count both
+    // reuse that partitioning (hash(term) clusters every finer grain) —
+    // where the former groupBy(term,id,th) + groupBy(term) + join-back
+    // shape paid three exchanges and re-shipped the candidates twice
+    // term-level pruning on top of the bucket partition filter: the
+    // bucket cut is directory-grain and degenerates to a full postings
+    // scan once a wide-vocabulary query batch hashes into every bucket;
+    // the term set is already on the driver (it rode the qterms
+    // collect), and an InSet filter drops every non-query term BEFORE
+    // the exchange — candidate volume becomes "postings of the query's
+    // terms", the quantity the probe's cost model promises, instead of
+    // "postings of every co-bucketed term"
+    val termSet = qtCollected.map(_.getString(
+      qterms0.schema.fieldIndex("term"))).toSet
+    val tfdf = readPostings(spark, dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isInCollection(termSet))
+      .select(col("term"), col("id"), col("th"), col("tf"))
+      .repartition(col("term"))
+      .groupBy("term", "id", "th").agg(max("tf").as("tf"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    Bm25.scoreJoined(tfdf, dl, nDocs, avgdl, qterms, Seq("id", "th"),
       topK, k1, b)
   }
 

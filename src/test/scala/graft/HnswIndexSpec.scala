@@ -48,6 +48,64 @@ class HnswIndexSpec extends SparkSpec {
     assert(recall > 0.8, s"persisted-HNSW recall@5 too low: $recall")
   }
 
+  test("reshard: full-beam search identical before and after; byte-deterministic vs fresh build") {
+    val dir = tempDir("reshard")
+    val n = emb.count().toInt
+    HnswIndex.build(emb, "vec_id", "embedding", dir, shards = 8)
+    // full beam: every shard's whole graph is explored, so the merged
+    // top-k is the exact kNN regardless of how ids are sharded
+    def fullBeam(d: String) = HnswIndex
+      .search(spark, d, emb, "vec_id", "embedding", k = 5, efSearch = n + 8)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = fullBeam(dir)
+    val moved = HnswIndex.reshard(spark, dir, newShards = 3)
+    assert(moved == n.toLong)
+    assert(fullBeam(dir) == before,
+      "full-beam search changed across reshard")
+    // the resharded index IS a fresh build at the new shard count: same
+    // deterministic recipe → node-row-identical (the byte-determinism
+    // contract extended to reshard)
+    val fresh = tempDir("reshard_fresh")
+    HnswIndex.build(emb, "vec_id", "embedding", fresh, shards = 3)
+    def nodeRows(d: String) = spark.read
+      .option("basePath", s"$d/nodes").parquet(s"$d/nodes")
+      .select("shard", "pos", "id", "vec", "links")
+      .collect().map(_.toString).sorted.toSeq
+    assert(nodeRows(dir) == nodeRows(fresh))
+    // params carry the new count; a later append routes by it
+    HnswIndex.append(spark, dir,
+      emb.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    assert(HnswIndex.stats(spark, dir).collect().map(_.getLong(1)).sum == 2L * n)
+  }
+
+  test("reshard crash recovery: marker rolls back before the manifest commit, forward after") {
+    val dir = tempDir("reshard_crash")
+    HnswIndex.build(emb, "vec_id", "embedding", dir, shards = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def params = spark.read.parquet(s"$dir/params")
+      .select("shards").collect().head.getInt(0)
+    // simulate a crash AFTER the params swap but BEFORE the manifest
+    // commit: params renamed, marker present, manifest still at gen 0
+    val p = new org.apache.hadoop.fs.Path(s"$dir/params")
+    fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir/params.old"))
+    spark.read.parquet(s"$dir/params.old").withColumn("shards", lit(2))
+      .select("m", "metric", "shards", "ef_construction", "seed")
+      .repartition(1).write.parquet(s"$dir/params")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_reshard_commit")
+    val out = fs.create(marker, false)
+    out.write("1".getBytes("UTF-8")); out.close()
+    HnswIndex.recoverReshard(spark, dir)
+    assert(params == 4, "un-committed reshard must roll back to the old params")
+    assert(!fs.exists(marker))
+    // a REAL reshard then works and commits
+    HnswIndex.reshard(spark, dir, newShards = 2)
+    assert(params == 2)
+    assert(HnswIndex.stats(spark, dir).collect().map(_.getLong(1)).sum == emb.count())
+  }
+
   test("stats: live-generation shard occupancy sums to the corpus") {
     val dir = tempDir("stats")
     HnswIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
