@@ -1741,6 +1741,68 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
           round(col("dist"), 6).as("dist"))
     }),
+
+    // The late audit channel's OPERATIONAL LOOP, end to end: the q91
+    // gated run routes the ancient-ts rows of batches B/C to late/;
+    // `lateRows` then recovers them (full original rows — the channel
+    // is self-contained) and they re-ingest through the NON-gated
+    // ingester, whose per-document freshness anti-join dedups against
+    // committed state (feeding them back through the gate would route
+    // them straight back to late/ — their event times sit below the
+    // persisted watermark by definition). End state: the index holds
+    // base ∪ EVERY staged row — ≡ a one-shot build over everything,
+    // which the oracle computes in closed form.
+    "q98_late_reingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_stream_reingest_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
+      val t0 = 1700000000000L
+      def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
+        .otherwise(col("doc_id") * 100)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            (col("doc_id") * 100).as("ts"), col("text")),
+        s"$base/batches", "batch_a.parquet", t0)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select((col("doc_id") + 2000000).as("doc_id"), ancientTs.as("ts"),
+            col("text")),
+        s"$base/batches", "batch_b.parquet", t0 + 60000)
+      graft.streaming.Streams.stageBatch(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
+          .select((col("doc_id") + 3000000).as("doc_id"), ancientTs.as("ts"),
+            col("text")),
+        s"$base/batches", "batch_c.parquet", t0 + 120000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.streaming.Streams.lexIngestWatermarked(s, s"$base/batches", schema,
+        s"$base/index", s"$base/out", "doc_id", "text", "ts",
+        lateness = 100L, topK = 3)
+      // recover the audited rows and close the loop: re-stage them as a
+      // batch for the NON-gated ingester (its anti-join keeps the op
+      // replay-safe — a second run of this re-ingest emits nothing)
+      val late = graft.streaming.Streams.lateRows(s, s"$base/out")
+        .getOrElse(sys.error("q98: expected late rows"))
+      graft.streaming.Streams.stageBatch(
+        late.select("doc_id", "ts", "text"),
+        s"$base/rebatches", "late_replay.parquet", t0 + 180000)
+      graft.streaming.Streams.lexIngestOnce(s, s"$base/rebatches", schema,
+        s"$base/index", s"$base/out2", "doc_id", "text", topK = 3)
+      graft.text.Bm25Index.readDoclens(s, s"$base/index")
+        .select(col("id"), col("dl").cast("long").as("dl"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -2283,6 +2345,27 @@ object SparkEntry {
         |  FROM d)
         |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist
         |FROM knn WHERE rnk <= 5""".stripMargin,
+
+    // after the re-ingest loop the index holds base ∪ EVERY staged row
+    // (no %5 carve-outs — the late rows came back through the non-gated
+    // path), so doclens ≡ one tokenize pass over everything
+    "q98_late_reingest" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+        |        '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS id, dl FROM tok
+        |UNION ALL
+        |SELECT CAST(doc_id + 1000000 AS BIGINT), dl FROM tok WHERE doc_id < 25
+        |UNION ALL
+        |SELECT CAST(doc_id + 2000000 AS BIGINT), dl FROM tok
+        |WHERE doc_id >= 25 AND doc_id < 50
+        |UNION ALL
+        |SELECT CAST(doc_id + 3000000 AS BIGINT), dl FROM tok
+        |WHERE doc_id >= 50 AND doc_id < 75""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
