@@ -104,7 +104,12 @@ object MakeScale {
   * scaled corpus (the spec-level guarantee, re-checked at probe scale)
   * and reporting both paths' growth.
   *
-  * Usage: runMain graft.ScaleProbe <smallDir> <bigDir> <outJson> [q,...]
+  * Usage: runMain graft.ScaleProbe <smallDir> <bigDir> <outJson> [q,...] [probes]
+  * `probes` (default "block,grid"): which built-in probes to run beside
+  * the named queries — "block" (exact blockKnn, O(N²): affordable at
+  * 10×, NOT at a 100× tier) and/or "grid" (the IVF escalation, whose
+  * auto-√N path is exactly what a 100× tier exists to measure), or
+  * "none".
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -112,13 +117,16 @@ object ScaleProbe {
     val big = args(1)
     val outJson = args(2)
     val names: Seq[String] =
-      if (args.length > 3) args(3).split(',').toSeq
+      if (args.length > 3 && args(3).nonEmpty && args(3) != "-")
+        args(3).split(',').toSeq
       else Seq("q41_ivf_index", "q58_ivfpq_index", "q59_stream_knn",
         "q73_semantic_perturbed", "q74_stream_dedup_ingest",
         "q75_corpus_prep", "q76_twolevel_ivf", "q82_bm25_index",
         "q84_hybrid_serving", "q85_stream_lex_ingest",
         "q91_stream_late_ingest", "q92_stream_dedup_late",
         "q95_stream_ann_ingest", "q96_stream_hnsw_late")
+    val probes: Set[String] =
+      if (args.length > 4) args(4).split(',').toSet else Set("block", "grid")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -178,11 +186,16 @@ object ScaleProbe {
       val (tSingle, hSingle) = run(Int.MaxValue)
       (tMulti, tSingle, hMulti, hSingle)
     }
-    val (smM, smS, smHm, smHs) = blockProbe(small)
-    val (bgM, bgS, bgHm, bgHs) = blockProbe(big)
-    require(smHm == smHs && bgHm == bgHs,
-      s"blockKnn multi-block hash diverged from single-block: " +
-        s"small $smHm/$smHs big $bgHm/$bgHs")
+    val blockRows = if (!probes("block")) Seq.empty else {
+      val (smM, smS, smHm, smHs) = blockProbe(small)
+      val (bgM, bgS, bgHm, bgHs) = blockProbe(big)
+      require(smHm == smHs && bgHm == bgHs,
+        s"blockKnn multi-block hash diverged from single-block: " +
+          s"small $smHm/$smHs big $bgHm/$bgHs")
+      Seq(
+        f""""blockknn_multi8":{"small_s":$smM%.3f,"big_s":$bgM%.3f,"growth":${bgM / smM}%.2f}""",
+        f""""blockknn_single":{"small_s":$smS%.3f,"big_s":$bgS%.3f,"growth":${bgS / smS}%.2f}""")
+    }
 
     // The flagship grid's ANN escalation (gridKnn annAbove → ivfKnn):
     // the path a catalog too large for exact O(N²) self-kNN takes —
@@ -207,24 +220,27 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    // the default path: auto (√N) sizing — nList grows with the
-    // catalog, so per-query candidate work is O(nProbe·√N)
-    val smG = gridAnnProbe(small, None)
-    val bgG = gridAnnProbe(big, None)
-    // the old fixed-64 sizing, kept as the comparison row: constant
-    // probed fraction → per-query work stays O(N)
-    val smGf = gridAnnProbe(small, Some(64))
-    val bgGf = gridAnnProbe(big, Some(64))
+    val gridRows = if (!probes("grid")) Seq.empty else {
+      // the default path: auto (√N) sizing — nList grows with the
+      // catalog, so per-query candidate work is O(nProbe·√N)
+      val smG = gridAnnProbe(small, None)
+      val bgG = gridAnnProbe(big, None)
+      // the old fixed-64 sizing, kept as the comparison row: constant
+      // probed fraction → per-query work stays O(N)
+      val smGf = gridAnnProbe(small, Some(64))
+      val bgGf = gridAnnProbe(big, Some(64))
+      Seq(
+        f""""gridknn_ivf":{"small_s":$smG%.3f,"big_s":$bgG%.3f,"growth":${bgG / smG}%.2f}""",
+        f""""gridknn_ivf_fixed64":{"small_s":$smGf%.3f,"big_s":$bgGf%.3f,"growth":${bgGf / smGf}%.2f}""")
+    }
 
-    val extra = Seq(
-      f""""blockknn_multi8":{"small_s":$smM%.3f,"big_s":$bgM%.3f,"growth":${bgM / smM}%.2f}""",
-      f""""blockknn_single":{"small_s":$smS%.3f,"big_s":$bgS%.3f,"growth":${bgS / smS}%.2f}""",
-      f""""gridknn_ivf":{"small_s":$smG%.3f,"big_s":$bgG%.3f,"growth":${bgG / smG}%.2f}""",
-      f""""gridknn_ivf_fixed64":{"small_s":$smGf%.3f,"big_s":$bgGf%.3f,"growth":${bgGf / smGf}%.2f}""")
+    // null, not false, when the block probe was skipped — false would
+    // read as "the hashes DIVERGED"
+    val blockHash = if (probes("block")) "true" else "null"
     val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
-    } ++ extra).mkString(
-      s"""{"small":"$small","big":"$big","block_hash_equal":true,"queries":{""",
+    } ++ blockRows ++ gridRows).mkString(
+      s"""{"small":"$small","big":"$big","block_hash_equal":$blockHash,"queries":{""",
       ",", "}}")
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")

@@ -31,6 +31,39 @@ class Bm25Spec extends SparkSpec {
     assert(got == List((2L, d2, 1), (1L, d1, 2)))
   }
 
+  test("TermFreqs kernel: counts, normalization, ordering, null/blank, SQL-tokenizer parity") {
+    import org.apache.spark.sql.graft.{Interop, TermFreqs}
+    def tf(s: String): Seq[(String, Long)] = {
+      val df = Seq(Tuple1(s)).toDF("t")
+        .select(explode(Interop.column(TermFreqs(
+          Interop.expression(coalesce(col("t"), lit("")))))).as("r"))
+        .select(col("r.term"), col("r.tf"))
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    // counts + lowercasing + term-byte-sorted output
+    assert(tf("Cat sat CAT  dog") == Seq(("cat", 2L), ("dog", 1L), ("sat", 1L)))
+    // whitespace variety collapses exactly like the SQL toks pipeline
+    assert(tf("  a\tb\na a ") == Seq(("a", 3L), ("b", 1L)))
+    // blank and null yield EMPTY (never null) — blank docs index nothing
+    assert(tf("") == Seq.empty && tf("   ") == Seq.empty)
+    assert(tf(null) == Seq.empty)
+    // parity with the SQL-side tokenizer on every documents row: the
+    // kernel's exploded terms must equal split+filter term-for-term
+    val docs = graft.sources.Lake.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val kernel = docs.select(col("doc_id"),
+        explode(Interop.column(TermFreqs(
+          Interop.expression(coalesce(col("text"), lit("")))))).as("r"))
+      .select(col("doc_id"), col("r.term").as("term"), col("r.tf").as("tf"))
+    val sql = docs.select(col("doc_id"),
+        explode(split(trim(lower(coalesce(col("text"), lit("")))), "\\s+"))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    assert(kernel.exceptAll(sql).isEmpty && sql.exceptAll(kernel).isEmpty,
+      "TermFreqs kernel drifted from the SQL split/lower/trim tokenizer")
+  }
+
   test("empty docs are absent from N/avgdl; no-hit queries yield no rows") {
     val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, null), (4L, "  "))
       .toDF("id", "text")
