@@ -27,9 +27,10 @@ def main():
             ["sbt", "-batch", "runMain graft.Bench"],
             capture_output=True, text=True, env=env, cwd=os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))))
-        line = next(l for l in p.stdout.splitlines()
-                    if l.startswith('{"metric"'))
-        rec = json.loads(line)
+        # sbt prefixes stdout lines with "[info] " — find the JSON line
+        # anywhere in the line, not at column 0
+        line = next(l for l in p.stdout.splitlines() if '{"metric"' in l)
+        rec = json.loads(line[line.index('{"metric"'):])
         samples.append(rec["queries"])
         totals.append(rec["value"])
         print(f"run {i+1}/{runs}: total {rec['value']:.1f} s", flush=True)

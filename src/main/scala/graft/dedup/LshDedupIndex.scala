@@ -161,12 +161,18 @@ object LshDedupIndex {
         explode(Dedup.bandStructs(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.band_hash").as("band_hash"),
         col("id"))
-    // repartitionByBand = false: a micro-batch append's band rows sit in
-    // a handful of partitions already — partitionBy fans its few tasks
-    // into per-band files directly, and the clustering exchange would
-    // cost a whole extra stage to produce the same file count (the
-    // Bm25Index.writeTf convention)
-    (if (repartitionByBand) banded.repartition(col("band")) else banded)
+    // repartitionByBand = false (the per-MICRO-BATCH append path):
+    // coalesce to ONE task instead of paying the clustering exchange.
+    // The batch's rows sit scattered across the freshness join's cached
+    // partitions — writing partitionBy(band) from ~32 tasks fans every
+    // task into every band it touches (hundreds of sliver files per
+    // append, and every later probe re-lists them; measured as a ~25%
+    // q92 regression when this path briefly skipped BOTH the exchange
+    // and the coalesce). One task × ≤bands files matches what the
+    // exchange produced, narrowly. Micro-batches are single-staged-file
+    // sized by contract; full builds keep the exchange.
+    (if (repartitionByBand) banded.repartition(col("band"))
+     else banded.coalesce(1))
       .write.mode(mode)
       .partitionBy("band")
       .parquet(s"$dir/bands")
@@ -189,14 +195,21 @@ object LshDedupIndex {
 
   /** Sign a batch under `params` ([[loadParams]]) — the one MinHash kernel
     * pass a streaming micro-batch shares between its probe (`preSigned`)
-    * and its append ([[appendSigned]]); localCheckpoint-ed so both
-    * consumers read the materialized signatures.
+    * and its append ([[appendSigned]]); localCheckpoint-ed EAGERLY on
+    * purpose: the first consumer is the probe plan, which references
+    * the signed frame TWICE (band explode + signature fetch), and a
+    * not-yet-materialized lazy checkpoint referenced twice inside one
+    * job computes the kernel twice — measured as a ~25% q92 regression
+    * when this briefly went lazy. Eager pays one small upfront job and
+    * every later reference reads blocks. (Lazy remains right when the
+    * first consumer references the frame once — the build path, the
+    * BM25 tokenRows path.)
     */
   private[graft] def signBatch(docs: DataFrame, idCol: String,
       textCol: String, params: (Int, Int, Int)): DataFrame = {
     val (shingleSize, bands, rowsPerBand) = params
     Dedup.minhashSigned(docs, idCol, textCol, shingleSize,
-      bands * rowsPerBand).localCheckpoint(eager = false)
+      bands * rowsPerBand).localCheckpoint()
   }
 
   /** Add a new batch WITHOUT touching existing state: one signature pass
@@ -329,7 +342,7 @@ object LshDedupIndex {
     // under THIS index's params)
     val signed = preSigned.getOrElse(
       Dedup.minhashSigned(newDocs, idCol, textCol, shingleSize,
-        numHashes).localCheckpoint(eager = false))
+        numHashes).localCheckpoint())
     val newBanded = signed
       .select(col("id").as("new_id"),
         explode(Dedup.bandStructs(col("sig"), nProbe, rowsPerBand)).as("bk"))

@@ -171,16 +171,22 @@ object Bm25Index {
       repartitionByBucket: Boolean = true): Long = {
     val bucketed = tf.withColumn("bucket",
       pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-    // repartitionByBucket = false: a micro-batch append's tf sits in a
-    // handful of post-AQE partitions already — partitionBy fans its few
-    // tasks into per-bucket files directly, and the clustering exchange
-    // would cost a whole extra stage to produce the same file count
-    (if (repartitionByBucket) bucketed.repartition(col("bucket")) else bucketed)
+    // repartitionByBucket = false (the per-MICRO-BATCH append path):
+    // coalesce to ONE task instead of paying the clustering exchange —
+    // partitionBy from the freshness join's many cached partitions
+    // would fan each task into every bucket it touches (sliver-file
+    // explosion; see LshDedupIndex.writeSigned). One task × ≤buckets
+    // files, narrow. Micro-batches are single-staged-file sized by
+    // contract; full builds keep the exchange.
+    (if (repartitionByBucket) bucketed.repartition(col("bucket"))
+     else bucketed.coalesce(1))
       .write.mode(mode)
       .partitionBy("bucket")
       .parquet(s"$dir/postings")
-    // commit point (see the write-order doc above)
-    dl.write.mode(mode).parquet(s"$dir/doclens")
+    // commit point (see the write-order doc above); the micro-batch
+    // path coalesces for the same sliver-file reason
+    (if (repartitionByBucket) dl else dl.coalesce(1))
+      .write.mode(mode).parquet(s"$dir/doclens")
     if (needCount) dl.count() else -1L
   }
 
