@@ -29,12 +29,25 @@ def main():
                 os.path.dirname(os.path.abspath(__file__))))
         # sbt prefixes stdout lines with "[info] " — find the JSON line
         # anywhere in the line, not at column 0
-        line = next(l for l in p.stdout.splitlines() if '{"metric"' in l)
+        line = next(
+            (l for l in p.stdout.splitlines() if '{"metric"' in l), None)
+        if p.returncode != 0 or line is None:
+            # surface the failure instead of a bare StopIteration, and
+            # keep the completed runs' samples usable for a manual look
+            sys.stderr.write(f"run {i+1}/{runs} FAILED rc={p.returncode}\n")
+            sys.stderr.write(p.stderr[-4000:] + "\n")
+            sys.stderr.write(p.stdout[-2000:] + "\n")
+            sys.exit(1)
         rec = json.loads(line[line.index('{"metric"'):])
         samples.append(rec["queries"])
         totals.append(rec["value"])
         print(f"run {i+1}/{runs}: total {rec['value']:.1f} s", flush=True)
-    qs = sorted(samples[0])
+    # median over the queries every run reports — a query set that
+    # changed mid-protocol (rebuild between runs) fails loudly below
+    # rather than KeyError-ing off run 1's keys
+    qs = sorted(set.intersection(*(set(s) for s in samples)))
+    assert all(len(s) == len(qs) for s in samples), \
+        "query sets differ across runs — same-code protocol violated"
     med = {q: statistics.median(s[q] for s in samples) for q in qs}
     mn = {q: min(s[q] for s in samples) for q in qs}
     spread = {q: max(s[q] for s in samples) - mn[q] for q in qs}

@@ -74,33 +74,10 @@ object IngestPhaseProbe {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       timed("build")(text.Bm25Index.build(docs, "doc_id", "text", s"$base/index"))
-      val t0v = 1700000000000L
-      def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
-        .otherwise(col("doc_id") * 100)
-      timed("stage") {
-        streaming.Streams.stageBatch(
-          docs.filter(col("doc_id") < 25)
-            .select((col("doc_id") + 1000000).as("doc_id"),
-              (col("doc_id") * 100).as("ts"), col("text")),
-          s"$base/batches", "batch_a.parquet", t0v)
-        streaming.Streams.stageBatch(
-          docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
-            .select((col("doc_id") + 2000000).as("doc_id"), ancientTs.as("ts"),
-              col("text")),
-          s"$base/batches", "batch_b.parquet", t0v + 60000)
-        streaming.Streams.stageBatch(
-          docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
-            .select((col("doc_id") + 3000000).as("doc_id"), ancientTs.as("ts"),
-              col("text")),
-          s"$base/batches", "batch_c.parquet", t0v + 120000)
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
+      // the ONE q91-shape staging fixture — shared with q91/q92/q98 so
+      // this probe profiles exactly the workload the bench gates
+      timed("stage")(SparkEntry.stageLateBatches(docs, base))
+      val schema = SparkEntry.lateBatchSchema
       // the batch work WITHOUT the streaming machinery, against a COPY
       // of the built index (so the real ingest below still sees a clean
       // index): read each staged file and drive lexIngestBatch directly

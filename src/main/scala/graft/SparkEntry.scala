@@ -22,6 +22,45 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Lake.table(spark, dir, name)
 
+  /** The late-arrival staging fixture q91/q92/q98 and the
+    * [[IngestPhaseProbe]] all drive: three document batches under
+    * `<base>/batches` — A fully on-time (ts = id·100), B and C with
+    * every (id % 5 == 0) row carrying an ancient event time (ts = id)
+    * the lateness gate must route to `late/`. ONE definition: the
+    * closed-form oracles compute the late sets from this arithmetic, so
+    * a per-site copy drifting would silently turn them into oracles for
+    * a different workload.
+    */
+  private[graft] val lateBatchSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+  private[graft] def stageLateBatches(docs: DataFrame, base: String,
+      t0: Long = 1700000000000L): Unit = {
+    def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
+      .otherwise(col("doc_id") * 100)
+    graft.streaming.Streams.stageBatch(
+      docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          (col("doc_id") * 100).as("ts"), col("text")),
+      s"$base/batches", "batch_a.parquet", t0)
+    graft.streaming.Streams.stageBatch(
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"), ancientTs.as("ts"),
+          col("text")),
+      s"$base/batches", "batch_b.parquet", t0 + 60000)
+    graft.streaming.Streams.stageBatch(
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
+        .select((col("doc_id") + 3000000).as("doc_id"), ancientTs.as("ts"),
+          col("text")),
+      s"$base/batches", "batch_c.parquet", t0 + 120000)
+  }
+
   /** Flagship query (SemLink join discovery end-to-end, SURVEY.md §3.1)
     * on sf=0.001; driver smoke-checks rows>0.
     */
@@ -1456,33 +1495,9 @@ object SparkEntry {
       // persisted watermark of this entry's PREVIOUS run) with the index
       // tables — no hand-reset needed
       graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
-      val t0 = 1700000000000L
-      def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
-        .otherwise(col("doc_id") * 100)
-      graft.streaming.Streams.stageBatch(
-        docs.filter(col("doc_id") < 25)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            (col("doc_id") * 100).as("ts"), col("text")),
-        s"$base/batches", "batch_a.parquet", t0)
-      graft.streaming.Streams.stageBatch(
-        docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
-          .select((col("doc_id") + 2000000).as("doc_id"), ancientTs.as("ts"),
-            col("text")),
-        s"$base/batches", "batch_b.parquet", t0 + 60000)
-      graft.streaming.Streams.stageBatch(
-        docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
-          .select((col("doc_id") + 3000000).as("doc_id"), ancientTs.as("ts"),
-            col("text")),
-        s"$base/batches", "batch_c.parquet", t0 + 120000)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
-      graft.streaming.Streams.lexIngestWatermarked(s, s"$base/batches", schema,
-        s"$base/index", s"$base/out", "doc_id", "text", "ts",
+      stageLateBatches(docs, base)
+      graft.streaming.Streams.lexIngestWatermarked(s, s"$base/batches",
+        lateBatchSchema, s"$base/index", s"$base/out", "doc_id", "text", "ts",
         lateness = 100L, topK = 3)
       val committed = graft.text.Bm25Index.readDoclens(s, s"$base/index")
         .select(col("id"), col("dl").cast("long").as("dl"),
@@ -1514,33 +1529,9 @@ object SparkEntry {
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches"), true)
       // build() clears `_ingest/` (the previous run's watermark) too
       graft.dedup.LshDedupIndex.build(docs, "doc_id", "text", s"$base/index")
-      val t0 = 1700000000000L
-      def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
-        .otherwise(col("doc_id") * 100)
-      graft.streaming.Streams.stageBatch(
-        docs.filter(col("doc_id") < 25)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            (col("doc_id") * 100).as("ts"), col("text")),
-        s"$base/batches", "batch_a.parquet", t0)
-      graft.streaming.Streams.stageBatch(
-        docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
-          .select((col("doc_id") + 2000000).as("doc_id"), ancientTs.as("ts"),
-            col("text")),
-        s"$base/batches", "batch_b.parquet", t0 + 60000)
-      graft.streaming.Streams.stageBatch(
-        docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
-          .select((col("doc_id") + 3000000).as("doc_id"), ancientTs.as("ts"),
-            col("text")),
-        s"$base/batches", "batch_c.parquet", t0 + 120000)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
+      stageLateBatches(docs, base)
       graft.streaming.Streams.dedupIngestWatermarked(s, s"$base/batches",
-        schema, s"$base/index", s"$base/out", "doc_id", "text", "ts",
+        lateBatchSchema, s"$base/index", s"$base/out", "doc_id", "text", "ts",
         lateness = 100L)
       val committed = graft.dedup.LshDedupIndex
         .readSignatures(s, s"$base/index")
@@ -1763,32 +1754,9 @@ object SparkEntry {
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
       val t0 = 1700000000000L
-      def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
-        .otherwise(col("doc_id") * 100)
-      graft.streaming.Streams.stageBatch(
-        docs.filter(col("doc_id") < 25)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            (col("doc_id") * 100).as("ts"), col("text")),
-        s"$base/batches", "batch_a.parquet", t0)
-      graft.streaming.Streams.stageBatch(
-        docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
-          .select((col("doc_id") + 2000000).as("doc_id"), ancientTs.as("ts"),
-            col("text")),
-        s"$base/batches", "batch_b.parquet", t0 + 60000)
-      graft.streaming.Streams.stageBatch(
-        docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
-          .select((col("doc_id") + 3000000).as("doc_id"), ancientTs.as("ts"),
-            col("text")),
-        s"$base/batches", "batch_c.parquet", t0 + 120000)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
-      graft.streaming.Streams.lexIngestWatermarked(s, s"$base/batches", schema,
-        s"$base/index", s"$base/out", "doc_id", "text", "ts",
+      stageLateBatches(docs, base, t0)
+      graft.streaming.Streams.lexIngestWatermarked(s, s"$base/batches",
+        lateBatchSchema, s"$base/index", s"$base/out", "doc_id", "text", "ts",
         lateness = 100L, topK = 3)
       // recover the audited rows and close the loop: re-stage them as a
       // batch for the NON-gated ingester (its anti-join keeps the op
@@ -1798,8 +1766,9 @@ object SparkEntry {
       graft.streaming.Streams.stageBatch(
         late.select("doc_id", "ts", "text"),
         s"$base/rebatches", "late_replay.parquet", t0 + 180000)
-      graft.streaming.Streams.lexIngestOnce(s, s"$base/rebatches", schema,
-        s"$base/index", s"$base/out2", "doc_id", "text", topK = 3)
+      graft.streaming.Streams.lexIngestOnce(s, s"$base/rebatches",
+        lateBatchSchema, s"$base/index", s"$base/out2", "doc_id", "text",
+        topK = 3)
       graft.text.Bm25Index.readDoclens(s, s"$base/index")
         .select(col("id"), col("dl").cast("long").as("dl"))
     }),

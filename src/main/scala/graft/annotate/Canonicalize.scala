@@ -90,7 +90,12 @@ object Canonicalize {
           val wCnt =
             try Integer.parseInt(f(3), 16)
             catch { case _: NumberFormatException => 0 }
-          val words = (0 until wCnt).map { i =>
+          // bound by the fields actually present: a line truncated
+          // mid-download can carry a w_cnt its tail no longer has —
+          // that is one corrupt synset, not a reason to crash the whole
+          // ~10 MB dictionary load with a bare index error
+          val have = math.min(wCnt, (f.length - 4) / 2)
+          val words = (0 until have).map { i =>
             // words sit at f(4), f(6), f(8)… (each followed by lex_id)
             f(4 + 2 * i).toLowerCase
               .replaceAll("\\((a|p|ip)\\)$", "")

@@ -288,6 +288,15 @@ object HnswIndex {
       idCol: String,
       vecCol: String): Long = {
     import spark.implicits._
+    // heal a crashed reshard BEFORE reading params ([[IvfIndex]] runs
+    // recoverSwap at every writer entry for the same reason): a reshard
+    // that died after its params swap but before the manifest commit
+    // leaves params describing a shard count the live manifest does not
+    // — loadParams would then route ids by the uncommitted count while
+    // the presence check reads the committed layout, silently admitting
+    // duplicate nodes. Idempotent, so the streaming thunk's own call is
+    // a harmless second pass.
+    recoverReshard(spark, dir)
     val (m, metric, shards, efConstruction, seed) = loadParams(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     val fresh = newVectors
@@ -575,6 +584,11 @@ object HnswIndex {
     }
 
   private def vacuumImpl(spark: SparkSession, dir: String): Int = {
+    // writer entry: heal a crashed reshard first (see [[appendImpl]]) —
+    // vacuum keying off a params/manifest pair a dead reshard left
+    // disagreeing would treat the committed layout's directories as
+    // orphans
+    recoverReshard(spark, dir)
     val (liveGen, shardGens) = readManifest(spark, dir)
     val ndir = new Path(s"$dir/nodes")
     val fs = ndir.getFileSystem(spark.sessionState.newHadoopConf())

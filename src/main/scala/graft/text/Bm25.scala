@@ -28,13 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  // whitespace tokenization on trimmed lowered text — the engine-wide
-  // convention (Analysis.tokens / TextFns.tokenCount), so BM25 term
-  // statistics agree with the quality/LM/TF-IDF operators. Shared with
-  // Bm25Index so the persisted probe can never drift from the one-shot.
-  private[text] def toks(c: org.apache.spark.sql.Column) =
-    split(trim(lower(coalesce(c, lit("")))), "\\s+")
-
   /** (query_id, term) distinct query terms — derived from the SAME
     * [[termFreqs]] kernel as the postings (a term in the array is
     * unique and non-blank by construction), so query-side and
@@ -134,11 +127,16 @@ object Bm25 {
       k1: Double, b: Double): DataFrame = {
     require(topK > 0, s"bm25: topK must be positive, got $topK")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bm25: bad k1/b ($k1, $b)")
+    val core = contribCore(lit(nDocs), lit(avgdl), k1, b)
+    // same optional weighted-query (`qw`) contract as [[scoreFrom]] —
+    // the "identical by construction" claim has to hold for BOTH query
+    // shapes, not just the unweighted one
+    val contrib =
+      if (qterms.columns.contains("qw")) col("qw") * core else core
     rankTail(
       tfdf.join(broadcast(qterms), "term")
         .join(dl, dlJoinKeys)
-        .select(col("query_id"), col("id"),
-          contribCore(lit(nDocs), lit(avgdl), k1, b).as("contrib")),
+        .select(col("query_id"), col("id"), contrib.as("contrib")),
       topK)
   }
 

@@ -329,11 +329,12 @@ object Bm25Index {
       preQTerms: Option[DataFrame] = None,
       preNBuckets: Option[Int] = None): DataFrame = {
     val nBuckets = preNBuckets.getOrElse(loadParams(spark, dir))
-    // preQTerms: a caller-supplied (query_id, term) frame — a streaming
-    // micro-batch that already tokenized the batch for its index append
-    // ([[tokenFrequencies]]) derives the query-term set from the same
-    // checkpointed pass (tf rows are unique per (id, term), matching
-    // queryTerms' array_distinct) instead of re-tokenizing the text
+    // preQTerms: a caller-supplied (query_id, term[, qw]) frame — a
+    // streaming micro-batch that already tokenized the batch for its
+    // index append ([[tokenRows]] → [[tfFromRows]]) derives the
+    // query-term set from the same checkpointed pass (tf rows are
+    // unique per (id, term), matching queryTerms' per-document
+    // distinctness) instead of re-tokenizing the text
     preQTerms.foreach { q =>
       require(q.columns.contains("query_id") && q.columns.contains("term"),
         "Bm25Index.searchTopK: preQTerms needs (query_id, term) columns")

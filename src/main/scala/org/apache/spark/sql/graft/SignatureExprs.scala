@@ -34,7 +34,9 @@ final class MinHashKernel(val shingleSize: Int, val numHashes: Int)
   def sig(text: UTF8String): ArrayData = {
     val sig = Array.fill(numHashes)(Int.MaxValue)
     if (text != null) {
-      val toks = text.toString.trim.toLowerCase.split("\\s+")
+      // UTF8String.toLowerCase = SQL lower() — locale-independent, the
+      // one lowering every tokenizing kernel shares (TermFreqKernel doc)
+      val toks = text.toLowerCase.toString.trim.split("\\s+")
       var i = 0
       while (i + shingleSize <= toks.length) {
         val sh = toks.slice(i, i + shingleSize).mkString(" ")
@@ -57,7 +59,7 @@ final class SimHashKernel extends Serializable {
   def hash(text: UTF8String): Long = {
     val acc = new Array[Int](64)
     if (text != null) {
-      text.toString.trim.toLowerCase.split("\\s+").foreach { t =>
+      text.toLowerCase.toString.trim.split("\\s+").foreach { t =>
         val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
           (MurmurHash3.stringHash(t, 13).toLong & 0xffffffffL)
         var b = 0

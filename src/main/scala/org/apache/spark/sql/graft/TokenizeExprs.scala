@@ -29,7 +29,12 @@ final class TermFreqKernel extends Serializable {
   /** (term, tf) structs, term-byte-sorted; null/blank → empty array. */
   def freqs(text: UTF8String): ArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Any])
-    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    // lower on the UTF8String, not the Java String: UTF8String.toLowerCase
+    // IS SQL `lower()` (same ASCII fast path, locale-independent), while
+    // String.toLowerCase is default-locale-sensitive — under a tr_TR JVM
+    // it maps 'I' to dotless 'ı', silently diverging the kernel's terms
+    // from the SQL tokenizer this output is parity-pinned against
+    val toks = text.toLowerCase.toString.trim.split("\\s+")
     val counts = new java.util.HashMap[String, Long]()
     var i = 0
     while (i < toks.length) {
@@ -37,17 +42,23 @@ final class TermFreqKernel extends Serializable {
       if (t.nonEmpty) counts.merge(t, 1L, (a, b) => a + b)
       i += 1
     }
-    val terms = new Array[UTF8String](counts.size)
-    val it = counts.keySet().iterator()
+    // sort (term, tf) ENTRIES so the emit loop never re-materializes a
+    // Java String / re-hashes per term — this runs per document on the
+    // build, append and probe hot paths
+    val entries = new Array[(UTF8String, Long)](counts.size)
+    val it = counts.entrySet().iterator()
     var o = 0
-    while (it.hasNext) { terms(o) = UTF8String.fromString(it.next()); o += 1 }
-    java.util.Arrays.sort(terms,
-      (a: UTF8String, b: UTF8String) => a.compareTo(b))
-    val out = new Array[Any](terms.length)
+    while (it.hasNext) {
+      val e = it.next()
+      entries(o) = (UTF8String.fromString(e.getKey), e.getValue)
+      o += 1
+    }
+    java.util.Arrays.sort(entries,
+      (a: (UTF8String, Long), b: (UTF8String, Long)) => a._1.compareTo(b._1))
+    val out = new Array[Any](entries.length)
     var j = 0
-    while (j < terms.length) {
-      out(j) = new GenericInternalRow(
-        Array[Any](terms(j), counts.get(terms(j).toString)))
+    while (j < entries.length) {
+      out(j) = new GenericInternalRow(Array[Any](entries(j)._1, entries(j)._2))
       j += 1
     }
     new GenericArrayData(out)

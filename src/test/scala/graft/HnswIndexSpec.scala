@@ -106,6 +106,49 @@ class HnswIndexSpec extends SparkSpec {
     assert(HnswIndex.stats(spark, dir).collect().map(_.getLong(1)).sum == emb.count())
   }
 
+  test("append on an index with a crashed reshard heals it first") {
+    // the IvfIndex recoverSwap discipline: EVERY writer entry runs
+    // recovery, not just reshard and the streaming thunk — without it a
+    // direct append would read the dead reshard's uncommitted params
+    // (shards=2 here), route new ids by the wrong count, and check
+    // presence against shards the committed 4-way layout doesn't map
+    // the same way, silently admitting duplicate nodes
+    val dir = tempDir("reshard_crash_append")
+    HnswIndex.build(emb, "vec_id", "embedding", dir, shards = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$dir/params")
+    fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir/params.old"))
+    spark.read.parquet(s"$dir/params.old").withColumn("shards", lit(2))
+      .select("m", "metric", "shards", "ef_construction", "seed")
+      .repartition(1).write.parquet(s"$dir/params")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_reshard_commit")
+    val out = fs.create(marker, false)
+    out.write("1".getBytes("UTF-8")); out.close()
+    // direct append, NO explicit recovery call — appendImpl must heal
+    val appended = HnswIndex.append(spark, dir,
+      emb.limit(5).select((col("vec_id") + 1000000).as("vec_id"),
+        col("embedding")),
+      "vec_id", "embedding")
+    assert(appended == 5L)
+    assert(!fs.exists(marker), "append must consume the reshard marker")
+    assert(spark.read.parquet(s"$dir/params")
+      .select("shards").collect().head.getInt(0) == 4,
+      "append must roll the uncommitted params back before routing")
+    // the healed presence check SEES the appended ids (it reads the
+    // committed 4-way layout, not the dead reshard's 2-way routing):
+    // re-appending the same rows is rejected, not silently duplicated
+    val dup = intercept[Exception] {
+      HnswIndex.append(spark, dir,
+        emb.limit(5).select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding")),
+        "vec_id", "embedding")
+    }
+    assert(dup.getMessage.contains("already present"))
+    assert(HnswIndex.stats(spark, dir).collect().map(_.getLong(1)).sum ==
+      emb.count() + 5L)
+  }
+
   test("stats: live-generation shard occupancy sums to the corpus") {
     val dir = tempDir("stats")
     HnswIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
