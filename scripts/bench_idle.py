@@ -32,22 +32,28 @@ def main():
         line = next(
             (l for l in p.stdout.splitlines() if '{"metric"' in l), None)
         if p.returncode != 0 or line is None:
-            # surface the failure instead of a bare StopIteration, and
-            # keep the completed runs' samples usable for a manual look
+            # surface the failure instead of a bare StopIteration; the
+            # completed runs' samples are written next to OUT for a
+            # manual look
             sys.stderr.write(f"run {i+1}/{runs} FAILED rc={p.returncode}\n")
             sys.stderr.write(p.stderr[-4000:] + "\n")
             sys.stderr.write(p.stdout[-2000:] + "\n")
+            if samples:
+                with open(out + ".partial", "w") as f:
+                    json.dump({"samples": samples, "totals": totals}, f)
+                sys.stderr.write(f"partial samples -> {out}.partial\n")
             sys.exit(1)
         rec = json.loads(line[line.index('{"metric"'):])
         samples.append(rec["queries"])
         totals.append(rec["value"])
         print(f"run {i+1}/{runs}: total {rec['value']:.1f} s", flush=True)
     # median over the queries every run reports — a query set that
-    # changed mid-protocol (rebuild between runs) fails loudly below
-    # rather than KeyError-ing off run 1's keys
+    # changed mid-protocol (rebuild between runs) fails loudly rather
+    # than KeyError-ing off run 1's keys (an if, not an assert: -O must
+    # not silently degrade the protocol to an intersection median)
     qs = sorted(set.intersection(*(set(s) for s in samples)))
-    assert all(len(s) == len(qs) for s in samples), \
-        "query sets differ across runs — same-code protocol violated"
+    if any(len(s) != len(qs) for s in samples):
+        sys.exit("query sets differ across runs — same-code protocol violated")
     med = {q: statistics.median(s[q] for s in samples) for q in qs}
     mn = {q: min(s[q] for s in samples) for q in qs}
     spread = {q: max(s[q] for s in samples) - mn[q] for q in qs}

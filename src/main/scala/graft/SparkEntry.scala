@@ -22,14 +22,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Lake.table(spark, dir, name)
 
-  /** The late-arrival staging fixture q91/q92/q98 and the
-    * [[IngestPhaseProbe]] all drive: three document batches under
-    * `<base>/batches` — A fully on-time (ts = id·100), B and C with
-    * every (id % 5 == 0) row carrying an ancient event time (ts = id)
-    * the lateness gate must route to `late/`. ONE definition: the
-    * closed-form oracles compute the late sets from this arithmetic, so
-    * a per-site copy drifting would silently turn them into oracles for
-    * a different workload.
+  /** The late-arrival staging fixture every streaming-ingest query
+    * (q91/q92/q98 on documents, q95/q96 on embeddings) and the
+    * [[IngestPhaseProbe]] drive: three batches under `<base>/batches` —
+    * A fully on-time (ts = id·100), B and C with every (id % 5 == 0)
+    * row carrying an ancient event time (ts = id) the lateness gate
+    * must route to `late/`. ONE definition: the closed-form oracles
+    * compute the late sets from this arithmetic, so a per-site copy
+    * drifting would silently turn them into oracles for a different
+    * workload.
     */
   private[graft] val lateBatchSchema = org.apache.spark.sql.types.StructType(
     Seq(
@@ -40,24 +41,36 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
 
-  private[graft] def stageLateBatches(docs: DataFrame, base: String,
-      t0: Long = 1700000000000L): Unit = {
-    def ancientTs = when(col("doc_id") % 5 === 0, col("doc_id"))
-      .otherwise(col("doc_id") * 100)
+  /** [[lateBatchSchema]] for the vector families (q95/q96). */
+  private[graft] val lateVecBatchSchema = org.apache.spark.sql.types
+    .StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+
+  private[graft] def stageLateBatches(rows: DataFrame, base: String,
+      t0: Long = 1700000000000L, idCol: String = "doc_id",
+      payloadCol: String = "text"): Unit = {
+    def ancientTs = when(col(idCol) % 5 === 0, col(idCol))
+      .otherwise(col(idCol) * 100)
     graft.streaming.Streams.stageBatch(
-      docs.filter(col("doc_id") < 25)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          (col("doc_id") * 100).as("ts"), col("text")),
+      rows.filter(col(idCol) < 25)
+        .select((col(idCol) + 1000000).as(idCol),
+          (col(idCol) * 100).as("ts"), col(payloadCol)),
       s"$base/batches", "batch_a.parquet", t0)
     graft.streaming.Streams.stageBatch(
-      docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
-        .select((col("doc_id") + 2000000).as("doc_id"), ancientTs.as("ts"),
-          col("text")),
+      rows.filter(col(idCol) >= 25 && col(idCol) < 50)
+        .select((col(idCol) + 2000000).as(idCol), ancientTs.as("ts"),
+          col(payloadCol)),
       s"$base/batches", "batch_b.parquet", t0 + 60000)
     graft.streaming.Streams.stageBatch(
-      docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
-        .select((col("doc_id") + 3000000).as("doc_id"), ancientTs.as("ts"),
-          col("text")),
+      rows.filter(col(idCol) >= 50 && col(idCol) < 75)
+        .select((col(idCol) + 3000000).as(idCol), ancientTs.as("ts"),
+          col(payloadCol)),
       s"$base/batches", "batch_c.parquet", t0 + 120000)
   }
 
@@ -1604,38 +1617,13 @@ object SparkEntry {
       // build() clears `_ingest/` (the previous run's watermark) too
       graft.knn.IvfIndex.build(emb, "vec_id", "embedding",
         s"$base/index", nList = 16)
-      val t0 = 1700000000000L
-      def ancientTs = when(col("vec_id") % 5 === 0, col("vec_id"))
-        .otherwise(col("vec_id") * 100)
-      graft.streaming.Streams.stageBatch(
-        emb.filter(col("vec_id") < 25)
-          .select((col("vec_id") + 1000000).as("vec_id"),
-            (col("vec_id") * 100).as("ts"), col("embedding")),
-        s"$base/batches", "batch_a.parquet", t0)
-      graft.streaming.Streams.stageBatch(
-        emb.filter(col("vec_id") >= 25 && col("vec_id") < 50)
-          .select((col("vec_id") + 2000000).as("vec_id"), ancientTs.as("ts"),
-            col("embedding")),
-        s"$base/batches", "batch_b.parquet", t0 + 60000)
-      graft.streaming.Streams.stageBatch(
-        emb.filter(col("vec_id") >= 50 && col("vec_id") < 75)
-          .select((col("vec_id") + 3000000).as("vec_id"), ancientTs.as("ts"),
-            col("embedding")),
-        s"$base/batches", "batch_c.parquet", t0 + 120000)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType))))
+      stageLateBatches(emb, base, idCol = "vec_id", payloadCol = "embedding")
       // k beyond any corpus size + full probe → n_hits = probed index
       // size exactly (query ids are offset out of the id space, so
       // excludeSelf removes nothing)
       graft.streaming.Streams.annIngestWatermarked(s, s"$base/batches",
-        schema, s"$base/index", s"$base/out", "vec_id", "embedding", "ts",
-        lateness = 100L, k = 10000000, nProbe = 16)
+        lateVecBatchSchema, s"$base/index", s"$base/out", "vec_id",
+        "embedding", "ts", lateness = 100L, k = 10000000, nProbe = 16)
       val committed = graft.knn.IvfIndex.readIds(s, s"$base/index")
         .select(col("id").cast("long").as("id"))
       val hits = s.read.parquet(s"$base/out/search")
@@ -1672,35 +1660,10 @@ object SparkEntry {
       // build() clears `_ingest/` (the previous run's watermark) too
       graft.knn.HnswIndex.build(emb, "vec_id", "embedding",
         s"$base/index", shards = 4)
-      val t0 = 1700000000000L
-      def ancientTs = when(col("vec_id") % 5 === 0, col("vec_id"))
-        .otherwise(col("vec_id") * 100)
-      graft.streaming.Streams.stageBatch(
-        emb.filter(col("vec_id") < 25)
-          .select((col("vec_id") + 1000000).as("vec_id"),
-            (col("vec_id") * 100).as("ts"), col("embedding")),
-        s"$base/batches", "batch_a.parquet", t0)
-      graft.streaming.Streams.stageBatch(
-        emb.filter(col("vec_id") >= 25 && col("vec_id") < 50)
-          .select((col("vec_id") + 2000000).as("vec_id"), ancientTs.as("ts"),
-            col("embedding")),
-        s"$base/batches", "batch_b.parquet", t0 + 60000)
-      graft.streaming.Streams.stageBatch(
-        emb.filter(col("vec_id") >= 50 && col("vec_id") < 75)
-          .select((col("vec_id") + 3000000).as("vec_id"), ancientTs.as("ts"),
-            col("embedding")),
-        s"$base/batches", "batch_c.parquet", t0 + 120000)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType))))
+      stageLateBatches(emb, base, idCol = "vec_id", payloadCol = "embedding")
       graft.streaming.Streams.hnswIngestWatermarked(s, s"$base/batches",
-        schema, s"$base/index", s"$base/out", "vec_id", "embedding", "ts",
-        lateness = 100L, k = 3)
+        lateVecBatchSchema, s"$base/index", s"$base/out", "vec_id",
+        "embedding", "ts", lateness = 100L, k = 3)
       val committed = graft.knn.HnswIndex.readIds(s, s"$base/index")
         .select(col("id").cast("long").as("id"), lit(-1L).as("ts"),
           lit(false).as("late"))

@@ -92,6 +92,16 @@ object HnswIndex {
     val mdir = new Path(s"$dir/manifest")
     val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(mdir)) fs.delete(mdir, true)
+    // clear stale reshard debris for the same reason: a fresh build
+    // resets the manifest generation to 0, so a surviving
+    // _reshard_commit (target >= 1) from a dead reshard of the PREVIOUS
+    // index would read as "uncommitted" to the next writer entry's
+    // recoverReshard, which would then roll the freshly written params
+    // back to the previous index's params.old — wrong shard count,
+    // wrong hyperparameters, silent duplicate admission
+    fs.delete(new Path(s"$dir/$ReshardMarker"), false)
+    fs.delete(new Path(s"$dir/params.old"), true)
+    fs.delete(new Path(s"$dir/params.tmp"), true)
     candidates
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))

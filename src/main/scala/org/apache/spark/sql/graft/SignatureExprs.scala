@@ -34,7 +34,7 @@ final class MinHashKernel(val shingleSize: Int, val numHashes: Int)
   def sig(text: UTF8String): ArrayData = {
     val sig = Array.fill(numHashes)(Int.MaxValue)
     if (text != null) {
-      // UTF8String.toLowerCase = SQL lower() — locale-independent, the
+      // UTF8String.toLowerCase = the function SQL lower() calls — the
       // one lowering every tokenizing kernel shares (TermFreqKernel doc)
       val toks = text.toLowerCase.toString.trim.split("\\s+")
       var i = 0

@@ -30,10 +30,12 @@ final class TermFreqKernel extends Serializable {
   def freqs(text: UTF8String): ArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Any])
     // lower on the UTF8String, not the Java String: UTF8String.toLowerCase
-    // IS SQL `lower()` (same ASCII fast path, locale-independent), while
-    // String.toLowerCase is default-locale-sensitive — under a tr_TR JVM
-    // it maps 'I' to dotless 'ı', silently diverging the kernel's terms
-    // from the SQL tokenizer this output is parity-pinned against
+    // is the SAME function SQL `lower()` calls, so kernel terms are
+    // parity-locked to the SQL tokenizer by construction on every input.
+    // (Its ASCII fast path is additionally locale-independent — a bare
+    // String.toLowerCase would map 'I' to dotless 'ı' under a tr_TR JVM
+    // where lower() does not; non-ASCII strings take Spark's slow path,
+    // which matches whatever lower() itself does on that JVM.)
     val toks = text.toLowerCase.toString.trim.split("\\s+")
     val counts = new java.util.HashMap[String, Long]()
     var i = 0

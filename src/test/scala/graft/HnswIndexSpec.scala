@@ -106,6 +106,36 @@ class HnswIndexSpec extends SparkSpec {
     assert(HnswIndex.stats(spark, dir).collect().map(_.getLong(1)).sum == emb.count())
   }
 
+  test("build clears stale reshard debris; later writers keep the fresh params") {
+    // a reshard of the PREVIOUS index dies mid-swap, the operator
+    // recovers by rebuilding from scratch: the fresh build resets the
+    // manifest to gen 0, so the stale marker (target 1) would read as
+    // "uncommitted" to the next writer's recoverReshard, which would
+    // roll the FRESH params back to the previous index's params.old —
+    // build must clear the debris along with the stale manifests
+    val dir = tempDir("reshard_debris_build")
+    HnswIndex.build(emb, "vec_id", "embedding", dir, shards = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(s"$dir/params").withColumn("shards", lit(2))
+      .select("m", "metric", "shards", "ef_construction", "seed")
+      .repartition(1).write.parquet(s"$dir/params.old")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_reshard_commit")
+    val out = fs.create(marker, false)
+    out.write("1".getBytes("UTF-8")); out.close()
+    HnswIndex.build(emb, "vec_id", "embedding", dir, shards = 8)
+    assert(!fs.exists(marker), "build must clear the stale reshard marker")
+    HnswIndex.append(spark, dir,
+      emb.orderBy("vec_id").limit(3)
+        .select((col("vec_id") + 5000000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/params")
+      .select("shards").collect().head.getInt(0) == 8,
+      "a writer after the rebuild must keep the fresh params")
+    assert(HnswIndex.stats(spark, dir).collect().map(_.getLong(1)).sum ==
+      emb.count() + 3L)
+  }
+
   test("append on an index with a crashed reshard heals it first") {
     // the IvfIndex recoverSwap discipline: EVERY writer entry runs
     // recovery, not just reshard and the streaming thunk — without it a
@@ -125,10 +155,14 @@ class HnswIndexSpec extends SparkSpec {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_reshard_commit")
     val out = fs.create(marker, false)
     out.write("1".getBytes("UTF-8")); out.close()
+    // ONE deterministic 5-row batch for both appends: a bare limit(5)
+    // is plan-dependent and two evaluations could pick different rows,
+    // making the duplicate-rejection intercept below spurious
+    val batch5 = emb.orderBy("vec_id").limit(5)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      .cache()
     // direct append, NO explicit recovery call — appendImpl must heal
-    val appended = HnswIndex.append(spark, dir,
-      emb.limit(5).select((col("vec_id") + 1000000).as("vec_id"),
-        col("embedding")),
+    val appended = HnswIndex.append(spark, dir, batch5,
       "vec_id", "embedding")
     assert(appended == 5L)
     assert(!fs.exists(marker), "append must consume the reshard marker")
@@ -139,10 +173,7 @@ class HnswIndexSpec extends SparkSpec {
     // committed 4-way layout, not the dead reshard's 2-way routing):
     // re-appending the same rows is rejected, not silently duplicated
     val dup = intercept[Exception] {
-      HnswIndex.append(spark, dir,
-        emb.limit(5).select((col("vec_id") + 1000000).as("vec_id"),
-          col("embedding")),
-        "vec_id", "embedding")
+      HnswIndex.append(spark, dir, batch5, "vec_id", "embedding")
     }
     assert(dup.getMessage.contains("already present"))
     assert(HnswIndex.stats(spark, dir).collect().map(_.getLong(1)).sum ==
