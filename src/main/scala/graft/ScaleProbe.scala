@@ -234,12 +234,37 @@ object ScaleProbe {
         f""""gridknn_ivf_fixed64":{"small_s":$smGf%.3f,"big_s":$bgGf%.3f,"growth":${bgGf / smGf}%.2f}""")
     }
 
+    // HnswIndex.reshard over the FULL embeddings table (q97's oracle
+    // pins correctness on a fixed 400-vector corpus, so its bench row
+    // cannot speak to scale): reshard rebuilds every live node into the
+    // new shard layout — the honest growth model is O(N·log N) graph
+    // re-insertion, partition-parallel across the new shards.
+    def reshardProbe(dir: String): (Double, Long) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val idx = graft.util.TempDirs.register(
+        s"/tmp/graft_scaleprobe_reshard_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.knn.HnswIndex.build(emb, "vec_id", "embedding", idx, shards = 8)
+      val t0 = System.nanoTime()
+      val moved = graft.knn.HnswIndex.reshard(spark, idx, newShards = 5)
+      ((System.nanoTime() - t0) / 1e9, moved)
+    }
+    val reshardRows = if (!probes("reshard")) Seq.empty else {
+      val (smR, smN) = reshardProbe(small)
+      val (bgR, bgN) = reshardProbe(big)
+      Seq(
+        f""""hnsw_reshard":{"small_s":$smR%.3f,"big_s":$bgR%.3f,"growth":${bgR / smR}%.2f,"small_nodes":$smN,"big_nodes":$bgN}""")
+    }
+
     // null, not false, when the block probe was skipped — false would
     // read as "the hashes DIVERGED"
     val blockHash = if (probes("block")) "true" else "null"
     val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
-    } ++ blockRows ++ gridRows).mkString(
+    } ++ blockRows ++ gridRows ++ reshardRows).mkString(
       s"""{"small":"$small","big":"$big","block_hash_equal":$blockHash,"queries":{""",
       ",", "}}")
     println(json)
