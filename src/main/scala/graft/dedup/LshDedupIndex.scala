@@ -436,6 +436,13 @@ object LshDedupIndex {
     val bands = readBands(spark, dir)
       .select("band", "band_hash", "id")
     val liveBands = bands.join(sigs.select("id"), Seq("id"), "left_semi")
+      // a retried crashed append re-stages its batch's band rows
+      // (writeState contract), leaving IDENTICAL (band, band_hash, id)
+      // copies that a semi-join alone would rewrite forever — each copy
+      // inflating that batch's bucket membership in every probe's band
+      // join (Bm25Index.vacuum collapses its analogous retry duplicates
+      // the same way)
+      .dropDuplicates("band", "band_hash", "id")
     val orphans = bands.count() - liveBands.count()
 
     liveBands

@@ -83,6 +83,15 @@ object HnswIndex {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
+    // fail BEFORE the destructive steps: past this point the previous
+    // index's manifest is gone, and an empty corpus would then die on
+    // nodes/ schema inference with the directory unreadable. Empty-seed
+    // bootstrap is not supported here (unlike LshDedupIndex/Bm25Index,
+    // whose explicit on-read schemas exist for the streaming
+    // create-on-first-batch path); seed with at least one vector
+    require(!candidates.isEmpty,
+      s"HnswIndex.build: empty candidate side for $dir — the previous " +
+        "index (if any) is untouched")
     // fresh corpus → fresh ingest state (graft.util.IngestState contract)
     graft.util.IngestState.clear(spark, dir)
     // clear stale manifests BEFORE touching nodes/: readers take the

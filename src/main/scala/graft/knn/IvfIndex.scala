@@ -115,12 +115,10 @@ object IvfIndex {
       twoLevelProbes: Int): Int = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    // a crashed rebalance must not leak staged tables into this build's
-    // Overwrite (a stale assignments.tmp would roll "forward" over the
-    // fresh index at the next rebalance)
+    // a crashed rebalance/build must not leak staged tables into this
+    // build's staging (a stale assignments.tmp would roll "forward" over
+    // the fresh index at the next writer entry)
     recoverSwap(spark, dir)
-    // fresh corpus → fresh ingest state (graft.util.IngestState contract)
-    graft.util.IngestState.clear(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     // spherical kmeans trains on unit vectors, excluding raw zeros (a raw
     // zero would pull a centroid off the sphere; the distance-1.0
@@ -162,14 +160,21 @@ object IvfIndex {
     // residual-sample probe below and writeAssignments' kernels — each
     // executor caches a single copy
     val bcCentroids = spark.sparkContext.broadcast(centroids)
+    // all four tables are STAGED as <table>.tmp and committed by the
+    // same marker-protected swap as rebalance: a rebuild-in-place that
+    // overwrote the live tables sequentially could crash between the
+    // centroids write and the assignments write, leaving a NEW quantizer
+    // over OLD lists — probe cids computed against centroids the
+    // persisted cid values were never assigned under, and recall
+    // silently collapses with no error raised
     centroids.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "vec")
       .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.tmp")
     Seq((centroids.length, metric, seed))
       .toDF("n_list", "metric", "seed")
       .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
 
     // PQ codebooks train on the same (assign-space) sample: under cosine
     // the sample is already unit-normalized, so codes quantize the sphere
@@ -199,23 +204,17 @@ object IvfIndex {
         Some((Pq.train(trainSample, pqM, pqKsub, kmeansIters, seed),
           pqByResidual))
       }
-    pq match {
-      case Some((cb, residual)) =>
-        (for { s <- 0 until cb.m; c <- 0 until cb.ksub }
-          yield (s, c, cb.centroids(s)(c), residual))
-          .toDF("s", "c", "vec", "residual")
-          .repartition(1)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/pq")
-      case None =>
-        // rebuilding WITHOUT PQ over a dir previously built WITH it must
-        // clear the stale codebooks — pq/'s presence is the marker, and a
-        // survivor would make append() re-add codes with books trained on
-        // data the Overwrite below just deleted (same staleness class as
-        // HnswIndex's pre-clear of manifest/ on rebuild)
-        val p = new Path(s"$dir/pq")
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.delete(p, true)
+    pq.foreach { case (cb, residual) =>
+      (for { s <- 0 until cb.m; c <- 0 until cb.ksub }
+        yield (s, c, cb.centroids(s)(c), residual))
+        .toDF("s", "c", "vec", "residual")
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/pq.tmp")
     }
+    // pqM <= 0 stages nothing for pq/: the live table (if a previous
+    // build wrote one) is deleted inside the marker window below — a
+    // surviving stale codebook would make append() re-add codes with
+    // books trained on data this build replaced
 
     // twoLevelAssign: sublinear per-row assign for large nList (the
     // 10⁴–10⁵-list build path) — see KMeans.twoLevelIndex. Approximate
@@ -227,7 +226,25 @@ object IvfIndex {
         twoLevelProbes, seed = seed)
       else new org.apache.spark.sql.graft.CentroidKernel(bcCentroids)
     writeAssignments(candidates, idCol, vecCol, dir, bcCentroids, cosine, pq,
-      SaveMode.Overwrite, assignKernel)
+      SaveMode.Overwrite, assignKernel, table = "assignments.tmp")
+
+    // intent marker (carrying the BUILD op so crash recovery knows to
+    // also clear the stale pq table and the ingest state), then the
+    // swaps it protects — identical protocol to rebalance
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(s"$dir/$CommitMarker")
+    val markerOp = if (pq.isEmpty) MarkerBuildClearPq else MarkerBuild
+    val out = fs.create(marker, false)
+    try out.write(markerOp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    swapStaged(fs, dir)
+    if (pq.isEmpty) fs.delete(new Path(s"$dir/pq"), true)
+    // fresh corpus → fresh ingest state (graft.util.IngestState
+    // contract); inside the marker window so a crash here replays the
+    // clear on recovery instead of leaving the NEW index gated by the
+    // previous corpus's high-water mark
+    graft.util.IngestState.clear(spark, dir)
+    fs.delete(marker, false)
     centroids.length
   }
 
@@ -307,15 +324,24 @@ object IvfIndex {
     * warrants it. Maintenance is single-writer, enforced by
     * [[graft.util.IndexLock]]: append and rebalance take the per-index
     * `_writer.lock` and fail fast on contention.
+    *
+    * Duplicate ids are rejected by default (`checkPresence`), matching
+    * [[HnswIndex.append]] / the other index families: a retried crashed
+    * append that re-submits an already-committed batch would otherwise
+    * land every id twice in its cid partition, and search would return
+    * that neighbor twice within top-k. The check is one column-pruned id
+    * scan + join; the streaming ingester skips it because its watermark
+    * gate already anti-joins each batch against the committed ids.
     */
   def append(
       spark: SparkSession,
       dir: String,
       newVectors: DataFrame,
       idCol: String,
-      vecCol: String): Long =
+      vecCol: String,
+      checkPresence: Boolean = true): Long =
     graft.util.IndexLock.withLock(spark, dir, "IvfIndex.append") {
-      appendImpl(spark, dir, newVectors, idCol, vecCol)
+      appendImpl(spark, dir, newVectors, idCol, vecCol, checkPresence)
     }
 
   private def appendImpl(
@@ -323,13 +349,28 @@ object IvfIndex {
       dir: String,
       newVectors: DataFrame,
       idCol: String,
-      vecCol: String): Long = {
+      vecCol: String,
+      checkPresence: Boolean): Long = {
     // a crashed rebalance left either staged debris or a half-committed
     // swap; resolve it BEFORE appending — files landed in a table that a
     // later roll-forward replaces would be lost silently
     recoverSwap(spark, dir)
-    val n = newVectors.count()
-    appendPrepared(spark, dir, newVectors, idCol, vecCol,
+    // pin the batch before counting: count and write must see the SAME
+    // rows (a non-deterministic source re-evaluated per action would
+    // otherwise return a count that differs from what landed), and the
+    // pin also spares the source a second full scan
+    val batch = newVectors
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .localCheckpoint(eager = false)
+    val n = batch.count()
+    if (checkPresence) {
+      require(batch.groupBy("id").count().filter(col("count") > 1).isEmpty,
+        "IvfIndex.append: duplicate ids within the appended batch")
+      require(readIds(spark, dir).join(batch.select("id"), "id").isEmpty,
+        "IvfIndex.append: id already present in the index")
+    }
+    appendPrepared(spark, dir, batch, "id", "vec",
       loadCentroids(spark, dir), loadMetric(spark, dir), loadPq(spark, dir))
     n
   }
@@ -437,8 +478,36 @@ object IvfIndex {
         distributedTrain)
     }
 
-  private val SwappedTables = Seq("centroids", "params", "assignments")
+  private val SwappedTables = Seq("centroids", "params", "pq", "assignments")
   private val CommitMarker = "_rebalance_commit"
+  // marker CONTENT distinguishes the committing op: rebalance leaves the
+  // marker empty (historic format — old crash debris recovers as
+  // rebalance); build writes one of these so roll-forward recovery also
+  // clears ingest state (and the stale pq table for a PQ-less rebuild),
+  // neither of which a rebalance recovery may touch
+  private val MarkerBuild = "build"
+  private val MarkerBuildClearPq = "build_clear_pq"
+
+  /** Commit every staged `<table>.tmp` over its live table. A table with
+    * nothing staged is skipped (rebalance never stages `pq`; a PQ-less
+    * build stages it neither); a missing live table (first build into a
+    * fresh dir) commits without the stage-out rename. Identical to
+    * [[recoverSwap]]'s roll-forward so a crash at ANY rename resumes to
+    * the same end state.
+    */
+  private def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit =
+    SwappedTables.foreach { t =>
+      val live = new Path(s"$dir/$t")
+      val old = new Path(s"$dir/$t.old")
+      val tmp = new Path(s"$dir/$t.tmp")
+      if (fs.exists(tmp)) {
+        if (fs.exists(live))
+          require(fs.rename(live, old), s"IvfIndex: could not stage $live")
+        require(fs.rename(tmp, live), s"IvfIndex: could not commit $tmp")
+      }
+      if (fs.exists(old)) fs.delete(old, true)
+    }
 
   private def rebalanceImpl(
       spark: SparkSession,
@@ -471,27 +540,32 @@ object IvfIndex {
       if (nList > 0) nList
       else if (nList < 0) ApproxKnn.autoNList(nRows)
       else k0
-    val sampled =
-      if (nRows <= sampleCap) corpus
+    // the hash sample bounds only the DRIVER-collect trainer; the
+    // distributed trainer runs on the full persisted corpus — same
+    // contract as build, where nList beyond the sample cap is exactly
+    // why distributedTrain exists (a 10⁵-list rebalance trained on a
+    // 2×sampleCap sample would silently clamp k to the sample size)
+    val trainRows =
+      if (distributedTrain || nRows <= sampleCap) corpus
       else corpus.filter(
         pmod(xxhash64(col("id"), lit(seed)), lit(nRows)) < lit(sampleCap * 2L))
 
     // train exactly like build: spherical (unit-normalized, zero-free)
-    // sample under cosine, raw sample under L2
+    // vectors under cosine, raw vectors under L2
     val sampleSrc =
-      if (cosine) ApproxKnn.unitNormalized(sampled, "id", "vec",
+      if (cosine) ApproxKnn.unitNormalized(trainRows, "id", "vec",
         "__id", "__vec", "__zero").filter(!col("__zero")).select(col("__vec"))
-      else sampled.select(col("vec").as("__vec"))
+      else trainRows.select(col("vec").as("__vec"))
     val centroids =
       if (distributedTrain)
         KMeans.train(
-          if (cosine && sampleSrc.isEmpty) sampled.select(col("vec").as("__vec"))
+          if (cosine && sampleSrc.isEmpty) trainRows.select(col("vec").as("__vec"))
           else sampleSrc,
           "__vec", k, kmeansIters, seed, "IvfIndex.rebalance")
       else {
         val sample0 = sampleSrc.limit(sampleCap).as[Array[Float]].collect()
         val sample = if (sample0.nonEmpty) sample0
-          else sampled.select("vec").limit(sampleCap).as[Array[Float]].collect()
+          else trainRows.select("vec").limit(sampleCap).as[Array[Float]].collect()
         require(sample.nonEmpty, s"IvfIndex.rebalance: empty index under $dir")
         val trained = ApproxKnn.kmeans(sample, math.min(k, sample.length),
           kmeansIters, seed)
@@ -513,16 +587,9 @@ object IvfIndex {
       new org.apache.spark.sql.graft.CentroidKernel(bcCentroids),
       table = "assignments.tmp")
 
-    // intent marker, then the swaps it protects
+    // intent marker (empty = rebalance), then the swaps it protects
     fs.create(new Path(s"$dir/$CommitMarker"), false).close()
-    SwappedTables.foreach { t =>
-      val live = new Path(s"$dir/$t")
-      val old = new Path(s"$dir/$t.old")
-      val tmp = new Path(s"$dir/$t.tmp")
-      require(fs.rename(live, old), s"IvfIndex.rebalance: could not stage $live")
-      require(fs.rename(tmp, live), s"IvfIndex.rebalance: could not commit $tmp")
-      fs.delete(old, true)
-    }
+    swapStaged(fs, dir)
     fs.delete(new Path(s"$dir/$CommitMarker"), false)
     centroids.length
   }
@@ -619,13 +686,16 @@ object IvfIndex {
     centroids
   }
 
-  /** Crash recovery for [[rebalance]]'s marker-protected triple swap —
-    * run on entry by rebalance and [[build]] (which must not inherit
-    * staged debris into its own Overwrite). Marker present = the swaps
-    * were in flight: roll each table FORWARD from whichever rename the
-    * crash interrupted. No marker = staging never committed: roll BACK
-    * by deleting staged/old debris (live tables were never renamed
-    * before the marker existed).
+  /** Crash recovery for the marker-protected swap shared by [[build]]
+    * and [[rebalance]] — run on entry by every writer. Marker present =
+    * the swaps were in flight: roll each table FORWARD from whichever
+    * rename the crash interrupted ([[swapStaged]] is resume-safe), then
+    * replay the marker op's post-swap steps — a BUILD marker also clears
+    * ingest state (and, for a PQ-less rebuild, the stale pq table),
+    * which a rebalance recovery must never touch (same corpus, same
+    * watermark). No marker = staging never committed: roll BACK by
+    * deleting staged/old debris (live tables were never renamed before
+    * the marker existed).
     */
   private[graft] def recoverSwap(spark: SparkSession, dir: String): Unit = {
     val base = new Path(dir)
@@ -633,17 +703,17 @@ object IvfIndex {
     if (!fs.exists(base)) return
     val marker = new Path(s"$dir/$CommitMarker")
     if (fs.exists(marker)) {
-      SwappedTables.foreach { t =>
-        val live = new Path(s"$dir/$t")
-        val old = new Path(s"$dir/$t.old")
-        val tmp = new Path(s"$dir/$t.tmp")
-        if (fs.exists(tmp)) {
-          // crashed before (live → old): stage live out of the way first
-          if (fs.exists(live))
-            require(fs.rename(live, old), s"IvfIndex.recover: could not stage $live")
-          require(fs.rename(tmp, live), s"IvfIndex.recover: could not commit $tmp")
-        }
-        if (fs.exists(old)) fs.delete(old, true)
+      val markerOp =
+        try {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "" }
+      swapStaged(fs, dir)
+      if (markerOp.startsWith(MarkerBuild)) {
+        if (markerOp == MarkerBuildClearPq)
+          fs.delete(new Path(s"$dir/pq"), true)
+        graft.util.IngestState.clear(spark, dir)
       }
       fs.delete(marker, false)
     } else {

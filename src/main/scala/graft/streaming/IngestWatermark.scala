@@ -57,17 +57,31 @@ object IngestWatermark {
   def read(spark: SparkSession, indexDir: String): Long = {
     val dir = ingestDir(indexDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val fromJson: Option[Long] =
-      if (!fs.exists(dir)) None
-      else {
-        val versions = fs.listStatus(dir).iterator.flatMap { st =>
-          st.getPath.getName match {
-            case FilePattern(n) => Some((n.toLong, st.getPath))
-            case _              => None
-          }
-        }.toSeq.sortBy(-_._1)
-        versions.iterator.flatMap { case (_, p) => parse(fs, p) }.nextOption()
-      }
+    def listVersions(): Seq[(Long, Path)] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).iterator.flatMap { st =>
+        st.getPath.getName match {
+          case FilePattern(n) => Some((n.toLong, st.getPath))
+          case _              => None
+        }
+      }.toSeq.sortBy(-_._1)
+    // a reader OUTSIDE the writer lock (monitoring) can race [[write]]'s
+    // prune: it lists wm-N, the writer publishes wm-N+1 and deletes wm-N
+    // before the open — every listed version then parses as gone and a
+    // naive single pass would report Long.MinValue for a gate that was
+    // never below N. When a non-empty listing yields no parseable
+    // version, re-list (the fresh listing sees the successor); only an
+    // empty listing or a bounded number of lost races falls through.
+    var fromJson: Option[Long] = None
+    var attempt = 0
+    var exhausted = false
+    while (fromJson.isEmpty && !exhausted && attempt < 3) {
+      val versions = listVersions()
+      fromJson = versions.iterator.flatMap { case (_, p) => parse(fs, p) }
+        .nextOption()
+      exhausted = versions.isEmpty
+      attempt += 1
+    }
     fromJson.orElse(readLegacy(spark, indexDir, fs))
       .getOrElse(Long.MinValue)
   }

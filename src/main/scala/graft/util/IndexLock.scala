@@ -190,16 +190,35 @@ object IndexLock {
               case e: java.io.IOException => f.delete(); throw e
             }
         } catch { case _: java.io.IOException => false }
-      } else
-        try {
-          val out = fs.create(lockPath, /* overwrite = */ false)
-          try out.write(payload.getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          true
-        } catch {
-          case _: FileAlreadyExistsException => false
-          case _: org.apache.hadoop.fs.PathExistsException => false
-        }
+      } else {
+        val out =
+          try fs.create(lockPath, /* overwrite = */ false)
+          catch {
+            case _: FileAlreadyExistsException => null
+            case _: org.apache.hadoop.fs.PathExistsException => null
+          }
+        if (out == null) false
+        else
+          try {
+            try out.write(payload.getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+            true
+          } catch {
+            // payload write failed AFTER the exclusive create succeeded:
+            // the file is OURS but holder-less (no token readable, no
+            // heartbeat, no release path) — left in place it locks every
+            // writer out for the full stale TTL. Best-effort delete and
+            // report not-acquired, mirroring the file:// branch; after a
+            // successful delete the stale-check below sees the file gone
+            // and re-tries the create inline. Only a failed delete (store
+            // too broken to remove what it just created) still waits out
+            // the TTL.
+            case _: java.io.IOException =>
+              try fs.delete(lockPath, false)
+              catch { case _: java.io.IOException => () }
+              false
+          }
+      }
 
     if (tryCreate()) return Held(lockPath, token)
 

@@ -215,6 +215,24 @@ class HnswIndexSpec extends SparkSpec {
         metric = "manhattan"))
   }
 
+  test("build on an empty corpus fails fast; a previous index stays intact") {
+    val dir = tempDir("emptybuild")
+    HnswIndex.build(emb, "vec_id", "embedding", dir)
+    val q = emb.limit(10)
+    def probe() = HnswIndex
+      .search(spark, dir, q, "vec_id", "embedding", k = 3, efSearch = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    // an empty rebuild used to delete the manifest FIRST and then die on
+    // nodes/ schema inference — directory unreadable, no recovery path
+    val e = intercept[IllegalArgumentException] {
+      HnswIndex.build(emb.limit(0), "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("empty candidate side"))
+    assert(probe() == before, "failed empty build damaged the live index")
+  }
+
   test("append inserts into affected shards only; appended index searches the union") {
     val dir = tempDir("app")
     val base = emb.filter(col("vec_id") < 300)

@@ -158,6 +158,35 @@ class LshDedupIndexSpec extends SparkSpec {
     assert(LshDedupIndex.vacuum(spark, dir) == 0L)
   }
 
+  test("vacuum collapses retry-duplicated band rows of LIVE ids") {
+    val dir = tempDir("vacdup")
+    LshDedupIndex.build(docs, "doc_id", "text", dir)
+    // a committed append whose band rows then land a SECOND time — the
+    // crashed-retry shape where the crash hit after the bands stage and
+    // the retry re-staged them before committing signatures. Both copies
+    // reference live ids, so the orphan semi-join alone keeps both.
+    val batch = docs.limit(40).withColumn("doc_id", col("doc_id") + 1000000)
+    LshDedupIndex.append(spark, dir, batch, "doc_id", "text")
+    val stage = tempDir("vacdupstage")
+    LshDedupIndex.build(batch, "doc_id", "text", stage)
+    val dupRows = spark.read.parquet(s"$stage/bands").count()
+    spark.read.parquet(s"$stage/bands")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("band").parquet(s"$dir/bands")
+    val probe = docs.limit(60).withColumn("doc_id", col("doc_id") + 2000000)
+    val before = LshDedupIndex
+      .candidatesAgainst(spark, dir, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(LshDedupIndex.vacuum(spark, dir) == dupRows,
+      "vacuum did not reclaim the duplicated live band rows")
+    assert(LshDedupIndex.vacuum(spark, dir) == 0L,
+      "duplicates survived the first vacuum")
+    val after = LshDedupIndex
+      .candidatesAgainst(spark, dir, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before, "vacuum changed probe results")
+  }
+
   test("vacuum compacts append small files; candidates identical") {
     val dir = tempDir("compact")
     LshDedupIndex.build(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", dir)
