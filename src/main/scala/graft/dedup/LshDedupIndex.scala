@@ -87,14 +87,30 @@ object LshDedupIndex {
     // append would Overwrite tables the append is mid-commit on, silently
     // losing the append's rows
     graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.build") {
-      // fresh corpus → fresh ingest state (graft.util.IngestState contract)
-      graft.util.IngestState.clear(spark, dir)
+      recoverCommit(spark, dir)
+      // all three tables are STAGED and committed by one marker-protected
+      // swap: sequenced live Overwrites could crash between the params
+      // write and the data writes, leaving NEW banding params over OLD
+      // signatures — probes then sign under parameters the persisted
+      // signatures were never computed with, silently returning garbage
+      // candidates
       Seq((shingleSize, bands, rowsPerBand))
         .toDF("shingle_size", "bands", "rows_per_band")
         .repartition(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-      writeState(spark, docs, idCol, textCol, dir, shingleSize, bands,
-        rowsPerBand, SaveMode.Overwrite)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
+      val n = writeState(spark, docs, idCol, textCol, dir, shingleSize,
+        bands, rowsPerBand, SaveMode.Overwrite, tableSuffix = ".tmp")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      graft.util.StagedTables.commit(fs, dir, BuildMarker, CommitTables,
+        "LshDedupIndex.build") {
+        // fresh corpus → fresh ingest state (graft.util.IngestState
+        // contract); inside the marker window so a crash here replays
+        // the clear on recovery, and a crash BEFORE the marker rolls
+        // back to the previous index with its watermark intact
+        graft.util.IngestState.clear(spark, dir)
+      }
+      n
     }
   }
 
@@ -128,11 +144,13 @@ object LshDedupIndex {
       shingleSize: Int,
       bands: Int,
       rowsPerBand: Int,
-      mode: SaveMode): Long = {
+      mode: SaveMode,
+      tableSuffix: String = ""): Long = {
     val numHashes = bands * rowsPerBand
     val signed = Dedup.minhashSigned(docs, idCol, textCol, shingleSize, numHashes)
       .localCheckpoint(eager = false)
-    writeSigned(signed, dir, bands, rowsPerBand, mode, needCount = true)
+    writeSigned(signed, dir, bands, rowsPerBand, mode, needCount = true,
+      tableSuffix = tableSuffix)
   }
 
   /** The write half of [[writeState]], callable with a caller-shared
@@ -152,7 +170,8 @@ object LshDedupIndex {
       rowsPerBand: Int,
       mode: SaveMode,
       needCount: Boolean,
-      repartitionByBand: Boolean = true): Long = {
+      repartitionByBand: Boolean = true,
+      tableSuffix: String = ""): Long = {
     // band rows are (band, band_hash, id) — 20 bytes of data per row, the
     // whole bucket structure; partitioned by band so a reduced-band probe
     // prunes directories at file-listing level
@@ -175,9 +194,10 @@ object LshDedupIndex {
      else banded.coalesce(1))
       .write.mode(mode)
       .partitionBy("band")
-      .parquet(s"$dir/bands")
-    // commit point (see the write-order doc above)
-    signed.write.mode(mode).parquet(s"$dir/signatures")
+      .parquet(s"$dir/bands$tableSuffix")
+    // commit point (see the write-order doc above); a staging build
+    // (`tableSuffix = ".tmp"`) commits via the marker swap instead
+    signed.write.mode(mode).parquet(s"$dir/signatures$tableSuffix")
     if (needCount) signed.count() else -1L
   }
 
@@ -267,6 +287,7 @@ object LshDedupIndex {
         needCount = false, repartitionByBand = false); ()
     } else
       graft.util.IndexLock.withLock(spark, dir, "LshDedupIndex.append") {
+        recoverCommit(spark, dir)
         writeSigned(signed, dir, bands, rowsPerBand, SaveMode.Append,
           needCount = false, repartitionByBand = false); ()
       }
@@ -279,6 +300,7 @@ object LshDedupIndex {
       textCol: String,
       checkPresence: Boolean,
       checkBatchUnique: Boolean): Long = {
+    recoverCommit(spark, dir)
     val (shingleSize, bands, rowsPerBand) = loadParams(spark, dir)
     if (checkBatchUnique) {
       val ids = newDocs.select(col(idCol).cast("long").as("id"))
@@ -417,20 +439,25 @@ object LshDedupIndex {
       vacuumImpl(spark, dir, signatureFiles)
     }
 
+  private val CommitTables = Seq("params", "bands", "signatures")
+  private val BuildMarker = "_build_commit"
+
+  /** Crash recovery for [[build]]'s marker-protected swap AND for
+    * markerless `.tmp`/`.old` debris (a crashed [[vacuum]] swap) — run
+    * at every writer entry; the streaming ingest gate calls it from its
+    * in-lock committed-set thunk like the ANN families do.
+    */
+  private[graft] def recoverCommit(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    graft.util.StagedTables.recover(fs, dir, BuildMarker, CommitTables,
+      "LshDedupIndex.recover") {
+      graft.util.IngestState.clear(spark, dir)
+    }
+  }
+
   private def vacuumImpl(spark: SparkSession, dir: String, signatureFiles: Int): Long = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-
-    def recover(table: String): Unit = {
-      val live = new Path(s"$dir/$table")
-      val old = new Path(s"$dir/$table.old")
-      val tmp = new Path(s"$dir/$table.tmp")
-      if (!fs.exists(live) && fs.exists(old))
-        require(fs.rename(old, live), s"LshDedupIndex.vacuum: could not restore $old")
-      else if (fs.exists(old)) fs.delete(old, true) // completed-swap debris
-      if (fs.exists(tmp)) fs.delete(tmp, true) // crashed-rewrite debris
-    }
-    recover("bands")
-    recover("signatures")
+    recoverCommit(spark, dir)
 
     val sigs = readSignatures(spark, dir)
     val bands = readBands(spark, dir)

@@ -488,26 +488,14 @@ object IvfIndex {
   private val MarkerBuild = "build"
   private val MarkerBuildClearPq = "build_clear_pq"
 
-  /** Commit every staged `<table>.tmp` over its live table. A table with
-    * nothing staged is skipped (rebalance never stages `pq`; a PQ-less
-    * build stages it neither); a missing live table (first build into a
-    * fresh dir) commits without the stage-out rename. Identical to
-    * [[recoverSwap]]'s roll-forward so a crash at ANY rename resumes to
-    * the same end state.
+  /** Commit every staged `<table>.tmp` over its live table — rebalance
+    * never stages `pq`, a PQ-less build stages it neither; the skip and
+    * first-build cases are [[graft.util.StagedTables.swapStaged]]'s
+    * contract.
     */
   private def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Unit =
-    SwappedTables.foreach { t =>
-      val live = new Path(s"$dir/$t")
-      val old = new Path(s"$dir/$t.old")
-      val tmp = new Path(s"$dir/$t.tmp")
-      if (fs.exists(tmp)) {
-        if (fs.exists(live))
-          require(fs.rename(live, old), s"IvfIndex: could not stage $live")
-        require(fs.rename(tmp, live), s"IvfIndex: could not commit $tmp")
-      }
-      if (fs.exists(old)) fs.delete(old, true)
-    }
+    graft.util.StagedTables.swapStaged(fs, dir, SwappedTables, "IvfIndex")
 
   private def rebalanceImpl(
       spark: SparkSession,
@@ -716,17 +704,9 @@ object IvfIndex {
         graft.util.IngestState.clear(spark, dir)
       }
       fs.delete(marker, false)
-    } else {
-      SwappedTables.foreach { t =>
-        val live = new Path(s"$dir/$t")
-        val old = new Path(s"$dir/$t.old")
-        val tmp = new Path(s"$dir/$t.tmp")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        if (!fs.exists(live) && fs.exists(old))
-          require(fs.rename(old, live), s"IvfIndex.recover: could not restore $old")
-        else if (fs.exists(old)) fs.delete(old, true)
-      }
-    }
+    } else
+      graft.util.StagedTables.rollBack(fs, dir, SwappedTables,
+        "IvfIndex.recover")
   }
 
   /** The persisted PQ codebooks (and their residual flag), if this index

@@ -573,10 +573,16 @@ object Streams {
     // batch's event times, and classifying committed rows as late would
     // pollute the late/ audit channel — a row can only be late if the
     // index does not already hold it
-    val dl = graft.text.Bm25Index.readDoclens(sp, indexDir)
+    // LAZY val + in-thunk recovery: the frame is first forced inside the
+    // writer lock, AFTER a crashed build/vacuum swap has been healed —
+    // a frame constructed (and its file listing pinned) pre-lock could
+    // read tables a concurrent or crashed commit was mid-rename on
+    lazy val dl = graft.text.Bm25Index.readDoclens(sp, indexDir)
       .localCheckpoint(eager = false)
-    watermarkGatedBatch(sp, indexDir, outDir, batchId, b,
-        dl.select(col("id")), idCol, tsCol, lateness) { fresh =>
+    watermarkGatedBatch(sp, indexDir, outDir, batchId, b, {
+        graft.text.Bm25Index.recoverCommit(sp, indexDir)
+        dl.select(col("id"))
+      }, idCol, tsCol, lateness) { fresh =>
       // ONE tokenize pass for the whole batch: the tokenRows frame feeds
       // the probe's query-term set (preQTerms — tf rows are unique per
       // (id, term), matching queryTerms' array_distinct) AND the index
@@ -793,10 +799,13 @@ object Streams {
     val b = batch.localCheckpoint(eager = false)
     // ONE signatures scan serves the gate's marker join and (via
     // preSigs) the probe's candidate fetch — the dedupIngestOnce shape
-    val sigs = graft.dedup.LshDedupIndex.readSignatures(sp, indexDir)
+    // LAZY val + in-thunk recovery — see lexIngestBatch
+    lazy val sigs = graft.dedup.LshDedupIndex.readSignatures(sp, indexDir)
       .localCheckpoint(eager = false)
-    watermarkGatedBatch(sp, indexDir, outDir, batchId, b,
-        sigs.select(col("id")), idCol, tsCol, lateness) { fresh =>
+    watermarkGatedBatch(sp, indexDir, outDir, batchId, b, {
+        graft.dedup.LshDedupIndex.recoverCommit(sp, indexDir)
+        sigs.select(col("id"))
+      }, idCol, tsCol, lateness) { fresh =>
       // ONE MinHash kernel pass for the whole batch: the signed frame
       // feeds the probe (preSigned) AND the index append (appendSigned);
       // params are read once and shared the same way

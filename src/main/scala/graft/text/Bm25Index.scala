@@ -94,13 +94,26 @@ object Bm25Index {
     // append would Overwrite tables the append is mid-commit on, silently
     // losing the append's rows
     graft.util.IndexLock.withLock(spark, dir, "Bm25Index.build") {
-      // fresh corpus → fresh ingest state: a surviving watermark from the
-      // directory's previous life would route the next ingest to late/
-      graft.util.IngestState.clear(spark, dir)
+      recoverCommit(spark, dir)
+      // all three tables are STAGED and committed by one marker-protected
+      // swap: sequenced live Overwrites could crash between the params
+      // write and the data writes, leaving a NEW bucket count over OLD
+      // postings — probes would then prune to buckets the persisted
+      // rows were never hashed into, silently missing terms
       Seq(Tuple1(nBuckets)).toDF("n_buckets")
         .repartition(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-      writeState(docs, idCol, textCol, dir, nBuckets, SaveMode.Overwrite)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
+      val n = writeState(docs, idCol, textCol, dir, nBuckets,
+        SaveMode.Overwrite, tableSuffix = ".tmp")
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      graft.util.StagedTables.commit(fs, dir, BuildMarker, CommitTables,
+        "Bm25Index.build") {
+        // fresh corpus → fresh ingest state, inside the marker window so
+        // a crash here replays the clear on recovery and a crash BEFORE
+        // the marker rolls back to the previous index with its watermark
+        graft.util.IngestState.clear(spark, dir)
+      }
+      n
     }
   }
 
@@ -147,10 +160,11 @@ object Bm25Index {
       textCol: String,
       dir: String,
       nBuckets: Int,
-      mode: SaveMode): Long = {
+      mode: SaveMode,
+      tableSuffix: String = ""): Long = {
     val rows = tokenRows(docs, idCol, textCol).localCheckpoint(eager = false)
     writeTf(tfFromRows(rows), dlFromRows(rows), dir, nBuckets, mode,
-      needCount = true)
+      needCount = true, tableSuffix = tableSuffix)
   }
 
   /** The write half of [[writeState]], callable with caller-shared
@@ -168,7 +182,8 @@ object Bm25Index {
       nBuckets: Int,
       mode: SaveMode,
       needCount: Boolean,
-      repartitionByBucket: Boolean = true): Long = {
+      repartitionByBucket: Boolean = true,
+      tableSuffix: String = ""): Long = {
     val bucketed = tf.withColumn("bucket",
       pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
     // repartitionByBucket = false (the per-MICRO-BATCH append path):
@@ -182,11 +197,12 @@ object Bm25Index {
      else bucketed.coalesce(1))
       .write.mode(mode)
       .partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    // commit point (see the write-order doc above); the micro-batch
-    // path coalesces for the same sliver-file reason
+      .parquet(s"$dir/postings$tableSuffix")
+    // commit point (see the write-order doc above); a staging build
+    // (`tableSuffix = ".tmp"`) commits via the marker swap instead. The
+    // micro-batch path coalesces for the same sliver-file reason
     (if (repartitionByBucket) dl else dl.coalesce(1))
-      .write.mode(mode).parquet(s"$dir/doclens")
+      .write.mode(mode).parquet(s"$dir/doclens$tableSuffix")
     if (needCount) dl.count() else -1L
   }
 
@@ -266,6 +282,7 @@ object Bm25Index {
         SaveMode.Append, needCount = false, repartitionByBucket = false); ()
     } else
       graft.util.IndexLock.withLock(spark, dir, "Bm25Index.append") {
+        recoverCommit(spark, dir)
         writeTf(tfFromRows(rows), dlFromRows(rows), dir, nBuckets,
           SaveMode.Append, needCount = false, repartitionByBucket = false); ()
       }
@@ -278,6 +295,7 @@ object Bm25Index {
       textCol: String,
       checkPresence: Boolean,
       checkBatchUnique: Boolean): Long = {
+    recoverCommit(spark, dir)
     val nBuckets = loadParams(spark, dir)
     if (checkBatchUnique) {
       val ids = newDocs.select(col(idCol).cast("long").as("id"))
@@ -429,21 +447,26 @@ object Bm25Index {
       vacuumImpl(spark, dir, doclenFiles)
     }
 
-  private def vacuumImpl(spark: SparkSession, dir: String, doclenFiles: Int): Long = {
-    val nBuckets = loadParams(spark, dir)
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+  private val CommitTables = Seq("params", "postings", "doclens")
+  private val BuildMarker = "_build_commit"
 
-    def recover(table: String): Unit = {
-      val live = new Path(s"$dir/$table")
-      val old = new Path(s"$dir/$table.old")
-      val tmp = new Path(s"$dir/$table.tmp")
-      if (!fs.exists(live) && fs.exists(old))
-        require(fs.rename(old, live), s"Bm25Index.vacuum: could not restore $old")
-      else if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+  /** Crash recovery for [[build]]'s marker-protected swap AND for
+    * markerless `.tmp`/`.old` debris (a crashed [[vacuum]] swap) — run
+    * at every writer entry; the streaming ingest gate calls it from its
+    * in-lock committed-set thunk like the ANN families do.
+    */
+  private[graft] def recoverCommit(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    graft.util.StagedTables.recover(fs, dir, BuildMarker, CommitTables,
+      "Bm25Index.recover") {
+      graft.util.IngestState.clear(spark, dir)
     }
-    recover("postings")
-    recover("doclens")
+  }
+
+  private def vacuumImpl(spark: SparkSession, dir: String, doclenFiles: Int): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    recoverCommit(spark, dir)
+    val nBuckets = loadParams(spark, dir)
 
     val dl = readDoclens(spark, dir)
     val postings = readPostings(spark, dir)

@@ -1,0 +1,91 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Marker-protected multi-table commit shared by the persistent index
+  * families (IVF build/rebalance, LSH and BM25 build): the writer stages
+  * every table as `<table>.tmp` beside the live one, creates an intent
+  * marker, swaps, runs its post-swap steps, and deletes the marker.
+  * Sequenced Overwrites of the live tables are NOT crash-safe — a crash
+  * between two of them leaves params describing data they were never
+  * computed against (a new quantizer over old lists, new LSH banding
+  * over old signatures), and probes then return silently wrong results
+  * with no error raised.
+  *
+  * Recovery contract (run by the family at every writer entry): marker
+  * present → the swaps were in flight; [[swapStaged]] is resume-safe
+  * from whichever rename the crash interrupted, after which the caller
+  * replays its post-swap steps and deletes the marker. No marker →
+  * staging never committed; [[rollBack]] deletes staged/old debris (live
+  * tables were never renamed before the marker existed).
+  *
+  * Readers during the swap window can see a transitional mix; the
+  * single-writer lock plus metadata-only renames make the exposure
+  * milliseconds, and recovery converges it at the next writer entry.
+  */
+object StagedTables {
+
+  /** Commit every staged `<table>.tmp` over its live table. A table with
+    * nothing staged is skipped (not every writer stages every table); a
+    * missing live table (first build into a fresh dir) commits without
+    * the stage-out rename. Resume-safe: identical to the roll-forward
+    * recovery path, so a crash at ANY rename re-runs to the same end
+    * state.
+    */
+  def swapStaged(fs: FileSystem, dir: String, tables: Seq[String],
+      op: String): Unit =
+    tables.foreach { t =>
+      val live = new Path(s"$dir/$t")
+      val old = new Path(s"$dir/$t.old")
+      val tmp = new Path(s"$dir/$t.tmp")
+      if (fs.exists(tmp)) {
+        if (fs.exists(live))
+          require(fs.rename(live, old), s"$op: could not stage $live")
+        require(fs.rename(tmp, live), s"$op: could not commit $tmp")
+      }
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+
+  /** Delete staged/old debris of an UNcommitted write (no marker): a
+    * surviving `<table>.old` with its live table missing is a crashed
+    * markerless swap (the vacuum protocol) and is restored; everything
+    * else is debris.
+    */
+  def rollBack(fs: FileSystem, dir: String, tables: Seq[String],
+      op: String): Unit =
+    tables.foreach { t =>
+      val live = new Path(s"$dir/$t")
+      val old = new Path(s"$dir/$t.old")
+      val tmp = new Path(s"$dir/$t.tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"$op: could not restore $old")
+      else if (fs.exists(old)) fs.delete(old, true)
+    }
+
+  /** Create the marker, swap, run the post-swap steps, delete the
+    * marker. `postSwap` must be idempotent — recovery replays it.
+    */
+  def commit(fs: FileSystem, dir: String, markerFile: String,
+      tables: Seq[String], op: String)(postSwap: => Unit): Unit = {
+    val marker = new Path(s"$dir/$markerFile")
+    fs.create(marker, /* overwrite = */ false).close()
+    swapStaged(fs, dir, tables, op)
+    postSwap
+    fs.delete(marker, false)
+  }
+
+  /** Crash recovery for [[commit]] — see the object doc. `postSwap` runs
+    * only on roll-forward (marker present).
+    */
+  def recover(fs: FileSystem, dir: String, markerFile: String,
+      tables: Seq[String], op: String)(postSwap: => Unit): Unit = {
+    if (!fs.exists(new Path(dir))) return
+    val marker = new Path(s"$dir/$markerFile")
+    if (fs.exists(marker)) {
+      swapStaged(fs, dir, tables, op)
+      postSwap
+      fs.delete(marker, false)
+    } else rollBack(fs, dir, tables, op)
+  }
+}
