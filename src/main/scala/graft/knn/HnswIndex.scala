@@ -40,16 +40,19 @@ object HnswIndex {
   /** Build the per-shard graphs and persist them as node rows. Returns
     * the node count written.
     *
-    * Rebuild-in-place is DESTRUCTIVE and offline: the manifest history is
-    * cleared up front (a prior index's appends would otherwise leave
-    * higher-numbered manifests pointing at generation dirs the Overwrite
-    * below deletes), so concurrent readers of `dir` during a rebuild see
-    * "no committed manifest" until the fresh m000000 lands. Like
-    * [[append]], build assumes a single writer per index directory —
-    * for append and [[vacuum]] that assumption is ENFORCED by
-    * [[graft.util.IndexLock]] (create-exclusive `_writer.lock`, stale-TTL
-    * broken): a second maintenance writer fails fast with `HeldByOther`
-    * instead of racing a swap or interleaving generations.
+    * Rebuild-in-place over a live index is GENERATION-STAGED and atomic:
+    * the new corpus's graphs land in the next generation directory (no
+    * live file touched), params swap and the manifest commit under the
+    * [[reshard]] marker protocol, and only then are the superseded
+    * generations deleted. A crash at any earlier point leaves the
+    * previous index fully live (readers keep resolving the old
+    * manifest); recovery at the next writer entry rolls the commit
+    * forward or back. Only a manifest-less directory takes the direct
+    * fresh-build path. Like [[append]], build assumes a single writer
+    * per index directory — ENFORCED by [[graft.util.IndexLock]]
+    * (create-exclusive `_writer.lock`, stale-TTL broken): a second
+    * maintenance writer fails fast with `HeldByOther` instead of racing
+    * a swap or interleaving generations.
     */
   def build(
       candidates: DataFrame,
@@ -92,31 +95,103 @@ object HnswIndex {
     require(!candidates.isEmpty,
       s"HnswIndex.build: empty candidate side for $dir — the previous " +
         "index (if any) is untouched")
-    // fresh corpus → fresh ingest state (graft.util.IngestState contract)
-    graft.util.IngestState.clear(spark, dir)
-    // clear stale manifests BEFORE touching nodes/: readers take the
-    // highest-numbered manifest, and one surviving m000001+.json from a
-    // previous index's appends would outrank the fresh m000000 and resolve
-    // generation dirs that no longer exist after the Overwrite
-    val mdir = new Path(s"$dir/manifest")
-    val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(mdir)) fs.delete(mdir, true)
-    // clear stale reshard debris for the same reason: a fresh build
-    // resets the manifest generation to 0, so a surviving
-    // _reshard_commit (target >= 1) from a dead reshard of the PREVIOUS
-    // index would read as "uncommitted" to the next writer entry's
-    // recoverReshard, which would then roll the freshly written params
-    // back to the previous index's params.old — wrong shard count,
-    // wrong hyperparameters, silent duplicate admission
-    fs.delete(new Path(s"$dir/$ReshardMarker"), false)
-    fs.delete(new Path(s"$dir/params.old"), true)
-    fs.delete(new Path(s"$dir/params.tmp"), true)
-    candidates
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // heal an interrupted reshard/rebuild against the CURRENT manifest
+    // state before deciding which path this build takes
+    recoverReshardLocked(spark, fs, dir)
+    val src = candidates
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
+    val liveState =
+      try Some(readManifest(spark, dir))
+      catch { case _: IllegalArgumentException => None }
+
+    liveState match {
+      case Some((gen, oldShards)) =>
+        // rebuild OVER A LIVE INDEX: generation-staged, reshard-protocol
+        // commit — the previous index stays fully live until the new
+        // manifest lands, and a crash at any point rolls back to it
+        val newGen = gen + 1
+        // anything under g=newGen is debris from a crashed attempt
+        fs.delete(new Path(s"$dir/nodes/g=$newGen"), true)
+        shardGraphFrame(src, m, efConstruction, cosine, seed, shards, newGen)
+          .write.mode(SaveMode.Append)
+          .partitionBy("g", "shard")
+          .parquet(s"$dir/nodes")
+        Seq((m, metric, shards, efConstruction, seed))
+          .toDF("m", "metric", "shards", "ef_construction", "seed")
+          .repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
+        val byShard = spark.read.option("basePath", s"$dir/nodes")
+          .parquet(s"$dir/nodes/g=$newGen")
+          .groupBy("shard").count().as[(Int, Long)].collect()
+        // the `build:` prefix tells roll-forward recovery to ALSO clear
+        // ingest state — a fresh corpus must not inherit the previous
+        // corpus's high-water mark (reshard keeps the corpus and must
+        // keep the watermark)
+        val marker = new Path(s"$dir/$ReshardMarker")
+        val out = fs.create(marker, false)
+        try out.write(s"build:$newGen".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        val live = new Path(s"$dir/params")
+        val old = new Path(s"$dir/params.old")
+        val tmp = new Path(s"$dir/params.tmp")
+        require(fs.rename(live, old), s"HnswIndex.build: could not stage $live")
+        require(fs.rename(tmp, live), s"HnswIndex.build: could not commit $tmp")
+        writeManifest(spark, dir, newGen, byShard.map(_._1 -> newGen).toMap)
+        graft.util.IngestState.clear(spark, dir)
+        fs.delete(old, true)
+        fs.delete(marker, false)
+        // superseded generations are garbage once the manifest committed;
+        // best-effort (a failure leaves orphans for vacuum, never an
+        // inconsistent index)
+        oldShards.foreach { case (s, g) =>
+          try fs.delete(new Path(s"$dir/nodes/g=$g/shard=$s"), true)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+        // a rebuild supersedes EVERY old shard, so their generation
+        // parents empty out — sweep them too (vacuum would otherwise)
+        oldShards.values.toSet.filter(_ != newGen).foreach { g =>
+          try {
+            val gd = new Path(s"$dir/nodes/g=$g")
+            if (fs.exists(gd) && fs.listStatus(gd).isEmpty)
+              fs.delete(gd, true)
+          } catch { case scala.util.control.NonFatal(_) => }
+        }
+        byShard.map(_._2).sum
+
+      case None =>
+        // FRESH directory (no committed manifest — nothing to preserve):
+        // direct write, the m000000 manifest is the commit point
+        graft.util.IngestState.clear(spark, dir)
+        val mdir = new Path(s"$dir/manifest")
+        if (fs.exists(mdir)) fs.delete(mdir, true) // .inprogress debris
+        shardGraphFrame(src, m, efConstruction, cosine, seed, shards, 0)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("g", "shard") // immutable generation dirs; the
+          .parquet(s"$dir/nodes")    // manifest below is the commit point
+        Seq((m, metric, shards, efConstruction, seed))
+          .toDF("m", "metric", "shards", "ef_construction", "seed")
+          .repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+        val byShard = spark.read.parquet(s"$dir/nodes")
+          .groupBy("shard").count().as[(Int, Long)].collect()
+        writeManifest(spark, dir, 0, byShard.map(_._1 -> 0).toMap)
+        byShard.map(_._2).sum
+    }
+  }
+
+  /** The deterministic shard-graph frame shared by [[build]] and
+    * [[reshard]]: shard by id hash, one builder per shard seeing its
+    * rows contiguously in id order — byte-identical graphs regardless of
+    * source layout.
+    */
+  private def shardGraphFrame(src: DataFrame, m: Int, efConstruction: Int,
+      cosine: Boolean, seed: Int, shards: Int, gen: Int): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src
       .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
-      // one builder sees one shard's rows contiguously, in id order —
-      // deterministic graphs regardless of source layout
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "id")
       .as[(Long, Array[Float], Int)]
@@ -130,19 +205,8 @@ object HnswIndex {
         }
       }
       .toDF("shard", "pos", "id", "vec", "links")
-      .withColumn("g", lit(0))
+      .withColumn("g", lit(gen))
       .repartition(col("shard"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("g", "shard") // immutable generation dirs; the
-      .parquet(s"$dir/nodes")    // manifest below is the commit point
-    Seq((m, metric, shards, efConstruction, seed))
-      .toDF("m", "metric", "shards", "ef_construction", "seed")
-      .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-    val byShard = spark.read.parquet(s"$dir/nodes")
-      .groupBy("shard").count().as[(Int, Long)].collect()
-    writeManifest(spark, dir, 0, byShard.map(_._1 -> 0).toMap)
-    byShard.map(_._2).sum
   }
 
   /** Atomically publish the shard→generation map as manifest generation
@@ -481,23 +545,8 @@ object HnswIndex {
       .select(col("id").cast("long"), col("vec").cast("array<float>"))
     // same deterministic recipe as buildLocked: contiguous shard rows,
     // id-ascending insertion
-    val rebuilt = corpus
-      .withColumn("shard", pmod(xxhash64(col("id")), lit(newShards)).cast("int"))
-      .repartition(newShards, col("shard"))
-      .sortWithinPartitions("shard", "id")
-      .as[(Long, Array[Float], Int)]
-      .mapPartitions { it =>
-        it.toSeq.groupBy(_._3).iterator.flatMap { case (shard, rows) =>
-          val g = new HnswGraph(m, efConstruction, cosine, seed)
-          rows.foreach { case (id, vec, _) => g.insert(id, vec) }
-          g.nodes.iterator.zipWithIndex.map { case ((id, vec, links), pos) =>
-            (shard, pos, id, vec, links)
-          }
-        }
-      }
-      .toDF("shard", "pos", "id", "vec", "links")
-      .withColumn("g", lit(gen + 1))
-      .repartition(col("shard"))
+    val rebuilt = shardGraphFrame(corpus, m, efConstruction, cosine, seed,
+      newShards, gen + 1)
     // anything already under g=gen+1 is debris from a crashed attempt
     // (same single-writer argument as appendImpl)
     fs.delete(new Path(s"$dir/nodes/g=${gen + 1}"), true)
@@ -558,15 +607,21 @@ object HnswIndex {
     val tmp = new Path(s"$dir/params.tmp")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
-      val target =
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toInt
+      val raw =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
         finally in.close()
+      // `build:<gen>` = a generation-staged rebuild ([[build]] over a
+      // live index); bare `<gen>` = a reshard. Same swap recovery; a
+      // build additionally owes the fresh corpus a cleared ingest state.
+      val isBuild = raw.startsWith("build:")
+      val target = (if (isBuild) raw.stripPrefix("build:") else raw).toInt
       val committed =
         try readManifest(spark, dir)._1 >= target
         catch { case _: IllegalArgumentException => false }
       if (committed) { // forward: the swap's leftovers are garbage
         fs.delete(old, true)
         fs.delete(tmp, true)
+        if (isBuild) graft.util.IngestState.clear(spark, dir)
       } else { // back: restore the pre-reshard params
         if (fs.exists(old)) {
           fs.delete(live, true)

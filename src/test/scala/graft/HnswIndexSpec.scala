@@ -106,6 +106,56 @@ class HnswIndexSpec extends SparkSpec {
     assert(HnswIndex.stats(spark, dir).collect().map(_.getLong(1)).sum == emb.count())
   }
 
+  test("rebuild over a live index is generation-staged: pre-commit crash " +
+    "keeps the old corpus and watermark; the commit swaps and clears both") {
+    val dir = tempDir("atomic_rebuild")
+    val base = emb.filter(col("vec_id") < 150)
+    val next = emb.filter(col("vec_id") >= 150 && col("vec_id") < 300)
+    HnswIndex.build(base, "vec_id", "embedding", dir, shards = 4)
+    graft.streaming.IngestWatermark.write(spark, dir, 42L)
+    def probeIds() = HnswIndex.search(spark, dir, emb.limit(20), "vec_id",
+        "embedding", k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val before = probeIds()
+    assert(before.nonEmpty && before.forall(_ < 150))
+
+    // crash-sim: a rebuild staged its params and build marker, died
+    // before the swap — the next writer entry must roll BACK
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(s"$dir/params").repartition(1)
+      .write.parquet(s"$dir/params.tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_reshard_commit")
+    val out = fs.create(marker, false)
+    out.write("build:1".getBytes("UTF-8")); out.close()
+    HnswIndex.vacuum(spark, dir) // writer entry heals
+    assert(!fs.exists(marker))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/params.tmp")))
+    assert(probeIds() == before, "pre-commit crash changed the live index")
+    assert(graft.streaming.IngestWatermark.read(spark, dir) == 42L,
+      "pre-commit crash must keep the old corpus's watermark")
+
+    // the real rebuild: atomically swaps corpora, clears the watermark,
+    // and retires the superseded generation dirs
+    HnswIndex.build(next, "vec_id", "embedding", dir, shards = 4)
+    val after = probeIds()
+    assert(after.nonEmpty && after.forall(id => id >= 150 && id < 300),
+      "rebuilt index still answers from the old corpus")
+    assert(graft.streaming.IngestWatermark.read(spark, dir) == Long.MinValue,
+      "rebuild must clear the previous corpus's watermark")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/nodes/g=0")),
+      "superseded generation not retired after the commit")
+
+    // roll-FORWARD of a committed build marker replays the ingest clear
+    graft.streaming.IngestWatermark.write(spark, dir, 99L)
+    val out2 = fs.create(marker, false)
+    out2.write("build:1".getBytes("UTF-8")); out2.close()
+    HnswIndex.vacuum(spark, dir)
+    assert(graft.streaming.IngestWatermark.read(spark, dir) == Long.MinValue,
+      "roll-forward of a committed build must clear ingest state")
+    assert(probeIds() == after)
+  }
+
   test("build clears stale reshard debris; later writers keep the fresh params") {
     // a reshard of the PREVIOUS index dies mid-swap, the operator
     // recovers by rebuilding from scratch: the fresh build resets the
