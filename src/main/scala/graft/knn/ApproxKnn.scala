@@ -85,12 +85,11 @@ object ApproxKnn {
     // score INSIDE the bucket join projection, then dedupe the multi-table /
     // multi-probe collisions on scalars only — the dedup shuffle carries
     // (q, c, dist), never the vectors (they'd dominate shuffle bytes)
-    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
-    filtered
-      .withColumn("dist", dist)
-      .groupBy("query_id", "neighbor_id").agg(min("dist").as("dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    HnswSearch.topKMerge(
+      filtered
+        .withColumn("dist", dist)
+        .groupBy("query_id", "neighbor_id").agg(min("dist").as("dist")),
+      k)
   }
 
   /** The standard IVF list-sizing rule: nList = max(16, ⌈√n⌉), so each
@@ -110,7 +109,14 @@ object ApproxKnn {
   private[graft] def kmeans(sample: Array[Array[Float]], nList: Int, iters: Int,
       seed: Int): Array[Array[Float]] = {
     val rnd = new Random(seed)
-    val init = rnd.shuffle(sample.toVector).take(nList).map(_.clone()).toArray
+    // seed from DISTINCT vectors ([[KMeans.train]]'s dropDuplicates
+    // contract): a duplicate-heavy sample would otherwise seed the same
+    // point as several centroids — ties assign to the lowest index, the
+    // clones never receive rows, and the effective list count silently
+    // collapses. Like the distributed trainer, a sample with fewer than
+    // nList distinct vectors yields that many centroids.
+    val init = rnd.shuffle(sample.toVector).distinctBy(_.toSeq)
+      .take(nList).map(_.clone()).toArray
     lloydDriver(sample, init, iters)
   }
 
@@ -267,12 +273,11 @@ object ApproxKnn {
     val cosDist = // zero-vector convention: distance 1.0 (see unitNormalized)
       when(col("__query_zero") || col("__neighbor_zero"), lit(1.0))
         .otherwise(l2 / 2.0)
-    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
-    pairs
-      .withColumn("dist", if (cosine) cosDist else l2)
-      .select("query_id", "neighbor_id", "dist")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    HnswSearch.topKMerge(
+      pairs
+        .withColumn("dist", if (cosine) cosDist else l2)
+        .select("query_id", "neighbor_id", "dist"),
+      k)
   }
 
   /** Block-partitioned exact kNN for the case where BOTH sides are too
@@ -299,12 +304,18 @@ object ApproxKnn {
       metric: String = KnnJoin.MetricL2Sq,
       blockSize: Int = 100000,
       excludeSelf: Boolean = true): DataFrame = {
-    val n = queries.count()
+    // null-id queries are dropped ONCE, up front, so every path agrees:
+    // the multi-block path's block filters would silently exclude them
+    // anyway, the single-block path would NPE decoding them, and an
+    // all-null frame now fails broadcastKnn's loud empty-query require
+    // instead of an opaque empty-union error
+    val qs = queries.filter(col(idCol).isNotNull)
+    val n = qs.count()
     val nBlocks = math.max(1L, (n + blockSize - 1) / blockSize).toInt
     if (nBlocks == 1)
-      return KnnJoin.broadcastKnn(queries, candidates, idCol, vecCol, k,
+      return KnnJoin.broadcastKnn(qs, candidates, idCol, vecCol, k,
         metric, excludeSelf)
-    val bounds = idBlockBounds(queries, idCol, nBlocks)
+    val bounds = idBlockBounds(qs, idCol, nBlocks)
     // Quantile rank error can leave an edge block with NO ids once it
     // approaches the block width (large n × coarse relErr) — and
     // broadcastKnn treats an empty query side as caller error. One scan
@@ -319,19 +330,21 @@ object ApproxKnn {
     // disagree with the raw comparison there (a negative fractional id
     // truncates toward zero under cast("long")), marking a block present
     // that idBlock then empties — re-triggering the empty-query
-    // broadcastKnn failure this scan exists to prevent. Null ids satisfy
-    // no block filter, so they are dropped from the count explicitly.
+    // broadcastKnn failure this scan exists to prevent.
     val cuts = bounds.flatMap(_._1)
     val cutArr = array(cuts.map(lit(_)): _*)
-    val present = queries
-      .filter(col(idCol).isNotNull)
+    val present = qs
       .select(size(filter(cutArr, c => col(idCol) >= c)).as("b"))
       .groupBy("b").count().collect().map(_.getInt(0)).toSet
     val parts = bounds.zipWithIndex.collect {
       case ((lo, hi), i) if present(i) =>
-        KnnJoin.broadcastKnn(idBlock(queries, idCol, lo, hi), candidates,
+        KnnJoin.broadcastKnn(idBlock(qs, idCol, lo, hi), candidates,
           idCol, vecCol, k, metric, excludeSelf)
     }
+    // n > 0 puts every surviving id in exactly one block, so parts is
+    // provably non-empty — this is a guard against that invariant
+    // breaking, not a reachable path (pqBlockKnn's contract)
+    require(parts.nonEmpty, "blockKnn: no non-empty query blocks")
     unionChunked(parts)
   }
 
@@ -409,28 +422,9 @@ object ApproxKnn {
       sampleCap: Int = 20000,
       seed: Int = 42,
       excludeSelf: Boolean = true): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
-
-    val cand =
-      if (cosine) unitNormalized(candidates, idCol, vecCol,
-        "neighbor_id", "__neighbor_vec", "__neighbor_zero")
-      else candidates.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("__neighbor_vec"), lit(false).as("__neighbor_zero"))
-    val qry =
-      if (cosine) unitNormalized(queries, idCol, vecCol,
-        "query_id", "__query_vec", "__query_zero")
-      else queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).as("__query_vec"), lit(false).as("__query_zero"))
-
-    val sample = cand.filter(!col("__neighbor_zero"))
-      .select(col("__neighbor_vec").cast("array<float>"))
-      .limit(sampleCap).as[Array[Float]].collect()
-    require(sample.nonEmpty, "pqKnn: no non-zero candidate vectors")
-    val books = Pq.train(sample, m, ksub, kmeansIters, seed)
-    val bcBooks = spark.sparkContext.broadcast(books)
-    val kernel = new org.apache.spark.sql.graft.PqKernel(bcBooks)
+    val (cand, qry, bcBooks, kernel) = pqPrepare(queries, candidates,
+      idCol, vecCol, cosine, m, ksub, kmeansIters, sampleCap, seed, "pqKnn")
 
     val qRows = collectPqQueries(qry)
     require(qRows.nonEmpty, "pqKnn: empty query side")
@@ -445,6 +439,54 @@ object ApproxKnn {
     if (rerank <= 0) shortList.filter(col("rank") <= k)
     else pqExactRerank(shortList, queries, candidates, idCol, vecCol, k,
       cosine, broadcastQueries = true)
+  }
+
+  /** [[pqKnn]]/[[pqBlockKnn]] shared preamble: the normalized
+    * (candidates, queries) frames plus the trained codebook broadcast
+    * and its ADC kernel — ONE definition, because the blocked variant's
+    * recall contract is "identical codebooks: the trainer sees the same
+    * sample regardless of blocking", which two drifting copies cannot
+    * guarantee. An all-zero cosine candidate side trains on the zeros
+    * rather than fail (the [[ivfKnn]] convention — the distance-1.0
+    * zero-vector rule makes every such pair well-defined anyway, so a
+    * strategy swap stays transparent).
+    */
+  private def pqPrepare(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cosine: Boolean,
+      m: Int,
+      ksub: Int,
+      kmeansIters: Int,
+      sampleCap: Int,
+      seed: Int,
+      what: String): (DataFrame, DataFrame,
+        org.apache.spark.broadcast.Broadcast[PqCodebooks],
+        org.apache.spark.sql.graft.PqKernel) = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand =
+      if (cosine) unitNormalized(candidates, idCol, vecCol,
+        "neighbor_id", "__neighbor_vec", "__neighbor_zero")
+      else candidates.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__neighbor_vec"), lit(false).as("__neighbor_zero"))
+    val qry =
+      if (cosine) unitNormalized(queries, idCol, vecCol,
+        "query_id", "__query_vec", "__query_zero")
+      else queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("__query_vec"), lit(false).as("__query_zero"))
+    val sample0 = cand.filter(!col("__neighbor_zero"))
+      .select(col("__neighbor_vec").cast("array<float>"))
+      .limit(sampleCap).as[Array[Float]].collect()
+    val sample = if (sample0.nonEmpty) sample0
+      else cand.select(col("__neighbor_vec").cast("array<float>"))
+        .limit(sampleCap).as[Array[Float]].collect()
+    require(sample.nonEmpty, s"$what: empty candidate side")
+    val books = Pq.train(sample, m, ksub, kmeansIters, seed)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    (cand, qry, bcBooks, new org.apache.spark.sql.graft.PqKernel(bcBooks))
   }
 
   /** PQ-coded kNN for the case where BOTH sides are too large for the
@@ -473,8 +515,6 @@ object ApproxKnn {
       seed: Int = 42,
       excludeSelf: Boolean = true,
       blockSize: Int = 100000): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
     val n = queries.count()
     val nBlocks = math.max(1L, (n + blockSize - 1) / blockSize).toInt
@@ -482,24 +522,9 @@ object ApproxKnn {
       return pqKnn(queries, candidates, idCol, vecCol, k, metric, m, ksub,
         rerank, kmeansIters, sampleCap, seed, excludeSelf)
 
-    val cand =
-      if (cosine) unitNormalized(candidates, idCol, vecCol,
-        "neighbor_id", "__neighbor_vec", "__neighbor_zero")
-      else candidates.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("__neighbor_vec"), lit(false).as("__neighbor_zero"))
-    val qry =
-      if (cosine) unitNormalized(queries, idCol, vecCol,
-        "query_id", "__query_vec", "__query_zero")
-      else queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).as("__query_vec"), lit(false).as("__query_zero"))
-
-    val sample = cand.filter(!col("__neighbor_zero"))
-      .select(col("__neighbor_vec").cast("array<float>"))
-      .limit(sampleCap).as[Array[Float]].collect()
-    require(sample.nonEmpty, "pqBlockKnn: no non-zero candidate vectors")
-    val books = Pq.train(sample, m, ksub, kmeansIters, seed)
-    val bcBooks = spark.sparkContext.broadcast(books)
-    val kernel = new org.apache.spark.sql.graft.PqKernel(bcBooks)
+    val (cand, qry, bcBooks, kernel) = pqPrepare(queries, candidates,
+      idCol, vecCol, cosine, m, ksub, kmeansIters, sampleCap, seed,
+      "pqBlockKnn")
     // one code scan shared by every block: lazy materialization (the
     // setJaccardPairs rationale — constructing the plan must not run a
     // job), first block's job writes the checkpoint blocks, later blocks

@@ -209,13 +209,20 @@ object KMeans {
       if (twoLevelAssign) twoLevelIndex(spark, centroids, twoLevelProbes, seed = seed)
       else new org.apache.spark.sql.graft.CentroidKernel(
         spark.sparkContext.broadcast(centroids))
-    val rows = vecs
-      .select(col(vecCol).cast("array<float>").as("__v"))
-      .filter(col("__v").isNotNull)
-      .agg(avg(graft.functions.VectorExpressions
-        .nearestCentroidDist(col("__v"), kernel)).as("c"))
-      .collect()
-    if (rows.isEmpty || rows.head.isNullAt(0)) 0.0 else rows.head.getDouble(0)
+    try {
+      val rows = vecs
+        .select(col(vecCol).cast("array<float>").as("__v"))
+        .filter(col("__v").isNotNull)
+        .agg(avg(graft.functions.VectorExpressions
+          .nearestCentroidDist(col("__v"), kernel)).as("c"))
+        .collect()
+      if (rows.isEmpty || rows.head.isNullAt(0)) 0.0 else rows.head.getDouble(0)
+    } finally
+      // the lloyd rationale: cost's documented use is REPEATED calls (an
+      // elbow sweep, periodic drift-watching) with 10⁴–10⁵-centroid
+      // codebooks — eager release instead of stranding up to three large
+      // broadcasts per call until a GC-driven ContextCleaner sweep
+      kernel.release()
   }
 
   private def rowVec(r: Row): Array[Float] = {

@@ -1,7 +1,6 @@
 package graft.knn
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Dist
@@ -55,28 +54,38 @@ object KnnJoin {
       k: Int,
       metric: String = MetricL2Sq,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // ids cast to long like every other strategy — the oracle and the
+    // fast paths must emit the SAME schema or recall checks that union
+    // or join the two hit type mismatches
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = candidates.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("__cv"))
     val joined = q.crossJoin(c)
     val filtered =
       if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined
-    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
-    filtered
-      .withColumn("dist", distExpr(metric, col("__qv"), col("__cv")))
-      .select("query_id", "neighbor_id", "dist")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    HnswSearch.topKMerge(
+      filtered
+        .withColumn("dist", distExpr(metric, col("__qv"), col("__cv")))
+        .select("query_id", "neighbor_id", "dist"),
+      k)
   }
 
+  // min-clamped like every other distance kernel in the engine (codegen
+  // SquaredL2/DotProduct, KnnJoinExec, HnswGraph, PQ zero-padding): a
+  // short vector compares on the shared prefix instead of crashing the
+  // task with an index error
   private def l2sq(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
     s
   }
 
   private def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
 
@@ -103,11 +112,7 @@ object KnnJoin {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])].collect()
     require(qRows.nonEmpty, "broadcastKnn: empty query side")
-    val cosine = metric match {
-      case MetricCosine => true
-      case MetricL2Sq   => false
-      case m            => throw new IllegalArgumentException(s"unknown metric: $m")
-    }
+    val cosine = HnswSearch.isCosine(metric)
     val bc = spark.sparkContext.broadcast(qRows)
 
     val partials = graft.util.Par.balance(
@@ -147,9 +152,6 @@ object KnnJoin {
       }
       .toDF("query_id", "neighbor_id", "dist")
 
-    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
-    partials
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    HnswSearch.topKMerge(partials, k)
   }
 }

@@ -153,7 +153,7 @@ object Pq {
     require(dim % m == 0, s"Pq.train: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val k = math.min(ksub, sample.length)
-    val books = Array.tabulate(m) { s =>
+    val raw = Array.tabulate(m) { s =>
       val off = s * dsub
       val sub = sample.map { v =>
         val a = new Array[Float](dsub)
@@ -162,6 +162,17 @@ object Pq {
         a
       }
       ApproxKnn.kmeans(sub, k, iters, seed + s)
+    }
+    // kmeans seeds from DISTINCT sub-vectors, so low-diversity subspaces
+    // yield fewer than k centroids — and different counts per subspace.
+    // The byte-code format indexes one uniform [s][ksub] table, so pad
+    // shorter books by repeating their first centroid: encode's
+    // lowest-id tie-break never picks a pad, and unused ADC entries cost
+    // bytes, not correctness
+    val kUniform = raw.map(_.length).max
+    val books = raw.map { b =>
+      if (b.length == kUniform) b
+      else b ++ Array.fill(kUniform - b.length)(b.head.clone())
     }
     new PqCodebooks(books)
   }

@@ -150,6 +150,66 @@ class ApproxKnnSpec extends SparkSpec {
     assert(blocked == whole)
   }
 
+  test("blockKnn drops null-id queries identically in both paths; " +
+    "all-null fails loudly") {
+    import spark.implicits._
+    val vecs = (1 to 12)
+      .map(i => (i.toLong, Array.tabulate(4)(j => ((i * 13 + j) % 7).toFloat)))
+    val withNulls = (vecs.map { case (id, v) => (Some(id), v) } :+
+      ((Option.empty[Long], Array(1f, 2f, 3f, 4f)))).toDF("vec_id", "embedding")
+    val clean = vecs.toDF("vec_id", "embedding")
+    val want = KnnJoin.broadcastKnn(clean, clean, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // null-id queries drop in the SINGLE-block path (used to NPE in
+    // Dataset decoding) and in the multi-block path alike
+    Seq(100, 2).foreach { bs =>
+      val got = ApproxKnn.blockKnn(withNulls, clean, "vec_id", "embedding",
+          3, blockSize = bs)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"blockSize=$bs")
+    }
+    // every id null: the loud empty-query contract, not an opaque
+    // empty.reduce or NPE
+    val allNull = Seq((Option.empty[Long], Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      ApproxKnn.blockKnn(allNull, clean, "vec_id", "embedding", 3)
+    }
+    assert(e.getMessage.contains("empty query side"))
+  }
+
+  test("pqKnn on an all-zero cosine corpus follows the distance-1.0 " +
+    "convention instead of failing (the ivfKnn contract)") {
+    import spark.implicits._
+    val zeros = (1 to 6)
+      .map(i => (i.toLong, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val got = ApproxKnn.pqKnn(zeros, zeros, "vec_id", "embedding", k = 2,
+      metric = KnnJoin.MetricCosine, m = 4, rerank = 0)
+    val rows = got.select("query_id", "dist").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) == 1.0,
+      s"zero-vector pair scored ${r.getDouble(1)}, not the 1.0 convention"))
+  }
+
+  test("driver kmeans seeds from distinct vectors: duplicate-heavy " +
+    "samples do not collapse the effective list count") {
+    val a = Array(0f, 0f); val b = Array(10f, 10f); val c = Array(-10f, 5f)
+    // 30 copies of three distinct points; nList=3 must seed three
+    // DISTINCT centroids (pre-fix, a duplicate-heavy shuffle could seed
+    // the same point twice — ties assign to the lowest index and the
+    // clone never receives rows)
+    val sample = Array.tabulate(30)(i => Seq(a, b, c)(i % 3).clone())
+    val centroids = ApproxKnn.kmeans(sample, nList = 3, iters = 5, seed = 1)
+    assert(centroids.length == 3)
+    assert(centroids.map(_.toSeq).toSet.size == 3, "duplicate centroids")
+    // asking for more lists than distinct vectors yields the distinct
+    // count (the KMeans.train contract), not padded duplicates
+    assert(ApproxKnn.kmeans(sample, nList = 10, iters = 3, seed = 1)
+      .length == 3)
+  }
+
   test("blockKnn: ≥32 blocks takes the chunked-checkpoint fold, bounded lineage") {
     // 80 ids at blockSize=2 forces ~40 blocks — past the 32-block chunk
     // where unionChunked starts checkpointing — so this exercises BOTH

@@ -19,6 +19,31 @@ class KnnJoinSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("oracle and fast path emit the same schema; ragged dims compare " +
+    "on the shared prefix instead of crashing") {
+    import spark.implicits._
+    // int-typed ids: both strategies must cast to long (a recall check
+    // that unions oracle vs fast output would otherwise type-mismatch)
+    val intIds = Seq((1, Array(0f, 0f)), (2, Array(3f, 4f)), (3, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val slow = KnnJoin.windowKnn(intIds, intIds, "vec_id", "embedding", 2)
+    val fast = KnnJoin.broadcastKnn(intIds, intIds, "vec_id", "embedding", 2)
+    // names and types must agree (nullability legitimately differs: the
+    // oracle's dist is an expression over a nullable column)
+    assert(slow.schema.map(f => (f.name, f.dataType)) ==
+      fast.schema.map(f => (f.name, f.dataType)))
+    // one candidate shorter than the queries: every kernel min-clamps
+    // (the engine-wide short-dimension convention), so the fast path
+    // must agree with the oracle instead of throwing AIOOBE
+    val ragged = Seq((1L, Array(1f, 2f)), (2L, Array(2f, 1f)),
+      (3L, Array(5f))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(KnnJoin.broadcastKnn(ragged, ragged, "vec_id", "embedding", 2))
+      == rows(KnnJoin.windowKnn(ragged, ragged, "vec_id", "embedding", 2)))
+  }
+
   test("broadcastKnn matches windowKnn exactly (cosine)") {
     val fast = KnnJoin.broadcastKnn(emb, emb, "vec_id", "embedding", 3, KnnJoin.MetricCosine)
       .select("query_id", "neighbor_id", "rank").collect()

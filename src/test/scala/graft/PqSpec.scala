@@ -52,10 +52,14 @@ class PqSpec extends SparkSpec {
   }
 
   test("Pq.train rejects non-divisible dims and clamps ksub to the sample") {
-    val sample = Array.fill(10)(Array.fill(16)(1.0f))
-    intercept[IllegalArgumentException](Pq.train(sample, m = 5))
-    val cb = Pq.train(sample, m = 4, ksub = 256)
-    assert(cb.ksub == 10) // clamped
+    val distinct = Array.tabulate(10)(i => Array.fill(16)(i.toFloat))
+    intercept[IllegalArgumentException](Pq.train(distinct, m = 5))
+    val cb = Pq.train(distinct, m = 4, ksub = 256)
+    assert(cb.ksub == 10) // clamped to the sample size
+    // an all-identical sample collapses to ONE honest centroid per
+    // subspace (kmeans seeds from distinct vectors), not ten copies
+    val dupes = Array.fill(10)(Array.fill(16)(1.0f))
+    assert(Pq.train(dupes, m = 4, ksub = 256).ksub == 1)
   }
 
   test("pqKnn with rerank: recall@5 above floor, well-formed, deterministic") {
