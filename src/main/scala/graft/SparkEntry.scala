@@ -248,9 +248,10 @@ object SparkEntry {
 
     // SO4: canonical unordered pair key (least/greatest) + aggregation
     "q17_pair_canon" -> ((s, d) => {
+      val (lo, hi) = graft.discover.Discovery.canonicalPair(
+        col("l_partkey"), col("l_suppkey"))
       t(s, d, "lineitem")
-        .select(least(col("l_partkey"), col("l_suppkey")).as("pair_lo"),
-          greatest(col("l_partkey"), col("l_suppkey")).as("pair_hi"))
+        .select(lo.as("pair_lo"), hi.as("pair_hi"))
         .groupBy("pair_lo", "pair_hi")
         .agg(count(lit(1)).as("n"))
     }),

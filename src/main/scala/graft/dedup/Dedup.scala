@@ -124,7 +124,15 @@ object Dedup {
       .join(dfreq, "tok")
       .withColumn("pos", row_number().over(wDoc))
       .join(sizes, "id")
-      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      // required overlap o = ⌈t·sz⌉ computed with an epsilon guard: when
+      // t·sz is mathematically integral the IEEE product can land a hair
+      // ABOVE it (100 × 0.07 = 7.000000000000001), ceil then overcounts
+      // to o+1 and the prefix shrinks by one token — silently dropping
+      // exact-boundary pairs the verification filter would have kept.
+      // The epsilon can only LENGTHEN the prefix (extra candidates are
+      // re-verified), never shorten it, so exactness is preserved.
+      .filter(col("pos") <=
+        col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1)
       .select("id", "tok")
 
     val cand = prefix.as("a")
@@ -172,17 +180,21 @@ object Dedup {
       explode(bandStructs(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"),
         col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
-    val cand = banded.as("a")
+    // est_jaccard is computed INSIDE the join projection so the
+    // multi-band collision dedup shuffles 3 scalars per pair, not two
+    // full numHashes-int signatures (~20× wider rows on the dominant
+    // candidate stage — the semanticNearDups scalars-only rule);
+    // duplicate pairs carry identical estimates by construction, so
+    // first() is exact
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand.withColumn("est_jaccard",
-      sigAgreement(col("sig_a"), col("sig_b"), numHashes))
-      .select("id_a", "id_b", "est_jaccard")
+        sigAgreement(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(first("est_jaccard").as("est_jaccard"))
   }
 
   /** (id, sig) MinHash signature frame — the native codegen MinHashSig
@@ -230,15 +242,22 @@ object Dedup {
     */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"simhashNearDups: maxHamming must be in [0, 63], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // bitsPer = 64 (the maxHamming = 0 exact-match case) needs the full
+    // mask: (1L << 64) is shift-count-mod-64, so the naive (1L<<64)-1
+    // masks to ZERO and every row lands in one bucket — the "blocked"
+    // join degenerating to an all-pairs cross product
+    val chunkMask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     val hashed = graft.util.Par.balance(
       df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text")))
       .select(col("id"), simhash64(col("__text")).as("sh"))
     val chunkCols = (0 until chunks).map(i =>
       struct(lit(i).as("chunk"),
         shiftright(col("sh"), i * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val")))
+          .bitwiseAND(lit(chunkMask)).as("chunk_val")))
     val blocked = hashed.select(col("id"), col("sh"),
       explode(array(chunkCols: _*)).as("ck"))
       .select(col("id"), col("sh"),

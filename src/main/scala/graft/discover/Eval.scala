@@ -86,7 +86,9 @@ object Eval {
     * IDCG = Σ_{i=1..min(k,|relevant|)} 1/log2(i+1).
     * Queries absent from the truth relation are skipped (SemLink semantics,
     * join_discoverer.py:344–346); `zeroWhenNoTruth=true` gives the DeepJoin
-    * variant that scores them 0.0 (search_query.py:97).
+    * variant that scores them 0.0 (search_query.py:97). Truth queries the
+    * retrieval returned NO rows for score 0 in BOTH variants — they are
+    * real misses, and dropping them would inflate the mean.
     * Output: one row (n_queries, ndcg) with ndcg = mean over queries,
     * rounded to 4.
     */
@@ -105,7 +107,14 @@ object Eval {
       .agg(sum(when(col("__rel") === 1,
         lit(1.0) / log2(col("rank") + lit(1.0))).otherwise(lit(0.0))).as("dcg"))
 
-    val joinType = if (zeroWhenNoTruth) "left" else "inner"
+    // the query universe must include truth queries the retrieval
+    // returned NOTHING for (dcg is built from `ranked`, so they have no
+    // dcg row): a right/full join keeps them, scoring 0 — an inner join
+    // would silently drop them from both n_queries and the mean, and a
+    // system that found nothing for half the truth queries would report
+    // perfect NDCG. zeroWhenNoTruth (DeepJoin) additionally keeps ranked
+    // queries with no truth entries, also at 0.
+    val joinType = if (zeroWhenNoTruth) "full" else "right"
     val perQuery = dcg.join(relCounts, Seq("query"), joinType)
       .withColumn("idcg",
         // Σ_{i=1..min(k, n_relevant)} 1/log2(i+1), n_relevant ≥ 1 by construction
@@ -115,7 +124,8 @@ object Eval {
             lit(0.0),
             (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))))
       .withColumn("ndcg_q",
-        when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+        when(col("idcg") > 0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).otherwise(lit(0.0)))
 
     perQuery.agg(
       count(lit(1)).as("n_queries"),

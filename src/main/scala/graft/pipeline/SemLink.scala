@@ -60,12 +60,13 @@ object SemLink {
     * (t1, c1, t2, c2, distance_anns), globally sorted by distance
     * (join_discoverer.py:299).
     *
-    * The kNN stage runs on the broadcast + partial-top-k scale path: the
-    * string column keys are mapped to per-partition-unique long ids
-    * (`monotonically_increasing_id` — ids need only be distinct, not
-    * dense, and a dense `row_number` over a global window would sort the
-    * whole catalog through one task), searched as longs, and mapped back —
-    * the same shape that holds when the catalog has 10⁶ columns.
+    * The kNN stage runs on the blocked broadcast + partial-top-k scale
+    * path ([[graft.knn.ApproxKnn.blockKnn]]): the string column keys are
+    * mapped to DETERMINISTIC `xxhash64` long ids (per-partition-unique
+    * `monotonically_increasing_id` would be recomputed with different
+    * values on a cache eviction, silently mapping neighbors to wrong
+    * columns — see `knnPairs`), searched as longs, and mapped back — the
+    * same shape that holds when the catalog has 10⁶ columns.
     */
   def discover(
       spark: SparkSession,
@@ -92,8 +93,10 @@ object SemLink {
       annotator: graft.annotate.Annotator = graft.annotate.RuleAnnotator,
       embedder: Embedder = HashEmbedder(),
       tables: Seq[String] = Lake.lakeTables): DataFrame = {
-    // cached: the catalog feeds both the annotator and the prompt builder
-    val profiles = Profiler.profileLake(spark, dir, tables).cache()
+    // lazy localCheckpoint: the catalog feeds both the annotator and the
+    // prompt builder; blocks release with the frame (the knnPairs rule)
+    val profiles = Profiler.profileLake(spark, dir, tables)
+      .localCheckpoint(eager = false)
     val annotations = annotator.annotate(profiles)
     knnPairs(columnPrompts(profiles, annotations), embedder, k, threshold)
   }
@@ -113,14 +116,25 @@ object SemLink {
     // the (unique) key is stable by construction; a 64-bit collision over
     // a catalog-sized key set is ~|K|²/2⁶⁵ — negligible, and it would
     // only merge two columns' candidates, not corrupt unrelated rows.
+    // lazy localCheckpoint, not cache(): the frame feeds the keys map and
+    // both kNN sides, and checkpoint blocks are released by the
+    // ContextCleaner when the frame goes out of scope — cache() pins
+    // them in the CacheManager for the session lifetime, a leak for a
+    // notebook/server calling discover() repeatedly
     val embedded = catalog
       .withColumn("vec", embedder.embedColumn(col("text")))
       .withColumn("id", xxhash64(col("key")))
       .select("id", "key", "vec")
-      .cache()
+      .localCheckpoint(eager = false)
     val keys = embedded.select("id", "key")
-    val knn = KnnJoin.broadcastKnn(embedded, embedded, "id", "vec", k,
-      KnnJoin.MetricL2Sq, excludeSelf = true)
+    // blockKnn, not a bare broadcastKnn: the self-kNN's query side IS
+    // the catalog, and an unconditional broadcast collects every vector
+    // to the driver — fine at 10⁴ columns, a scale-killer at a
+    // 10⁶-column lake. blockKnn bounds driver memory to blockSize query
+    // rows per block and collapses to the identical single broadcast
+    // pass when the catalog fits one block (the gridKnn gate)
+    val knn = graft.knn.ApproxKnn.blockKnn(embedded, embedded, "id", "vec",
+      k, KnnJoin.MetricL2Sq, excludeSelf = true)
       .join(broadcast(keys.withColumnRenamed("id", "query_id")
         .withColumnRenamed("key", "column_1")), Seq("query_id"))
       .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")

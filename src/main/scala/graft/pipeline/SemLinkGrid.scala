@@ -66,17 +66,38 @@ object SemLinkGrid {
       annAbove: Long = Long.MaxValue,
       nList: Int = 0,
       nProbe: Int = 16): Seq[GridCell] = {
-    val embedded = catalog.select("key", "vec").cache()
+    // fail fast on an empty sweep — ks.max and the callers' metric
+    // reduces would otherwise surface as bare empty.max/empty.reduce
+    // after the expensive profiling already ran
+    require(ks.nonEmpty && thresholds.nonEmpty,
+      "gridCellsFromCatalog: ks and thresholds must be non-empty")
+    // lazy localCheckpoints, not cache(): blocks release with the frames
+    // (the SemLink.knnPairs rule — cache() pins them for the session)
+    val embedded = catalog.select("key", "vec")
+      .localCheckpoint(eager = false)
 
     // symmetric GT (join_discoverer.py:392–397): output (query, candidate)
     val truth = Discovery.symmetrizeGroundTruth(
-      groundTruth.toDF("q", "c"), "q", "c").cache()
+      groundTruth.toDF("q", "c"), "q", "c").localCheckpoint(eager = false)
 
     val kMax = ks.max
     // ONE kNN pass at kMax; every (k, t) cell is a pure filter over it
     val knn = gridKnn(embedded, kMax, annAbove = annAbove,
-      nList = nList, nProbe = nProbe).cache()
+      nList = nList, nProbe = nProbe).localCheckpoint(eager = false)
     knn.count() // materialize once
+
+    // NDCG depends only on k — compute and MATERIALIZE it once per k
+    // (a lazy per-cell frame would re-run the join+aggregate for every
+    // (k, threshold) cell, |thresholds|× redundant scans); it is one
+    // scalar per k, so the collect is driver-trivial
+    val ndcgByK: Map[Int, Option[Double]] = ks.distinct.map { k =>
+      val row = Eval.ndcgAtK(
+        knn.filter(col("rank") <= k)
+          .select(col("query_id").as("query"),
+            col("neighbor_id").as("candidate"), col("rank")),
+        truth, k).select("ndcg").collect().head
+      k -> (if (row.isNullAt(0)) None else Some(row.getDouble(0)))
+    }.toMap
 
     for (k <- ks; t <- thresholds) yield {
       val topK = knn.filter(col("rank") <= k)
@@ -84,11 +105,9 @@ object SemLinkGrid {
         .select(col("query_id").as("query"), col("neighbor_id").as("candidate"),
           col("dist"))
       val prf = Eval.microPrf1(discovered, truth)
-      val ndcg = Eval.ndcgAtK(
-        topK.select(col("query_id").as("query"),
-          col("neighbor_id").as("candidate"), col("rank")),
-        truth, k)
-      val metrics = prf.crossJoin(ndcg.select("ndcg"))
+      val metrics = prf
+        .withColumn("ndcg",
+          ndcgByK(k).map(lit(_)).getOrElse(lit(null)).cast("double"))
         .withColumn("k", lit(k))
         .withColumn("threshold", lit(t))
         .select("k", "threshold", "tp", "fp", "fn",

@@ -65,6 +65,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("word jaccard: exact-boundary pairs survive IEEE rounding in the " +
+    "prefix length") {
+    import spark.implicits._
+    // 100×0.07 = 7.000000000000001 in IEEE double: a bare ceil turns the
+    // required overlap into 8, shortening doc x's prefix past its 7
+    // shared (highest-df, hence last-ordered) tokens — the exact-boundary
+    // pair J = 7/100 = 0.07 >= t was silently never generated
+    val xTokens = (1 to 100).map(i => f"w$i%03d")
+    val yTokens = xTokens.takeRight(7)
+    val docs = Seq((1L, xTokens.mkString(" ")), (2L, yTokens.mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.07)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1 && pairs.head._3 == 0.07,
+      s"exact-boundary pair missing or misscored: ${pairs.toSeq}")
+  }
+
+  test("simhash maxHamming=0 blocks on the FULL 64-bit hash, not one " +
+    "degenerate bucket; negative maxHamming rejected") {
+    import spark.implicits._
+    // distinct texts with distinct simhashes plus one exact pair: at
+    // maxHamming=0 only hamming-0 (identical-hash) pairs may surface,
+    // and the blocked join must actually block (the shift-mod-64 mask
+    // bug put EVERY row in one bucket = an all-pairs cross join)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "one two three four five six"), (4L, "totally different text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((1L, 2L)), s"got ${got.toSeq}")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = -1)
+    }
+  }
+
   test("minhash LSH finds exact and near dups with est_jaccard ~ true jaccard") {
     val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
       shingleSize = 2, bands = 16, rowsPerBand = 4).collect()

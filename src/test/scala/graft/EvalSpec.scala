@@ -56,6 +56,22 @@ class EvalSpec extends SparkSpec {
     assert(deepjoin.getAs[Double]("ndcg") == 0.5)
   }
 
+  test("truth query with NO retrieved rows scores 0 and stays in the " +
+    "mean (both variants)") {
+    // retrieval found nothing for q3 — it must drag the mean down, not
+    // vanish from n_queries (a system missing half its truth queries
+    // would otherwise report perfect NDCG)
+    val ranked = Seq(("q1", "a", 1)).toDF("query", "candidate", "rank")
+    val truth = pairs("q1" -> "a", "q3" -> "b")
+    val semlink = Eval.ndcgAtK(ranked, truth, 5).collect().head
+    assert(semlink.getAs[Long]("n_queries") == 2)
+    assert(semlink.getAs[Double]("ndcg") == 0.5)
+    val deepjoin = Eval.ndcgAtK(ranked, truth, 5, zeroWhenNoTruth = true)
+      .collect().head
+    assert(deepjoin.getAs[Long]("n_queries") == 2)
+    assert(deepjoin.getAs[Double]("ndcg") == 0.5)
+  }
+
   test("per-query macro metrics (A10): hits, misses, skipped queries") {
     val truth = pairs("q1" -> "a", "q1" -> "b", "q2" -> "z")
     val ranked = Seq(
