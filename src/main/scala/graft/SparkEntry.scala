@@ -1008,7 +1008,10 @@ object SparkEntry {
         config = graft.text.CorpusPrepConfig(
           minTokens = 3, maxPunctRatio = 0.5, lang = "en",
           lexicalStrategy = "ngram", lexicalThreshold = 0.9,
-          contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512))
+          contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512,
+          // legacy dense-per-split seq ids — the grain the SQL oracle
+          // models; the scale default sub-shards each split
+          packShards = 1))
     }),
 
     // DSIR importance weighting (Xie et al. 2023): score every document
@@ -2361,15 +2364,16 @@ object SparkEntry {
 
     "q09_quality_stats" ->
       s"""WITH base AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS id, text,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  SELECT CAST(doc_id AS BIGINT) AS id, coalesce(text, '') AS text,
+         |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_tok,
+         |    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')) AS BIGINT) AS n_collapsed,
+         |    string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
          |  FROM documents)
          |SELECT id, CAST(n_tok AS BIGINT) AS n_tokens, n_chars,
          |  CASE WHEN n_tok > 0
-         |    THEN round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 4)
+         |    THEN round(CAST(n_collapsed - (n_tok - 1) AS DOUBLE) / n_tok, 4)
          |    ELSE 0.0 END AS avg_word_len,
          |  CASE WHEN n_chars > 0
          |    THEN round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars, 4)
@@ -2549,7 +2553,8 @@ object SparkEntry {
         |  SELECT line, count(DISTINCT id) AS df FROM lines GROUP BY line),
         |kept AS (
         |  SELECT l.id, l.line, l.pos
-        |  FROM lines l JOIN dfq USING (line) WHERE df < 50),
+        |  FROM lines l JOIN dfq USING (line)
+        |  WHERE df < 50 OR trim(line) = ''),
         |agg AS (
         |  SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
         |  FROM kept GROUP BY id)

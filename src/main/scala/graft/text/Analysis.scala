@@ -38,17 +38,25 @@ object Analysis {
     * rolling-hash document fingerprint of the added scope).
     */
   def qualityStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val c = col(textCol)
+    // NULL text reads as the empty document (the repetitionStats
+    // convention): without the coalesce, n_tokens/n_chars/fingerprint
+    // leak NULL and a downstream `n_tokens >= 5` filter silently drops
+    // the doc via three-valued logic instead of scoring it empty
+    val c = coalesce(col(textCol), lit(""))
     val toks = tokens(c)
     val nTok = TextFns.tokenCount(c)
     val nChar = length(c).cast("long")
+    // mean token length = (chars of the COLLAPSED text − separators) /
+    // tokens; raw length would credit leading/trailing/repeated
+    // whitespace to the words ("  hi  " scoring 6.0 instead of 2.0)
+    val nCollapsed = length(regexp_replace(trim(c), "\\s+", " ")).cast("long")
     val punct = (nChar - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("long")
     val digits = (nChar - length(regexp_replace(c, "[0-9]", ""))).cast("long")
     graft.util.Par.balance(df).select(
       col(idCol).cast("long").as("id"),
       nTok.as("n_tokens"),
       nChar.as("n_chars"),
-      when(nTok > 0, round((nChar - (nTok - 1)).cast("double") / nTok, 4))
+      when(nTok > 0, round((nCollapsed - (nTok - 1)).cast("double") / nTok, 4))
         .otherwise(lit(0.0)).as("avg_word_len"),
       when(nChar > 0, round(punct.cast("double") / nChar, 4))
         .otherwise(lit(0.0)).as("punct_ratio"),
@@ -195,15 +203,19 @@ object Analysis {
     val refToks = reference.select(
         explode(tokens(coalesce(col(refTextCol), lit("")))).as("tok"))
       .filter(col("tok") =!= "")
-    // an empty/all-blank reference would make totals.n NULL (sum over zero
-    // rows) and every document's score silently NULL — fail loudly instead
-    // (the semanticNearDups 'no non-zero vectors' convention)
-    require(!refToks.isEmpty,
-      "unigramLogProb: reference corpus has no tokens")
     val counts = refToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     // add-one smoothing: denominator = total tokens + vocabulary size;
-    // unseen tokens get count 0 + 1 through the left join's coalesce
+    // unseen tokens get count 0 + 1 through the left join's coalesce.
+    // An empty/all-blank reference makes n NULL (sum over zero rows) —
+    // fail loudly AT EXECUTION via raise_error rather than silently
+    // NULL-scoring every document; an eager `require(!refToks.isEmpty)`
+    // would run a Spark job over the reference at plan-construction
+    // time, against the tfidfKeywords plan-construction-runs-no-job rule
     val totals = counts.agg(sum("cnt").as("n"), count(lit(1)).as("v"))
+      .select(
+        when(col("n").isNotNull, col("n")).otherwise(raise_error(
+          lit("unigramLogProb: reference corpus has no tokens"))).as("n"),
+        col("v"))
     val docToks = graft.util.Par.balance(docs)
       .select(col(idCol).cast("long").as("id"),
         explode(tokens(coalesce(col(textCol), lit("")))).as("tok"))
@@ -289,9 +301,18 @@ object Analysis {
     */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       minDocFreq: Long): DataFrame = {
+    // minDocFreq <= 1 would satisfy `df >= minDocFreq` for EVERY line
+    // (each appears in at least its own doc) and silently empty the
+    // whole corpus — the dedupSubstrings require-your-params rule
+    require(minDocFreq >= 2,
+      s"removeBoilerplateLines: minDocFreq must be >= 2, got $minDocFreq " +
+        "(every line appears in at least its own document)")
+    // lazy checkpoint: base feeds the line explode AND the final
+    // restore join — one text scan, not two
     val base = graft.util.Par.balance(df)
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("__text"))
+      .localCheckpoint(eager = false)
     val lines = base.select(col("id"),
       posexplode(split(col("__text"), "\n", -1)).as(Seq("pos", "line")))
     val docFreq = lines
@@ -299,7 +320,10 @@ object Analysis {
       .groupBy("lh").agg(count(lit(1)).as("df"))
     val kept = lines.withColumn("lh", xxhash64(col("line")))
       .join(docFreq, "lh")
-      .filter(col("df") < minDocFreq)
+      // blank lines are document STRUCTURE (paragraph separators), not
+      // boilerplate — frequency-removing them would merge paragraphs
+      // corpus-wide
+      .filter(col("df") < minDocFreq || trim(col("line")) === "")
     val rebuilt = kept.groupBy("id")
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
@@ -338,9 +362,13 @@ object Analysis {
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
       l: Int = 8): DataFrame = {
     require(l > 0, s"dedupSubstrings: l must be positive, got $l")
+    // lazy checkpoint: base feeds the token explode, the gram explode
+    // AND the final stats select — one scan of the (possibly expensive,
+    // e.g. post-cleanCorpus) source instead of three
     val base = graft.util.Par.balance(df)
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("__text"))
+      .localCheckpoint(eager = false)
     val toks = base.select(col("id"),
         posexplode(split(trim(col("__text")), "\\s+")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
@@ -451,6 +479,13 @@ object Analysis {
       minTokens: Long = 5,
       maxPunctRatio: Double = 0.3,
       lang: String = "en"): DataFrame = {
+    // lang_pred can only ever be a stopwords key or "und", so any other
+    // value filters EVERY document — a silently empty corpus at the end
+    // of a full pipeline run, indistinguishable from a genuinely
+    // all-filtered one. Fail fast instead.
+    require(stopwords.contains(lang) || lang == "und",
+      s"cleanCorpus: unknown lang '$lang' " +
+        s"(known: ${stopwords.keys.toSeq.sorted.mkString(", ")}, und)")
     val scrubOnce = {
       import org.apache.spark.sql.graft.{Interop, OptimizerBarrier}
       Interop.column(OptimizerBarrier(Interop.expression(scrubPii(col(textCol)))))
@@ -487,8 +522,9 @@ object Analysis {
   }
 
   /** Heuristic language ID: per language, the fraction of tokens found in
-    * its function-word dictionary; argmax wins, ties and all-zero scores →
-    * "und" (undetermined). Deterministic tie-break: language code ascending.
+    * its function-word dictionary; argmax wins with ties broken to the
+    * FIRST language in ascending code order; all-zero scores → "und"
+    * (undetermined).
     */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))

@@ -59,16 +59,6 @@ object Bm25 {
         org.apache.spark.sql.graft.Interop.expression(
           coalesce(c, lit(""))))) // null text = blank text, the toks rule
 
-  /** The scoring tail shared by [[scoreTopK]], [[prfExpand]] and
-    * [[Bm25Index.searchTopK]] — ONE implementation of the idf ·
-    * saturation product, the 4-dp round, and the (score, id) tie rule,
-    * so the persisted-index probe is parity-locked to the one-shot by
-    * construction. Inputs: `tf` (id, term, tf), `dfreq` (term, df),
-    * `dl` (id, dl), `stats` 1-row (n_docs, avgdl), `qterms`
-    * (query_id, term[, qw]) — when a `qw` column is present, each
-    * term's contribution is scaled by it (the weighted-query form RM3
-    * expansion rescoring needs; absent = the classic unweighted query).
-    */
   /** The one BM25 contribution formula — idf · saturation, with the
     * corpus constants injected as columns (broadcast-stats form) or
     * literals (the probe's collected form), so the two call shapes

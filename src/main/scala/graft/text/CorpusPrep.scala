@@ -31,7 +31,8 @@ final case class CorpusPrepConfig(
     contaminationShingle: Int = 8,
     contaminationMaxFrac: Double = 0.5,
     testFrac: Double = 0.2,
-    packBudget: Long = 512)
+    packBudget: Long = 512,
+    packShards: Int = 64)
 
 /** The composed corpus-preparation pipeline — what a user actually runs
   * ahead of a training job, as ONE library entry instead of seven
@@ -120,6 +121,12 @@ object CorpusPrep {
           "id")
       case (Some(_), None) => throw new IllegalArgumentException(
         "CorpusPrep: dsirMinWeight set but no dsirTarget given")
+      // the mirror misconfiguration must fail the same way — a target
+      // corpus passed without a threshold would otherwise be read and
+      // silently dropped on the floor, the gate the caller clearly
+      // intended never running
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        "CorpusPrep: dsirTarget given but no dsirMinWeight set")
       case _ => substrDeduped
     }
     // gate off → `selected` IS the already-checkpointed frame; avoid
@@ -190,8 +197,27 @@ object CorpusPrep {
         when(col("is_test"), lit("test")).otherwise(lit("train")))
       .localCheckpoint(eager = false)
 
-    val packed = Packing.packGreedy(labeled, "id", "size", "split",
-      cfg.packBudget)
+    // packGreedy is sequential PER GROUP — packing the raw train/test
+    // split would funnel the whole train corpus through ONE task.
+    // `packShards` sub-shards each split by id hash (the group grain
+    // packGreedy's contract asks the caller to choose); seq_id is then
+    // made unique within its split by interleaving the shard index
+    // (seq·shards + shard) — unique and deterministic, not dense.
+    // packShards <= 1 keeps the legacy dense-per-split ids (the oracle
+    // configuration).
+    val packed =
+      if (cfg.packShards <= 1)
+        Packing.packGreedy(labeled, "id", "size", "split", cfg.packBudget)
+      else {
+        val sharded = labeled.withColumn("__pack_grp",
+          concat_ws("#", col("split"),
+            pmod(xxhash64(col("id")), lit(cfg.packShards.toLong))))
+        Packing.packGreedy(sharded, "id", "size", "__pack_grp",
+            cfg.packBudget)
+          .withColumn("seq_id",
+            col("seq_id") * cfg.packShards +
+              element_at(split(col("group"), "#"), 2).cast("long"))
+      }
     labeled
       .join(packed.select(col("id"), col("seq_id")), "id")
       .select("id", "component", "is_test", "size", "seq_id")

@@ -42,8 +42,6 @@ import graft.functions.TextFns
   */
 object Dsir {
 
-  private def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
-
   /** All word n-grams of sizes 1..maxN, with multiplicity. */
   private def grams(c: Column, maxN: Int): Column =
     concat((1 to maxN).map(n => TextFns.wordShingles(lower(c), n)): _*)

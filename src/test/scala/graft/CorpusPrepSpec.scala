@@ -15,7 +15,10 @@ class CorpusPrepSpec extends SparkSpec {
   private val cfg = CorpusPrepConfig(
     minTokens = 3, maxPunctRatio = 0.5, lang = "en",
     lexicalStrategy = "ngram", lexicalThreshold = 0.9,
-    contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512)
+    contaminationMaxFrac = 0.5, testFrac = 0.25, packBudget = 512,
+    // the hand-composed comparisons pack at the raw split grain; the
+    // sharded scale default gets its own dedicated test
+    packShards = 1)
 
   private lazy val docs = Lake.table(spark, sf0001, "documents")
     .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -187,6 +190,36 @@ class CorpusPrepSpec extends SparkSpec {
       CorpusPrep.prepare(docs, "doc_id", "text",
         config = cfg.copy(dsirMinWeight = Some(0.0)))
     }
+  }
+
+  test("sharded packing (the scale default): same survivors, unique " +
+    "per-split seq ids, budget honored per sequence") {
+    import spark.implicits._
+    val dense = CorpusPrep.prepare(docs, "doc_id", "text",
+      config = cfg.copy(packShards = 1))
+      .select("id", "component", "is_test", "size", "seq_id")
+    val sharded = CorpusPrep.prepare(docs, "doc_id", "text",
+      config = cfg.copy(packShards = 8))
+      .select("id", "component", "is_test", "size", "seq_id")
+    // packing grain changes WHICH sequence a doc lands in, never which
+    // docs survive or their dedup/split labels
+    val d = dense.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getBoolean(2), r.getLong(3))).toSet
+    val s = sharded.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getBoolean(2), r.getLong(3))).toSet
+    assert(s == d, "sharded packing changed the surviving rows")
+    // every sequence respects the budget (no doc here exceeds it) and
+    // seq ids do not collide across shards within a split
+    val seqTotals = sharded.groupBy("is_test", "seq_id")
+      .agg(sum("size").as("total")).collect()
+    assert(seqTotals.forall(_.getLong(2) <= cfg.packBudget),
+      "a sharded sequence exceeds the budget")
+    // determinism: same config, same assignment
+    val again = CorpusPrep.prepare(docs, "doc_id", "text",
+        config = cfg.copy(packShards = 8))
+      .select("id", "seq_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sharded.select("id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   test("empty corpus flows through all stages to an empty result") {

@@ -292,10 +292,13 @@ class TextFnsSpec extends SparkSpec {
     assert(got(1L) == ((2L, -0.7136)))
     assert(got(2L) == ((1L, -1.6094)))
     assert(got(3L) == ((0L, 0.0)))
-    // a token-free reference fails loudly instead of scoring every doc NULL
+    // a token-free reference fails loudly AT EXECUTION (raise_error —
+    // constructing the plan must not run a job) instead of scoring every
+    // doc NULL
     val blankRef = Seq((0L, "   ")).toDF("id", "text")
-    intercept[IllegalArgumentException](
-      Analysis.unigramLogProb(docs, "id", "text", blankRef, "text"))
+    val lazyPlan = Analysis.unigramLogProb(docs, "id", "text", blankRef, "text")
+    val e = intercept[Exception](lazyPlan.collect())
+    assert(e.getMessage.contains("reference corpus has no tokens"))
   }
 
   test("tfidfKeywords: hand-computed tf·idf ranking with ties") {
@@ -339,6 +342,47 @@ class TextFnsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(loose(1L) == "HEADER\nalpha\nbeta" &&
       loose(3L) == "HEADER\nHEADER\ndelta")
+    // blank lines are document structure, never boilerplate: every doc
+    // having a paragraph separator must not merge everyone's paragraphs
+    val para = Seq(
+      (1L, "one\n\ntwo"), (2L, "three\n\nfour"), (3L, "five\n\nsix"),
+      (4L, "seven\n\neight")).toDF("id", "text")
+    val keptBlanks = Analysis.removeBoilerplateLines(para, "id", "text",
+      minDocFreq = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keptBlanks(1L) == "one\n\ntwo", s"got ${keptBlanks(1L)}")
+    // minDocFreq <= 1 would empty every document — rejected loudly
+    intercept[IllegalArgumentException](
+      Analysis.removeBoilerplateLines(para, "id", "text", minDocFreq = 1))
+  }
+
+  test("qualityStats: NULL text scores as the empty document; word length " +
+    "ignores padding whitespace") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val docs = Seq((1L, "  hi  "), (2L, "hello  world"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Analysis.qualityStats(docs, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((1L, 6L, 2.0)),  // "hi": 2.0, not 6.0
+      s"padding inflated avg_word_len: ${got(1L)}")
+    assert(got(2L) == ((2L, 12L, 5.0)), // double space is one separator
+      s"repeated separator counted: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0.0)),  // NULL = empty doc, not NULL stats
+      s"NULL text leaked: ${got(3L)}")
+  }
+
+  test("cleanCorpus rejects a lang no document can ever match") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val docs = Seq((1L, "the quick brown fox")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](
+      Analysis.cleanCorpus(docs, "id", "text", lang = "it"))
+    assert(e.getMessage.contains("unknown lang"))
+    // "und" is a legitimate bucket (the no-dictionary-match documents)
+    assert(Analysis.cleanCorpus(docs, "id", "text", minTokens = 1,
+      lang = "und").count() == 0) // an English doc is not und
   }
 
   test("packGreedy: hand-traced first-overflow packing, partition-stable") {
