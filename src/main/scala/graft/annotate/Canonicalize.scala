@@ -173,11 +173,16 @@ object Canonicalize {
       annotations: DataFrame,
       synonyms: Map[String, Set[String]] = defaultSynonyms)
       : (DataFrame, Map[String, String]) = {
+    // NULL annotations carry no term to canonicalize — they pass through
+    // the coalesce below untouched; folded into the literal map they
+    // would be a null map KEY, failing the first action with an opaque
+    // NULL_MAP_KEY error
     val terms = annotations
       .select("table", "column", "semantic_annotation")
       .orderBy("table", "column")
       .collect()
       .map(_.getString(2))
+      .filter(_ != null)
       .toSeq
     val mapping = foldCanonical(terms, synonyms) // fold itself skips repeats
     val mapExpr = map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)

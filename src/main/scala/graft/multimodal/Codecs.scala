@@ -78,20 +78,51 @@ object Codecs {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
       require(img != null, "Png.decodeGray: payload is not a decodable image")
       val (w, h) = (img.getWidth, img.getHeight)
-      val raster = img.getRaster
-      val colorBands = math.min(raster.getNumBands, 3)
       val gray = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          var s = 0
-          var b = 0
-          while (b < colorBands) { s += raster.getSample(x, y, b); b += 1 }
-          gray(y * w + x) = s / colorBands
-          x += 1
-        }
-        y += 1
+      img.getColorModel match {
+        case _: java.awt.image.IndexColorModel =>
+          // palette-indexed: raster samples are palette INDICES, not
+          // intensities — a B/W indexed image read raw would emit 0/1
+          // and every consumer (gray_sum, histograms) would be silently
+          // wrong. Resolve through the color model instead.
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              gray(y * w + x) =
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+        case cm =>
+          val raster = img.getRaster
+          val colorBands = math.min(raster.getNumBands, 3)
+          val sizes = cm.getComponentSize
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var s = 0
+              var b = 0
+              while (b < colorBands) {
+                val bits = if (b < sizes.length) sizes(b) else 8
+                val maxV = (1 << bits) - 1
+                val sample = raster.getSample(x, y, b)
+                // normalize each band to 0..255: a legal 16-bit gray PNG
+                // carries samples up to 65535, which would overflow every
+                // 0..255 consumer (the histogram indexer crashes; sums
+                // silently skew). 8-bit passes through bit-exact.
+                s += (if (maxV == 255) sample
+                      else ((sample.toLong * 255 + maxV / 2) / maxV).toInt)
+                b += 1
+              }
+              gray(y * w + x) = s / colorBands
+              x += 1
+            }
+            y += 1
+          }
       }
       GrayImage(w, h, gray)
     }
@@ -207,28 +238,38 @@ object Codecs {
     */
   final class WavFeatureDecoder extends Multimodal.MediaDecoder {
     override def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-      val v = new Array[Float](dim)
-      if (payload == null || payload.isEmpty) return v
+      if (payload == null || payload.isEmpty) return new Array[Float](dim)
       val audio = Wav.decodePcm16Mono(payload)
-      val n = audio.samples.length
-      if (n == 0) return v
-      val acc = new Array[Double](dim)
-      val cnt = new Array[Int](dim)
-      var i = 0
-      while (i < n) {
-        val b = (i.toLong * dim / n).toInt
-        val s = audio.samples(i) / 32768.0
-        acc(b) += s * s
-        cnt(b) += 1
-        i += 1
-      }
-      var j = 0
-      while (j < dim) {
-        if (cnt(j) > 0) v(j) = math.sqrt(acc(j) / cnt(j)).toFloat
-        j += 1
-      }
-      v
+      rmsProfile(audio.samples, 0, audio.samples.length, dim)
     }
+  }
+
+  /** The `dim`-bucket RMS energy profile of `samples[from, until)` —
+    * the ONE bucketing/normalization rule (i·dim/span index, ÷32768,
+    * √mean-square per bucket) shared by the whole-clip and per-frame
+    * decoders, so the two can never drift.
+    */
+  private def rmsProfile(samples: Array[Short], from: Int, until: Int,
+      dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    val n = until - from
+    if (n <= 0) return v
+    val acc = new Array[Double](dim)
+    val cnt = new Array[Int](dim)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * dim / n).toInt
+      val s = samples(from + i) / 32768.0
+      acc(b) += s * s
+      cnt(b) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < dim) {
+      if (cnt(j) > 0) v(j) = math.sqrt(acc(j) / cnt(j)).toFloat
+      j += 1
+    }
+    v
   }
 
   /** Real per-frame audio features: frame `frameIdx` is the
@@ -243,7 +284,9 @@ object Codecs {
     override def decodeFrame(payload: Array[Byte], frameIdx: Long,
         dim: Int): Array[Float] = {
       val v = new Array[Float](dim)
-      if (payload == null || payload.isEmpty) return v
+      // any out-of-range frame — negative OR past the clip — is the
+      // same zero vector (a negative index used to read samples(-ws))
+      if (payload == null || payload.isEmpty || frameIdx < 0) return v
       val audio = Wav.decodePcm16Mono(payload)
       val ws = (audio.sampleRate * windowMs / 1000L).toInt
       require(ws > 0, s"WavFrameDecoder: window of ${windowMs}ms is shorter " +
@@ -251,23 +294,7 @@ object Codecs {
       val from = frameIdx * ws
       val until = math.min(audio.samples.length.toLong, from + ws)
       if (from >= until) return v
-      val wn = (until - from).toInt
-      val acc = new Array[Double](dim)
-      val cnt = new Array[Int](dim)
-      var i = 0
-      while (i < wn) {
-        val b = (i.toLong * dim / wn).toInt
-        val s = audio.samples((from + i).toInt) / 32768.0
-        acc(b) += s * s
-        cnt(b) += 1
-        i += 1
-      }
-      var j = 0
-      while (j < dim) {
-        if (cnt(j) > 0) v(j) = math.sqrt(acc(j) / cnt(j)).toFloat
-        j += 1
-      }
-      v
+      rmsProfile(audio.samples, from.toInt, until.toInt, dim)
     }
   }
 

@@ -86,11 +86,18 @@ object Multimodal {
   /** Frame sampling contract for video payloads: every `everyMs` the
     * decoder would emit one frame row — the stub emits deterministic frame
     * indices from the metadata duration, exercising the explode shape.
+    * Zero/negative/NULL duration emits NO frames — the same contract as
+    * [[extractFrameFeatures]] (a phantom frame 0 here would silently
+    * change per-clip frame counts the moment the stub explode is swapped
+    * for real frame extraction).
     */
-  def sampleFrames(media: DataFrame, durationMsCol: String, everyMs: Long): DataFrame =
+  def sampleFrames(media: DataFrame, durationMsCol: String, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"sampleFrames: everyMs must be positive, got $everyMs")
     media.withColumn("frame_idx",
-      explode(sequence(lit(0L),
-        greatest(floor((col(durationMsCol) - 1) / everyMs).cast("long"), lit(0L)))))
+      explode(when(col(durationMsCol) > 0,
+        sequence(lit(0L), floor((col(durationMsCol) - 1) / everyMs).cast("long")))
+        .otherwise(array().cast("array<bigint>"))))
+  }
 
   final case class VideoRow(id: Long, payload: Array[Byte], duration_ms: Long)
   final case class FrameFeatures(id: Long, frame_idx: Long, features: Array[Float])

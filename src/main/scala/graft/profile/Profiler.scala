@@ -42,9 +42,16 @@ object Profiler {
       .select(
         col("__rid"),
         explode(array(fields.map(f =>
-          struct(lit(f.name).as("column"), col(f.name).cast("string").as("value"))): _*)).as("kv"))
+          struct(lit(f.name).as("column"), qcol(f.name).cast("string").as("value"))): _*)).as("kv"))
       .select(col("__rid"), col("kv.column").as("column"), col("kv.value").as("value"))
   }
+
+  /** Backtick-quoted column reference: `col(name)` PARSES its argument
+    * (dots = struct-field access), so a legal parquet column named
+    * "user.id" would fail resolution in every data-derived reference —
+    * quote anything whose name comes from a schema, not from our code.
+    */
+  private def qcol(name: String) = col("`" + name.replace("`", "``") + "`")
 
   /** Scalar per-column stats in ONE aggregation pass — no melt, no
     * wide shuffle. Partial (map-side) aggregation reduces each partition to
@@ -56,9 +63,9 @@ object Profiler {
   def profileStats(df: DataFrame, tableName: String): DataFrame = {
     val fields = df.schema.fields
     val aggs = count(lit(1)).as("__rc") +: fields.toSeq.flatMap { f =>
-      val v = length(col(f.name).cast("string"))
+      val v = length(qcol(f.name).cast("string"))
       Seq(
-        count(col(f.name)).as(s"__nv_${f.name}"),
+        count(qcol(f.name)).as(s"__nv_${f.name}"),
         min(v).as(s"__mn_${f.name}"),
         max(v).as(s"__mx_${f.name}"),
         avg(v).as(s"__av_${f.name}"))
@@ -67,10 +74,10 @@ object Profiler {
       struct(
         lit(f.name).as("column"),
         lit(inferType(f.dataType)).as("inferred_type"),
-        col(s"__nv_${f.name}").as("num_values"),
-        col(s"__mn_${f.name}").cast(LongType).as("min_len"),
-        col(s"__mx_${f.name}").cast(LongType).as("max_len"),
-        round(col(s"__av_${f.name}"), 2).as("avg_len"))
+        qcol(s"__nv_${f.name}").as("num_values"),
+        qcol(s"__mn_${f.name}").cast(LongType).as("min_len"),
+        qcol(s"__mx_${f.name}").cast(LongType).as("max_len"),
+        round(qcol(s"__av_${f.name}"), 2).as("avg_len"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(col("__rc").as("row_count"), explode(array(entries: _*)).as("e"))

@@ -153,6 +153,15 @@ class AnnotateSpec extends SparkSpec {
     assert(got("name") == "title" && got("title") == "title")
     assert(got("custkey") == "custkey")
     assert(mapping("name") == "title")
+    // a NULL annotation passes through untouched — folded into the
+    // literal map it would be a null map KEY, failing the first action
+    val withNull = ann.unionByName(Seq(("t3", "d", null.asInstanceOf[String]))
+      .toDF("table", "column", "semantic_annotation"))
+    val (out2, mapping2) = Canonicalize.canonicalizeAnnotations(withNull)
+    val rows2 = out2.select("semantic_annotation", "canonical_annotation")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows2.contains((null, null)), s"got ${rows2.toSeq}")
+    assert(!mapping2.contains(null))
   }
 
   test("enrichment join overrides type to date and reformats the sample") {

@@ -30,7 +30,13 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(frames(1L) == 3L) // 0,1000,2000
     assert(frames(2L) == 1L)
-    assert(frames(3L) == 1L) // degenerate duration still yields frame 0
+    // degenerate duration = NO frames — the extractFrameFeatures
+    // contract; a phantom frame 0 here would silently change per-clip
+    // counts the moment the stub explode becomes real decoding
+    assert(!frames.contains(3L))
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(media, "duration_ms", everyMs = 0L)
+    }
   }
 
   test("frame feature extraction: per-frame determinism, counts, zero-duration") {
@@ -85,6 +91,47 @@ class MultimodalSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](Codecs.Png.decodeGray(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](Codecs.Png.decodeGray(Array.emptyByteArray))
+  }
+
+  test("PNG: 16-bit gray normalizes to 0..255; indexed palettes decode " +
+    "intensities, not indices") {
+    // a legal 16-bit gray PNG: raw raster samples run to 65535 and would
+    // overflow every 0..255 consumer (the histogram indexer crashed)
+    val img16 = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    img16.getRaster.setSample(0, 0, 0, 65535)
+    img16.getRaster.setSample(1, 0, 0, 0)
+    val out16 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img16, "png", out16))
+    val dec16 = Codecs.Png.decodeGray(out16.toByteArray)
+    assert(dec16.gray.toSeq == Seq(255, 0), s"got ${dec16.gray.toSeq}")
+    val feats = new Codecs.PngFeatureDecoder()
+      .decodeFeatures(out16.toByteArray, 8)
+    assert(feats.sum > 0f) // used to throw AIOOBE
+
+    // indexed: palette {0 -> white, 1 -> black}; raw samples are the
+    // INDICES 0/1 — decode must resolve intensities 255/0
+    val pal = new java.awt.image.IndexColorModel(1, 2,
+      Array(255.toByte, 0.toByte), Array(255.toByte, 0.toByte),
+      Array(255.toByte, 0.toByte))
+    val imgIdx = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, pal)
+    imgIdx.getRaster.setSample(0, 0, 0, 0) // white
+    imgIdx.getRaster.setSample(1, 0, 0, 1) // black
+    val outIdx = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(imgIdx, "png", outIdx))
+    val decIdx = Codecs.Png.decodeGray(outIdx.toByteArray)
+    assert(decIdx.gray.toSeq == Seq(255, 0), s"got ${decIdx.gray.toSeq}")
+  }
+
+  test("WAV frame decoder: negative frame index is the zero vector, like " +
+    "past-the-clip") {
+    val wav = Codecs.Wav.encodePcm16Mono(
+      Array.tabulate[Short](800)(i => (i * 7 % 1000).toShort), 8000)
+    val d = new Codecs.WavFrameDecoder(windowMs = 50)
+    assert(d.decodeFrame(wav, -1L, 4).toSeq == Seq(0f, 0f, 0f, 0f))
+    assert(d.decodeFrame(wav, 1000L, 4).toSeq == Seq(0f, 0f, 0f, 0f))
+    assert(d.decodeFrame(wav, 0L, 4).exists(_ > 0f))
   }
 
   test("WAV: round trip, hand-built file with unknown odd-size chunk, errors") {

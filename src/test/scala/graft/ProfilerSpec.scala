@@ -29,6 +29,20 @@ class ProfilerSpec extends SparkSpec {
     assert(p("s").getAs[String]("inferred_type") == "string")
   }
 
+  test("dotted column names profile instead of failing struct resolution") {
+    // col("user.id") parses as struct access — every data-derived
+    // reference must be backtick-quoted for a legal parquet name like this
+    val dotted = Seq(("x", 1), ("yy", 2), (null, 3))
+      .toDF("user.id", "row.num")
+    val p = Profiler.profileTable(dotted, "t").collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(p("user.id").getAs[Long]("num_values") == 2)
+    assert(p("user.id").getAs[Long]("nulls") == 1)
+    assert(p("user.id").getAs[Long]("max_len") == 2)
+    assert(p("user.id").getAs[scala.collection.Seq[String]]("values_sample")
+      .toSeq == Seq("x", "yy"))
+  }
+
   test("profileTable: first-seen distinct sample and top-K most-common") {
     val p = Profiler.profileTable(df, "t", sampleSize = 2, topK = 1).collect()
       .map(r => r.getAs[String]("column") -> r).toMap
