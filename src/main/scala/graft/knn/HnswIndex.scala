@@ -129,10 +129,10 @@ object HnswIndex {
         // ingest state — a fresh corpus must not inherit the previous
         // corpus's high-water mark (reshard keeps the corpus and must
         // keep the watermark)
-        val marker = new Path(s"$dir/$ReshardMarker")
-        val out = fs.create(marker, false)
-        try out.write(s"build:$newGen".getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        // atomic publish (temp + rename): a torn marker would fail every
+        // later writer entry's target parse
+        graft.util.StagedTables.writeMarker(fs, dir, ReshardMarker,
+          s"build:$newGen")
         val live = new Path(s"$dir/params")
         val old = new Path(s"$dir/params.old")
         val tmp = new Path(s"$dir/params.tmp")
@@ -141,7 +141,7 @@ object HnswIndex {
         writeManifest(spark, dir, newGen, byShard.map(_._1 -> newGen).toMap)
         graft.util.IngestState.clear(spark, dir)
         fs.delete(old, true)
-        fs.delete(marker, false)
+        fs.delete(new Path(s"$dir/$ReshardMarker"), false)
         // superseded generations are garbage once the manifest committed;
         // best-effort (a failure leaves orphans for vacuum, never an
         // inconsistent index)
@@ -563,11 +563,11 @@ object HnswIndex {
           .groupBy("shard").count().as[(Int, Long)].collect().toSeq
       else Seq.empty[(Int, Long)])
     // the marker carries the target generation: recovery rolls FORWARD
-    // iff a manifest at (or past) it committed, BACK otherwise
+    // iff a manifest at (or past) it committed, BACK otherwise. Atomic
+    // publish — a torn marker would fail every later writer's parse
     val marker = new Path(s"$dir/$ReshardMarker")
-    val out = fs.create(marker, false)
-    try out.write(String.valueOf(gen + 1).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    graft.util.StagedTables.writeMarker(fs, dir, ReshardMarker,
+      String.valueOf(gen + 1))
     val live = new Path(s"$dir/params")
     val old = new Path(s"$dir/params.old")
     val tmp = new Path(s"$dir/params.tmp")
@@ -605,16 +605,20 @@ object HnswIndex {
     val live = new Path(s"$dir/params")
     val old = new Path(s"$dir/params.old")
     val tmp = new Path(s"$dir/params.tmp")
+    graft.util.StagedTables.sweepMarkerTmp(fs, dir, ReshardMarker)
     if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val raw =
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
-        finally in.close()
+      val raw = graft.util.StagedTables.readMarker(fs, marker)
       // `build:<gen>` = a generation-staged rebuild ([[build]] over a
       // live index); bare `<gen>` = a reshard. Same swap recovery; a
       // build additionally owes the fresh corpus a cleared ingest state.
+      // Markers publish atomically, so unparseable content is real
+      // corruption — fail with a named error, not a bare
+      // NumberFormatException
       val isBuild = raw.startsWith("build:")
-      val target = (if (isBuild) raw.stripPrefix("build:") else raw).toInt
+      val num = if (isBuild) raw.stripPrefix("build:") else raw
+      require(num.nonEmpty && num.forall(_.isDigit),
+        s"HnswIndex: malformed commit marker '$raw' under $dir")
+      val target = num.toInt
       val committed =
         try readManifest(spark, dir)._1 >= target
         catch { case _: IllegalArgumentException => false }
@@ -631,16 +635,12 @@ object HnswIndex {
         fs.delete(tmp, true)
       }
       fs.delete(marker, false)
-    } else {
+    } else
       // markerless debris: a staging-only crash (tmp) or a completed
-      // swap's failed cleanup (old, only when live params exist)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      if (fs.exists(old)) {
-        if (fs.exists(live)) fs.delete(old, true)
-        else require(fs.rename(old, live),
-          s"HnswIndex: could not restore params under $dir")
-      }
-    }
+      // swap's failed cleanup (old, only when live params exist) — the
+      // shared single-table rollback protocol
+      graft.util.StagedTables.rollBack(fs, dir, Seq("params"),
+        "HnswIndex.recover")
   }
 
   /** Garbage-collect orphaned state: generation directories not referenced

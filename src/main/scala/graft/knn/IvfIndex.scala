@@ -233,10 +233,11 @@ object IvfIndex {
     // swaps it protects — identical protocol to rebalance
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(s"$dir/$CommitMarker")
-    val markerOp = if (pq.isEmpty) MarkerBuildClearPq else MarkerBuild
-    val out = fs.create(marker, false)
-    try out.write(markerOp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // atomic publish (temp + rename): a torn marker would read as the
+    // empty REBALANCE format and recovery would skip the build's
+    // post-swap obligations
+    graft.util.StagedTables.writeMarker(fs, dir, CommitMarker,
+      if (pq.isEmpty) MarkerBuildClearPq else MarkerBuild)
     swapStaged(fs, dir)
     if (pq.isEmpty) fs.delete(new Path(s"$dir/pq"), true)
     // fresh corpus → fresh ingest state (graft.util.IngestState
@@ -690,13 +691,13 @@ object IvfIndex {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return
     val marker = new Path(s"$dir/$CommitMarker")
+    graft.util.StagedTables.sweepMarkerTmp(fs, dir, CommitMarker)
     if (fs.exists(marker)) {
-      val markerOp =
-        try {
-          val in = fs.open(marker)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        } catch { case scala.util.control.NonFatal(_) => "" }
+      // markers publish atomically (writeMarker), so empty = a genuine
+      // rebalance (its historic contentless format) and a read FAILURE
+      // propagates — defaulting it would roll a build forward as a
+      // rebalance, silently skipping the ingest clear / pq delete
+      val markerOp = graft.util.StagedTables.readMarker(fs, marker)
       swapStaged(fs, dir)
       if (markerOp.startsWith(MarkerBuild)) {
         if (markerOp == MarkerBuildClearPq)

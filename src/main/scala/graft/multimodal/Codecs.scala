@@ -98,7 +98,11 @@ object Codecs {
           }
         case cm =>
           val raster = img.getRaster
-          val colorBands = math.min(raster.getNumBands, 3)
+          // COLOR components only: a gray+alpha PNG has 2 bands but 1
+          // color component — averaging the alpha band in would skew an
+          // opaque gray-g image to (g + 255) / 2
+          val colorBands = math.max(1,
+            math.min(cm.getNumColorComponents, raster.getNumBands))
           val sizes = cm.getComponentSize
           var y = 0
           while (y < h) {

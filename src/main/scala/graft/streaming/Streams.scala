@@ -379,6 +379,13 @@ object Streams {
       // signature fetch; append skips both re-checks — absence was
       // just established here, within-batch uniqueness is the input
       // contract (ids unique corpus-wide).
+      // heal a crashed build/vacuum commit BEFORE the batch reads params
+      // or signatures (safe unlocked under the index's single-writer
+      // contract): the batch would otherwise sign under the OLD params
+      // and then appendSigned's in-lock recovery would swap the NEW
+      // tables live mid-batch, appending band rows the new params never
+      // hashed
+      graft.dedup.LshDedupIndex.recoverCommit(sp, indexDir)
       val sigs = graft.dedup.LshDedupIndex.readSignatures(sp, indexDir)
         .localCheckpoint(eager = false)
       val fresh = b.join(sigs.select(col("id")),
@@ -455,6 +462,9 @@ object Streams {
       // candidate join; append skips both re-checks — absence was just
       // established here, within-batch uniqueness is the input
       // contract.
+      // heal a crashed build/vacuum commit BEFORE the batch reads params
+      // or doclens — see dedupIngestOnce
+      graft.text.Bm25Index.recoverCommit(sp, indexDir)
       val dl = graft.text.Bm25Index.readDoclens(sp, indexDir)
         .localCheckpoint(eager = false)
       val fresh = b.join(dl.select(col("id")),

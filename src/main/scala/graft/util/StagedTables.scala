@@ -75,6 +75,44 @@ object StagedTables {
     fs.delete(marker, false)
   }
 
+  /** Publish an intent marker ATOMICALLY with its content: bytes land in
+    * a dot-prefixed temp file renamed to the marker name, so the marker
+    * either exists with its FULL content or not at all. A bare
+    * create-then-write can crash in between, leaving a 0-byte marker
+    * whose op/target recovery would misread — e.g. a torn BUILD marker
+    * rolling forward as a rebalance, skipping the ingest-state clear the
+    * build owed. Callers' recovery should [[sweepMarkerTmp]] on entry.
+    */
+  def writeMarker(fs: FileSystem, dir: String, markerFile: String,
+      content: String): Unit = {
+    val tmp = new Path(s"$dir/.$markerFile.tmp")
+    val out = fs.create(tmp, /* overwrite = */ true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new Path(s"$dir/$markerFile")),
+      s"StagedTables: could not publish $markerFile under $dir")
+  }
+
+  /** The marker's full content. IO failures PROPAGATE — with
+    * [[writeMarker]]'s atomic publish a marker is never torn, so an
+    * unreadable one is a real store fault, and silently defaulting the
+    * op would misdirect recovery.
+    */
+  def readMarker(fs: FileSystem, marker: Path): String = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Delete a crashed [[writeMarker]]'s temp (never read — dot-prefixed
+    * — but it should not accumulate).
+    */
+  def sweepMarkerTmp(fs: FileSystem, dir: String, markerFile: String): Unit = {
+    val tmp = new Path(s"$dir/.$markerFile.tmp")
+    try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Crash recovery for [[commit]] — see the object doc. `postSwap` runs
     * only on roll-forward (marker present).
     */

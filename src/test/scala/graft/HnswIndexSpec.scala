@@ -186,6 +186,33 @@ class HnswIndexSpec extends SparkSpec {
       emb.count() + 3L)
   }
 
+  test("malformed commit marker fails with a named error; marker temps " +
+    "are swept at writer entry") {
+    val dir = tempDir("badmarker")
+    HnswIndex.build(emb, "vec_id", "embedding", dir, shards = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // markers publish atomically (temp + rename), so garbage content is
+    // real corruption — the parse must name it, not throw a bare
+    // NumberFormatException
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_reshard_commit")
+    val out = fs.create(marker, false)
+    out.write("build:".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      HnswIndex.append(spark, dir, emb.limit(0)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("malformed commit marker"))
+    fs.delete(marker, false)
+    // a crashed writeMarker's temp is dot-prefixed debris, swept on entry
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/._reshard_commit.tmp"),
+      false).close()
+    HnswIndex.vacuum(spark, dir)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/._reshard_commit.tmp")))
+  }
+
   test("append on an index with a crashed reshard heals it first") {
     // the IvfIndex recoverSwap discipline: EVERY writer entry runs
     // recovery, not just reshard and the streaming thunk — without it a

@@ -122,6 +122,21 @@ class MultimodalSpec extends SparkSpec {
     assert(javax.imageio.ImageIO.write(imgIdx, "png", outIdx))
     val decIdx = Codecs.Png.decodeGray(outIdx.toByteArray)
     assert(decIdx.gray.toSeq == Seq(255, 0), s"got ${decIdx.gray.toSeq}")
+
+    // gray+alpha: 2 raster bands but ONE color component — averaging the
+    // opaque alpha in would read gray g as (g + 255) / 2
+    val cs = java.awt.color.ColorSpace.getInstance(
+      java.awt.color.ColorSpace.CS_GRAY)
+    val cmGA = new java.awt.image.ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT, java.awt.image.DataBuffer.TYPE_BYTE)
+    val rasterGA = cmGA.createCompatibleWritableRaster(2, 1)
+    val imgGA = new java.awt.image.BufferedImage(cmGA, rasterGA, false, null)
+    rasterGA.setSample(0, 0, 0, 100); rasterGA.setSample(0, 0, 1, 255)
+    rasterGA.setSample(1, 0, 0, 200); rasterGA.setSample(1, 0, 1, 255)
+    val outGA = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(imgGA, "png", outGA))
+    val decGA = Codecs.Png.decodeGray(outGA.toByteArray)
+    assert(decGA.gray.toSeq == Seq(100, 200), s"got ${decGA.gray.toSeq}")
   }
 
   test("WAV frame decoder: negative frame index is the zero vector, like " +

@@ -230,6 +230,53 @@ class StreamsSpec extends SparkSpec {
       none.columns.toSeq == Seq("query_id", "neighbor_id", "dist", "rank"))
   }
 
+  test("one-shot dedup ingest heals a crashed build BEFORE signing: the " +
+    "batch lands under the NEW params") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .limit(60).localCheckpoint()
+    val base = Files.createTempDirectory("dedup_heal").toString
+    graft.dedup.LshDedupIndex.build(docs, "doc_id", "text", s"$base/index")
+    // fabricate a rebuild over a smaller corpus under DIFFERENT banding
+    // params that died mid-commit: staged tables + marker
+    val corpus2 = docs.limit(30).localCheckpoint()
+    val stage = Files.createTempDirectory("dedup_heal_stage").toString
+    graft.dedup.LshDedupIndex.build(corpus2, "doc_id", "text", stage,
+      shingleSize = 3, bands = 8, rowsPerBand = 2)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("params", "bands", "signatures").foreach { t =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$t"),
+        new org.apache.hadoop.fs.Path(s"$base/index/$t.tmp")))
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$base/index/_build_commit"),
+      false).close()
+    // one fresh batch through the one-shot ingester: recovery must run
+    // BEFORE the batch signs, or its band rows land hashed under the OLD
+    // params while the locked append swaps the NEW tables live mid-batch
+    val batch = docs.limit(20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    Streams.stageBatch(batch, s"$base/batches", "batch_a.parquet",
+      1700000000000L)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    Streams.dedupIngestOnce(spark, s"$base/batches", schema,
+      s"$base/index", s"$base/out", "doc_id", "text").count()
+    assert(graft.dedup.LshDedupIndex.loadParams(spark, s"$base/index") ==
+      ((3, 8, 2)), "crashed build not rolled forward before the batch")
+    // end state ≡ one-shot build over (new corpus ∪ batch) at new params
+    val dirAll = Files.createTempDirectory("dedup_heal_all").toString
+    graft.dedup.LshDedupIndex.build(corpus2.unionByName(batch),
+      "doc_id", "text", dirAll, shingleSize = 3, bands = 8, rowsPerBand = 2)
+    def sigs(d: String) = spark.read.parquet(s"$d/signatures")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(sigs(s"$base/index") == sigs(dirAll),
+      "ingested batch not signed under the recovered params")
+  }
+
   test("streaming dedup ingestion: later batches see earlier appends") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
