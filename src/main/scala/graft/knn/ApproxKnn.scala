@@ -213,6 +213,7 @@ object ApproxKnn {
       distributedTrain: Boolean = false): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    require(nProbe > 0, s"ivfKnn: nProbe must be positive, got $nProbe")
     val cosine = HnswSearch.isCosine(metric)
 
     val cand =

@@ -785,6 +785,7 @@ object IvfIndex {
       rerank: Int = 4,
       preMeta: Option[(Array[Array[Float]], String)] = None): DataFrame = {
     import spark.implicits._
+    require(nProbe > 0, s"IvfIndex.search: nProbe must be positive, got $nProbe")
     // preMeta: caller-loaded (centroids, metric) — a per-batch caller
     // (the streaming ANN ingester) loads the metadata ONCE via
     // [[loadIndexMeta]] and shares it between probe and append

@@ -28,6 +28,19 @@ trait CentroidIndex extends Serializable {
     * sweep, without reaching inside the kernel abstraction.
     */
   def release(): Unit
+
+  /** Squared L2 of a codebook row against an input vector — min-clamped
+    * (the engine-wide short-dimension convention), float subtraction in
+    * double accumulation. ONE definition shared by both kernels so the
+    * distance rule cannot drift between the exact and two-level paths.
+    */
+  protected final def distTo(c: Array[Float], v: ArrayData): Double = {
+    val m = math.min(c.length, v.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < m) { val x = v.getFloat(i) - c(i); d += x * x; i += 1 }
+    d
+  }
 }
 
 /** Shared nearest-centroid kernel for the IVF assign/probe expressions.
@@ -45,16 +58,6 @@ trait CentroidIndex extends Serializable {
 final class CentroidKernel(bc: Broadcast[Array[Array[Float]]]) extends CentroidIndex {
 
   @transient private lazy val cs: Array[Array[Float]] = bc.value
-
-  def numCentroids: Int = bc.value.length
-
-  private def distTo(c: Array[Float], v: ArrayData): Double = {
-    val m = math.min(c.length, v.numElements())
-    var d = 0.0
-    var i = 0
-    while (i < m) { val x = v.getFloat(i) - c(i); d += x * x; i += 1 }
-    d
-  }
 
   /** Index of the nearest centroid; ties keep the lowest index. */
   def nearestOne(v: ArrayData): Int = {
@@ -88,6 +91,10 @@ final class CentroidKernel(bc: Broadcast[Array[Array[Float]]]) extends CentroidI
   def nearestN(v: ArrayData, n: Int): ArrayData = {
     val local = cs
     val cap = math.min(n, local.length)
+    // n <= 0 (an unvalidated nProbe reaching the kernel): empty probe
+    // list, not ds(-1) — the public APIs require positive probes, this
+    // is the defense behind them
+    if (cap <= 0) return new GenericArrayData(Array.emptyIntArray)
     val ds = new Array[Double](cap)
     val ids = new Array[Int](cap)
     var size = 0
@@ -139,14 +146,6 @@ final class TwoLevelCentroidKernel(
   @transient private lazy val coarse: Array[Array[Float]] = bcCoarse.value
   @transient private lazy val members: Array[Array[Int]] = bcMembers.value
 
-  private def distTo(c: Array[Float], v: ArrayData): Double = {
-    val m = math.min(c.length, v.numElements())
-    var d = 0.0
-    var i = 0
-    while (i < m) { val x = v.getFloat(i) - c(i); d += x * x; i += 1 }
-    d
-  }
-
   /** The `probes` nearest coarse cells, ordered by (dist, index). The
     * equal-distance/lower-index entry clause can never fire in this
     * ascending scan (a tying `ci` is always greater than the held index)
@@ -155,6 +154,7 @@ final class TwoLevelCentroidKernel(
     */
   private def probeCells(v: ArrayData): Array[Int] = {
     val cap = math.min(probes, coarse.length)
+    if (cap <= 0) return Array.emptyIntArray
     val ds = new Array[Double](cap)
     val ids = new Array[Int](cap)
     var size = 0
@@ -216,28 +216,36 @@ final class TwoLevelCentroidKernel(
   def nearestN(v: ArrayData, n: Int): ArrayData = {
     val cells = probeCells(v)
     val cap = math.min(n, fine.length)
+    if (cap <= 0) return new GenericArrayData(Array.emptyIntArray)
     val ds = new Array[Double](cap)
     val ids = new Array[Int](cap)
     var size = 0
+    def insert(fi: Int): Unit = {
+      val d = distTo(fine(fi), v)
+      if (size < cap || d < ds(cap - 1) ||
+        (d == ds(cap - 1) && fi < ids(cap - 1))) {
+        var p = if (size < cap) size else cap - 1
+        while (p > 0 && (ds(p - 1) > d || (ds(p - 1) == d && ids(p - 1) > fi))) {
+          ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        ds(p) = d; ids(p) = fi
+        if (size < cap) size += 1
+      }
+    }
     var c = 0
     while (c < cells.length) {
       val ms = members(cells(c))
       var i = 0
-      while (i < ms.length) {
-        val fi = ms(i)
-        val d = distTo(fine(fi), v)
-        if (size < cap || d < ds(cap - 1) ||
-          (d == ds(cap - 1) && fi < ids(cap - 1))) {
-          var p = if (size < cap) size else cap - 1
-          while (p > 0 && (ds(p - 1) > d || (ds(p - 1) == d && ids(p - 1) > fi))) {
-            ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1
-          }
-          ds(p) = d; ids(p) = fi
-          if (size < cap) size += 1
-        }
-        i += 1
-      }
+      while (i < ms.length) { insert(ms(i)); i += 1 }
       c += 1
+    }
+    if (size == 0) {
+      // every probed cell empty (collapsed fine clusters) — full-scan
+      // fallback, the nearestOne contract; silently returning an empty
+      // array would make the downstream explode drop the query row and
+      // that query would report zero neighbors
+      var fi = 0
+      while (fi < fine.length) { insert(fi); fi += 1 }
     }
     new GenericArrayData(java.util.Arrays.copyOf(ids, size))
   }

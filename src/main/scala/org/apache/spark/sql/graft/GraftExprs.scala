@@ -17,8 +17,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * accumulation over float elements in index order — identical arithmetic
   * to the higher-order-function oracle in graft.functions.Dist, but a
   * tight primitive loop inside whole-stage codegen (no per-element lambda
-  * dispatch, no boxing). Elements beyond the shorter input are ignored
-  * (zip_with-compatible); the kNN layer guarantees equal dimensions.
+  * dispatch, no boxing). Elements beyond the shorter input are ignored —
+  * the engine-wide short-dimension convention. NOTE this deliberately
+  * DIVERGES from a `zip_with`-based formulation on ragged or null-element
+  * inputs (zip_with null-pads the shorter array, so the HOF oracle in
+  * [[graft.functions.Dist]] yields NULL there): the bit-identity contract
+  * with the oracle holds on equal-dimension, non-null-element vectors,
+  * which is what the kNN layer feeds both.
   */
 abstract class FloatVectorFold extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =

@@ -27,9 +27,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class MinHashKernel(val shingleSize: Int, val numHashes: Int)
   extends Serializable {
+  require(shingleSize > 0,
+    s"MinHashKernel: shingleSize must be positive, got $shingleSize")
+  require(numHashes > 0,
+    s"MinHashKernel: numHashes must be positive, got $numHashes")
 
   /** `numHashes` permutations approximated by seeded MurmurHash3 over
     * word shingles; deterministic across JVMs.
+    *
+    * A non-blank document SHORTER than `shingleSize` hashes its whole
+    * token sequence as one shingle: with no shingle at all every short
+    * doc would emit the identical all-sentinel signature, every band
+    * would collide, and ALL short docs would read as mutual exact
+    * duplicates (est 1.0) — a wrong answer plus a quadratic pair blowup.
+    * Blank/whitespace-only text has no tokens (the `""` that split
+    * yields is not a token — the TermFreqKernel rule) and keeps the
+    * all-sentinel empty-document signature, like null.
     */
   def sig(text: UTF8String): ArrayData = {
     val sig = Array.fill(numHashes)(Int.MaxValue)
@@ -37,16 +50,23 @@ final class MinHashKernel(val shingleSize: Int, val numHashes: Int)
       // UTF8String.toLowerCase = the function SQL lower() calls — the
       // one lowering every tokenizing kernel shares (TermFreqKernel doc)
       val toks = text.toLowerCase.toString.trim.split("\\s+")
-      var i = 0
-      while (i + shingleSize <= toks.length) {
-        val sh = toks.slice(i, i + shingleSize).mkString(" ")
+        .filter(_.nonEmpty)
+      def hashShingle(sh: String): Unit = {
         var h = 0
         while (h < numHashes) {
           val v = MurmurHash3.stringHash(sh, h * 0x9e3779b9 + 1)
           if (v < sig(h)) sig(h) = v
           h += 1
         }
-        i += 1
+      }
+      if (toks.nonEmpty && toks.length < shingleSize)
+        hashShingle(toks.mkString(" "))
+      else {
+        var i = 0
+        while (i + shingleSize <= toks.length) {
+          hashShingle(toks.slice(i, i + shingleSize).mkString(" "))
+          i += 1
+        }
       }
     }
     new GenericArrayData(sig)
@@ -55,11 +75,16 @@ final class MinHashKernel(val shingleSize: Int, val numHashes: Int)
 
 final class SimHashKernel extends Serializable {
 
-  /** 64-bit SimHash over whitespace tokens (deterministic). */
+  /** 64-bit SimHash over whitespace tokens (deterministic). Blank text
+    * has no tokens and hashes to 0 like null — the phantom `""` token
+    * split yields would otherwise give blank and null documents
+    * DIFFERENT signatures for identical normalized content.
+    */
   def hash(text: UTF8String): Long = {
     val acc = new Array[Int](64)
     if (text != null) {
-      text.toLowerCase.toString.trim.split("\\s+").foreach { t =>
+      text.toLowerCase.toString.trim.split("\\s+")
+        .iterator.filter(_.nonEmpty).foreach { t =>
         val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
           (MurmurHash3.stringHash(t, 13).toLong & 0xffffffffL)
         var b = 0

@@ -53,6 +53,27 @@ class CentroidExprSpec extends SparkSpec {
     }
   }
 
+  test("non-positive nProbe fails loudly at the public APIs; the kernel " +
+    "itself returns an empty probe list") {
+    import spark.implicits._
+    val vecs = (1 to 20)
+      .map(i => (i.toLong, Array.tabulate(4)(j => (i * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.knn.ApproxKnn.ivfKnn(vecs, vecs, "vec_id", "embedding",
+        k = 3, nProbe = 0)
+    }
+    assert(e.getMessage.contains("nProbe"))
+    // defense-in-depth behind the requires: n <= 0 reaching the kernel
+    // used to evaluate ds(-1) and die with AIOOBE inside generated code
+    val kernel = new org.apache.spark.sql.graft.CentroidKernel(
+      spark.sparkContext.broadcast(Array(Array(0f, 0f), Array(1f, 1f))))
+    val got = kernel.nearestN(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(0.5f, 0.5f)), 0)
+    assert(got.numElements() == 0)
+  }
+
   test("nearest_centroid stays inside whole-stage codegen over a real scan") {
     val kernel = new CentroidKernel(spark.sparkContext.broadcast(centroids))
     val df = spark.read.parquet(s"$sf0001/embeddings.parquet")

@@ -127,17 +127,26 @@ class DedupSpec extends SparkSpec {
     import scala.util.hashing.MurmurHash3
     val sig = Array.fill(numHashes)(Int.MaxValue)
     if (text != null) {
-      val toks = text.trim.toLowerCase.split("\\s+")
-      var i = 0
-      while (i + shingleSize <= toks.length) {
-        val sh = toks.slice(i, i + shingleSize).mkString(" ")
+      // the kernel contract: split's phantom "" is not a token; a
+      // non-blank doc shorter than shingleSize hashes one whole-sequence
+      // shingle (all short docs used to share the all-sentinel signature)
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      def hashShingle(sh: String): Unit = {
         var h = 0
         while (h < numHashes) {
           val v = MurmurHash3.stringHash(sh, h * 0x9e3779b9 + 1)
           if (v < sig(h)) sig(h) = v
           h += 1
         }
-        i += 1
+      }
+      if (toks.nonEmpty && toks.length < shingleSize)
+        hashShingle(toks.mkString(" "))
+      else {
+        var i = 0
+        while (i + shingleSize <= toks.length) {
+          hashShingle(toks.slice(i, i + shingleSize).mkString(" "))
+          i += 1
+        }
       }
     }
     sig.toSeq
@@ -147,7 +156,7 @@ class DedupSpec extends SparkSpec {
     import scala.util.hashing.MurmurHash3
     val acc = new Array[Int](64)
     if (text != null) {
-      text.trim.toLowerCase.split("\\s+").foreach { t =>
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
         val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
           (MurmurHash3.stringHash(t, 13).toLong & 0xffffffffL)
         var b = 0
@@ -161,6 +170,37 @@ class DedupSpec extends SparkSpec {
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  test("short documents get content-derived MinHash signatures, not a " +
+    "shared all-sentinel one; blank hashes like null") {
+    import spark.implicits._
+    // two UNRELATED 2-word docs at the default shingleSize=3: no shingle
+    // used to exist, both signed all-MaxValue, and every short doc in a
+    // corpus became a mutual 'exact duplicate' (est 1.0)
+    val docs = Seq((1L, "hello world"), (2L, "quantum physics"),
+      (3L, "hello world"), (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshCandidates(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 3L)),
+      s"short-doc signatures collided or true dup missed: ${pairs.toSeq}")
+    // blank text carries no tokens: same empty signature as null (split's
+    // phantom "" token is not a token), on both kernels
+    val edge = Seq((1L, "   "), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sigs = edge.select(
+      graft.functions.VectorExpressions.minhashSig(col("text"),
+        new org.apache.spark.sql.graft.MinHashKernel(3, 16)).as("mh"),
+      graft.functions.VectorExpressions.simhash64(col("text")).as("sh"))
+      .collect().map(r => (r.getSeq[Int](0), r.getLong(1)))
+    assert(sigs(0) == sigs(1), "blank and null documents signed differently")
+    assert(sigs(0)._2 == 0L, "blank simhash is not the empty-document 0")
+    // kernel params are validated at construction
+    intercept[IllegalArgumentException](
+      new org.apache.spark.sql.graft.MinHashKernel(0, 16))
+    intercept[IllegalArgumentException](
+      new org.apache.spark.sql.graft.MinHashKernel(3, -1))
   }
 
   test("native signature expressions are bit-identical to the replaced UDFs") {
