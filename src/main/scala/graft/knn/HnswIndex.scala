@@ -477,6 +477,14 @@ object HnswIndex {
     val (kL, efS, ex) = (k, efSearch, excludeSelf)
 
     val (_, shardGens) = readManifest(spark, dir)
+    // an empty manifest (reachable: readIds special-cases it, and the
+    // streaming gate probes BEFORE the first append) has no neighbors —
+    // an empty correctly-shaped frame, not a zero-path parquet read
+    // dying on schema inference before the bootstrap append ever runs
+    if (shardGens.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        IvfIndex.searchSchema)
     val partials = loadNodes(spark, dir, shardGens)
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "pos")

@@ -119,9 +119,12 @@ object PairsBuilder {
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row(r.get(0), r.get(1), i)
     }
+    // lazy checkpoint, not cache(): blocks release with the frame — a
+    // cached copy would stay pinned in the CacheManager for the session
+    // (the SemLink.knnPairs rule), one leaked pair-set per invocation
     val withIdx = spark.createDataFrame(indexed,
       schema.add("__idx", org.apache.spark.sql.types.LongType))
-      .cache()
+      .localCheckpoint(eager = false)
     val n = withIdx.count()
     val cut = math.ceil(n * trainRatio).toLong
     val train = withIdx.filter(col("__idx") < cut)

@@ -25,11 +25,10 @@ object Formats {
     */
   def csvScanAllString(spark: SparkSession, path: String): DataFrame = {
     val sep = if (path.endsWith(".tsv")) "\t" else ","
-    val header = spark.read.option("header", "true").option("sep", sep)
-      .csv(path).schema
-    val allString = StructType(header.map(f => StructField(f.name, StringType)))
-    spark.read.option("header", "true").option("sep", sep)
-      .schema(allString).csv(path)
+    // a header read WITHOUT inferSchema already types every column
+    // StringType — no second header-parse pass to rebuild what Spark's
+    // default gives
+    spark.read.option("header", "true").option("sep", sep).csv(path)
   }
 
   /** S3: folder glob scan preserving table-per-file identity — the profile

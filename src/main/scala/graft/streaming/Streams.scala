@@ -46,6 +46,14 @@ object Streams {
     * falls back to [[eventsLongSchema]] instead of failing stream
     * construction. A MISSING directory still fails loudly (a typo'd
     * path must not become a silent empty stream with a guessed schema).
+    *
+    * SESSION-CONF CAVEAT: this sets `spark.sql.legacy.parquet.nanosAsLong`
+    * for the stream's lifetime and does NOT restore it — the flag must
+    * stay on while micro-batches read nanos-layout files. The drain
+    * helpers ([[drainToMemorySink]]) restore the pre-call value after
+    * the stream terminates; a direct caller owning the stream lifecycle
+    * owns the restore too, or unrelated TIMESTAMP(NANOS) reads in the
+    * same session will decode as longs.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -275,6 +283,15 @@ object Streams {
     require(fs.rename(parts.head.getPath, target),
       s"stageBatch: could not move staged file into place at $target")
     fs.setTimes(target, mtimeMs, -1)
+    // setTimes is a SILENT no-op on stores that don't support it (the
+    // Hadoop default is an empty body — object stores keep upload
+    // mtimes), and the file stream orders batches by mtime: verify the
+    // stamp actually took, or the 'batch N+1 observes batch N's state'
+    // replay contract would break with no error
+    require(fs.getFileStatus(target).getModificationTime == mtimeMs,
+      s"stageBatch: $target mtime stamp did not take effect — this " +
+        "store does not support setTimes, so staged-batch ordering " +
+        "cannot be guaranteed here")
     fs.delete(tmp, true)
     ()
   }
@@ -317,6 +334,14 @@ object Streams {
     graft.util.TempDirs.register(checkpoint.toString)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an explicit schema means a typo'd source path would become a
+    // SILENT empty stream (zero batches, empty result) — after this
+    // call has already cleared outDir of prior results. Fail loudly
+    // instead (the eventsStream missing-dir contract).
+    val src = new org.apache.hadoop.fs.Path(batchesDir)
+    require(src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(src),
+      s"runFileBatches: batches directory does not exist: $batchesDir")
     fs.delete(outPath, true)
     spark.readStream
       .schema(batchSchema)
@@ -1103,8 +1128,14 @@ object Streams {
     }
     var out = List.empty[SessionAgg]
     var cur = state.getOption
-    evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-      val us = e.ts.getTime * 1000
+    // MICROsecond event time, like the batch twin's unix_micros: getTime
+    // alone truncates to ms (java.sql.Timestamp carries sub-ms in nanos),
+    // and a 10:00:00.000500 event would sessionize differently in the
+    // two twins, breaking the row-for-row boundary contract
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    evs.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+      val us = micros(e.ts)
       cur match {
         case Some(s) if us - s.lastUs <= gapUs =>
           cur = Some(s.copy(lastUs = us, cnt = s.cnt + 1, total = s.total + e.value))

@@ -13,6 +13,12 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
+  // CALLER CONTRACT: feed scans (or already-materialized frames), not
+  // unexecuted shuffle pipelines — df.rdd finalizes the plan, so under
+  // AQE a frame with pending exchanges would execute its upstream stages
+  // here just to learn the partition count, and again on the real
+  // action. Every in-repo call site is a scan/select or a checkpointed
+  // frame, where the probe is metadata-only.
   def balance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

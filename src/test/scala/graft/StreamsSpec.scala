@@ -173,6 +173,24 @@ class StreamsSpec extends SparkSpec {
     assert(state.isRemoved) // no state left, timeout not re-armed
   }
 
+  test("sessionUpdate carries MICROsecond event time like the batch twin") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // sub-ms timestamp: getTime truncates to ms; the batch twin's
+    // unix_micros keeps the 500µs — both twins must agree boundary-exact
+    val ts = new java.sql.Timestamp(1700000000000L)
+    ts.setNanos(500000) // .0005s
+    val state = TestGroupState.create[Streams.SessionState](
+      optionalState = org.apache.spark.api.java.Optional.empty[Streams.SessionState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    Streams.sessionUpdate(gapMinutes = 30, flushTimeout = false)(
+      1L, Iterator(Streams.Event(1L, ts, 1L, "view", 2.0)), state).toList
+    assert(state.get.startUs == 1700000000000000L + 500L,
+      s"micros lost: ${state.get.startUs}")
+  }
+
   test("sessionUpdate with timeout and fresh events keeps buffering, no flush") {
     import org.apache.spark.sql.streaming.TestGroupState
     val state = TestGroupState.create[Streams.SessionState](
