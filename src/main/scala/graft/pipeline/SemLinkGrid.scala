@@ -20,6 +20,25 @@ import graft.sources.Lake
   */
 object SemLinkGrid {
 
+  /** The flagship gate's default escalation threshold: a catalog past
+    * this many keys routes the grid's single kNN pass through IVF
+    * (auto-√N lists) instead of exact blocked self-kNN. Exact self-kNN
+    * is O(N²·d) no matter how it is blocked — SCALE_r13 measured the
+    * exact path growing 5.05× for 10× data while the auto IVF path grew
+    * 3.14× (and 37.98× vs 66.09× at the 100× tier) — so an UNTUNED
+    * caller must not default onto the one plan in the engine that
+    * cannot survive a large catalog. 10⁵ keys ≈ the single-broadcast
+    * block size: below it the exact path is one broadcast pass and
+    * cheap; above it the exact path starts paying quadratic distance
+    * work AND multi-block orchestration, while IVF at the default
+    * nProbe keeps recall high on clustered catalogs. Escalation is
+    * logged loudly; pass `annAbove = Long.MaxValue` to force exact at
+    * any size (the oracle paths pin exactness explicitly instead).
+    */
+  val DefaultAnnAbove: Long = 100000L
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** One grid cell: the discovered (query, candidate, dist) pairs and the
     * one-row metrics frame (k, threshold, tp, fp, fn, precision, recall,
     * f1, ndcg).
@@ -63,7 +82,7 @@ object SemLinkGrid {
       groundTruth: DataFrame, // (q, c) on catalog keys
       ks: Seq[Int],
       thresholds: Seq[Double],
-      annAbove: Long = Long.MaxValue,
+      annAbove: Long = DefaultAnnAbove,
       nList: Int = 0,
       nProbe: Int = 16): Seq[GridCell] = {
     // fail fast on an empty sweep — ks.max and the callers' metric
@@ -142,8 +161,12 @@ object SemLinkGrid {
     * (join_discoverer.py:209 trains a flat index — the reference never
     * met a catalog big enough to need this; at nProbe = nList the IVF
     * path degenerates to exhaustive search and reproduces the exact
-    * ranking, which is how the spec pins it). Default = MaxValue: every
-    * oracle path stays exact.
+    * ranking, which is how the spec pins it). Default =
+    * [[DefaultAnnAbove]] (10⁵ keys): an untuned caller GATES — below
+    * the threshold the plan is exact (every bench/oracle catalog sits
+    * far below it), above it the default plan is the measured-survivable
+    * IVF path, announced with a WARN log line. `Long.MaxValue` opts out
+    * (exact at any size, the caller's explicit choice).
     *
     * Auto sizing (`nList <= 0`): a FIXED nList keeps the probed
     * fraction nProbe/nList constant, so per-query candidate work stays
@@ -160,7 +183,7 @@ object SemLinkGrid {
     */
   private[graft] def gridKnn(embedded: DataFrame, kMax: Int,
       blockSize: Int = 100000,
-      annAbove: Long = Long.MaxValue,
+      annAbove: Long = DefaultAnnAbove,
       nList: Int = 0,
       nProbe: Int = 16): DataFrame = {
     val withId = embedded
@@ -168,10 +191,20 @@ object SemLinkGrid {
       .select("id", "key", "vec")
     val keys = withId.select("id", "key")
     // one catalog count serves both the gate and the auto-nList rule
+    // (column-pruned id scan; skipped entirely when the caller opted
+    // out of the gate with MaxValue)
     val n = if (annAbove != Long.MaxValue) withId.count() else 0L
     val core =
       if (annAbove != Long.MaxValue && n > annAbove) {
         val (lists, probe) = resolveIvfParams(n, nList, nProbe)
+        // loud, named: the plan just changed ENGINE (exact → ANN). A
+        // silent switch would let a recall regression masquerade as a
+        // data problem; an operator reading the log sees the knob.
+        log.warn(s"SemLinkGrid.gridKnn: catalog has $n keys > " +
+          s"annAbove=$annAbove — escalating the grid kNN from exact " +
+          s"blocked self-kNN (O(N²·d)) to IVF (nList=$lists, " +
+          s"nProbe=$probe). Pass annAbove=Long.MaxValue to force the " +
+          "exact path, or nProbe<=0 for full-probe (rank-exact) IVF.")
         graft.knn.ApproxKnn.ivfKnn(withId, withId, "id", "vec", kMax,
           nList = lists, nProbe = probe, metric = KnnJoin.MetricL2Sq,
           excludeSelf = true)
@@ -219,16 +252,17 @@ object SemLinkGrid {
   /** [[evaluationGrid]] over a pre-embedded (key, vec) catalog.
     * `annAbove` / `nList` / `nProbe`: the [[gridKnn]] compute gate — a
     * catalog past `annAbove` keys routes the single kNN pass through IVF
-    * instead of exact blocked search (default never). `nList <= 0` (the
-    * default) sizes lists ∝ √N automatically; `nProbe <= 0` means full
-    * probe (exact).
+    * instead of exact blocked search (default [[DefaultAnnAbove]] =
+    * 10⁵ keys, logged loudly when it fires; `Long.MaxValue` forces
+    * exact at any size). `nList <= 0` (the default) sizes lists ∝ √N
+    * automatically; `nProbe <= 0` means full probe (exact).
     */
   def evaluationGridFromCatalog(
       catalog: DataFrame,
       groundTruth: DataFrame,
       ks: Seq[Int],
       thresholds: Seq[Double],
-      annAbove: Long = Long.MaxValue,
+      annAbove: Long = DefaultAnnAbove,
       nList: Int = 0,
       nProbe: Int = 16): DataFrame =
     gridCellsFromCatalog(catalog, groundTruth, ks, thresholds,

@@ -224,6 +224,39 @@ class SemLinkGridSpec extends SparkSpec {
       "gridCellsFromCatalog nList default not auto")
   }
 
+  test("gridKnn gate DEFAULT is finite: annAbove escalates past 1e5 keys") {
+    // The one measured scale-killer in the engine is exact O(N²·d)
+    // self-kNN; an UNTUNED grid caller must gate onto the IVF path
+    // above DefaultAnnAbove instead of silently defaulting to the plan
+    // that cannot survive a large catalog (SCALE_r13: exact grew 5.05×
+    // at 10× data vs 3.14× auto-IVF; 66× vs 38× at 100×). Read the
+    // compiler's synthetic `$default$N` methods so a regression back
+    // to Long.MaxValue fails here, not in a scale probe.
+    def defaultLongOf(method: String, pos: Int): Long = SemLinkGrid.getClass
+      .getMethod(s"$method$$default$$$pos").invoke(SemLinkGrid)
+      .asInstanceOf[Long]
+    assert(SemLinkGrid.DefaultAnnAbove == 100000L)
+    // gridKnn(embedded, kMax, blockSize, annAbove, nList, nProbe)
+    assert(defaultLongOf("gridKnn", 4) == SemLinkGrid.DefaultAnnAbove,
+      "gridKnn annAbove default not the finite gate")
+    // gridCellsFromCatalog(catalog, gt, ks, thresholds, annAbove, ...)
+    assert(defaultLongOf("gridCellsFromCatalog", 5) == SemLinkGrid.DefaultAnnAbove,
+      "gridCellsFromCatalog annAbove default not the finite gate")
+    // evaluationGridFromCatalog(catalog, gt, ks, thresholds, annAbove, ...)
+    assert(defaultLongOf("evaluationGridFromCatalog", 5) == SemLinkGrid.DefaultAnnAbove,
+      "evaluationGridFromCatalog annAbove default not the finite gate")
+    // and below the threshold the default plan is still EXACT: the
+    // default-args call must rank identically to the forced-exact call
+    val catalog = (1 to 60).map { i =>
+      (s"t$i:c$i", Array.tabulate(8)(j => ((i * 31 + j * 7) % 23).toFloat / 23f))
+    }.toDF("key", "vec")
+    val dflt = SemLinkGrid.gridKnn(catalog, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val exact = SemLinkGrid.gridKnn(catalog, 5, annAbove = Long.MaxValue)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(dflt == exact)
+  }
+
   test("seeded sample: deterministic, exact size, subset of input") {
     val df = (1 to 100).toDF("v")
     val s1 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq
