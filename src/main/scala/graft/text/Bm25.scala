@@ -114,7 +114,8 @@ object Bm25 {
   private[text] def scoreJoined(
       tfdf: DataFrame, dl: DataFrame, nDocs: Double, avgdl: Double,
       qterms: DataFrame, dlJoinKeys: Seq[String], topK: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double,
+      broadcastQ: Boolean = true): DataFrame = {
     require(topK > 0, s"bm25: topK must be positive, got $topK")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bm25: bad k1/b ($k1, $b)")
     val core = contribCore(lit(nDocs), lit(avgdl), k1, b)
@@ -123,8 +124,13 @@ object Bm25 {
     // shapes, not just the unweighted one
     val contrib =
       if (qterms.columns.contains("qw")) col("qw") * core else core
+    // broadcastQ = false is the LARGE-query-side shape
+    // (Bm25Index.searchTopK's over-cap fallback): qterms shuffles on
+    // term into tfdf's existing term partitioning instead of being
+    // materialized whole on the driver as a broadcast
+    val q = if (broadcastQ) broadcast(qterms) else qterms
     rankTail(
-      tfdf.join(broadcast(qterms), "term")
+      tfdf.join(q, "term")
         .join(dl, dlJoinKeys)
         .select(col("query_id"), col("id"), contrib.as("contrib")),
       topK)

@@ -320,8 +320,12 @@ object Bm25Index {
     *
     * Probe cost: the query batch's distinct terms hash to a bucket set
     * (collected driver-side — bounded by the query batch, the IvfIndex
-    * probed-cid convention), and only those partition directories are
-    * listed and scanned. Per-term df is counted inside the pruned read
+    * probed-cid convention, and CAPPED at `maxDriverQueryTerms` rows:
+    * past the cap the collect would gamble the driver, so the probe
+    * falls back to the distributed shape — distinct bucket ids only on
+    * the driver, left-semi term pruning, qterms shuffled on term
+    * instead of broadcast — with rank-identical results), and only
+    * those partition directories are listed and scanned. Per-term df is counted inside the pruned read
     * (complete — a term's postings never span buckets); the (id, th)
     * doclens join ships candidate-sized hits against the narrow doclens
     * table and erases every uncommitted epoch; the ranking window
@@ -345,7 +349,10 @@ object Bm25Index {
       b: Double = 0.75,
       preDoclens: Option[DataFrame] = None,
       preQTerms: Option[DataFrame] = None,
-      preNBuckets: Option[Int] = None): DataFrame = {
+      preNBuckets: Option[Int] = None,
+      maxDriverQueryTerms: Int = 100000): DataFrame = {
+    require(maxDriverQueryTerms > 0,
+      "Bm25Index.searchTopK: maxDriverQueryTerms must be positive")
     val nBuckets = preNBuckets.getOrElse(loadParams(spark, dir))
     // preQTerms: a caller-supplied (query_id, term[, qw]) frame — a
     // streaming micro-batch that already tokenized the batch for its
@@ -359,26 +366,29 @@ object Bm25Index {
     }
     val qterms0 = preQTerms.getOrElse(
       Bm25.queryTerms(queries, qIdCol, qTextCol))
-    // ONE bounded driver collect serves the bucket set (the static
+    val qtWithBucket = qterms0
+      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    // ONE BOUNDED driver collect serves the bucket set (the static
     // partition filter that prunes the postings listing), AND the
     // query-term relation itself: the scoring join broadcasts qterms
     // anyway — a broadcast IS a driver materialization — so collecting
-    // it here costs nothing extra at scale and saves the per-batch jobs
-    // that re-derived the same rows for the bucket distinct
-    val qtCollected = qterms0
-      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .collect()
+    // it here costs nothing extra at SERVING scale and saves the
+    // per-batch jobs that re-derived the same rows for the bucket
+    // distinct. But the probe's contract is "serving-sized query
+    // batch", and nothing used to enforce it: a caller handing a
+    // corpus-sized query frame to the public API would OOM the driver
+    // on this collect before the broadcast ever got the chance. The
+    // limit(cap+1) probe decides in one pass: fewer than cap+1 rows
+    // back means that WAS the whole relation (use it); cap+1 means the
+    // query side is over the cap — fall back to the distributed shape
+    // (distinct bucket ids only, ≤ nBuckets rows on the driver; term
+    // pruning via left-semi join; qterms stays a lazy frame shuffled
+    // on term into tfdf's partitioning instead of broadcast).
+    val qtCollected = qtWithBucket.limit(maxDriverQueryTerms + 1).collect()
     if (qtCollected.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], searchSchema)
-    val buckets = qtCollected.map(r => r.getLong(r.length - 1)).distinct
-    val qterms = {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(
-        qtCollected.map(r => org.apache.spark.sql.Row(r.toSeq.dropRight(1): _*))
-          .toList.asJava,
-        qterms0.schema)
-    }
+    val fitsDriver = qtCollected.length <= maxDriverQueryTerms
     // corpus stats: one tiny agg over the (caller-checkpointed) doclens
     // frame, collected — the probe pays driver round-trips per call, so
     // literals beat a broadcast-stage for the two scalars
@@ -393,27 +403,48 @@ object Bm25Index {
     // rows, so max == tf) and the per-term document-frequency count both
     // reuse that partitioning (hash(term) clusters every finer grain) —
     // where the former groupBy(term,id,th) + groupBy(term) + join-back
-    // shape paid three exchanges and re-shipped the candidates twice
-    // term-level pruning on top of the bucket partition filter: the
+    // shape paid three exchanges and re-shipped the candidates twice.
+    // Term-level pruning on top of the bucket partition filter: the
     // bucket cut is directory-grain and degenerates to a full postings
     // scan once a wide-vocabulary query batch hashes into every bucket;
-    // the term set is already on the driver (it rode the qterms
-    // collect), and an InSet filter drops every non-query term BEFORE
-    // the exchange — candidate volume becomes "postings of the query's
-    // terms", the quantity the probe's cost model promises, instead of
-    // "postings of every co-bucketed term"
-    val termSet = qtCollected.map(_.getString(
-      qterms0.schema.fieldIndex("term"))).toSet
-    val tfdf = readPostings(spark, dir)
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(col("term").isInCollection(termSet))
+    // dropping every non-query term BEFORE the exchange makes candidate
+    // volume "postings of the query's terms", the quantity the probe's
+    // cost model promises, instead of "postings of every co-bucketed
+    // term" — an InSet filter when the term set rode the qterms collect,
+    // a left-semi join in the over-cap fallback.
+    val (pruned, qterms, broadcastQ) =
+      if (fitsDriver) {
+        val buckets = qtCollected.map(r => r.getLong(r.length - 1)).distinct
+        val q = {
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(
+            qtCollected.map(r => org.apache.spark.sql.Row(r.toSeq.dropRight(1): _*))
+              .toList.asJava,
+            qterms0.schema)
+        }
+        val termSet = qtCollected.map(_.getString(
+          qterms0.schema.fieldIndex("term"))).toSet
+        (readPostings(spark, dir)
+          .filter(col("bucket").isin(buckets.toSeq: _*))
+          .filter(col("term").isInCollection(termSet)), q, true)
+      } else {
+        // over the cap: only the DISTINCT bucket ids touch the driver
+        // (≤ nBuckets by construction); everything else stays lazy
+        val buckets = qtWithBucket.select("__bucket").distinct()
+          .collect().map(_.getLong(0))
+        (readPostings(spark, dir)
+          .filter(col("bucket").isin(buckets.toSeq: _*))
+          .join(qterms0.select("term").distinct(), Seq("term"), "left_semi"),
+          qterms0, false)
+      }
+    val tfdf = pruned
       .select(col("term"), col("id"), col("th"), col("tf"))
       .repartition(col("term"))
       .groupBy("term", "id", "th").agg(max("tf").as("tf"))
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("term")))
     Bm25.scoreJoined(tfdf, dl, nDocs, avgdl, qterms, Seq("id", "th"),
-      topK, k1, b)
+      topK, k1, b, broadcastQ = broadcastQ)
   }
 
   /** Bucket-level occupancy: (bucket, n_rows, n_terms, max_term_rows) —

@@ -32,6 +32,38 @@ class Bm25IndexSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("over-cap query side takes the distributed fallback, rank-identical") {
+    // The driver collect in searchTopK is serving-sized BY CONTRACT;
+    // a corpus-sized query frame must not OOM the driver — past
+    // maxDriverQueryTerms the probe falls back to the distributed
+    // shape (bucket-distinct on the driver, left-semi term pruning,
+    // qterms shuffled instead of broadcast) with IDENTICAL results.
+    val dir = tempDir("cap")
+    Bm25Index.build(docs, "doc_id", "text", dir)
+    // the whole corpus as the query side, cap forced to 1 → fallback
+    val corpusQ = docs.select(col("doc_id").as("qid"), col("text"))
+    val viaFallback = rows(Bm25Index.searchTopK(spark, dir, corpusQ,
+      "qid", "text", topK = 5, maxDriverQueryTerms = 1))
+    val viaCollect = rows(Bm25Index.searchTopK(spark, dir, corpusQ,
+      "qid", "text", topK = 5))
+    assert(viaFallback == viaCollect && viaFallback.nonEmpty)
+    // weighted (qw) queries flow through the fallback's non-broadcast
+    // scoring join too
+    import spark.implicits._
+    val terms = queries.select(col("qid").cast("long").as("query_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .distinct().withColumn("qw", lit(2.0))
+    val wFall = rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text",
+      preQTerms = Some(terms), maxDriverQueryTerms = 1))
+    val wColl = rows(Bm25Index.searchTopK(spark, dir, queries, "qid", "text",
+      preQTerms = Some(terms)))
+    assert(wFall == wColl && wFall.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Bm25Index.searchTopK(spark, dir, queries, "qid", "text",
+        maxDriverQueryTerms = 0)
+    }
+  }
+
   test("weighted preQTerms (qw) scale contributions — the scoreFrom contract") {
     val dir = tempDir("qw")
     Bm25Index.build(docs, "doc_id", "text", dir)
