@@ -21,6 +21,22 @@ set -euo pipefail
 
 URL="https://wordnetcode.princeton.edu/3.0/WNdb-3.0.tar.gz"
 
+# Integrity policy: REFUSE to extract unverified content by default.
+# Either export WORDNET_SHA256=<published checksum> (pin it against
+# Princeton's distribution page — this script was authored in a
+# zero-egress environment, so no hash could be confirmed at write
+# time), or pass --no-verify to explicitly accept an unverified
+# tarball (e.g. for a first fetch whose hash you then pin).
+NO_VERIFY=0
+if [ "${1:-}" = "--no-verify" ]; then NO_VERIFY=1; fi
+if [ -z "${WORDNET_SHA256:-}" ] && [ "$NO_VERIFY" != "1" ]; then
+  echo "refusing to extract unverified content: set WORDNET_SHA256 to" >&2
+  echo "the published WNdb-3.0.tar.gz checksum, or re-run with" >&2
+  echo "  $0 --no-verify" >&2
+  echo "to accept the fetch unverified (then pin the printed hash)." >&2
+  exit 1
+fi
+
 DEST_DIR="$(cd "$(dirname "$0")/.." && pwd)/data/wordnet"
 mkdir -p "$DEST_DIR"
 TMP="$DEST_DIR/wndb.tar.gz.tmp"
@@ -29,14 +45,16 @@ echo "fetching $URL"
 curl -fsSL "$URL" -o "$TMP"
 
 GOT=$(sha256sum "$TMP" | cut -d' ' -f1)
-# Pin via WORDNET_SHA256 once the published checksum has been confirmed
-# against Princeton's distribution page (this script is authored in a
-# zero-egress environment, so no hash could be verified at write time).
 if [ -n "${WORDNET_SHA256:-}" ] && [ "$GOT" != "$WORDNET_SHA256" ]; then
   echo "sha256 mismatch: got $GOT want $WORDNET_SHA256" >&2
+  rm -f "$TMP"
   exit 1
 fi
-echo "sha256: $GOT  (verify against Princeton's published checksum)"
+if [ -n "${WORDNET_SHA256:-}" ]; then
+  echo "sha256 verified: $GOT"
+else
+  echo "sha256 UNVERIFIED (--no-verify): $GOT  — pin this via WORDNET_SHA256"
+fi
 tar -xzf "$TMP" -C "$DEST_DIR"   # extracts dict/data.{noun,verb,adj,adv} …
 rm -f "$TMP"
 echo "ok: $(ls "$DEST_DIR/dict" | wc -l) files at $DEST_DIR/dict"

@@ -86,9 +86,19 @@ object Eval {
     * IDCG = Σ_{i=1..min(k,|relevant|)} 1/log2(i+1).
     * Queries absent from the truth relation are skipped (SemLink semantics,
     * join_discoverer.py:344–346); `zeroWhenNoTruth=true` gives the DeepJoin
-    * variant that scores them 0.0 (search_query.py:97). Truth queries the
-    * retrieval returned NO rows for score 0 in BOTH variants — they are
-    * real misses, and dropping them would inflate the mean.
+    * variant that scores them 0.0 (search_query.py:97).
+    *
+    * DELIBERATE DIVERGENCE from both references (default semantics):
+    * truth queries the retrieval returned NO rows for score 0 here —
+    * they are real misses, and dropping them would inflate the mean (a
+    * system that found nothing for half the truth queries would report
+    * perfect NDCG). Both references compute the mean over RETRIEVED
+    * queries only (join_discoverer.py groups df_distances by column_1;
+    * search_query.py iterates results), so reported NDCG can sit above
+    * this method's default whenever retrieval misses a truth query
+    * entirely. `retrievedOnly=true` restores reference parity exactly:
+    * the mean runs over queries present in `ranked` (intersected with
+    * truth, or all of them under `zeroWhenNoTruth`).
     * Output: one row (n_queries, ndcg) with ndcg = mean over queries,
     * rounded to 4.
     */
@@ -96,7 +106,8 @@ object Eval {
       ranked: DataFrame, // (query, candidate, rank)
       truth: DataFrame,  // (query, candidate)
       k: Int,
-      zeroWhenNoTruth: Boolean = false): DataFrame = {
+      zeroWhenNoTruth: Boolean = false,
+      retrievedOnly: Boolean = false): DataFrame = {
     val t = truth.select("query", "candidate").distinct()
     val relCounts = t.groupBy("query").agg(count(lit(1)).as("n_relevant"))
 
@@ -107,14 +118,17 @@ object Eval {
       .agg(sum(when(col("__rel") === 1,
         lit(1.0) / log2(col("rank") + lit(1.0))).otherwise(lit(0.0))).as("dcg"))
 
-    // the query universe must include truth queries the retrieval
-    // returned NOTHING for (dcg is built from `ranked`, so they have no
-    // dcg row): a right/full join keeps them, scoring 0 — an inner join
-    // would silently drop them from both n_queries and the mean, and a
-    // system that found nothing for half the truth queries would report
-    // perfect NDCG. zeroWhenNoTruth (DeepJoin) additionally keeps ranked
-    // queries with no truth entries, also at 0.
-    val joinType = if (zeroWhenNoTruth) "full" else "right"
+    // the query universe (default): truth queries the retrieval
+    // returned NOTHING for are kept (dcg is built from `ranked`, so
+    // they have no dcg row) — a right/full join scores them 0; an
+    // inner join would silently drop them from both n_queries and the
+    // mean. zeroWhenNoTruth (DeepJoin) additionally keeps ranked
+    // queries with no truth entries, also at 0. retrievedOnly is the
+    // reference-parity mode: mean over retrieved queries only (the
+    // pre-divergence inner/left semantics).
+    val joinType =
+      if (retrievedOnly) { if (zeroWhenNoTruth) "left" else "inner" }
+      else { if (zeroWhenNoTruth) "full" else "right" }
     val perQuery = dcg.join(relCounts, Seq("query"), joinType)
       .withColumn("idcg",
         // Σ_{i=1..min(k, n_relevant)} 1/log2(i+1), n_relevant ≥ 1 by construction

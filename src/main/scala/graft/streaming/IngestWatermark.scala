@@ -82,6 +82,22 @@ object IngestWatermark {
       exhausted = versions.isEmpty
       attempt += 1
     }
+    // retries absorb the prune RACE (a lost listing resolves on the
+    // next list); a non-empty listing that STILL yields zero parseable
+    // versions after every retry is persistent corruption — every
+    // wm-N.json on disk is torn. Falling through to Long.MinValue here
+    // would silently re-admit rows the gate already classified as late
+    // (the exact failure the retry exists to prevent), so fail with a
+    // named error instead: the operator restores a wm file (or
+    // deliberately deletes _ingest/ to reset the gate).
+    if (fromJson.isEmpty && !exhausted)
+      throw new IllegalStateException(
+        s"IngestWatermark.read: $dir lists watermark versions but none " +
+          "parse after 3 attempts — persistent corruption, not a prune " +
+          "race. Refusing to reset the lateness gate to -infinity " +
+          "(which would re-admit already-classified-late rows); restore " +
+          "a wm-N.json or delete the _ingest/ directory to reset " +
+          "deliberately.")
     fromJson.orElse(readLegacy(spark, indexDir, fs))
       .getOrElse(Long.MinValue)
   }

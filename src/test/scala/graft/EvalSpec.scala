@@ -72,6 +72,29 @@ class EvalSpec extends SparkSpec {
     assert(deepjoin.getAs[Double]("ndcg") == 0.5)
   }
 
+  test("retrievedOnly restores reference parity: missed truth queries " +
+    "drop from the mean") {
+    // both references average NDCG over RETRIEVED queries only
+    // (join_discoverer.py groups df_distances by column_1;
+    // search_query.py iterates results) — the engine's default keeps
+    // missed truth queries at 0 (deliberate divergence, documented on
+    // ndcgAtK); retrievedOnly=true is the parity switch
+    val ranked = Seq(("q1", "a", 1)).toDF("query", "candidate", "rank")
+    val truth = pairs("q1" -> "a", "q3" -> "b")
+    val parity = Eval.ndcgAtK(ranked, truth, 5, retrievedOnly = true)
+      .collect().head
+    assert(parity.getAs[Long]("n_queries") == 1)   // q3 dropped
+    assert(parity.getAs[Double]("ndcg") == 1.0)
+    // DeepJoin parity: ranked queries with no truth still score 0, but
+    // unretrieved truth queries are dropped
+    val ranked2 = Seq(("q1", "a", 1), ("q2", "z", 1))
+      .toDF("query", "candidate", "rank")
+    val dj = Eval.ndcgAtK(ranked2, truth, 5, zeroWhenNoTruth = true,
+      retrievedOnly = true).collect().head
+    assert(dj.getAs[Long]("n_queries") == 2)       // q1, q2 — not q3
+    assert(dj.getAs[Double]("ndcg") == 0.5)
+  }
+
   test("per-query macro metrics (A10): hits, misses, skipped queries") {
     val truth = pairs("q1" -> "a", "q1" -> "b", "q2" -> "z")
     val ranked = Seq(

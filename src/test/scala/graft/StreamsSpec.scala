@@ -819,6 +819,57 @@ class StreamsSpec extends SparkSpec {
     assert(wm.read(spark, dir) == Long.MinValue)
   }
 
+  test("IngestWatermark: persistent corruption fails loudly — never a " +
+    "silent reset to -infinity") {
+    // a non-empty listing whose files ALL fail to parse after every
+    // retry is not a prune race (that resolves on re-list) — it is
+    // persistent corruption, and falling through to Long.MinValue
+    // would re-admit rows the gate already classified as late
+    val dir = Files.createTempDirectory("wm_corrupt").toString
+    val ingest = new org.apache.hadoop.fs.Path(s"$dir/_ingest")
+    val fs = ingest.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(ingest)
+    Seq("wm-00000001.json", "wm-00000002.json").foreach { n =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(ingest, n), true)
+      out.write("{\"wm\":".getBytes) // torn: every version unparseable
+      out.close()
+    }
+    val err = intercept[IllegalStateException] {
+      graft.streaming.IngestWatermark.read(spark, dir)
+    }
+    assert(err.getMessage.contains("persistent corruption"))
+    // restoring ONE parseable version recovers the read
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(ingest, "wm-00000003.json"), true)
+    out.write("{\"wm\":42}".getBytes); out.close()
+    assert(graft.streaming.IngestWatermark.read(spark, dir) == 42L)
+  }
+
+  test("stageBatch on a store without setTimes: one batch per dir is " +
+    "fine, a second fails, explicit override accepted") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.setClass("fs.noset.impl",
+      classOf[NoSetTimesFs], classOf[org.apache.hadoop.fs.FileSystem])
+    val base = Files.createTempDirectory("stage_noset").toString
+    val dir = s"noset:$base/batches"
+    val df = Seq((1L, "a")).toDF("id", "text")
+    // ordering ONE staged batch is vacuous — must stay functional on
+    // stores that ignore setTimes (object stores keep upload mtimes)
+    Streams.stageBatch(df, dir, "batch_a.parquet", 1000L)
+    // the SECOND batch is where replay order becomes real — fail loudly
+    val err = intercept[IllegalArgumentException] {
+      Streams.stageBatch(df, dir, "batch_b.parquet", 2000L)
+    }
+    assert(err.getMessage.contains("setTimes"))
+    // explicit override: caller accepts path-order replay
+    Streams.stageBatch(df, dir, "batch_b.parquet", 2000L,
+      requireMtimeOrder = false)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(!_.getPath.getName.startsWith(".")) == 2)
+  }
+
   test("IngestWatermark: legacy one-row-parquet store is read as the seed " +
     "on upgrade, superseded by the first JSON write") {
     import spark.implicits._
@@ -859,4 +910,14 @@ class StreamsSpec extends SparkSpec {
     assert(wm.read(spark, dir) == Long.MinValue)
     assert(!new java.io.File(s"$dir/ingest_watermark").exists())
   }
+}
+
+/** Test-only filesystem modeling an object store whose `setTimes` is the
+  * Hadoop-default silent no-op (upload mtimes win) — the store class the
+  * stageBatch ordering contract has to stay honest on.
+  */
+class NoSetTimesFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("noset:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path,
+      mtime: Long, atime: Long): Unit = ()
 }
