@@ -1739,6 +1739,36 @@ object SparkEntry {
       graft.text.Bm25Index.readDoclens(s, s"$base/index")
         .select(col("id"), col("dl").cast("long").as("dl"))
     }),
+
+    // REAL JPEG decode round trip — the lossy counterpart of q86 (a
+    // 100 TB multimodal corpus is mostly JPEG): per-doc deterministic
+    // SMOOTH gradient pixels → genuine baseline JPEG bytes (JDK ImageIO
+    // writer, grayscale single-component scan, quality 0.95) → ImageIO
+    // decode. Dimensions survive lossy coding exactly; reconstruction
+    // is pinned by max-abs-error against the generator — measured ≤ 1
+    // gray level for this smooth fixture at q=0.95, gated at ≤ 6, while
+    // decode bugs (transposed raster, band mixup) measure ≥ 8 — so the
+    // oracle row is fully closed-form.
+    "q99_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 5).toInt
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.Codecs.Jpeg.encodeGray(w, 8,
+                (x, y) => (40 + 2 * x + 3 * y + (id % 50)).toInt),
+              "image")
+          }
+        }
+      graft.multimodal.Codecs
+        .imageErrStats(media,
+          (id, x, y) => (40 + 2 * x + 3 * y + (id % 50)).toInt)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          (col("max_abs_err") <= 6).cast("bigint").as("within_tol"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -2302,6 +2332,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(doc_id + 3000000 AS BIGINT), dl FROM tok
         |WHERE doc_id >= 50 AND doc_id < 75""".stripMargin,
+
+    // closed form of the JPEG fixture: lossy coding preserves the
+    // dimensions exactly (w = 8 + doc_id % 5, h = 8) and the smooth
+    // gradient reconstructs within 1 gray level at q=0.95 (measured;
+    // gated at <= 6 while decode bugs measure >= 8) — so within_tol is
+    // constant 1 whenever the decode is actually correct
+    "q99_jpeg_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        | CAST(8 + doc_id % 5 AS BIGINT) AS width,
+        | CAST(8 AS BIGINT) AS height,
+        | CAST(1 AS BIGINT) AS within_tol
+        |FROM documents""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -133,6 +133,59 @@ object Codecs {
   }
 
   // ------------------------------------------------------------------
+  // JPEG
+  // ------------------------------------------------------------------
+
+  object Jpeg {
+
+    /** Encode an 8-bit grayscale image to genuine baseline JPEG bytes
+      * via the JDK's ImageIO writer at `quality` (0..1]. JPEG is LOSSY:
+      * `decodeGray(encodeGray(img))` approximates img — dimensions are
+      * exact, pixel values within a few gray levels for smooth content
+      * at high quality (grayscale input is a single-component scan, so
+      * chroma subsampling never enters). Decode side is
+      * [[Png.decodeGray]] — ImageIO sniffs the container, the same
+      * entry point serves both formats.
+      */
+    def encodeGray(width: Int, height: Int, pixel: (Int, Int) => Int,
+        quality: Float = 0.95f): Array[Byte] = {
+      require(width > 0 && height > 0,
+        s"Jpeg.encodeGray: degenerate dimensions ${width}x$height")
+      require(quality > 0f && quality <= 1f,
+        s"Jpeg.encodeGray: quality $quality outside (0, 1]")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, pixel(x, y) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val writers = ImageIO.getImageWritersByFormatName("jpeg")
+      require(writers.hasNext,
+        "Jpeg.encodeGray: no JPEG writer registered in this JVM")
+      val writer = writers.next()
+      ImageIO.setUseCache(false) // no temp-file cache inside executors
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      out.toByteArray
+    }
+  }
+
+  // ------------------------------------------------------------------
   // PCM WAV
   // ------------------------------------------------------------------
 
@@ -326,6 +379,41 @@ object Codecs {
         var i = 0
         while (i < img.gray.length) { s += img.gray(i); i += 1 }
         ImageStats(row.id, img.width.toLong, img.height.toLong, s)
+      }
+    }
+  }
+
+  final case class ImageErrStats(id: Long, width: Long, height: Long,
+      max_abs_err: Long)
+
+  /** Decode every payload as an image and compare it pixel-by-pixel
+    * against a caller-supplied reference generator — the oracle surface
+    * for LOSSY codecs (JPEG), where the decoded pixel sum has no closed
+    * form but dimensions are exact and the worst-case reconstruction
+    * error of a smooth fixture at high quality is boundable (and a
+    * decode bug — transposed raster, band mixup, palette confusion —
+    * blows far past any such bound). `ref(id, x, y)` is the generator's
+    * 0..255 gray value; output is (id, width, height, max_abs_err).
+    */
+  def imageErrStats(media: Dataset[Multimodal.MediaRow],
+      ref: (Long, Int, Int) => Int): Dataset[ImageErrStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val img = Png.decodeGray(row.payload)
+        var m = 0L
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            val e = math.abs(
+              img.gray(y * img.width + x) - (ref(row.id, x, y) & 0xff)).toLong
+            if (e > m) m = e
+            x += 1
+          }
+          y += 1
+        }
+        ImageErrStats(row.id, img.width.toLong, img.height.toLong, m)
       }
     }
   }

@@ -238,4 +238,45 @@ class MultimodalSpec extends SparkSpec {
     assert(fr.map(_.sum_samples).sum == samples.map(_.toLong).sum)
     assert(fr.last.n_samples == n - (fr.length - 1) * 800)
   }
+
+  test("JPEG: lossy round trip — exact dimensions, bounded error, and " +
+    "the error gate has teeth") {
+    import spark.implicits._
+    def gen(id: Long)(x: Int, y: Int): Int = (40 + 2 * x + 3 * y + (id % 50)).toInt
+    val media = (0L until 20L).map { id =>
+      val w = (8 + id % 5).toInt
+      Multimodal.MediaRow(id, Codecs.Jpeg.encodeGray(w, 8, gen(id)), "image")
+    }.toDS()
+    // dimensions survive lossy coding exactly; the smooth gradient
+    // reconstructs within a single gray level at q=0.95 (the q99 gate
+    // allows 6)
+    val st = Codecs.imageErrStats(media,
+      (id, x, y) => gen(id)(x, y)).collect().sortBy(_.id)
+    assert(st.length == 20)
+    st.foreach { s =>
+      assert(s.width == 8 + s.id % 5 && s.height == 8)
+      assert(s.max_abs_err <= 6, s"id=${s.id} err=${s.max_abs_err}")
+    }
+    // TEETH: a decode that transposed the raster (x/y swapped) must
+    // blow past the gate on every non-square image — the tolerance is
+    // a JPEG-noise allowance, not a blank check
+    val transposed = Codecs.imageErrStats(media,
+      (id, x, y) => (40 + 3 * x + 2 * y + (id % 50)).toInt).collect()
+    assert(transposed.filter(s => s.width != s.height)
+      .forall(_.max_abs_err > 6))
+    // quality knob is validated; JPEG bytes really are JPEG (SOI marker)
+    intercept[IllegalArgumentException] {
+      Codecs.Jpeg.encodeGray(4, 4, (_, _) => 0, quality = 0f)
+    }
+    val bytes = Codecs.Jpeg.encodeGray(9, 8, gen(3L))
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    // corrupt payloads fail loudly through the shared ImageIO decode
+    intercept[IllegalArgumentException] {
+      Codecs.Png.decodeGray("not an image".getBytes)
+    }
+    // lower quality still preserves dimensions (the exact surface)
+    val lq = Codecs.Png.decodeGray(
+      Codecs.Jpeg.encodeGray(11, 8, gen(7L), quality = 0.3f))
+    assert(lq.width == 11 && lq.height == 8)
+  }
 }
