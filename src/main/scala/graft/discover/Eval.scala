@@ -32,11 +32,39 @@ object Eval {
       .withColumn("__d", lit(1))
     val t = truth.select("query", "candidate").distinct()
       .withColumn("__t", lit(1))
-    d.join(t, Seq("query", "candidate"), "full_outer")
+    prfColumns(d.join(t, Seq("query", "candidate"), "full_outer")
       .agg(
         count(when(col("__d").isNotNull && col("__t").isNotNull, lit(1))).as("tp"),
         count(when(col("__d").isNotNull && col("__t").isNull, lit(1))).as("fp"),
-        count(when(col("__d").isNull && col("__t").isNotNull, lit(1))).as("fn"))
+        count(when(col("__d").isNull && col("__t").isNotNull, lit(1))).as("fn")))
+  }
+
+  /** [[microPrf1]] when |truth| is ALREADY KNOWN and `truth` is already
+    * distinct — the repeated-cells shape (the SemLink grid scores many
+    * (k, threshold) cells against ONE truth relation). Set algebra:
+    * fn = |truth| − tp, so the truth side never has to flow through a
+    * per-cell full-outer join — a LEFT join ships only the (small)
+    * discovered side against it, and a truth frame checkpointed
+    * pre-partitioned on (query, candidate) is not re-shuffled per cell.
+    * Identical output to [[microPrf1]] by construction (shared
+    * [[prfColumns]] arithmetic; spec-pinned).
+    */
+  def microPrf1Counted(discovered: DataFrame, truthDistinct: DataFrame,
+      nTruth: Long): DataFrame =
+    prfColumns(discovered.select("query", "candidate").distinct()
+      .join(truthDistinct.select("query", "candidate")
+        .withColumn("__t", lit(1)), Seq("query", "candidate"), "left")
+      .agg(
+        count(when(col("__t").isNotNull, lit(1))).as("tp"),
+        count(when(col("__t").isNull, lit(1))).as("fp"))
+      .withColumn("fn", lit(nTruth) - col("tp")))
+
+  /** The one shared P/R/F1 arithmetic over a (tp, fp, fn) frame — eps in
+    * denominators, round to 4 — so the full-outer and counted paths
+    * cannot drift.
+    */
+  private def prfColumns(counts: DataFrame): DataFrame =
+    counts
       .withColumn("precision",
         round(col("tp") / (col("tp") + col("fp") + lit(Eps)), 4))
       .withColumn("recall",
@@ -46,7 +74,6 @@ object Eval {
           (col("tp") / (col("tp") + col("fn") + lit(Eps))) /
           ((col("tp") / (col("tp") + col("fp") + lit(Eps))) +
             (col("tp") / (col("tp") + col("fn") + lit(Eps))) + lit(Eps)), 4))
-  }
 
   /** A10: per-query (macro) metrics at k — precision@k, recall@k, f1@k per
     * query (search_query.py:89–102; the reference computes these per query
@@ -107,9 +134,19 @@ object Eval {
       truth: DataFrame,  // (query, candidate)
       k: Int,
       zeroWhenNoTruth: Boolean = false,
-      retrievedOnly: Boolean = false): DataFrame = {
-    val t = truth.select("query", "candidate").distinct()
-    val relCounts = t.groupBy("query").agg(count(lit(1)).as("n_relevant"))
+      retrievedOnly: Boolean = false,
+      // repeated-cells hooks (the SemLink grid calls this once per k
+      // against ONE truth relation): `truthIsDistinct` skips the
+      // defensive distinct when the caller already deduplicated, and
+      // `preRelCounts` reuses a per-query relevant-count frame computed
+      // once instead of re-aggregating the (possibly huge) truth per k
+      truthIsDistinct: Boolean = false,
+      preRelCounts: Option[DataFrame] = None): DataFrame = {
+    val t =
+      if (truthIsDistinct) truth.select("query", "candidate")
+      else truth.select("query", "candidate").distinct()
+    val relCounts = preRelCounts.getOrElse(
+      t.groupBy("query").agg(count(lit(1)).as("n_relevant")))
 
     val dcg = ranked
       .filter(col("rank") <= k)

@@ -95,14 +95,44 @@ object SemLinkGrid {
     val embedded = catalog.select("key", "vec")
       .localCheckpoint(eager = false)
 
+    // THE scale weight of the grid is not the kNN — it is the truth
+    // relation: a pair-grain ground truth over same-group keys grows
+    // QUADRATICALLY in group size (a 10-label 20k-key probe catalog
+    // symmetrizes to 40M pairs), and every metric joins against it.
+    // Three measures keep that weight paid ONCE, not once per cell:
+    //  - metrics run in LONG-ID space: truth keys hash through the same
+    //    xxhash64 the kNN uses internally, so the 6 truth-side
+    //    aggregations below ship 16-byte pairs instead of string pairs
+    //    (collision odds across a catalog are ~n²/2^65 — negligible,
+    //    and the kNN side already accepts them by construction);
+    //  - symmetrize + distinct runs once, and the result is checkpointed
+    //    PRE-PARTITIONED on the (query, candidate) join key, so the
+    //    per-cell joins reshuffle only the (small) discovered side;
+    //  - per-cell P/R/F1 uses fn = |truth| − tp (microPrf1Counted): a
+    //    left join over the discovered side, never a per-cell
+    //    full-outer that re-ships the whole truth relation.
     // symmetric GT (join_discoverer.py:392–397): output (query, candidate)
     val truth = Discovery.symmetrizeGroundTruth(
-      groundTruth.toDF("q", "c"), "q", "c").localCheckpoint(eager = false)
+        groundTruth.toDF("q", "c").select(
+          xxhash64(col("q")).as("q"), xxhash64(col("c")).as("c")),
+        "q", "c")
+      .repartition(col("query"), col("candidate"))
+      .localCheckpoint(eager = false)
+    val nTruth = truth.count() // one action: materializes the checkpoint
+    // relevant-per-query counts are k-independent — aggregate once and
+    // keep them driver-small (one row per query key)
+    val relCounts = truth.groupBy("query")
+      .agg(count(lit(1)).as("n_relevant"))
+      .localCheckpoint(eager = false)
 
     val kMax = ks.max
-    // ONE kNN pass at kMax; every (k, t) cell is a pure filter over it
-    val knn = gridKnn(embedded, kMax, annAbove = annAbove,
-      nList = nList, nProbe = nProbe).localCheckpoint(eager = false)
+    // ONE kNN pass at kMax; every (k, t) cell is a pure filter over it.
+    // Metrics consume the LONG-ID core; only the user-facing discovered
+    // frames pay the id → key map-back (two broadcast joins, per cell,
+    // evaluated only if the caller uses them)
+    val (coreKnn, keys) = gridKnnIds(embedded, kMax, annAbove = annAbove,
+      nList = nList, nProbe = nProbe)
+    val knn = coreKnn.localCheckpoint(eager = false)
     knn.count() // materialize once
 
     // NDCG depends only on k — compute and MATERIALIZE it once per k
@@ -114,16 +144,24 @@ object SemLinkGrid {
         knn.filter(col("rank") <= k)
           .select(col("query_id").as("query"),
             col("neighbor_id").as("candidate"), col("rank")),
-        truth, k).select("ndcg").collect().head
+        truth, k, truthIsDistinct = true, preRelCounts = Some(relCounts))
+        .select("ndcg").collect().head
       k -> (if (row.isNullAt(0)) None else Some(row.getDouble(0)))
     }.toMap
 
     for (k <- ks; t <- thresholds) yield {
       val topK = knn.filter(col("rank") <= k)
-      val discovered = Discovery.thresholdFilter(topK, "dist", t)
+      val discoveredIds = Discovery.thresholdFilter(topK, "dist", t)
         .select(col("query_id").as("query"), col("neighbor_id").as("candidate"),
           col("dist"))
-      val prf = Eval.microPrf1(discovered, truth)
+      val discovered = discoveredIds
+        .join(broadcast(keys.select(col("id").as("query"),
+          col("key").as("__qkey"))), Seq("query"))
+        .join(broadcast(keys.select(col("id").as("candidate"),
+          col("key").as("__ckey"))), Seq("candidate"))
+        .select(col("__qkey").as("query"), col("__ckey").as("candidate"),
+          col("dist"))
+      val prf = Eval.microPrf1Counted(discoveredIds, truth, nTruth)
       val metrics = prf
         .withColumn("ndcg",
           ndcgByK(k).map(lit(_)).getOrElse(lit(null)).cast("double"))
@@ -186,6 +224,28 @@ object SemLinkGrid {
       annAbove: Long = DefaultAnnAbove,
       nList: Int = 0,
       nProbe: Int = 16): DataFrame = {
+    val (core, keys) = gridKnnIds(embedded, kMax, blockSize, annAbove,
+      nList, nProbe)
+    core
+      .join(broadcast(keys.withColumnRenamed("id", "query_id")
+        .withColumnRenamed("key", "__qkey")), Seq("query_id"))
+      .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("key", "__nkey")), Seq("neighbor_id"))
+      .select(col("__qkey").as("query_id"), col("__nkey").as("neighbor_id"),
+        col("dist"), col("rank"))
+  }
+
+  /** [[gridKnn]]'s long-id core: (the kNN frame on xxhash64 ids, the
+    * id → key dictionary). The grid's metrics path consumes the ids
+    * directly — truth keys hash through the same function, so every
+    * truth-side join ships 16-byte pairs — and only user-facing outputs
+    * pay the map-back.
+    */
+  private[graft] def gridKnnIds(embedded: DataFrame, kMax: Int,
+      blockSize: Int = 100000,
+      annAbove: Long = DefaultAnnAbove,
+      nList: Int = 0,
+      nProbe: Int = 16): (DataFrame, DataFrame) = {
     val withId = embedded
       .withColumn("id", xxhash64(col("key")))
       .select("id", "key", "vec")
@@ -211,13 +271,7 @@ object SemLinkGrid {
       } else
         graft.knn.ApproxKnn.blockKnn(withId, withId, "id", "vec", kMax,
           KnnJoin.MetricL2Sq, blockSize = blockSize, excludeSelf = true)
-    core
-      .join(broadcast(keys.withColumnRenamed("id", "query_id")
-        .withColumnRenamed("key", "__qkey")), Seq("query_id"))
-      .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")
-        .withColumnRenamed("key", "__nkey")), Seq("neighbor_id"))
-      .select(col("__qkey").as("query_id"), col("__nkey").as("neighbor_id"),
-        col("dist"), col("rank"))
+    (core, keys)
   }
 
   /** The escalation's IVF sizing rule, isolated for direct spec pinning.
