@@ -64,7 +64,58 @@ object IngestPhaseProbe {
       r
     }
 
-    for (round <- 1 to 3) {
+    val shapes = sys.env.getOrElse("GRAFT_PROBE_SHAPE", "q91,q98")
+      .split(',').toSet
+
+    // q98 shape: the full gated run PLUS the late-audit re-ingest loop
+    // — phase ledger for the round-13 verdict's "new slowest query"
+    // (13.0 s median). The re-stage leg (lateRows → stageBatch →
+    // lexIngestOnce) is timed separately from the gated leg so the
+    // staged-file round trip's machinery cost is attributable.
+    if (shapes("q98")) for (round <- 1 to 3) {
+      println(s"q98-shape round $round")
+      val docs = sources.Lake.documents(spark, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val base = util.TempDirs.register(
+        s"/tmp/graft_phaseprobe98_${ProcessHandle.current().pid()}_$round")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      timed("build")(text.Bm25Index.build(docs, "doc_id", "text", s"$base/index"))
+      val t0 = 1700000000000L
+      timed("stage")(SparkEntry.stageLateBatches(docs, base, t0))
+      timed("gated-ingest")(streaming.Streams.lexIngestWatermarked(spark,
+        s"$base/batches", SparkEntry.lateBatchSchema, s"$base/index",
+        s"$base/out", "doc_id", "text", "ts", lateness = 100L, topK = 3))
+      dumpDescs("gated-ingest")
+      // a pristine copy of the post-gate index for the fused leg — the
+      // staged-route leg below commits the late rows into the original,
+      // after which a second re-ingest would no-op on the anti-join
+      locally {
+        import scala.sys.process._
+        Seq("cp", "-r", s"$base/index", s"$base/index_fused").!!; ()
+      }
+      timed("reingest-staged") {
+        val late = timed("  lateRows")(
+          streaming.Streams.lateRows(spark, s"$base/out")
+            .getOrElse(sys.error("probe: expected late rows")))
+        timed("  restage")(streaming.Streams.stageBatch(
+          late.select("doc_id", "ts", "text"),
+          s"$base/rebatches", "late_replay.parquet", t0 + 180000))
+        timed("  lexIngestOnce")(streaming.Streams.lexIngestOnce(spark,
+          s"$base/rebatches", SparkEntry.lateBatchSchema, s"$base/index",
+          s"$base/out2", "doc_id", "text", topK = 3))
+      }
+      dumpDescs("reingest-staged")
+      timed("reingest-fused")(streaming.Streams.lexReingestLate(spark,
+        s"$base/out", s"$base/index_fused", s"$base/out2f",
+        "doc_id", "text", topK = 3))
+      dumpDescs("reingest-fused")
+      timed("read")(
+        text.Bm25Index.readDoclens(spark, s"$base/index").count())
+    }
+
+    if (shapes("q91")) for (round <- 1 to 3) {
       println(s"q91-shape round $round")
       val docs = sources.Lake.documents(spark, d)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))

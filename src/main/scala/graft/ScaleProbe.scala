@@ -107,9 +107,12 @@ object MakeScale {
   * Usage: runMain graft.ScaleProbe <smallDir> <bigDir> <outJson> [q,...] [probes]
   * `probes` (default "block,grid"): which built-in probes to run beside
   * the named queries — "block" (exact blockKnn, O(N²): affordable at
-  * 10×, NOT at a 100× tier) and/or "grid" (the IVF escalation, whose
-  * auto-√N path is exactly what a 100× tier exists to measure), or
-  * "none".
+  * 10×, NOT at a 100× tier), "grid" (the forced IVF escalation, whose
+  * auto-√N path is exactly what a 100× tier exists to measure),
+  * "reshard" (HnswIndex.reshard over the full embeddings table),
+  * "griddefault" (gridKnn with PURE defaults — records whether the
+  * DefaultAnnAbove gate escalated on each side), "drift" (HNSW recall
+  * curve across an append/vacuum/reshard mix), or "none".
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -117,7 +120,8 @@ object ScaleProbe {
     val big = args(1)
     val outJson = args(2)
     val names: Seq[String] =
-      if (args.length > 3 && args(3).nonEmpty && args(3) != "-")
+      if (args.length > 3 && args(3) == "none") Seq.empty
+      else if (args.length > 3 && args(3).nonEmpty && args(3) != "-")
         args(3).split(',').toSeq
       else Seq("q41_ivf_index", "q58_ivfpq_index", "q59_stream_knn",
         "q73_semantic_perturbed", "q74_stream_dedup_ingest",
@@ -259,12 +263,113 @@ object ScaleProbe {
         f""""hnsw_reshard":{"small_s":$smR%.3f,"big_s":$bgR%.3f,"growth":${bgR / smR}%.2f,"small_nodes":$smN,"big_nodes":$bgN}""")
     }
 
+    // The DEFAULT grid path (no annAbove/nList/nProbe overrides): what
+    // an untuned evaluationGridFromCatalog caller actually runs. Below
+    // DefaultAnnAbove (1e5 keys) this is exact blocked self-kNN; above
+    // it the gate escalates to auto-√N IVF — the probe records which
+    // engine each side used, so the committed artifact shows the gate
+    // firing at scale rather than asserting it.
+    def gridDefaultProbe(dir: String): (Double, Long, Boolean) = {
+      val cat = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("key"),
+          col("embedding").as("vec"))
+      val n = cat.count()
+      def once(): Unit = {
+        graft.pipeline.SemLinkGrid.gridKnn(cat, 10).count(); ()
+      }
+      once() // warm
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        once()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (t, n, n > graft.pipeline.SemLinkGrid.DefaultAnnAbove)
+    }
+    val gridDefaultRows = if (!probes("griddefault")) Seq.empty else {
+      val (smT, smN, smE) = gridDefaultProbe(small)
+      val (bgT, bgN, bgE) = gridDefaultProbe(big)
+      Seq(
+        f""""gridknn_default":{"small_s":$smT%.3f,"big_s":$bgT%.3f,"growth":${bgT / smT}%.2f,"small_n":$smN,"big_n":$bgN,"small_escalated":$smE,"big_escalated":$bgE}""")
+    }
+
+    // HNSW quality drift under an operational mix at probe scale: build
+    // over ~70% of the corpus, then append / vacuum / append / reshard /
+    // append, measuring recall@10 vs brute force (ef 32 and 128) after
+    // every stage — the scale companion of the HnswIndexSpec drift
+    // floor (recall is a GRAPH property; membership oracles cannot see
+    // a quality regression).
+    def driftProbe(dir: String): Seq[(String, Double, Double)] = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val bucket = pmod(xxhash64(col("vec_id")), lit(10))
+      val base = emb.filter(bucket < 7)
+      val b1 = emb.filter(bucket === 7)
+      val b2 = emb.filter(bucket === 8)
+      val b3 = emb.filter(bucket === 9)
+      val queries = emb.filter(col("vec_id") < 50) // copy-0 ids survive scaling
+      val idx = graft.util.TempDirs.register(
+        s"/tmp/graft_scaleprobe_drift_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      def recallAt(ef: Int, corpus: org.apache.spark.sql.DataFrame): Double = {
+        val approx = graft.knn.HnswIndex.search(spark, idx, queries,
+            "vec_id", "embedding", k = 10, efSearch = ef)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val exact = graft.knn.KnnJoin.broadcastKnn(queries, corpus,
+            "vec_id", "embedding", 10)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val hits = exact.map { case (q, t) =>
+          approx.get(q).map(a => (a intersect t).size).getOrElse(0)
+        }.sum
+        hits.toDouble / (exact.size * 10)
+      }
+      graft.knn.HnswIndex.build(base, "vec_id", "embedding", idx, shards = 8)
+      val stages = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "build" -> (() => base),
+        "append1" -> (() => {
+          graft.knn.HnswIndex.append(spark, idx, b1, "vec_id", "embedding")
+          base.unionByName(b1) }),
+        "vacuum" -> (() => {
+          graft.knn.HnswIndex.vacuum(spark, idx)
+          base.unionByName(b1) }),
+        "append2" -> (() => {
+          graft.knn.HnswIndex.append(spark, idx, b2, "vec_id", "embedding")
+          base.unionByName(b1).unionByName(b2) }),
+        "reshard" -> (() => {
+          graft.knn.HnswIndex.reshard(spark, idx, newShards = 5)
+          base.unionByName(b1).unionByName(b2) }),
+        "append3" -> (() => {
+          graft.knn.HnswIndex.append(spark, idx, b3, "vec_id", "embedding")
+          emb }))
+      stages.map { case (stage, act) =>
+        val corpus = act().localCheckpoint()
+        (stage, recallAt(32, corpus), recallAt(128, corpus))
+      }
+    }
+    val driftRows = if (!probes("drift")) Seq.empty else {
+      def fmt(rows: Seq[(String, Double, Double)]): String =
+        rows.map { case (st, r32, r128) =>
+          f""""$st":{"ef32":$r32%.4f,"ef128":$r128%.4f}"""
+        }.mkString("{", ",", "}")
+      val sm = driftProbe(small)
+      val bg = driftProbe(big)
+      val floor = 0.8
+      val within = (sm ++ bg).forall(_._3 >= floor)
+      Seq(s""""hnsw_drift":{"small":${fmt(sm)},"big":${fmt(bg)},"floor_ef128":$floor,"all_within_floor":$within}""")
+    }
+
     // null, not false, when the block probe was skipped — false would
     // read as "the hashes DIVERGED"
     val blockHash = if (probes("block")) "true" else "null"
     val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
-    } ++ blockRows ++ gridRows ++ reshardRows).mkString(
+    } ++ blockRows ++ gridRows ++ reshardRows ++ gridDefaultRows ++
+      driftRows).mkString(
       s"""{"small":"$small","big":"$big","block_hash_equal":$blockHash,"queries":{""",
       ",", "}}")
     println(json)

@@ -1725,17 +1725,16 @@ object SparkEntry {
       graft.streaming.Streams.lexIngestWatermarked(s, s"$base/batches",
         lateBatchSchema, s"$base/index", s"$base/out", "doc_id", "text", "ts",
         lateness = 100L, topK = 3)
-      // recover the audited rows and close the loop: re-stage them as a
-      // batch for the NON-gated ingester (its anti-join keeps the op
-      // replay-safe — a second run of this re-ingest emits nothing)
-      val late = graft.streaming.Streams.lateRows(s, s"$base/out")
-        .getOrElse(sys.error("q98: expected late rows"))
-      graft.streaming.Streams.stageBatch(
-        late.select("doc_id", "ts", "text"),
-        s"$base/rebatches", "late_replay.parquet", t0 + 180000)
-      graft.streaming.Streams.lexIngestOnce(s, s"$base/rebatches",
-        lateBatchSchema, s"$base/index", s"$base/out2", "doc_id", "text",
-        topK = 3)
+      // close the loop through the fused surface: the audited rows are
+      // already in hand, so they drive the NON-gated ingest body
+      // directly (lexReingestLate) — no staged-file + second streaming
+      // session round trip (the IngestPhaseProbe q98 ledger measured
+      // that machinery at ~0.25 s/run of pure overhead). The anti-join
+      // keeps the op replay-safe — a second run emits nothing.
+      // the call runs the ingest eagerly; the returned search frame is
+      // a side channel this oracle does not consume
+      graft.streaming.Streams.lexReingestLate(s, s"$base/out",
+        s"$base/index", s"$base/out2", "doc_id", "text", topK = 3)
       graft.text.Bm25Index.readDoclens(s, s"$base/index")
         .select(col("id"), col("dl").cast("long").as("dl"))
     }),

@@ -564,13 +564,16 @@ object Streams {
     * ingest body DIRECTLY — the late rows are already in hand when
     * `lateRows` returns, so staging them back to files and replaying
     * them through a second streaming session (file write + stream
-    * source + checkpoint round trip) is pure machinery; the q98 phase
-    * ledger attributed ~half the loop's wall-clock to it. Semantics are
-    * IDENTICAL to `stageBatch` + [[lexIngestOnce]] over the same rows
-    * (same per-batch body): the freshness anti-join dedups against
-    * committed state, so the call is replay-safe — a second invocation
-    * emits nothing. The staged-file route remains the right shape when
-    * the re-ingest happens in a LATER session than the gated run.
+    * source + checkpoint round trip) is pure machinery. The q98 phase
+    * ledger (IngestPhaseProbe, sf0.1 warm) measured that machinery at
+    * ~0.25 s of the ~3.2 s loop — the dominant cost is the ingest BODY
+    * itself (doclens anti-join, tokenize, probe, append: ~20 jobs),
+    * which both routes share by construction. Semantics are IDENTICAL
+    * to `stageBatch` + [[lexIngestOnce]] over the same rows (same
+    * per-batch body): the freshness anti-join dedups against committed
+    * state, so the call is replay-safe — a second invocation emits
+    * nothing. The staged-file route remains the right shape when the
+    * re-ingest happens in a LATER session than the gated run.
     *
     * `outDir` is owned by the call (cleared first); returns the search
     * rows of the re-admitted documents (empty frame when the audit

@@ -48,6 +48,77 @@ class HnswIndexSpec extends SparkSpec {
     assert(recall > 0.8, s"persisted-HNSW recall@5 too low: $recall")
   }
 
+  test("quality drift across an operational mix: recall floor holds " +
+    "after interleaved appends, vacuum and reshard") {
+    // The membership/lateness oracles (q96/q97/q98) pin WHAT is in the
+    // graph, not how well it searches; the q49/q58 recall floors pin a
+    // build-then-search fixture only. This drives the graph through
+    // the operational life an index actually lives — append, vacuum,
+    // append, reshard, append — and measures recall@10 vs brute force
+    // after EVERY stage across ef, so a graph quality regression from
+    // any maintenance op fails here instead of surfacing as silent
+    // result decay in production.
+    val dir = tempDir("drift")
+    val base = emb.filter(col("vec_id") < 300)
+    val b1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 380)
+    val b2 = emb.filter(col("vec_id") >= 380 && col("vec_id") < 440)
+    val b3 = emb.filter(col("vec_id") >= 440)
+    val queries = emb.filter(col("vec_id") < 50)
+
+    def recallAt(ef: Int, corpus: org.apache.spark.sql.DataFrame): Double = {
+      val approx = HnswIndex.search(spark, dir, queries, "vec_id",
+          "embedding", k = 10, efSearch = ef)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val exact = KnnJoin.broadcastKnn(queries, corpus, "vec_id",
+          "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val hits = exact.map { case (q, t) =>
+        approx.get(q).map(a => (a intersect t).size).getOrElse(0)
+      }.sum
+      hits.toDouble / (exact.size * 10)
+    }
+
+    HnswIndex.build(base, "vec_id", "embedding", dir, shards = 4)
+    // thunks, NOT eager values: each stage's maintenance op must run
+    // right before ITS measurement, not all up front at Seq construction
+    val stages = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "build" -> (() => base),
+      "append1" -> (() => {
+        HnswIndex.append(spark, dir, b1, "vec_id", "embedding")
+        base.unionByName(b1) }),
+      "vacuum" -> (() => {
+        HnswIndex.vacuum(spark, dir); base.unionByName(b1) }),
+      "append2" -> (() => {
+        HnswIndex.append(spark, dir, b2, "vec_id", "embedding")
+        base.unionByName(b1).unionByName(b2) }),
+      "reshard" -> (() => {
+        HnswIndex.reshard(spark, dir, newShards = 3)
+        base.unionByName(b1).unionByName(b2) }),
+      "append3" -> (() => {
+        HnswIndex.append(spark, dir, b3, "vec_id", "embedding")
+        emb }))
+    val curve = stages.map { case (stage, act) =>
+      val cached = act().cache()
+      val r = Seq(32, 128).map(ef => ef -> recallAt(ef, cached)).toMap
+      cached.unpersist()
+      stage -> r
+    }
+    curve.foreach { case (stage, r) =>
+      // the q49-family floor, held at EVERY stage of the mix at the
+      // wide beam; the narrow beam asserts a sane (looser) floor so a
+      // degenerate graph fails even where beam width could mask it
+      assert(r(128) >= 0.8, s"recall@10 ef=128 after $stage: ${r(128)}")
+      assert(r(32) >= 0.5, s"recall@10 ef=32 after $stage: ${r(32)}")
+      // widening the beam must never cost recall materially
+      assert(r(128) >= r(32) - 0.02,
+        s"ef=128 below ef=32 after $stage: $r")
+    }
+  }
+
   test("reshard: full-beam search identical before and after; byte-deterministic vs fresh build") {
     val dir = tempDir("reshard")
     val n = emb.count().toInt

@@ -781,6 +781,62 @@ class StreamsSpec extends SparkSpec {
     assert(dl.isEmpty)
   }
 
+  test("lexReingestLate ≡ staged re-ingest: identical end state, " +
+    "replay-safe, empty audit channel is a no-op") {
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 30)
+    val base = Files.createTempDirectory("latereingest_fused").toString
+    graft.text.Bm25Index.build(docs, "doc_id", "text", s"$base/index")
+    val t0 = 1700000000000L
+    Streams.stageBatch(
+      docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          (col("doc_id") * 100).as("ts"), col("text")),
+      s"$base/batches", "batch_a.parquet", t0)
+    Streams.stageBatch(
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("doc_id"))
+            .otherwise(col("doc_id") * 100).as("ts"), col("text")),
+      s"$base/batches", "batch_b.parquet", t0 + 60000)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", LongType), StructField("text", StringType)))
+    Streams.lexIngestWatermarked(spark, s"$base/batches", schema,
+      s"$base/index", s"$base/out", "doc_id", "text", "ts",
+      lateness = 100L, topK = 3)
+    // two identical post-gate indexes: one per re-ingest route
+    locally {
+      import scala.sys.process._
+      Seq("cp", "-r", s"$base/index", s"$base/index_b").!!; ()
+    }
+    // route 1: staged file + non-gated streaming session
+    val late = Streams.lateRows(spark, s"$base/out").get
+    Streams.stageBatch(late.select("doc_id", "ts", "text"),
+      s"$base/rebatches", "late_redo.parquet", t0 + 120000)
+    Streams.lexIngestOnce(spark, s"$base/rebatches", schema,
+      s"$base/index", s"$base/out2", "doc_id", "text", topK = 3)
+    // route 2: the fused one-call surface
+    val fusedSearch = Streams.lexReingestLate(spark, s"$base/out",
+      s"$base/index_b", s"$base/out2b", "doc_id", "text", topK = 3)
+    assert(fusedSearch.count() > 0) // late docs really were probed
+    def doclens(dir: String) = spark.read.parquet(s"$dir/doclens")
+      .select("id", "dl").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(doclens(s"$base/index") == doclens(s"$base/index_b"))
+    // replay safety: a second fused call emits nothing and changes nothing
+    val before = doclens(s"$base/index_b")
+    val replay = Streams.lexReingestLate(spark, s"$base/out",
+      s"$base/index_b", s"$base/out2b", "doc_id", "text", topK = 3)
+    assert(replay.isEmpty && doclens(s"$base/index_b") == before)
+    // an audit channel that never saw a late write is a clean no-op
+    val none = Streams.lexReingestLate(spark, s"$base/never_out",
+      s"$base/index_b", s"$base/out2c", "doc_id", "text", topK = 3)
+    assert(none.isEmpty &&
+      none.schema == graft.text.Bm25Index.searchSchema)
+  }
+
   test("IngestWatermark: versioned FS JSON — crash-safe, monotone, " +
     "cleared by index build") {
     import org.apache.spark.sql.functions._
