@@ -67,9 +67,8 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
-    // re-print after the session teardown so the line is the LAST thing
-    // the application writes — maximizing the chance it lands inside
-    // whatever tail window a log scraper applies
-    println(line)
+    // deliberately NOT re-printed after teardown: a duplicated metric
+    // line would double-count in any consumer that matches all
+    // occurrences — the file above is the drown-proof record
   }
 }

@@ -1458,8 +1458,14 @@ object SparkEntry {
       val gt = sameLabelTruth(s, d)
         .select(col("query").cast("string").as("q"),
           col("candidate").cast("string").as("c"))
+      // annAbove pinned to MaxValue: THIS oracle's contract is exact
+      // replay (the SQL side computes exact kNN), so the compute gate's
+      // finite default must never route it through IVF on a large
+      // catalog — exactness here is explicit, per the DefaultAnnAbove
+      // doc ("the oracle paths pin exactness explicitly instead")
       graft.pipeline.SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
-          ks = Seq(5, 10), thresholds = Seq(1.3, 1.42))
+          ks = Seq(5, 10), thresholds = Seq(1.3, 1.42),
+          annAbove = Long.MaxValue)
         .withColumnRenamed("precision", "prec")
         .withColumnRenamed("recall", "rec")
     }),
@@ -1731,6 +1737,11 @@ object SparkEntry {
       // session round trip (the IngestPhaseProbe q98 ledger measured
       // that machinery at ~0.25 s/run of pure overhead). The anti-join
       // keeps the op replay-safe — a second run emits nothing.
+      // keep the loud guard the staged route had: a gate regression
+      // that stops producing late rows must fail HERE by name, not
+      // later as an opaque doclens diff (or not at all in a timing run)
+      require(graft.streaming.Streams.lateRows(s, s"$base/out").isDefined,
+        "q98: expected late rows")
       // the call runs the ingest eagerly; the returned search frame is
       // a side channel this oracle does not consume
       graft.streaming.Streams.lexReingestLate(s, s"$base/out",

@@ -112,9 +112,15 @@ object SemLinkGrid {
     //    left join over the discovered side, never a per-cell
     //    full-outer that re-ships the whole truth relation.
     // symmetric GT (join_discoverer.py:392–397): output (query, candidate)
+    // cast-to-string BEFORE hashing (both here and in gridKnnIds): the
+    // pre-hash code joined raw values, where Spark's comparison
+    // coercion matched a long-typed truth column against string catalog
+    // keys — xxhash64(5L) != xxhash64("5") would turn that tolerated
+    // mixed-type call into silent all-miss metrics
     val truth = Discovery.symmetrizeGroundTruth(
         groundTruth.toDF("q", "c").select(
-          xxhash64(col("q")).as("q"), xxhash64(col("c")).as("c")),
+          xxhash64(col("q").cast("string")).as("q"),
+          xxhash64(col("c").cast("string")).as("c")),
         "q", "c")
       .repartition(col("query"), col("candidate"))
       .localCheckpoint(eager = false)
@@ -246,8 +252,10 @@ object SemLinkGrid {
       annAbove: Long = DefaultAnnAbove,
       nList: Int = 0,
       nProbe: Int = 16): (DataFrame, DataFrame) = {
+    // string-canonicalized hash — must stay in lockstep with the truth
+    // hashing in gridCellsFromCatalog (mixed-type tolerance note there)
     val withId = embedded
-      .withColumn("id", xxhash64(col("key")))
+      .withColumn("id", xxhash64(col("key").cast("string")))
       .select("id", "key", "vec")
     val keys = withId.select("id", "key")
     // one catalog count serves both the gate and the auto-nList rule

@@ -74,29 +74,37 @@ object IngestWatermark {
     // empty listing or a bounded number of lost races falls through.
     var fromJson: Option[Long] = None
     var attempt = 0
+    var lastListed = 0
     var exhausted = false
     while (fromJson.isEmpty && !exhausted && attempt < 3) {
       val versions = listVersions()
       fromJson = versions.iterator.flatMap { case (_, p) => parse(fs, p) }
         .nextOption()
       exhausted = versions.isEmpty
+      lastListed = versions.size
       attempt += 1
     }
     // retries absorb the prune RACE (a lost listing resolves on the
-    // next list); a non-empty listing that STILL yields zero parseable
-    // versions after every retry is persistent corruption — every
-    // wm-N.json on disk is torn. Falling through to Long.MinValue here
-    // would silently re-admit rows the gate already classified as late
-    // (the exact failure the retry exists to prevent), so fail with a
-    // named error instead: the operator restores a wm file (or
-    // deliberately deletes _ingest/ to reset the gate).
-    if (fromJson.isEmpty && !exhausted)
+    // next list). After that, a listing with ≥ 2 versions none of
+    // which parse is persistent corruption — the crash model allows
+    // only the NEWEST version to be torn (each write publishes a whole
+    // new file; the one before it was a completed publish), so a torn
+    // non-newest file cannot be a crash artifact. Falling through to
+    // Long.MinValue there would silently re-admit rows the gate
+    // already classified as late, so fail with a named error: the
+    // operator restores a wm file (or deliberately deletes _ingest/ to
+    // reset the gate). EXACTLY ONE unparseable version, by contrast,
+    // IS the documented crash shape — the first-ever write died
+    // mid-publish — and the committed pre-crash state (the legacy
+    // seed, else Long.MinValue) is the correct answer, not an error.
+    if (fromJson.isEmpty && lastListed >= 2)
       throw new IllegalStateException(
-        s"IngestWatermark.read: $dir lists watermark versions but none " +
-          "parse after 3 attempts — persistent corruption, not a prune " +
-          "race. Refusing to reset the lateness gate to -infinity " +
-          "(which would re-admit already-classified-late rows); restore " +
-          "a wm-N.json or delete the _ingest/ directory to reset " +
+        s"IngestWatermark.read: $dir lists $lastListed watermark " +
+          "versions and none parse after 3 attempts — persistent " +
+          "corruption, not a prune race or a torn newest write. " +
+          "Refusing to reset the lateness gate to -infinity (which " +
+          "would re-admit already-classified-late rows); restore a " +
+          "wm-N.json or delete the _ingest/ directory to reset " +
           "deliberately.")
     fromJson.orElse(readLegacy(spark, indexDir, fs))
       .getOrElse(Long.MinValue)

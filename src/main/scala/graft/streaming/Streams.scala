@@ -305,14 +305,23 @@ object Streams {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }
-      require(staged <= 1,
-        s"stageBatch: $target mtime stamp did not take effect — this " +
-          "store does not support setTimes, so the replay order of the " +
-          s"$staged batches staged under $dir cannot be guaranteed. " +
-          "Stage one batch per directory, or pass " +
-          "requireMtimeOrder = false and name batches in lexicographic " +
-          "replay order (the file source falls back to path order for " +
-          "equal mtimes)")
+      if (staged > 1) {
+        // UNDO before throwing: the guard exists to keep the directory
+        // out of the unordered multi-batch state — leaving the freshly
+        // renamed target behind would put it in exactly that state for
+        // any stream that lists the dir after the caller catches this
+        fs.delete(target, false)
+        fs.delete(tmp, true)
+        throw new IllegalArgumentException(
+          s"stageBatch: $target mtime stamp did not take effect — this " +
+            "store does not support setTimes, so the replay order of " +
+            s"multiple batches staged under $dir cannot be guaranteed " +
+            "(the just-staged batch was removed again; the directory " +
+            "still holds only its previously staged batches). Stage one " +
+            "batch per directory, or pass requireMtimeOrder = false and " +
+            "name batches in lexicographic replay order (the file " +
+            "source falls back to path order for equal mtimes)")
+      }
     }
     fs.delete(tmp, true)
     ()

@@ -366,8 +366,15 @@ object Bm25Index {
     }
     val qterms0 = preQTerms.getOrElse(
       Bm25.queryTerms(queries, qIdCol, qTextCol))
+    // lazy checkpoint: the limit-probe below consumes one evaluation,
+    // and the over-cap fallback consumes THREE more (bucket distinct,
+    // left-semi prune, scoring join) — without it a corpus-sized query
+    // frame would pay its tokenization four times; the serving path
+    // pays one batch-sized cache it would have paid as a broadcast
+    // anyway
     val qtWithBucket = qterms0
       .withColumn("__bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .localCheckpoint(eager = false)
     // ONE BOUNDED driver collect serves the bucket set (the static
     // partition filter that prunes the postings listing), AND the
     // query-term relation itself: the scoring join broadcasts qterms
@@ -429,13 +436,16 @@ object Bm25Index {
           .filter(col("term").isInCollection(termSet)), q, true)
       } else {
         // over the cap: only the DISTINCT bucket ids touch the driver
-        // (≤ nBuckets by construction); everything else stays lazy
+        // (≤ nBuckets by construction); everything else stays lazy —
+        // derived from the CHECKPOINTED frame so the three consumers
+        // share one tokenization pass
         val buckets = qtWithBucket.select("__bucket").distinct()
           .collect().map(_.getLong(0))
+        val qtermsLazy = qtWithBucket.drop("__bucket")
         (readPostings(spark, dir)
           .filter(col("bucket").isin(buckets.toSeq: _*))
-          .join(qterms0.select("term").distinct(), Seq("term"), "left_semi"),
-          qterms0, false)
+          .join(qtermsLazy.select("term").distinct(), Seq("term"), "left_semi"),
+          qtermsLazy, false)
       }
     val tfdf = pruned
       .select(col("term"), col("id"), col("th"), col("tf"))

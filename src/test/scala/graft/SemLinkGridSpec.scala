@@ -257,6 +257,33 @@ class SemLinkGridSpec extends SparkSpec {
     assert(dflt == exact)
   }
 
+  test("grid metrics tolerate mixed-type ground truth: long q/c against " +
+    "string catalog keys") {
+    // the pre-hash code joined raw truth values against string keys and
+    // Spark's comparison coercion matched 5L = "5"; the long-id metrics
+    // path must keep that tolerance (cast-to-string before xxhash64) —
+    // a silent all-miss (tp=0, ndcg=0) would read as a catastrophically
+    // bad model instead of a type mismatch
+    val catalog = (1 to 40).map { i =>
+      (s"$i", Array.tabulate(8)(j => ((i * 29 + j * 11) % 19).toFloat / 19f))
+    }.toDF("key", "vec")
+    val gtString = Seq(("1", "2"), ("3", "4"), ("5", "6"))
+      .toDF("q", "c")
+    val gtLong = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("q", "c")
+    // k = 39 over a 40-key catalog at a threshold above the metric's
+    // max: EVERY ordered pair is discovered, so tp must equal |truth|
+    // symmetrized (6) whenever the truth join matches at all
+    def grid(gt: org.apache.spark.sql.DataFrame) =
+      SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+          ks = Seq(39), thresholds = Seq(10.0))
+        .select("k", "threshold", "tp", "fp", "fn", "ndcg")
+        .collect().toSeq
+    val viaString = grid(gtString)
+    val viaLong = grid(gtLong)
+    assert(viaString == viaLong)
+    assert(viaString.head.getLong(2) > 0, "expected nonzero tp") // tp
+  }
+
   test("seeded sample: deterministic, exact size, subset of input") {
     val df = (1 to 100).toDF("v")
     val s1 = Sampling.seededSample(df, 10, seed = 7).as[Int].collect().toSeq

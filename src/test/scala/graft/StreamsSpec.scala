@@ -885,11 +885,18 @@ class StreamsSpec extends SparkSpec {
     val ingest = new org.apache.hadoop.fs.Path(s"$dir/_ingest")
     val fs = ingest.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(ingest)
-    Seq("wm-00000001.json", "wm-00000002.json").foreach { n =>
-      val out = fs.create(new org.apache.hadoop.fs.Path(ingest, n), true)
-      out.write("{\"wm\":".getBytes) // torn: every version unparseable
-      out.close()
-    }
+    // EXACTLY ONE torn version is the documented crash shape (the
+    // first-ever write died mid-publish; the committed pre-crash state
+    // was MinValue) — falls through, never throws
+    val torn1 = new org.apache.hadoop.fs.Path(ingest, "wm-00000001.json")
+    val o1 = fs.create(torn1, true); o1.write("{\"wm\":".getBytes); o1.close()
+    assert(graft.streaming.IngestWatermark.read(spark, dir) == Long.MinValue)
+    // TWO unparseable versions cannot be a crash artifact (only the
+    // newest write can tear — the one before it was a completed
+    // publish): persistent corruption, named error
+    val o2 = fs.create(
+      new org.apache.hadoop.fs.Path(ingest, "wm-00000002.json"), true)
+    o2.write("{\"wm\":".getBytes); o2.close()
     val err = intercept[IllegalStateException] {
       graft.streaming.IngestWatermark.read(spark, dir)
     }
@@ -917,11 +924,17 @@ class StreamsSpec extends SparkSpec {
       Streams.stageBatch(df, dir, "batch_b.parquet", 2000L)
     }
     assert(err.getMessage.contains("setTimes"))
+    // and the guard must UNDO before throwing: the rejected batch is
+    // removed again, so a stream listing the dir after the caller
+    // catches never sees the unordered two-batch state the guard exists
+    // to prevent
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(!_.getPath.getName.startsWith(".")) == 1)
     // explicit override: caller accepts path-order replay
     Streams.stageBatch(df, dir, "batch_b.parquet", 2000L,
       requireMtimeOrder = false)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .count(!_.getPath.getName.startsWith(".")) == 2)
   }
