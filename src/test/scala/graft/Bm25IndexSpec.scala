@@ -62,6 +62,19 @@ class Bm25IndexSpec extends SparkSpec {
       Bm25Index.searchTopK(spark, dir, queries, "qid", "text",
         maxDriverQueryTerms = 0)
     }
+    // boundary: a cap of EXACTLY the query-term count stays on the
+    // collect path (limit(cap+1) returns cap rows → that was the whole
+    // relation); cap = count−1 falls back — both rank-identical
+    val nTerms = queries.select(col("qid"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .distinct().count().toInt
+    val atCap = rows(Bm25Index.searchTopK(spark, dir, queries, "qid",
+      "text", maxDriverQueryTerms = nTerms))
+    val justUnder = rows(Bm25Index.searchTopK(spark, dir, queries, "qid",
+      "text", maxDriverQueryTerms = nTerms - 1))
+    val reference = rows(Bm25Index.searchTopK(spark, dir, queries, "qid",
+      "text"))
+    assert(atCap == reference && justUnder == reference)
   }
 
   test("weighted preQTerms (qw) scale contributions — the scoreFrom contract") {

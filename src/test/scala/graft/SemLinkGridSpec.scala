@@ -255,6 +255,15 @@ class SemLinkGridSpec extends SparkSpec {
     val exact = SemLinkGrid.gridKnn(catalog, 5, annAbove = Long.MaxValue)
       .orderBy("query_id", "rank").collect().toSeq
     assert(dflt == exact)
+    // threshold boundary: n == annAbove stays EXACT (the gate is
+    // strictly greater-than — a catalog of exactly the threshold size
+    // must not pay the ANN switch), n == annAbove + 1 escalates
+    val atThreshold = SemLinkGrid.gridKnn(catalog, 5, annAbove = 60)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(atThreshold == exact)
+    val over = SemLinkGrid.gridKnn(catalog, 5, annAbove = 59, nProbe = 0)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(over == exact) // full-probe IVF: escalated yet rank-exact
   }
 
   test("grid metrics tolerate mixed-type ground truth: long q/c against " +
