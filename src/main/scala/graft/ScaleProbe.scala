@@ -312,44 +312,12 @@ object ScaleProbe {
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-      def recallAt(ef: Int, corpus: org.apache.spark.sql.DataFrame): Double = {
-        val approx = graft.knn.HnswIndex.search(spark, idx, queries,
-            "vec_id", "embedding", k = 10, efSearch = ef)
-          .select("query_id", "neighbor_id").collect()
-          .groupBy(_.getLong(0))
-          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-        val exact = graft.knn.KnnJoin.broadcastKnn(queries, corpus,
-            "vec_id", "embedding", 10)
-          .select("query_id", "neighbor_id").collect()
-          .groupBy(_.getLong(0))
-          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-        val hits = exact.map { case (q, t) =>
-          approx.get(q).map(a => (a intersect t).size).getOrElse(0)
-        }.sum
-        hits.toDouble / (exact.size * 10)
-      }
-      graft.knn.HnswIndex.build(base, "vec_id", "embedding", idx, shards = 8)
-      val stages = Seq[(String, () => org.apache.spark.sql.DataFrame)](
-        "build" -> (() => base),
-        "append1" -> (() => {
-          graft.knn.HnswIndex.append(spark, idx, b1, "vec_id", "embedding")
-          base.unionByName(b1) }),
-        "vacuum" -> (() => {
-          graft.knn.HnswIndex.vacuum(spark, idx)
-          base.unionByName(b1) }),
-        "append2" -> (() => {
-          graft.knn.HnswIndex.append(spark, idx, b2, "vec_id", "embedding")
-          base.unionByName(b1).unionByName(b2) }),
-        "reshard" -> (() => {
-          graft.knn.HnswIndex.reshard(spark, idx, newShards = 5)
-          base.unionByName(b1).unionByName(b2) }),
-        "append3" -> (() => {
-          graft.knn.HnswIndex.append(spark, idx, b3, "vec_id", "embedding")
-          emb }))
-      stages.map { case (stage, act) =>
-        val corpus = act().localCheckpoint()
-        (stage, recallAt(32, corpus), recallAt(128, corpus))
-      }
+      // the ONE shared harness (graft.knn.HnswDrift) — identical mix to
+      // the HnswIndexSpec floor, so probe and spec cannot drift apart
+      graft.knn.HnswDrift.runMix(spark, idx,
+          base, b1, b2, b3, queries, "vec_id", "embedding",
+          shards = 8, reshardTo = 5, efs = Seq(32, 128))
+        .map { case (stage, r) => (stage, r(32), r(128)) }
     }
     val driftRows = if (!probes("drift")) Seq.empty else {
       def fmt(rows: Seq[(String, Double, Double)]): String =

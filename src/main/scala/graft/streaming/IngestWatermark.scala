@@ -75,37 +75,47 @@ object IngestWatermark {
     var fromJson: Option[Long] = None
     var attempt = 0
     var lastListed = 0
+    var lastTorn = 0
     var exhausted = false
     while (fromJson.isEmpty && !exhausted && attempt < 3) {
       val versions = listVersions()
-      fromJson = versions.iterator.flatMap { case (_, p) => parse(fs, p) }
-        .nextOption()
+      var torn = 0
+      val it = versions.iterator
+      while (fromJson.isEmpty && it.hasNext) parse(fs, it.next()._2) match {
+        case ParseOk(wm) => fromJson = Some(wm)
+        case ParseTorn   => torn += 1
+        case ParseGone   => () // vanished between list and open — race
+      }
       exhausted = versions.isEmpty
       lastListed = versions.size
+      lastTorn = torn
       attempt += 1
     }
     // retries absorb the prune RACE (a lost listing resolves on the
-    // next list). After that, a listing with ≥ 2 versions none of
-    // which parse is persistent corruption — the crash model allows
-    // only the NEWEST version to be torn (each write publishes a whole
-    // new file; the one before it was a completed publish), so a torn
-    // non-newest file cannot be a crash artifact. Falling through to
+    // next list). After that, a listing where ≥ 2 versions all READ as
+    // garbage is persistent corruption — the crash model allows only
+    // the NEWEST version to be torn (each write publishes a whole new
+    // file; the one before it was a completed publish), so two torn
+    // files cannot be a crash artifact. Falling through to
     // Long.MinValue there would silently re-admit rows the gate
     // already classified as late, so fail with a named error: the
     // operator restores a wm file (or deliberately deletes _ingest/ to
-    // reset the gate). EXACTLY ONE unparseable version, by contrast,
-    // IS the documented crash shape — the first-ever write died
-    // mid-publish — and the committed pre-crash state (the legacy
-    // seed, else Long.MinValue) is the correct answer, not an error.
-    if (fromJson.isEmpty && lastListed >= 2)
+    // reset the gate). Two shapes stay benign by design: EXACTLY ONE
+    // torn version is the documented crashed-first-publish (the
+    // committed pre-crash state — legacy seed, else MinValue — is the
+    // correct answer), and versions that VANISHED between list and
+    // open (ParseGone) are lost races, not corruption evidence — a
+    // lock-free monitoring reader losing every retry to a busy writer
+    // must not be told its healthy index is corrupt.
+    if (fromJson.isEmpty && lastListed >= 2 && lastTorn == lastListed)
       throw new IllegalStateException(
         s"IngestWatermark.read: $dir lists $lastListed watermark " +
-          "versions and none parse after 3 attempts — persistent " +
-          "corruption, not a prune race or a torn newest write. " +
-          "Refusing to reset the lateness gate to -infinity (which " +
-          "would re-admit already-classified-late rows); restore a " +
-          "wm-N.json or delete the _ingest/ directory to reset " +
-          "deliberately.")
+          "versions and all read as unparseable after 3 attempts — " +
+          "persistent corruption, not a prune race or a torn newest " +
+          "write. Refusing to reset the lateness gate to -infinity " +
+          "(which would re-admit already-classified-late rows); " +
+          "restore a wm-N.json or delete the _ingest/ directory to " +
+          "reset deliberately.")
     fromJson.orElse(readLegacy(spark, indexDir, fs))
       .getOrElse(Long.MinValue)
   }
@@ -171,7 +181,17 @@ object IngestWatermark {
       }
   }
 
-  private def parse(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Long] =
+  /** Three-way parse verdict: the corruption heuristic in [[read]] must
+    * tell a file whose CONTENT is garbage (torn write — corruption
+    * evidence when it cannot be the newest) from a file that vanished
+    * between list and open (a lost prune race — never corruption).
+    */
+  private sealed trait ParseResult
+  private final case class ParseOk(wm: Long) extends ParseResult
+  private case object ParseTorn extends ParseResult
+  private case object ParseGone extends ParseResult
+
+  private def parse(fs: org.apache.hadoop.fs.FileSystem, p: Path): ParseResult =
     try {
       val in = fs.open(p)
       try {
@@ -184,7 +204,9 @@ object IngestWatermark {
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         val s = out.toString(StandardCharsets.UTF_8)
-        """\{"wm":(-?\d+)\}""".r.findFirstMatchIn(s.trim).map(_.group(1).toLong)
+        """\{"wm":(-?\d+)\}""".r.findFirstMatchIn(s.trim)
+          .map(m => ParseOk(m.group(1).toLong))
+          .getOrElse(ParseTorn)
       } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => ParseGone }
 }

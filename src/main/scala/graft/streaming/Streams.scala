@@ -287,42 +287,44 @@ object Streams {
       s"stageBatch: expected one part file under $tmp, " +
         s"found ${if (parts == null) 0 else parts.length}")
     val target = new org.apache.hadoop.fs.Path(dirPath, name)
+    // setTimes is a SILENT no-op on stores that don't support it (the
+    // Hadoop default is an empty body — object stores keep upload
+    // mtimes), and the file stream orders batches by mtime. PROBE
+    // support on the staged tmp part BEFORE touching the target: a
+    // failed stamp breaks the 'batch N+1 observes batch N's state'
+    // replay contract — but only once the directory holds MORE than
+    // one staged batch (ordering one file is vacuous) — and refusing
+    // here, pre-rename, leaves every previously staged batch INTACT
+    // (a post-rename undo would destroy the prior version of a
+    // re-staged same-name batch along with the new one).
+    if (requireMtimeOrder) {
+      fs.setTimes(parts.head.getPath, mtimeMs, -1)
+      val supported =
+        fs.getFileStatus(parts.head.getPath).getModificationTime == mtimeMs
+      if (!supported) {
+        val others = fs.exists(dirPath) && fs.listStatus(dirPath).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".") && n != name &&
+            !n.startsWith(".graft_stage_")
+        }
+        if (others) {
+          fs.delete(tmp, true)
+          throw new IllegalArgumentException(
+            s"stageBatch: the mtime stamp does not take effect on this " +
+              s"store (setTimes is a no-op), so the replay order of " +
+              s"multiple batches staged under $dir cannot be " +
+              "guaranteed — refusing BEFORE staging, so the directory " +
+              "is unchanged. Stage one batch per directory, or pass " +
+              "requireMtimeOrder = false and name batches in " +
+              "lexicographic replay order (the file source falls back " +
+              "to path order for equal mtimes)")
+        }
+      }
+    }
     fs.delete(target, false)
     require(fs.rename(parts.head.getPath, target),
       s"stageBatch: could not move staged file into place at $target")
     fs.setTimes(target, mtimeMs, -1)
-    // setTimes is a SILENT no-op on stores that don't support it (the
-    // Hadoop default is an empty body — object stores keep upload
-    // mtimes), and the file stream orders batches by mtime: verify the
-    // stamp actually took. A failed stamp breaks the 'batch N+1
-    // observes batch N's state' replay contract — but only once the
-    // directory holds MORE than one staged batch (ordering one file is
-    // vacuous), so single-batch staging stays functional on such
-    // stores and the multi-batch caller can opt out explicitly.
-    if (requireMtimeOrder &&
-        fs.getFileStatus(target).getModificationTime != mtimeMs) {
-      val staged = fs.listStatus(dirPath).count { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      if (staged > 1) {
-        // UNDO before throwing: the guard exists to keep the directory
-        // out of the unordered multi-batch state — leaving the freshly
-        // renamed target behind would put it in exactly that state for
-        // any stream that lists the dir after the caller catches this
-        fs.delete(target, false)
-        fs.delete(tmp, true)
-        throw new IllegalArgumentException(
-          s"stageBatch: $target mtime stamp did not take effect — this " +
-            "store does not support setTimes, so the replay order of " +
-            s"multiple batches staged under $dir cannot be guaranteed " +
-            "(the just-staged batch was removed again; the directory " +
-            "still holds only its previously staged batches). Stage one " +
-            "batch per directory, or pass requireMtimeOrder = false and " +
-            "name batches in lexicographic replay order (the file " +
-            "source falls back to path order for equal mtimes)")
-      }
-    }
     fs.delete(tmp, true)
     ()
   }

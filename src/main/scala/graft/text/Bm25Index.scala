@@ -391,7 +391,12 @@ object Bm25Index {
     // (distinct bucket ids only, ≤ nBuckets rows on the driver; term
     // pruning via left-semi join; qterms stays a lazy frame shuffled
     // on term into tfdf's partitioning instead of broadcast).
-    val qtCollected = qtWithBucket.limit(maxDriverQueryTerms + 1).collect()
+    // saturating +1: maxDriverQueryTerms = Int.MaxValue (the "disable
+    // the cap" idiom) must not wrap to a negative limit and throw
+    val probeN =
+      if (maxDriverQueryTerms == Int.MaxValue) Int.MaxValue
+      else maxDriverQueryTerms + 1
+    val qtCollected = qtWithBucket.limit(probeN).collect()
     if (qtCollected.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], searchSchema)

@@ -75,6 +75,10 @@ class Bm25IndexSpec extends SparkSpec {
     val reference = rows(Bm25Index.searchTopK(spark, dir, queries, "qid",
       "text"))
     assert(atCap == reference && justUnder == reference)
+    // Int.MaxValue disables the cap without overflowing the limit probe
+    val uncapped = rows(Bm25Index.searchTopK(spark, dir, queries, "qid",
+      "text", maxDriverQueryTerms = Int.MaxValue))
+    assert(uncapped == reference)
   }
 
   test("weighted preQTerms (qw) scale contributions — the scoreFrom contract") {

@@ -64,49 +64,12 @@ class HnswIndexSpec extends SparkSpec {
     val b2 = emb.filter(col("vec_id") >= 380 && col("vec_id") < 440)
     val b3 = emb.filter(col("vec_id") >= 440)
     val queries = emb.filter(col("vec_id") < 50)
-
-    def recallAt(ef: Int, corpus: org.apache.spark.sql.DataFrame): Double = {
-      val approx = HnswIndex.search(spark, dir, queries, "vec_id",
-          "embedding", k = 10, efSearch = ef)
-        .select("query_id", "neighbor_id").collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val exact = KnnJoin.broadcastKnn(queries, corpus, "vec_id",
-          "embedding", 10)
-        .select("query_id", "neighbor_id").collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val hits = exact.map { case (q, t) =>
-        approx.get(q).map(a => (a intersect t).size).getOrElse(0)
-      }.sum
-      hits.toDouble / (exact.size * 10)
-    }
-
-    HnswIndex.build(base, "vec_id", "embedding", dir, shards = 4)
-    // thunks, NOT eager values: each stage's maintenance op must run
-    // right before ITS measurement, not all up front at Seq construction
-    val stages = Seq[(String, () => org.apache.spark.sql.DataFrame)](
-      "build" -> (() => base),
-      "append1" -> (() => {
-        HnswIndex.append(spark, dir, b1, "vec_id", "embedding")
-        base.unionByName(b1) }),
-      "vacuum" -> (() => {
-        HnswIndex.vacuum(spark, dir); base.unionByName(b1) }),
-      "append2" -> (() => {
-        HnswIndex.append(spark, dir, b2, "vec_id", "embedding")
-        base.unionByName(b1).unionByName(b2) }),
-      "reshard" -> (() => {
-        HnswIndex.reshard(spark, dir, newShards = 3)
-        base.unionByName(b1).unionByName(b2) }),
-      "append3" -> (() => {
-        HnswIndex.append(spark, dir, b3, "vec_id", "embedding")
-        emb }))
-    val curve = stages.map { case (stage, act) =>
-      val cached = act().cache()
-      val r = Seq(32, 128).map(ef => ef -> recallAt(ef, cached)).toMap
-      cached.unpersist()
-      stage -> r
-    }
+    // the ONE shared harness (graft.knn.HnswDrift) — the scale probe
+    // runs the same mix, so spec floor and probe numbers cannot drift
+    // apart
+    val curve = graft.knn.HnswDrift.runMix(spark, dir,
+      base, b1, b2, b3, queries, "vec_id", "embedding",
+      shards = 4, reshardTo = 3, efs = Seq(32, 128))
     curve.foreach { case (stage, r) =>
       // the q49-family floor, held at EVERY stage of the mix at the
       // wide beam; the narrow beam asserts a sane (looser) floor so a

@@ -919,24 +919,34 @@ class StreamsSpec extends SparkSpec {
     // ordering ONE staged batch is vacuous — must stay functional on
     // stores that ignore setTimes (object stores keep upload mtimes)
     Streams.stageBatch(df, dir, "batch_a.parquet", 1000L)
-    // the SECOND batch is where replay order becomes real — fail loudly
+    // the SECOND batch is where replay order becomes real — fail loudly,
+    // and BEFORE staging: the guard probes setTimes support on the tmp
+    // part, so the directory is untouched (a post-rename undo would
+    // destroy the prior version of a re-staged same-name batch)
     val err = intercept[IllegalArgumentException] {
       Streams.stageBatch(df, dir, "batch_b.parquet", 2000L)
     }
     assert(err.getMessage.contains("setTimes"))
-    // and the guard must UNDO before throwing: the rejected batch is
-    // removed again, so a stream listing the dir after the caller
-    // catches never sees the unordered two-batch state the guard exists
-    // to prevent
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .count(!_.getPath.getName.startsWith(".")) == 1)
+    def committed() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(committed() == Seq("batch_a.parquet"))
     // explicit override: caller accepts path-order replay
     Streams.stageBatch(df, dir, "batch_b.parquet", 2000L,
       requireMtimeOrder = false)
-    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .count(!_.getPath.getName.startsWith(".")) == 2)
+    assert(committed() == Seq("batch_a.parquet", "batch_b.parquet"))
+    // re-staging an EXISTING name without the override refuses with the
+    // old version left fully intact (readable, same rows) — the
+    // refusal really did happen pre-rename
+    val before = spark.read.parquet(s"$dir/batch_b.parquet").collect().toSeq
+    intercept[IllegalArgumentException] {
+      Streams.stageBatch(df.withColumn("text", lit("changed")),
+        dir, "batch_b.parquet", 3000L)
+    }
+    assert(committed() == Seq("batch_a.parquet", "batch_b.parquet"))
+    assert(spark.read.parquet(s"$dir/batch_b.parquet").collect().toSeq
+      == before)
   }
 
   test("IngestWatermark: legacy one-row-parquet store is read as the seed " +
