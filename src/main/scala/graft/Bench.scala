@@ -55,20 +55,29 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // ALSO persist the line to a file: the driver parses a tail window
-    // of sbt's interleaved stdout, and Spark/sbt shutdown noise after
-    // the println has left BENCH_r*.json with "parsed": null — the
-    // file is the machine-readable record that cannot be drowned out
+    // Persist the line to a file FIRST: the driver parses a tail window
+    // of sbt's interleaved stdout, and Spark/sbt shutdown noise after a
+    // println has left BENCH_r*.json with "parsed": null — the file is
+    // the machine-readable record that cannot be drowned out.
+    // NonFatal only: swallowing an OutOfMemoryError here and proceeding
+    // to spark.stop() would report a dead run as a success
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    spark.stop()
-    // deliberately NOT re-printed after teardown: a duplicated metric
-    // line would double-count in any consumer that matches all
-    // occurrences — the file above is the drown-proof record
+    // stop the session BEFORE the one println of the metric line, so
+    // the JSON is the process's LAST stdout line (only sbt's own
+    // [success] trailer follows): Spark's teardown chatter after an
+    // earlier println was drowning the line out of the driver's tail
+    // parse. Printed exactly once — a duplicated metric line would
+    // double-count in any consumer that matches all occurrences.
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
+    println(line)
+    System.out.flush()
   }
 }

@@ -697,6 +697,87 @@ object ApproxKnn {
     * Deterministic (seeded levels, index-tie-broken heaps, same contract
     * as the other strategies): (query_id, neighbor_id, dist, rank).
     */
+  /** HNSW kNN for the case where the QUERY side is too large to
+    * broadcast at once — the flagship grid's self-kNN, where queries ==
+    * candidates == the whole catalog. [[hnswKnn]] rebuilds its
+    * per-partition graphs inside every call's `mapPartitions`, so
+    * blocking the query side over it would pay the O(N·efC·M) graph
+    * build once per block; here the sharded graphs are built ONCE into
+    * a scratch [[HnswIndex]] (the persisted family — same graphs, same
+    * beam, drift-gated by HnswIndexSpec/SCALE `hnsw_drift`), and the
+    * query side streams through it in bounded id-blocks (the
+    * [[blockKnn]] quantile-cut machinery), each block broadcast against
+    * every shard's restored graph.
+    *
+    * Scale shape: per-query work is `shards · ef · M · log(N/shards)` —
+    * the N·log N self-join, vs auto-√N IVF's Θ(N^1.5) — and, unlike the
+    * IVF escalation, no candidate PAIR ROWS ever materialize into a
+    * shuffle (the IVF path ships nProbe·N/nList vector pairs per query
+    * through the cid join; the beam stays inside `mapPartitions` and
+    * emits only top-k rows). Driver/broadcast memory is bounded by
+    * `queryBlockSize` vectors per block; `shards` is a fixed parallelism
+    * knob, so per-shard graph memory (N/shards nodes) is the scale LIMIT
+    * of the full-fan-out design — grow shards past executor memory and
+    * the `shards·ef` fan-out term takes over.
+    *
+    * `efSearch <= 0` means full beam (ef = candidate count, capped at
+    * Int.MaxValue): every shard's whole connected graph is explored and
+    * the merged top-k equals brute force — the oracle form (the q97
+    * convention).
+    */
+  def hnswBlockKnn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      metric: String = KnnJoin.MetricL2Sq,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      efSearch: Int = 64,
+      shards: Int = 32,
+      queryBlockSize: Int = 100000,
+      excludeSelf: Boolean = true,
+      seed: Int = 42,
+      scratchDir: Option[String] = None): DataFrame = {
+    val spark = candidates.sparkSession
+    val dir = scratchDir.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft_hnsw_block")
+        .toString
+      graft.util.TempDirs.register(d)
+      d
+    }
+    HnswIndex.build(candidates, idCol, vecCol, dir, m = m,
+      efConstruction = efConstruction, metric = metric, shards = shards,
+      seed = seed)
+    val ef =
+      if (efSearch > 0) efSearch
+      else math.min(candidates.count(), Int.MaxValue.toLong).toInt
+    // null-id queries are dropped once, up front — the blockKnn contract
+    val qs = queries.filter(col(idCol).isNotNull)
+    val n = qs.count()
+    val nBlocks = math.max(1L, (n + queryBlockSize - 1) / queryBlockSize).toInt
+    if (nBlocks == 1)
+      return HnswIndex.search(spark, dir, qs, idCol, vecCol, k, ef,
+        excludeSelf)
+    val bounds = idBlockBounds(qs, idCol, nBlocks)
+    // same presence scan as blockKnn: quantile rank error can empty an
+    // edge block, and HnswIndex.search treats an empty query side as
+    // caller error — see the blockKnn comment for the raw-column rule
+    val cuts = bounds.flatMap(_._1)
+    val cutArr = array(cuts.map(lit(_)): _*)
+    val present = qs
+      .select(size(filter(cutArr, c => col(idCol) >= c)).as("b"))
+      .groupBy("b").count().collect().map(_.getInt(0)).toSet
+    val parts = bounds.zipWithIndex.collect {
+      case ((lo, hi), i) if present(i) =>
+        HnswIndex.search(spark, dir, idBlock(qs, idCol, lo, hi), idCol,
+          vecCol, k, ef, excludeSelf)
+    }
+    require(parts.nonEmpty, "hnswBlockKnn: no non-empty query blocks")
+    unionChunked(parts)
+  }
+
   def hnswKnn(
       queries: DataFrame,
       candidates: DataFrame,

@@ -32,7 +32,12 @@ private[graft] object HnswDrift {
     val hits = exact.map { case (q, t) =>
       approx.get(q).map(a => (a intersect t).size).getOrElse(0)
     }.sum
-    hits.toDouble / (exact.size * k)
+    // divide by the ACTUAL truth size, not exact.size * k: a corpus
+    // holding fewer than k (+self) vectors gives exact kNN fewer than
+    // k rows per query, and the fixed denominator would deflate recall
+    // on a small tier even for a perfect graph
+    val truthSize = exact.map(_._2.size).sum
+    if (truthSize == 0) 1.0 else hits.toDouble / truthSize
   }
 
   /** Build at `shards`, then run the canonical mix — append b1, vacuum,

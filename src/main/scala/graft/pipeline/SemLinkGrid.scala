@@ -37,6 +37,27 @@ object SemLinkGrid {
     */
   val DefaultAnnAbove: Long = 100000L
 
+  /** The SECOND escalation tier: a catalog past this many keys routes
+    * the grid kNN through the sharded HNSW graph family
+    * ([[graft.knn.ApproxKnn.hnswBlockKnn]] — built once into a scratch
+    * [[graft.knn.HnswIndex]], query side streamed in bounded blocks)
+    * instead of IVF. Auto-√N IVF is Θ(N^1.5) by construction (per-query
+    * probe work grows as √N, and every probed candidate pair
+    * materializes through a shuffle join): SCALE_r14_default_gate
+    * measured the escalated IVF grid at 174.9 s for 200k keys vs 1.4 s
+    * at 2k. The sharded HNSW beam is `shards·ef·log(N/shards)` per
+    * query — N·log N overall — and emits only top-k rows from
+    * `mapPartitions`, no pair-row shuffle; SCALE_r15_default_gate
+    * measures the same 200k-key grid on this tier at a small multiple
+    * of the 2k time. The default equals [[DefaultAnnAbove]]: every
+    * untuned escalation goes straight to the N·log N plan, and the IVF
+    * tier remains the EXPLICIT middle choice (`hnswAbove =
+    * Long.MaxValue`, or tuned nList/nProbe — its full-probe sentinel is
+    * the grid's rank-exact oracle form, q93/q94). Like `annAbove`,
+    * `Long.MaxValue` opts out.
+    */
+  val DefaultHnswAbove: Long = DefaultAnnAbove
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** One grid cell: the discovered (query, candidate, dist) pairs and the
@@ -84,7 +105,9 @@ object SemLinkGrid {
       thresholds: Seq[Double],
       annAbove: Long = DefaultAnnAbove,
       nList: Int = 0,
-      nProbe: Int = 16): Seq[GridCell] = {
+      nProbe: Int = 16,
+      hnswAbove: Long = DefaultHnswAbove,
+      efSearch: Int = 64): Seq[GridCell] = {
     // fail fast on an empty sweep — ks.max and the callers' metric
     // reduces would otherwise surface as bare empty.max/empty.reduce
     // after the expensive profiling already ran
@@ -136,8 +159,9 @@ object SemLinkGrid {
     // Metrics consume the LONG-ID core; only the user-facing discovered
     // frames pay the id → key map-back (two broadcast joins, per cell,
     // evaluated only if the caller uses them)
-    val (coreKnn, keys) = gridKnnIds(embedded, kMax, annAbove = annAbove,
-      nList = nList, nProbe = nProbe)
+    val (coreKnn, keys, engine) = gridKnnIds(embedded, kMax,
+      annAbove = annAbove, nList = nList, nProbe = nProbe,
+      hnswAbove = hnswAbove, efSearch = efSearch)
     val knn = coreKnn.localCheckpoint(eager = false)
     knn.count() // materialize once
 
@@ -168,13 +192,19 @@ object SemLinkGrid {
         .select(col("__qkey").as("query"), col("__ckey").as("candidate"),
           col("dist"))
       val prf = Eval.microPrf1Counted(discoveredIds, truth, nTruth)
+      // the ENGINE that produced the kNN rides on every metrics row:
+      // the escalation gate switches exact → ANN with only a WARN log
+      // as the signal otherwise, and a downstream metrics consumer must
+      // be able to tell exact from ANN-derived precision/recall without
+      // scraping logs (the oracle paths pin the column per strategy)
       val metrics = prf
         .withColumn("ndcg",
           ndcgByK(k).map(lit(_)).getOrElse(lit(null)).cast("double"))
         .withColumn("k", lit(k))
         .withColumn("threshold", lit(t))
+        .withColumn("engine", lit(engine))
         .select("k", "threshold", "tp", "fp", "fn",
-          "precision", "recall", "f1", "ndcg")
+          "precision", "recall", "f1", "ndcg", "engine")
       GridCell(k, t, discovered, metrics)
     }
   }
@@ -229,9 +259,11 @@ object SemLinkGrid {
       blockSize: Int = 100000,
       annAbove: Long = DefaultAnnAbove,
       nList: Int = 0,
-      nProbe: Int = 16): DataFrame = {
-    val (core, keys) = gridKnnIds(embedded, kMax, blockSize, annAbove,
-      nList, nProbe)
+      nProbe: Int = 16,
+      hnswAbove: Long = DefaultHnswAbove,
+      efSearch: Int = 64): DataFrame = {
+    val (core, keys, _) = gridKnnIds(embedded, kMax, blockSize, annAbove,
+      nList, nProbe, hnswAbove, efSearch)
     core
       .join(broadcast(keys.withColumnRenamed("id", "query_id")
         .withColumnRenamed("key", "__qkey")), Seq("query_id"))
@@ -251,35 +283,55 @@ object SemLinkGrid {
       blockSize: Int = 100000,
       annAbove: Long = DefaultAnnAbove,
       nList: Int = 0,
-      nProbe: Int = 16): (DataFrame, DataFrame) = {
+      nProbe: Int = 16,
+      hnswAbove: Long = DefaultHnswAbove,
+      efSearch: Int = 64): (DataFrame, DataFrame, String) = {
     // string-canonicalized hash — must stay in lockstep with the truth
     // hashing in gridCellsFromCatalog (mixed-type tolerance note there)
     val withId = embedded
       .withColumn("id", xxhash64(col("key").cast("string")))
       .select("id", "key", "vec")
     val keys = withId.select("id", "key")
-    // one catalog count serves both the gate and the auto-nList rule
+    // one catalog count serves the gates and the auto-nList rule
     // (column-pruned id scan; skipped entirely when the caller opted
-    // out of the gate with MaxValue)
-    val n = if (annAbove != Long.MaxValue) withId.count() else 0L
-    val core =
-      if (annAbove != Long.MaxValue && n > annAbove) {
-        val (lists, probe) = resolveIvfParams(n, nList, nProbe)
-        // loud, named: the plan just changed ENGINE (exact → ANN). A
-        // silent switch would let a recall regression masquerade as a
-        // data problem; an operator reading the log sees the knob.
-        log.warn(s"SemLinkGrid.gridKnn: catalog has $n keys > " +
-          s"annAbove=$annAbove — escalating the grid kNN from exact " +
-          s"blocked self-kNN (O(N²·d)) to IVF (nList=$lists, " +
-          s"nProbe=$probe). Pass annAbove=Long.MaxValue to force the " +
-          "exact path, or nProbe<=0 for full-probe (rank-exact) IVF.")
-        graft.knn.ApproxKnn.ivfKnn(withId, withId, "id", "vec", kMax,
-          nList = lists, nProbe = probe, metric = KnnJoin.MetricL2Sq,
-          excludeSelf = true)
-      } else
-        graft.knn.ApproxKnn.blockKnn(withId, withId, "id", "vec", kMax,
-          KnnJoin.MetricL2Sq, blockSize = blockSize, excludeSelf = true)
-    (core, keys)
+    // out of BOTH gates with MaxValue). annAbove = MaxValue is the
+    // documented force-exact opt-out and overrides the HNSW tier too —
+    // a caller who pinned exactness must never be silently re-escalated
+    // by a new default.
+    val gated = annAbove != Long.MaxValue
+    val n = if (gated) withId.count() else 0L
+    if (gated && n > annAbove && hnswAbove != Long.MaxValue && n > hnswAbove) {
+      // loud, named: the plan just changed ENGINE (exact → ANN) — see
+      // the IVF branch's rationale
+      log.warn(s"SemLinkGrid.gridKnn: catalog has $n keys > " +
+        s"hnswAbove=$hnswAbove — escalating the grid kNN to the " +
+        s"sharded HNSW tier (efSearch=$efSearch): N·log N beam work, " +
+        "no pair-row shuffle. Pass annAbove=Long.MaxValue to force " +
+        "exact, hnswAbove=Long.MaxValue for the IVF tier, or " +
+        "efSearch<=0 for full-beam (rank-exact) HNSW.")
+      (graft.knn.ApproxKnn.hnswBlockKnn(withId, withId, "id", "vec", kMax,
+        metric = KnnJoin.MetricL2Sq, efSearch = efSearch,
+        queryBlockSize = blockSize, excludeSelf = true),
+        keys, "hnsw")
+    } else if (gated && n > annAbove) {
+      val (lists, probe) = resolveIvfParams(n, nList, nProbe)
+      // loud, named: the plan just changed ENGINE (exact → ANN). A
+      // silent switch would let a recall regression masquerade as a
+      // data problem; an operator reading the log sees the knob — and
+      // since round 15 the engine ALSO rides on every metrics row.
+      log.warn(s"SemLinkGrid.gridKnn: catalog has $n keys > " +
+        s"annAbove=$annAbove — escalating the grid kNN from exact " +
+        s"blocked self-kNN (O(N²·d)) to IVF (nList=$lists, " +
+        s"nProbe=$probe). Pass annAbove=Long.MaxValue to force the " +
+        "exact path, or nProbe<=0 for full-probe (rank-exact) IVF.")
+      (graft.knn.ApproxKnn.ivfKnn(withId, withId, "id", "vec", kMax,
+        nList = lists, nProbe = probe, metric = KnnJoin.MetricL2Sq,
+        excludeSelf = true),
+        keys, "ivf")
+    } else
+      (graft.knn.ApproxKnn.blockKnn(withId, withId, "id", "vec", kMax,
+        KnnJoin.MetricL2Sq, blockSize = blockSize, excludeSelf = true),
+        keys, "exact")
   }
 
   /** The escalation's IVF sizing rule, isolated for direct spec pinning.

@@ -92,27 +92,33 @@ object IngestWatermark {
       attempt += 1
     }
     // retries absorb the prune RACE (a lost listing resolves on the
-    // next list). After that, a listing where ≥ 2 versions all READ as
+    // next list). After that, a listing where ≥ 2 versions READ as
     // garbage is persistent corruption — the crash model allows only
     // the NEWEST version to be torn (each write publishes a whole new
     // file; the one before it was a completed publish), so two torn
-    // files cannot be a crash artifact. Falling through to
-    // Long.MinValue there would silently re-admit rows the gate
-    // already classified as late, so fail with a named error: the
-    // operator restores a wm file (or deliberately deletes _ingest/ to
-    // reset the gate). Two shapes stay benign by design: EXACTLY ONE
-    // torn version is the documented crashed-first-publish (the
+    // files cannot be a crash artifact. The verdict counts TORN files
+    // alone: versions that VANISHED between list and open (ParseGone)
+    // are lost races, neither parse successes nor corruption evidence
+    // — so 2 torn + 1 gone still throws (requiring ALL listed versions
+    // to be torn would let one busy-writer prune in the same listing
+    // mask real corruption and fall through to the silent gate reset
+    // this check exists to prevent), while a lock-free monitoring
+    // reader losing every retry to a busy writer (all gone, zero torn)
+    // is never told its healthy index is corrupt. Falling through to
+    // Long.MinValue on real corruption would silently re-admit rows
+    // the gate already classified as late, so fail with a named error:
+    // the operator restores a wm file (or deliberately deletes
+    // _ingest/ to reset the gate). EXACTLY ONE torn version stays
+    // benign by design: the documented crashed-first-publish (the
     // committed pre-crash state — legacy seed, else MinValue — is the
-    // correct answer), and versions that VANISHED between list and
-    // open (ParseGone) are lost races, not corruption evidence — a
-    // lock-free monitoring reader losing every retry to a busy writer
-    // must not be told its healthy index is corrupt.
-    if (fromJson.isEmpty && lastListed >= 2 && lastTorn == lastListed)
+    // correct answer).
+    if (fromJson.isEmpty && lastTorn >= 2)
       throw new IllegalStateException(
         s"IngestWatermark.read: $dir lists $lastListed watermark " +
-          "versions and all read as unparseable after 3 attempts — " +
-          "persistent corruption, not a prune race or a torn newest " +
-          "write. Refusing to reset the lateness gate to -infinity " +
+          s"versions of which $lastTorn read as unparseable after 3 " +
+          "attempts — persistent corruption, not a prune race or a " +
+          "torn newest write. Refusing to reset the lateness gate to " +
+          "-infinity " +
           "(which would re-admit already-classified-late rows); " +
           "restore a wm-N.json or delete the _ingest/ directory to " +
           "reset deliberately.")

@@ -902,10 +902,24 @@ class StreamsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("persistent corruption"))
     // restoring ONE parseable version recovers the read
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(ingest, "wm-00000003.json"), true)
+    val ok3 = new org.apache.hadoop.fs.Path(ingest, "wm-00000003.json")
+    val out = fs.create(ok3, true)
     out.write("{\"wm\":42}".getBytes); out.close()
     assert(graft.streaming.IngestWatermark.read(spark, dir) == 42L)
+    // a GONE version (vanished between list and open — simulated by a
+    // directory wearing a wm name, whose open throws) is a lost race,
+    // not corruption evidence: it neither blocks a healthy read …
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ingest, "wm-00000004.json"))
+    assert(graft.streaming.IngestWatermark.read(spark, dir) == 42L)
+    // … nor MASKS real corruption: with the parseable version removed,
+    // the listing is 2 torn + 1 gone — the torn count alone decides
+    // (an all-listed-must-be-torn rule would fall through to the
+    // silent Long.MinValue reset here)
+    fs.delete(ok3, false)
+    val err2 = intercept[IllegalStateException] {
+      graft.streaming.IngestWatermark.read(spark, dir)
+    }
+    assert(err2.getMessage.contains("persistent corruption"))
   }
 
   test("stageBatch on a store without setTimes: one batch per dir is " +
