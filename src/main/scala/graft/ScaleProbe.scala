@@ -110,9 +110,12 @@ object MakeScale {
   * 10×, NOT at a 100× tier), "grid" (the forced IVF escalation, whose
   * auto-√N path is exactly what a 100× tier exists to measure),
   * "reshard" (HnswIndex.reshard over the full embeddings table),
-  * "griddefault" (gridKnn with PURE defaults — records whether the
-  * DefaultAnnAbove gate escalated on each side), "drift" (HNSW recall
-  * curve across an append/vacuum/reshard mix), or "none".
+  * "griddefault" (gridKnn with PURE defaults — records which engine
+  * the DefaultAnnAbove/DefaultHnswAbove gates picked on each side),
+  * "gridhnsw" (the forced HNSW escalation tier — the N·log N plan),
+  * "drift" (HNSW recall curve across an append/vacuum/reshard mix),
+  * "ivfpqdrift" (IVF-PQ ADC recall under drifting appends, with the
+  * rebalance recovery stage), or "none".
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -209,13 +212,18 @@ object ScaleProbe {
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
+      // hnswAbove pinned to MaxValue: these rows measure the IVF tier
+      // specifically (since r15 the untuned default above DefaultHnswAbove
+      // routes to HNSW — the griddefault/gridhnsw rows cover that)
       def once(): Unit = nList match {
         // None = the DEFAULT nList (the auto √N sentinel since r13) —
         // what an untuned escalation caller actually runs
         case None => graft.pipeline.SemLinkGrid
-          .gridKnn(cat, 10, annAbove = 1, nProbe = 8).count(); ()
+          .gridKnn(cat, 10, annAbove = 1, nProbe = 8,
+            hnswAbove = Long.MaxValue).count(); ()
         case Some(nl) => graft.pipeline.SemLinkGrid
-          .gridKnn(cat, 10, annAbove = 1, nList = nl, nProbe = 8).count(); ()
+          .gridKnn(cat, 10, annAbove = 1, nList = nl, nProbe = 8,
+            hnswAbove = Long.MaxValue).count(); ()
       }
       once() // warm
       (1 to 2).map { _ =>
@@ -269,7 +277,7 @@ object ScaleProbe {
     // it the gate escalates to auto-√N IVF — the probe records which
     // engine each side used, so the committed artifact shows the gate
     // firing at scale rather than asserting it.
-    def gridDefaultProbe(dir: String): (Double, Long, Boolean) = {
+    def gridDefaultProbe(dir: String): (Double, Long, String) = {
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
@@ -283,13 +291,47 @@ object ScaleProbe {
         once()
         (System.nanoTime() - t0) / 1e9
       }.min
-      (t, n, n > graft.pipeline.SemLinkGrid.DefaultAnnAbove)
+      // same thresholds the gate itself applies — the artifact records
+      // which ENGINE the untuned default used on each side
+      val engine =
+        if (n > graft.pipeline.SemLinkGrid.DefaultHnswAbove) "hnsw"
+        else if (n > graft.pipeline.SemLinkGrid.DefaultAnnAbove) "ivf"
+        else "exact"
+      (t, n, engine)
     }
     val gridDefaultRows = if (!probes("griddefault")) Seq.empty else {
       val (smT, smN, smE) = gridDefaultProbe(small)
       val (bgT, bgN, bgE) = gridDefaultProbe(big)
       Seq(
-        f""""gridknn_default":{"small_s":$smT%.3f,"big_s":$bgT%.3f,"growth":${bgT / smT}%.2f,"small_n":$smN,"big_n":$bgN,"small_escalated":$smE,"big_escalated":$bgE}""")
+        f""""gridknn_default":{"small_s":$smT%.3f,"big_s":$bgT%.3f,"growth":${bgT / smT}%.2f,"small_n":$smN,"big_n":$bgN,"small_escalated":${smE != "exact"},"big_escalated":${bgE != "exact"},"small_engine":"$smE","big_engine":"$bgE"}""")
+    }
+
+    // The HNSW escalation tier, measured directly (forced via
+    // hnswAbove=1, default efSearch): the N·log N plan the untuned
+    // default takes past DefaultHnswAbove keys — comparable side by
+    // side with gridknn_ivf on the same catalogs. Also records recall
+    // vs the exact top-k ON THE SMALL SIDE only (exact kNN at the big
+    // tier is the O(N²) cost this tier exists to avoid).
+    def gridHnswProbe(dir: String): Double = {
+      val cat = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("key"),
+          col("embedding").as("vec"))
+      def once(): Unit = {
+        graft.pipeline.SemLinkGrid
+          .gridKnn(cat, 10, annAbove = 1, hnswAbove = 1).count(); ()
+      }
+      once() // warm
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        once()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val gridHnswRows = if (!probes("gridhnsw")) Seq.empty else {
+      val smG = gridHnswProbe(small)
+      val bgG = gridHnswProbe(big)
+      Seq(
+        f""""gridknn_hnsw":{"small_s":$smG%.3f,"big_s":$bgG%.3f,"growth":${bgG / smG}%.2f}""")
     }
 
     // HNSW quality drift under an operational mix at probe scale: build
@@ -337,7 +379,7 @@ object ScaleProbe {
     val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
     } ++ blockRows ++ gridRows ++ reshardRows ++ gridDefaultRows ++
-      driftRows).mkString(
+      gridHnswRows ++ driftRows).mkString(
       s"""{"small":"$small","big":"$big","block_hash_equal":$blockHash,"queries":{""",
       ",", "}}")
     println(json)

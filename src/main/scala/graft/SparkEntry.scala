@@ -1759,6 +1759,29 @@ object SparkEntry {
     // gray level for this smooth fixture at q=0.95, gated at ≤ 6, while
     // decode bugs (transposed raster, band mixup) measure ≥ 8 — so the
     // oracle row is fully closed-form.
+    // The grid's SECOND escalation tier (hnswAbove → sharded HNSW),
+    // ORACLED: same evaluation grid as q89/q93/q94, kNN pass forced
+    // through the HNSW tier (hnswAbove=1) at FULL beam (efSearch<=0 →
+    // ef = corpus size: every shard's whole graph explored), where the
+    // beam degenerates to exhaustive search — so the grid must
+    // reproduce the q89 exact-replay oracle cell for cell, with the
+    // provenance column naming the engine. This is the plan an untuned
+    // >10⁵-key catalog takes by default (DefaultHnswAbove): N·log N
+    // beam work inside mapPartitions, no pair-row shuffle.
+    "q100_semlink_grid_hnsw" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val catalog = emb.select(col("vec_id").cast("string").as("key"),
+        col("embedding").as("vec"))
+      val gt = sameLabelTruth(s, d)
+        .select(col("query").cast("string").as("q"),
+          col("candidate").cast("string").as("c"))
+      graft.pipeline.SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+          ks = Seq(5, 10), thresholds = Seq(1.3, 1.42),
+          annAbove = 1, hnswAbove = 1, efSearch = 0)
+        .withColumnRenamed("precision", "prec")
+        .withColumnRenamed("recall", "rec")
+    }),
+
     "q99_jpeg_decode" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents")
@@ -1811,8 +1834,13 @@ object SparkEntry {
     * 1/log2 table instead of a CASE ladder, so any k works). Composed
     * over the shared knn/rel/relc/ilog CTEs by UNION ALL.
     */
-  private def gridCellSql(k: Int, t: Double): String =
+  // `engine` mirrors the grid's new escalation-provenance column: the
+  // oracle pins WHICH kNN engine produced each cell's metrics, not just
+  // the numbers (q89 exact, q93/q94 ivf at full probe, q100 hnsw at
+  // full beam — all rank-exact, so the numeric cells are shared)
+  private def gridCellSql(k: Int, t: Double, engine: String): String =
     s"""SELECT CAST($k AS INTEGER) AS k, CAST($t AS DOUBLE) AS threshold,
+       | '$engine' AS engine,
        | c.tp, c.nd - c.tp AS fp, c.nt - c.tp AS fn,
        | round(c.tp / (c.tp + (c.nd - c.tp) + 1e-8), 4) AS prec,
        | round(c.tp / (c.tp + (c.nt - c.tp) + 1e-8), 4) AS rec,
@@ -2151,7 +2179,7 @@ object SparkEntry {
          |ilog AS (SELECT i, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS cum
          |         FROM generate_series(1, 50) t(i))
          |${Seq((5, 1.3), (5, 1.42), (10, 1.3), (10, 1.42))
-            .map { case (k, t) => gridCellSql(k, t) }
+            .map { case (k, t) => gridCellSql(k, t, "exact") }
             .mkString("\nUNION ALL\n")}""".stripMargin,
 
     // q93 forces the grid's IVF escalation at full probe — exhaustive
@@ -2163,7 +2191,7 @@ object SparkEntry {
          |ilog AS (SELECT i, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS cum
          |         FROM generate_series(1, 50) t(i))
          |${Seq((5, 1.3), (5, 1.42), (10, 1.3), (10, 1.42))
-            .map { case (k, t) => gridCellSql(k, t) }
+            .map { case (k, t) => gridCellSql(k, t, "ivf") }
             .mkString("\nUNION ALL\n")}""".stripMargin,
 
     // q94: the auto-sized (√N) escalation at full probe — exhaustive
@@ -2175,7 +2203,20 @@ object SparkEntry {
          |ilog AS (SELECT i, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS cum
          |         FROM generate_series(1, 50) t(i))
          |${Seq((5, 1.3), (5, 1.42), (10, 1.3), (10, 1.42))
-            .map { case (k, t) => gridCellSql(k, t) }
+            .map { case (k, t) => gridCellSql(k, t, "ivf") }
+            .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // q100: the HNSW tier at full beam — every shard's whole graph is
+    // explored, so the same exact replay oracle as q89 holds, with the
+    // engine provenance column pinning WHICH tier produced the cells
+    "q100_semlink_grid_hnsw" ->
+      s"""$knnL2Cte,
+         |$truthCte,
+         |relc AS (SELECT query, count(*) AS n_relevant FROM rel GROUP BY query),
+         |ilog AS (SELECT i, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS cum
+         |         FROM generate_series(1, 50) t(i))
+         |${Seq((5, 1.3), (5, 1.42), (10, 1.3), (10, 1.42))
+            .map { case (k, t) => gridCellSql(k, t, "hnsw") }
             .mkString("\nUNION ALL\n")}""".stripMargin,
 
     // exact-equiv: full probe of the rebalanced index ≡ brute-force kNN

@@ -364,12 +364,16 @@ object SemLinkGrid {
       .map(_.metrics).reduce(_.unionByName(_))
 
   /** [[evaluationGrid]] over a pre-embedded (key, vec) catalog.
-    * `annAbove` / `nList` / `nProbe`: the [[gridKnn]] compute gate — a
-    * catalog past `annAbove` keys routes the single kNN pass through IVF
-    * instead of exact blocked search (default [[DefaultAnnAbove]] =
-    * 10⁵ keys, logged loudly when it fires; `Long.MaxValue` forces
-    * exact at any size). `nList <= 0` (the default) sizes lists ∝ √N
-    * automatically; `nProbe <= 0` means full probe (exact).
+    * `annAbove` / `nList` / `nProbe` / `hnswAbove` / `efSearch`: the
+    * [[gridKnn]] compute gates — a catalog past `annAbove` keys routes
+    * the single kNN pass through an ANN engine instead of exact blocked
+    * search (default [[DefaultAnnAbove]] = 10⁵ keys, logged loudly when
+    * it fires and surfaced in the returned `engine` column;
+    * `Long.MaxValue` forces exact at any size). The escalation engine is
+    * the sharded HNSW tier past `hnswAbove` keys (default
+    * [[DefaultHnswAbove]] — N·log N; `efSearch <= 0` means full beam,
+    * exact) and IVF between the two thresholds (`nList <= 0` sizes lists
+    * ∝ √N automatically; `nProbe <= 0` means full probe, exact).
     */
   def evaluationGridFromCatalog(
       catalog: DataFrame,
@@ -378,9 +382,11 @@ object SemLinkGrid {
       thresholds: Seq[Double],
       annAbove: Long = DefaultAnnAbove,
       nList: Int = 0,
-      nProbe: Int = 16): DataFrame =
+      nProbe: Int = 16,
+      hnswAbove: Long = DefaultHnswAbove,
+      efSearch: Int = 64): DataFrame =
     gridCellsFromCatalog(catalog, groundTruth, ks, thresholds,
-        annAbove, nList, nProbe)
+        annAbove, nList, nProbe, hnswAbove, efSearch)
       .map(_.metrics).reduce(_.unionByName(_))
 
   /** Reference-parity export (join_discoverer.py:491–517): one CSV of

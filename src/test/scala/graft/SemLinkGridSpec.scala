@@ -57,7 +57,11 @@ class SemLinkGridSpec extends SparkSpec {
     val summary = spark.read.option("header", "true").csv(s"$out/evaluation_results")
     assert(summary.count() == 2)
     assert(summary.columns.toSeq == Seq("k", "threshold", "tp", "fp", "fn",
-      "precision", "recall", "f1", "ndcg"))
+      "precision", "recall", "f1", "ndcg", "engine"))
+    // the fixture lake sits far below DefaultAnnAbove: the provenance
+    // column must say the metrics came from the exact path
+    assert(summary.select("engine").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("exact"))
     // per-cell pair files exist and carry the JoinablePair shape
     val pairs = spark.read.option("header", "true").csv(s"$out/pairs_k5_t1.1")
     assert(pairs.columns.toSeq == Seq("t1", "c1", "t2", "c2", "distance_anns"))
@@ -103,7 +107,7 @@ class SemLinkGridSpec extends SparkSpec {
     SemLinkGrid.exportGrid(spark, sf0001, gt, out,
       ks = Seq(5, 10), thresholds = Seq(1.1, 1.4))
     val eval = csvLines(s"$out/evaluation_results")
-    assert(eval.head == "k,threshold,tp,fp,fn,precision,recall,f1,ndcg")
+    assert(eval.head == "k,threshold,tp,fp,fn,precision,recall,f1,ndcg,engine")
     assert(eval.size == 5) // header + 4 cells
     // metric values parse-compared (4-dp rounded upstream, so exact)
     val evalParsed = eval.tail.map { l =>
@@ -175,11 +179,17 @@ class SemLinkGridSpec extends SparkSpec {
     // the exact grid cell for cell
     val gt = Seq(("t1:c1", "t2:c2"), ("t3:c3", "t4:c4")).toDF("q", "c")
     val gridExact = SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
-      Seq(5), Seq(0.5)).collect().toSeq
+      Seq(5), Seq(0.5))
     val gridAnn = SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
       Seq(5), Seq(0.5), annAbove = 10, nList = 8, nProbe = 8)
-      .collect().toSeq
-    assert(gridAnn == gridExact)
+    // numeric cells identical; the provenance column tells them apart
+    // (that is its whole job — exact vs ANN-derived metrics)
+    assert(gridAnn.drop("engine").collect().toSeq ==
+      gridExact.drop("engine").collect().toSeq)
+    assert(gridExact.select("engine").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("exact"))
+    assert(gridAnn.select("engine").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("ivf"))
   }
 
   test("gridKnn auto IVF sizing: nList ∝ √N, probe clamp, full-probe sentinel exact") {
@@ -264,6 +274,66 @@ class SemLinkGridSpec extends SparkSpec {
     val over = SemLinkGrid.gridKnn(catalog, 5, annAbove = 59, nProbe = 0)
       .orderBy("query_id", "rank").collect().toSeq
     assert(over == exact) // full-probe IVF: escalated yet rank-exact
+  }
+
+  test("gridKnn HNSW tier: forced full-beam path ≡ exact; boundary and " +
+    "defaults pinned") {
+    // the SECOND escalation tier: past hnswAbove keys the grid kNN runs
+    // on the sharded HNSW graphs (N·log N) instead of IVF (Θ(N^1.5)).
+    // At full beam (efSearch <= 0 → ef = corpus size) every shard's
+    // whole graph is explored, so the ranking must be IDENTICAL to the
+    // exact blocked path — the q28/q93 exact-equivalence contract
+    // applied to the graph tier.
+    val catalog = (1 to 80).map { i =>
+      (s"t$i:c$i", Array.tabulate(8)(j => ((i * 29 + j * 11) % 19).toFloat / 19f))
+    }.toDF("key", "vec")
+    val exact = SemLinkGrid.gridKnn(catalog, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val hnsw = SemLinkGrid.gridKnn(catalog, 5, annAbove = 10,
+        hnswAbove = 10, efSearch = 0)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(hnsw == exact)
+    // boundary: n == hnswAbove stays on the IVF tier (strictly
+    // greater-than, like annAbove); n > hnswAbove takes the graph tier
+    val gt = Seq(("t1:c1", "t2:c2"), ("t3:c3", "t4:c4")).toDF("q", "c")
+    def engineOf(hnswAbove: Long): String =
+      SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+          Seq(5), Seq(0.5), annAbove = 10, nProbe = 0,
+          hnswAbove = hnswAbove, efSearch = 0)
+        .select("engine").distinct().collect().map(_.getString(0)).head
+    assert(engineOf(80) == "ivf")
+    assert(engineOf(79) == "hnsw")
+    // the metrics through the forced graph tier equal the exact grid's
+    // cell for cell (full beam — rank-exact)
+    val gridExact = SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+      Seq(5), Seq(0.5))
+    val gridHnsw = SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+      Seq(5), Seq(0.5), annAbove = 10, hnswAbove = 10, efSearch = 0)
+    assert(gridHnsw.drop("engine").collect().toSeq ==
+      gridExact.drop("engine").collect().toSeq)
+    // defaults pinned via the compiler's synthetic $default$N methods
+    // (the annAbove test's technique): hnswAbove must stay the FINITE
+    // DefaultHnswAbove — an untuned huge catalog gets the N·log N plan
+    def defaultLongOf(method: String, pos: Int): Long = SemLinkGrid.getClass
+      .getMethod(s"$method$$default$$$pos").invoke(SemLinkGrid)
+      .asInstanceOf[Long]
+    assert(SemLinkGrid.DefaultHnswAbove <= 200000L,
+      "DefaultHnswAbove must keep the SCALE-probed 200k-key catalog on " +
+        "the graph tier")
+    // gridKnn(embedded, kMax, blockSize, annAbove, nList, nProbe, hnswAbove, efSearch)
+    assert(defaultLongOf("gridKnn", 7) == SemLinkGrid.DefaultHnswAbove,
+      "gridKnn hnswAbove default not the finite graph gate")
+    // gridCellsFromCatalog(catalog, gt, ks, thresholds, annAbove, nList, nProbe, hnswAbove, efSearch)
+    assert(defaultLongOf("gridCellsFromCatalog", 8) == SemLinkGrid.DefaultHnswAbove,
+      "gridCellsFromCatalog hnswAbove default not the finite graph gate")
+    assert(defaultLongOf("evaluationGridFromCatalog", 8) == SemLinkGrid.DefaultHnswAbove,
+      "evaluationGridFromCatalog hnswAbove default not the finite graph gate")
+    // force-exact opt-out precedence: annAbove = MaxValue pins the exact
+    // engine even when the catalog is past the (tiny, forced) hnsw gate
+    val optOut = SemLinkGrid.evaluationGridFromCatalog(catalog, gt,
+        Seq(5), Seq(0.5), annAbove = Long.MaxValue, hnswAbove = 1)
+      .select("engine").distinct().collect().map(_.getString(0)).toSeq
+    assert(optOut == Seq("exact"))
   }
 
   test("grid metrics tolerate mixed-type ground truth: long q/c against " +
