@@ -77,6 +77,11 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
     }
+    // marker-prefixed copy FIRST (an unambiguous grep target for any
+    // consumer whose tail window catches sbt trailers), bare JSON LAST
+    // (the historical "last stdout line" contract). bench_last.json above
+    // remains the canonical machine-readable artifact.
+    println("GRAFT_BENCH_JSON: " + line)
     println(line)
     System.out.flush()
   }

@@ -20,15 +20,21 @@ import org.apache.spark.sql.functions._
   *  - events: ids offset by k·100M, timestamps kept (10× denser windows
   *    — the realistic shape of more traffic over the same wall-clock).
   *
-  * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> [copies=10]
+  * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> [copies=10] [tables]
   * The TPC-H relational tables are not replicated — the scale probe
   * targets the index/ingest/dedup operators, which read these three.
+  * `tables` (comma list, default all three) restricts which tables are
+  * written — a 500× embeddings-only tier need not pay a 500× document
+  * salt pass it never reads.
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(',').toSet
+      else Set("documents", "embeddings", "events")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,6 +43,7 @@ object MakeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (tables("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docCopies = (0 until copies).map { k =>
       if (k == 0) docs
@@ -59,7 +66,9 @@ object MakeScale {
     docCopies.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+    }
 
+    if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embCopies = (0 until copies).map { k =>
       if (k == 0) emb
@@ -74,7 +83,9 @@ object MakeScale {
     embCopies.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
+    }
 
+    if (tables("events")) {
     val events = graft.sources.Lake.events(spark, src)
     val evCopies = (0 until copies).map { k =>
       if (k == 0) events
@@ -84,8 +95,9 @@ object MakeScale {
     evCopies.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+    }
 
-    println(s"""{"made":"$dst","copies":$copies}""")
+    println(s"""{"made":"$dst","copies":$copies,"tables":"${tables.toSeq.sorted.mkString(",")}"}""")
     spark.stop()
   }
 }
@@ -132,8 +144,16 @@ object ScaleProbe {
         "q84_hybrid_serving", "q85_stream_lex_ingest",
         "q91_stream_late_ingest", "q92_stream_dedup_late",
         "q95_stream_ann_ingest", "q96_stream_hnsw_late")
+    val knownProbes = Set("block", "grid", "reshard", "griddefault",
+      "gridhnsw", "drift", "ivfpqdrift", "none")
     val probes: Set[String] =
       if (args.length > 4) args(4).split(',').toSet else Set("block", "grid")
+    // fail LOUDLY on a typo'd probe token — a silently skipped probe
+    // reads as "measured, nothing to report" in the committed artifact
+    val unknown = probes -- knownProbes
+    require(unknown.isEmpty,
+      s"ScaleProbe: unknown probe token(s) ${unknown.mkString(",")} — " +
+        s"known: ${knownProbes.toSeq.sorted.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -282,21 +302,22 @@ object ScaleProbe {
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
       val n = cat.count()
-      def once(): Unit = {
-        graft.pipeline.SemLinkGrid.gridKnn(cat, 10).count(); ()
+      // gridKnnWithEngine surfaces the engine the gate ACTUALLY picked —
+      // re-deriving it here from the thresholds would record what the
+      // gate SHOULD pick, and a future gate change could silently
+      // desynchronize artifact and plan
+      def once(): String = {
+        val (df, engine) = graft.pipeline.SemLinkGrid
+          .gridKnnWithEngine(cat, 10)
+        df.count()
+        engine
       }
-      once() // warm
+      val engine = once() // warm
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         once()
         (System.nanoTime() - t0) / 1e9
       }.min
-      // same thresholds the gate itself applies — the artifact records
-      // which ENGINE the untuned default used on each side
-      val engine =
-        if (n > graft.pipeline.SemLinkGrid.DefaultHnswAbove) "hnsw"
-        else if (n > graft.pipeline.SemLinkGrid.DefaultAnnAbove) "ivf"
-        else "exact"
       (t, n, engine)
     }
     val gridDefaultRows = if (!probes("griddefault")) Seq.empty else {
@@ -373,13 +394,75 @@ object ScaleProbe {
       Seq(s""""hnsw_drift":{"small":${fmt(sm)},"big":${fmt(bg)},"floor_ef128":$floor,"all_within_floor":$within}""")
     }
 
+    // IVF-PQ ADC recall under DRIFTING appends (the PQ family's named
+    // LIMIT in COVERAGE.md — "ADC error under drift; the answer is
+    // rebuild cadence"): centroids and codebooks train on the base
+    // distribution at build; two appended batches arrive component-
+    // shifted (+0.3 / +0.6 against a ±0.37 component range — a cluster
+    // displaced diagonally out of the training distribution), then the
+    // two candidate recovery stages run: rebalance (retrains centroids,
+    // re-codes residuals, KEEPS the build-time codebooks — measured to
+    // be a list-skew fix, NOT an ADC recovery; see IvfPqDrift's doc) and
+    // rebuild (retrains both — the actual answer, hence "rebuild
+    // cadence"). Recall@10 vs brute force at every stage, via the one
+    // graft.knn.IvfPqDrift harness the spec floor also drives.
+    // Two distinct failure regimes, both measured (10× tier, r16): at
+    // PARTIAL probe (p16 of 32 lists) the dominant drift failure is the
+    // COARSE quantizer — drifted clusters have no centroids near them,
+    // probes miss entirely (big tier p16: 0.65 build → 0.22 drifted) and
+    // REBALANCE recovers it (→ 0.72, fresh centroids over the drifted
+    // corpus); at FULL probe (p32) coarse misses vanish and what remains
+    // is pure CODEBOOK error, which rebalance cannot fix (it keeps the
+    // build-time codebooks) — only rebuild does. The committed floor
+    // gates the full-probe rebuild number: the rebuild-cadence claim.
+    def ivfPqDriftProbe(dir: String): Seq[(String, Double, Double, Double)] = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val bucket = pmod(xxhash64(col("vec_id")), lit(10))
+      def shifted(df: org.apache.spark.sql.DataFrame, delta: Double) =
+        df.withColumn("embedding",
+          transform(col("embedding"), x => (x + lit(delta)).cast("float")))
+      val base = emb.filter(bucket < 8)
+      val b1 = shifted(emb.filter(bucket === 8), 0.3)
+      val b2 = shifted(emb.filter(bucket === 9), 0.6)
+      // fixed query set spanning both regimes: copy-0 base ids (survive
+      // MakeScale) plus a deterministic slice of the MOST-drifted batch —
+      // the queries whose true neighbors are exactly the badly-quantized
+      // vectors
+      val queries = base.filter(col("vec_id") < 30)
+        .unionByName(b2.filter(pmod(col("vec_id"), lit(13)) === 0))
+      val idx = graft.util.TempDirs.register(
+        s"/tmp/graft_scaleprobe_ivfpqdrift_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.knn.IvfPqDrift.runMix(spark, idx,
+          base, b1, b2, queries, "vec_id", "embedding",
+          nList = 32, pqM = 8, nProbes = Seq(4, 16, 32))
+        .map { case (stage, r) => (stage, r(4), r(16), r(32)) }
+    }
+    val ivfPqDriftRows = if (!probes("ivfpqdrift")) Seq.empty else {
+      def fmt(rows: Seq[(String, Double, Double, Double)]): String =
+        rows.map { case (st, r4, r16, r32) =>
+          f""""$st":{"p4":$r4%.4f,"p16":$r16%.4f,"p32":$r32%.4f}"""
+        }.mkString("{", ",", "}")
+      val sm = ivfPqDriftProbe(small)
+      val bg = ivfPqDriftProbe(big)
+      // the recovery floor: after the full rebuild the FULL probe (p32 =
+      // nList — no coarse misses, pure codebook quality) must be back
+      // above it on BOTH tiers — the rebuild-cadence claim
+      val floor = 0.85
+      val recovered = (sm ++ bg).filter(_._1 == "rebuild").forall(_._4 >= floor)
+      Seq(s""""ivfpq_drift":{"small":${fmt(sm)},"big":${fmt(bg)},"floor_rebuild_p32":$floor,"rebuild_within_floor":$recovered}""")
+    }
+
     // null, not false, when the block probe was skipped — false would
     // read as "the hashes DIVERGED"
     val blockHash = if (probes("block")) "true" else "null"
     val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
     } ++ blockRows ++ gridRows ++ reshardRows ++ gridDefaultRows ++
-      gridHnswRows ++ driftRows).mkString(
+      gridHnswRows ++ driftRows ++ ivfPqDriftRows).mkString(
       s"""{"small":"$small","big":"$big","block_hash_equal":$blockHash,"queries":{""",
       ",", "}}")
     println(json)

@@ -1782,6 +1782,80 @@ object SparkEntry {
         .withColumnRenamed("recall", "rec")
     }),
 
+    // The fused re-ingest loop on the IVF family — q98's shape on q95's
+    // index: the gated run routes the ancient-ts rows of batches B/C to
+    // late/, annReingestLate drives them through the NON-gated ingest
+    // body (anti-join freshness, probe, append) in ONE call. The oracle
+    // pins (a) the end-state id set = base ∪ EVERY staged row (no %5
+    // carve-outs — the late rows came back), and (b) via n_hits at full
+    // probe with k beyond the corpus, that the re-ingest probed against
+    // EXACTLY the pre-re-ingest committed index: all 10 late rows ship
+    // in one re-ingest batch, so each sees N0+65 committed vectors
+    // (N0 base + 25 A + 20 B + 20 C on-time), closed-form.
+    "q101_ann_reingest" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_ann_reingest_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.knn.IvfIndex.build(emb, "vec_id", "embedding",
+        s"$base/index", nList = 16)
+      stageLateBatches(emb, base, idCol = "vec_id", payloadCol = "embedding")
+      graft.streaming.Streams.annIngestWatermarked(s, s"$base/batches",
+        lateVecBatchSchema, s"$base/index", s"$base/out", "vec_id",
+        "embedding", "ts", lateness = 100L, k = 10000000, nProbe = 16)
+      // the gate must actually have produced late rows — fail by name
+      // here, not as an opaque row-count diff downstream (q98's guard)
+      require(graft.streaming.Streams.lateRows(s, s"$base/out").isDefined,
+        "q101: expected late rows")
+      val re = graft.streaming.Streams.annReingestLate(s, s"$base/out",
+        s"$base/index", s"$base/out2", "vec_id", "embedding",
+        k = 10000000, nProbe = 16)
+      val hits = re.groupBy(col("query_id").cast("long").as("id"))
+        .agg(count(lit(1)).as("n_hits"))
+      graft.knn.IvfIndex.readIds(s, s"$base/index")
+        .select(col("id").cast("long").as("id"))
+        .join(hits, Seq("id"), "left")
+        .select(col("id"), coalesce(col("n_hits"), lit(-1L)).as("n_hits"))
+    }),
+
+    // The same fused loop on the sharded HNSW family (q96's index). The
+    // search channel is approximate (HNSW recall), so the oracle pins
+    // membership + WHICH ids came back through the re-ingest (every
+    // probed query emits ≥1 row against a non-empty graph), not
+    // neighbor sets — the q96 convention.
+    "q102_hnsw_reingest" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val base = graft.util.TempDirs.register(
+        s"/tmp/graft_hnsw_reingest_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.knn.HnswIndex.build(emb, "vec_id", "embedding",
+        s"$base/index", shards = 4)
+      stageLateBatches(emb, base, idCol = "vec_id", payloadCol = "embedding")
+      graft.streaming.Streams.hnswIngestWatermarked(s, s"$base/batches",
+        lateVecBatchSchema, s"$base/index", s"$base/out", "vec_id",
+        "embedding", "ts", lateness = 100L, k = 3)
+      require(graft.streaming.Streams.lateRows(s, s"$base/out").isDefined,
+        "q102: expected late rows")
+      val re = graft.streaming.Streams.hnswReingestLate(s, s"$base/out",
+        s"$base/index", s"$base/out2", "vec_id", "embedding",
+        k = 3, efSearch = 64)
+      val reIds = re.select(col("query_id").cast("long").as("id"))
+        .distinct().withColumn("__re", lit(true))
+      graft.knn.HnswIndex.readIds(s, s"$base/index")
+        .select(col("id").cast("long").as("id"))
+        .join(reIds, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__re"), lit(false)).as("reingested"))
+    }),
+
     "q99_jpeg_decode" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents")
@@ -2218,6 +2292,47 @@ object SparkEntry {
          |${Seq((5, 1.3), (5, 1.42), (10, 1.3), (10, 1.42))
             .map { case (k, t) => gridCellSql(k, t, "hnsw") }
             .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // q101: after the fused re-ingest the IVF index holds base ∪ EVERY
+    // staged row; the 10 late rows (%5 carve-outs of B/C) re-ingested in
+    // ONE batch at full probe with k beyond the corpus, so each probed
+    // exactly the pre-re-ingest committed index: N0 + 65 vectors
+    // (N0 base + 25 A + 20 B-on-time + 20 C-on-time); every other id
+    // was never probed by the re-ingest and carries -1.
+    "q101_ann_reingest" ->
+      """WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+        |SELECT CAST(vec_id AS BIGINT) AS id, CAST(-1 AS BIGINT) AS n_hits
+        |FROM embeddings
+        |UNION ALL
+        |SELECT CAST(vec_id + 1000000 AS BIGINT), CAST(-1 AS BIGINT)
+        |FROM embeddings WHERE vec_id < 25
+        |UNION ALL
+        |SELECT CAST(vec_id + 2000000 AS BIGINT),
+        |  CASE WHEN vec_id % 5 = 0 THEN (SELECT n FROM n0) + 65
+        |       ELSE CAST(-1 AS BIGINT) END
+        |FROM embeddings WHERE vec_id >= 25 AND vec_id < 50
+        |UNION ALL
+        |SELECT CAST(vec_id + 3000000 AS BIGINT),
+        |  CASE WHEN vec_id % 5 = 0 THEN (SELECT n FROM n0) + 65
+        |       ELSE CAST(-1 AS BIGINT) END
+        |FROM embeddings WHERE vec_id >= 50 AND vec_id < 75""".stripMargin,
+
+    // q102: membership end state on the HNSW family — every staged row
+    // committed, and exactly the %5 carve-outs of B/C came back through
+    // the re-ingest (each probed query emits rows against a non-empty
+    // graph, so the reingested flag is closed-form)
+    "q102_hnsw_reingest" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id, FALSE AS reingested
+        |FROM embeddings
+        |UNION ALL
+        |SELECT CAST(vec_id + 1000000 AS BIGINT), FALSE
+        |FROM embeddings WHERE vec_id < 25
+        |UNION ALL
+        |SELECT CAST(vec_id + 2000000 AS BIGINT), vec_id % 5 = 0
+        |FROM embeddings WHERE vec_id >= 25 AND vec_id < 50
+        |UNION ALL
+        |SELECT CAST(vec_id + 3000000 AS BIGINT), vec_id % 5 = 0
+        |FROM embeddings WHERE vec_id >= 50 AND vec_id < 75""".stripMargin,
 
     // exact-equiv: full probe of the rebalanced index ≡ brute-force kNN
     // over the union corpus (base half + float-shifted drifted half)

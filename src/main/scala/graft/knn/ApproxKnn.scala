@@ -741,12 +741,35 @@ object ApproxKnn {
       seed: Int = 42,
       scratchDir: Option[String] = None): DataFrame = {
     val spark = candidates.sparkSession
+    // an owned (caller-unspecified) scratch dir is deleted as soon as the
+    // result is materialized below — a long-lived driver calling the HNSW
+    // grid tier repeatedly must not accumulate one on-disk graph copy per
+    // call until JVM exit (TempDirs stays registered as the crash
+    // backstop). A caller-provided scratchDir is caller-owned: left in
+    // place, results returned lazy over it. NOTE the default is a
+    // DRIVER-LOCAL temp path — fine in local mode; on a real cluster pass
+    // a shared-FS scratchDir (the graphs are written and re-read through
+    // the Hadoop FS API, so any hdfs:/s3a: path works).
+    val owned = scratchDir.isEmpty
     val dir = scratchDir.getOrElse {
       val d = java.nio.file.Files.createTempDirectory("graft_hnsw_block")
         .toString
       graft.util.TempDirs.register(d)
       d
     }
+    // eager localCheckpoint when we own the scratch dir: every beam runs
+    // NOW (the result is N·k top-k rows — bounded, and the grid caller
+    // materializes it anyway), after which the graph files are dead
+    // weight and can be deleted
+    def finish(df: DataFrame): DataFrame =
+      if (!owned) df
+      else {
+        val out = df.localCheckpoint()
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        out
+      }
     HnswIndex.build(candidates, idCol, vecCol, dir, m = m,
       efConstruction = efConstruction, metric = metric, shards = shards,
       seed = seed)
@@ -758,8 +781,8 @@ object ApproxKnn {
     val n = qs.count()
     val nBlocks = math.max(1L, (n + queryBlockSize - 1) / queryBlockSize).toInt
     if (nBlocks == 1)
-      return HnswIndex.search(spark, dir, qs, idCol, vecCol, k, ef,
-        excludeSelf)
+      return finish(HnswIndex.search(spark, dir, qs, idCol, vecCol, k, ef,
+        excludeSelf))
     val bounds = idBlockBounds(qs, idCol, nBlocks)
     // same presence scan as blockKnn: quantile rank error can empty an
     // edge block, and HnswIndex.search treats an empty query side as
@@ -775,7 +798,7 @@ object ApproxKnn {
           vecCol, k, ef, excludeSelf)
     }
     require(parts.nonEmpty, "hnswBlockKnn: no non-empty query blocks")
-    unionChunked(parts)
+    finish(unionChunked(parts))
   }
 
   def hnswKnn(

@@ -19,26 +19,13 @@ private[graft] object HnswDrift {
     */
   def recallAt(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, ef: Int, corpus: DataFrame,
-      k: Int = 10): Double = {
-    val approx = HnswIndex.search(spark, dir, queries, idCol, vecCol,
-        k = k, efSearch = ef)
-      .select("query_id", "neighbor_id").collect()
-      .groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val exact = KnnJoin.broadcastKnn(queries, corpus, idCol, vecCol, k)
-      .select("query_id", "neighbor_id").collect()
-      .groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val hits = exact.map { case (q, t) =>
-      approx.get(q).map(a => (a intersect t).size).getOrElse(0)
-    }.sum
-    // divide by the ACTUAL truth size, not exact.size * k: a corpus
-    // holding fewer than k (+self) vectors gives exact kNN fewer than
-    // k rows per query, and the fixed denominator would deflate recall
-    // on a small tier even for a perfect graph
-    val truthSize = exact.map(_._2.size).sum
-    if (truthSize == 0) 1.0 else hits.toDouble / truthSize
-  }
+      k: Int = 10): Double =
+    // the ONE recall evaluator (shared with IvfPqDrift) — actual-truth-
+    // size denominator, see RecallEval
+    RecallEval.recallVsExact(
+      HnswIndex.search(spark, dir, queries, idCol, vecCol,
+        k = k, efSearch = ef),
+      queries, corpus, idCol, vecCol, k)
 
   /** Build at `shards`, then run the canonical mix — append b1, vacuum,
     * append b2, reshard to `reshardTo`, append b3 — measuring recall@k

@@ -1,0 +1,114 @@
+package graft.knn
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE recall-vs-brute-force evaluator shared by the drift harnesses
+  * ([[HnswDrift]], [[IvfPqDrift]]) — the approx frame is whatever the
+  * family under test returned; truth is exact kNN over the stage's
+  * corpus, and the denominator is the ACTUAL truth size (a corpus
+  * holding fewer than k (+self) vectors gives exact kNN fewer than k
+  * rows per query, and a fixed `queries·k` denominator would deflate
+  * recall on a small tier even for a perfect index).
+  */
+private[knn] object RecallEval {
+
+  def recallVsExact(approx: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): Double = {
+    val got = approx
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = KnnJoin.broadcastKnn(queries, corpus, idCol, vecCol, k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.map { case (q, t) =>
+      got.get(q).map(a => (a intersect t).size).getOrElse(0)
+    }.sum
+    val truthSize = exact.map(_._2.size).sum
+    if (truthSize == 0) 1.0 else hits.toDouble / truthSize
+  }
+}
+
+/** IVF-PQ ADC quality drift under distribution-shifted appends — the
+  * measurement COVERAGE.md names as the PQ family's LIMIT ("ADC error
+  * under drift; the answer is rebuild cadence"). The coarse centroids
+  * and the PQ codebooks are trained at BUILD time over the base
+  * distribution; appended vectors from a shifted distribution land in
+  * whatever lists exist and quantize against codebooks that never saw
+  * them, so ADC recall on drifted queries decays. The two recovery
+  * stages the engine offers are measured in sequence:
+  *
+  *  - `rebalance` retrains the coarse centroids over the full persisted
+  *    corpus and re-codes every residual against them — but keeps the
+  *    build-time CODEBOOKS (rebalance stages `centroids/params/
+  *    assignments`, never `pq/` — IvfIndex.rebalance). MEASURED: this
+  *    is not an ADC recovery at all — the re-coded residual
+  *    distribution (relative to the NEW centroids) mismatches codebooks
+  *    trained on the old one, and full-probe recall can land BELOW the
+  *    drifted trough (IvfPqDriftSpec: 0.88 after rebalance vs 0.97
+  *    drifted). Rebalance answers list skew, not codebook drift;
+  *  - `rebuild` (a fresh [[IvfIndex.build]] over everything) retrains
+  *    centroids AND codebooks — the actual recovery, at full-build cost.
+  *    "Rebuild cadence" is therefore the operational answer COVERAGE.md
+  *    names, with this harness measuring when the cadence is due.
+  *
+  * Shared-shape contract with [[HnswDrift]]: stage thunks run right
+  * before their measurement, every stage measures recall@k across the
+  * probe widths via the ONE [[RecallEval]], and the spec floor and the
+  * scale probe (`ivfpqdrift`) drive this same mix so they cannot
+  * measure different things.
+  */
+private[graft] object IvfPqDrift {
+
+  /** recall@k of the persisted IVF-PQ index at `dir` (ADC scan with
+    * exact re-rank, `usePq = true`) vs exact kNN over `corpus`.
+    */
+  def recallAt(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int, corpus: DataFrame,
+      k: Int = 10, rerank: Int = 4): Double =
+    RecallEval.recallVsExact(
+      IvfIndex.search(spark, dir, queries, idCol, vecCol, k, nProbe,
+        usePq = true, rerank = rerank),
+      queries, corpus, idCol, vecCol, k)
+
+  /** Build IVF-PQ over `base`, append the drifted batches `b1` then `b2`,
+    * then run the two recovery stages (rebalance, rebuild), measuring
+    * recall@k for every `nProbes` entry after every stage. Returns
+    * (stage, nProbe -> recall) in mix order: build, append1, append2,
+    * rebalance, rebuild.
+    */
+  def runMix(
+      spark: SparkSession,
+      dir: String,
+      base: DataFrame, b1: DataFrame, b2: DataFrame,
+      queries: DataFrame,
+      idCol: String, vecCol: String,
+      nList: Int, pqM: Int,
+      nProbes: Seq[Int], k: Int = 10): Seq[(String, Map[Int, Double])] = {
+    IvfIndex.build(base, idCol, vecCol, dir, nList = nList, pqM = pqM)
+    val full = base.unionByName(b1).unionByName(b2)
+    // thunks, NOT eager values — each stage's maintenance op must run
+    // right before ITS measurement (the HnswDrift.runMix rule)
+    val stages = Seq[(String, () => DataFrame)](
+      "build" -> (() => base),
+      "append1" -> (() => {
+        IvfIndex.append(spark, dir, b1, idCol, vecCol)
+        base.unionByName(b1) }),
+      "append2" -> (() => {
+        IvfIndex.append(spark, dir, b2, idCol, vecCol)
+        full }),
+      "rebalance" -> (() => {
+        IvfIndex.rebalance(spark, dir); full }),
+      "rebuild" -> (() => {
+        IvfIndex.build(full, idCol, vecCol, dir, nList = nList, pqM = pqM)
+        full }))
+    stages.map { case (stage, act) =>
+      val corpus = act().cache()
+      val r = nProbes.map(p =>
+        p -> recallAt(spark, dir, queries, idCol, vecCol, p, corpus, k)).toMap
+      corpus.unpersist()
+      stage -> r
+    }
+  }
+}

@@ -47,9 +47,10 @@ object SemLinkGrid {
     * measured the escalated IVF grid at 174.9 s for 200k keys vs 1.4 s
     * at 2k. The sharded HNSW beam is `shards·ef·log(N/shards)` per
     * query — N·log N overall — and emits only top-k rows from
-    * `mapPartitions`, no pair-row shuffle; SCALE_r15_default_gate
-    * measures the same 200k-key grid on this tier at a small multiple
-    * of the 2k time. The default equals [[DefaultAnnAbove]]: every
+    * `mapPartitions`, no pair-row shuffle; the ScaleProbe `gridhnsw` /
+    * `griddefault` modes measure this tier side by side with that IVF
+    * number on the same catalogs (committed SCALE artifacts carry the
+    * rows). The default equals [[DefaultAnnAbove]]: every
     * untuned escalation goes straight to the N·log N plan, and the IVF
     * tier remains the EXPLICIT middle choice (`hnswAbove =
     * Long.MaxValue`, or tuned nList/nProbe — its full-probe sentinel is
@@ -261,16 +262,32 @@ object SemLinkGrid {
       nList: Int = 0,
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
-      efSearch: Int = 64): DataFrame = {
-    val (core, keys, _) = gridKnnIds(embedded, kMax, blockSize, annAbove,
-      nList, nProbe, hnswAbove, efSearch)
-    core
+      efSearch: Int = 64): DataFrame =
+    gridKnnWithEngine(embedded, kMax, blockSize, annAbove, nList, nProbe,
+      hnswAbove, efSearch)._1
+
+  /** [[gridKnn]] plus the engine the gate ACTUALLY picked ("exact" /
+    * "ivf" / "hnsw") — the surface the scale probe records, so a
+    * committed artifact reflects the real plan rather than re-deriving
+    * the thresholds (which a future gate change could silently
+    * desynchronize).
+    */
+  private[graft] def gridKnnWithEngine(embedded: DataFrame, kMax: Int,
+      blockSize: Int = 100000,
+      annAbove: Long = DefaultAnnAbove,
+      nList: Int = 0,
+      nProbe: Int = 16,
+      hnswAbove: Long = DefaultHnswAbove,
+      efSearch: Int = 64): (DataFrame, String) = {
+    val (core, keys, engine) = gridKnnIds(embedded, kMax, blockSize,
+      annAbove, nList, nProbe, hnswAbove, efSearch)
+    (core
       .join(broadcast(keys.withColumnRenamed("id", "query_id")
         .withColumnRenamed("key", "__qkey")), Seq("query_id"))
       .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")
         .withColumnRenamed("key", "__nkey")), Seq("neighbor_id"))
       .select(col("__qkey").as("query_id"), col("__nkey").as("neighbor_id"),
-        col("dist"), col("rank"))
+        col("dist"), col("rank")), engine)
   }
 
   /** [[gridKnn]]'s long-id core: (the kNN frame on xxhash64 ids, the

@@ -608,6 +608,101 @@ object Streams {
       graft.text.Bm25Index.searchSchema, dropBatch = true)
   }
 
+  /** [[lexReingestLate]]'s contract on the persistent IVF family: recover
+    * the `late/` channel of a gated [[annIngestWatermarked]] run and drive
+    * it through the non-gated ingest body directly — freshness anti-join
+    * against the committed assignments, probe against the index AS OF the
+    * call (batch-keyed under `outDir`, exactly-once), then append. The
+    * anti-join makes the call replay-safe (a second invocation emits
+    * nothing), and the whole body runs under the index's writer lock —
+    * one maintenance op, like the gated micro-batch it completes.
+    *
+    * `outDir` is owned by the call (cleared first); returns the probe
+    * rows of the re-admitted vectors (empty frame when the audit channel
+    * has no recoverable rows).
+    */
+  def annReingestLate(
+      spark: SparkSession,
+      gatedOutDir: String,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+    lateRows(spark, gatedOutDir).foreach { late =>
+      graft.util.IndexLock.withLock(spark, indexDir, "ann-reingest") {
+        // crashed-rebalance recovery BEFORE the committed-id read — the
+        // annIngestBatch ordering, for the same reason (a half-committed
+        // swap has no live assignments dir to read)
+        graft.knn.IvfIndex.recoverSwap(spark, indexDir)
+        val ids = graft.knn.IvfIndex.readIds(spark, indexDir)
+          .localCheckpoint(eager = false)
+        val fresh = late.join(ids,
+          late(idCol).cast("long") === ids("id"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          // ONE metadata load shared by probe and append — the
+          // annIngestBatch fast path
+          val (centroids, metric, pq) =
+            graft.knn.IvfIndex.loadIndexMeta(spark, indexDir)
+          graft.knn.IvfIndex.search(spark, indexDir, fresh, idCol, vecCol,
+              k, nProbe, preMeta = Some((centroids, metric)))
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=0")
+          graft.knn.IvfIndex.appendPrepared(spark, indexDir, fresh, idCol,
+            vecCol, centroids, metric, pq)
+        }
+      }
+    }
+    channelOrEmpty(spark, fs, outDir,
+      graft.knn.IvfIndex.searchSchema, dropBatch = true)
+  }
+
+  /** [[annReingestLate]] on the sharded HNSW family: late rows of a gated
+    * [[hnswIngestWatermarked]] run anti-join against the live manifest's
+    * ids, beam-probe the graph AS OF the call, then insert via the
+    * generation-committed append. Same lock/replay contract as the IVF
+    * twin; the search channel is approximate (HNSW recall), so oracles
+    * over this call pin membership, not neighbor sets.
+    */
+  def hnswReingestLate(
+      spark: SparkSession,
+      gatedOutDir: String,
+      indexDir: String,
+      outDir: String,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      efSearch: Int = 64): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+    lateRows(spark, gatedOutDir).foreach { late =>
+      graft.util.IndexLock.withLock(spark, indexDir, "hnsw-reingest") {
+        // heal a reshard that died mid-swap before reading the manifest —
+        // the hnswIngestBatch ordering
+        graft.knn.HnswIndex.recoverReshard(spark, indexDir)
+        val ids = graft.knn.HnswIndex.readIds(spark, indexDir)
+          .localCheckpoint(eager = false)
+        val fresh = late.join(ids,
+          late(idCol).cast("long") === ids("id"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          graft.knn.HnswIndex.search(spark, indexDir, fresh, idCol, vecCol,
+              k, efSearch)
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=0")
+          graft.knn.HnswIndex.append(spark, indexDir, fresh, idCol, vecCol,
+            takeLock = false)
+        }
+      }
+    }
+    channelOrEmpty(spark, fs, outDir,
+      graft.knn.IvfIndex.searchSchema, dropBatch = true)
+  }
+
   /** [[lexIngestOnce]] with an EVENT-TIME LATENESS GATE — the answer to
     * out-of-order arrival that the plain ingester has no opinion on
     * (its index appends are commutative, so reordering on-time batches

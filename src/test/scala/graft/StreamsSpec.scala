@@ -837,6 +837,84 @@ class StreamsSpec extends SparkSpec {
       none.schema == graft.text.Bm25Index.searchSchema)
   }
 
+  test("annReingestLate / hnswReingestLate: end state = base ∪ every " +
+    "staged row, replay-safe, empty audit channel is a no-op") {
+    import org.apache.spark.sql.types._
+    val emb = graft.sources.Lake.embeddings(spark, sf0001)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 40)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("ts", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val t0 = 1700000000000L
+
+    def stage(base: String): Unit = {
+      Streams.stageBatch(
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            (col("vec_id") * 100).as("ts"), col("embedding")),
+        s"$base/batches", "batch_a.parquet", t0)
+      Streams.stageBatch(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 40)
+          .select((col("vec_id") + 2000000).as("vec_id"),
+            when(col("vec_id") % 3 === 0, col("vec_id"))
+              .otherwise(col("vec_id") * 100).as("ts"), col("embedding")),
+        s"$base/batches", "batch_b.parquet", t0 + 60000)
+    }
+    // every staged id, no lateness carve-outs — the re-ingest loop
+    // brings the ancient-ts rows back
+    val wantIds = (emb.select(col("vec_id")).collect().map(_.getLong(0)) ++
+      (0L until 10L).map(_ + 1000000) ++
+      (10L until 40L).map(_ + 2000000)).toSet
+
+    locally { // IVF family
+      val base = Files.createTempDirectory("annreingest").toString
+      graft.knn.IvfIndex.build(emb, "vec_id", "embedding",
+        s"$base/index", nList = 4)
+      stage(base)
+      Streams.annIngestWatermarked(spark, s"$base/batches", schema,
+        s"$base/index", s"$base/out", "vec_id", "embedding", "ts",
+        lateness = 100L, k = 3, nProbe = 4)
+      val re = Streams.annReingestLate(spark, s"$base/out",
+        s"$base/index", s"$base/out2", "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      assert(re.count() > 0) // late vectors really were probed
+      def ids() = graft.knn.IvfIndex.readIds(spark, s"$base/index")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids() == wantIds)
+      // replay safety: a second call emits nothing and changes nothing
+      val replay = Streams.annReingestLate(spark, s"$base/out",
+        s"$base/index", s"$base/out2", "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      assert(replay.isEmpty && ids() == wantIds)
+      val none = Streams.annReingestLate(spark, s"$base/never",
+        s"$base/index", s"$base/out3", "vec_id", "embedding")
+      assert(none.isEmpty && none.schema == graft.knn.IvfIndex.searchSchema)
+    }
+
+    locally { // HNSW family
+      val base = Files.createTempDirectory("hnswreingest").toString
+      graft.knn.HnswIndex.build(emb, "vec_id", "embedding",
+        s"$base/index", shards = 2)
+      stage(base)
+      Streams.hnswIngestWatermarked(spark, s"$base/batches", schema,
+        s"$base/index", s"$base/out", "vec_id", "embedding", "ts",
+        lateness = 100L, k = 3)
+      val re = Streams.hnswReingestLate(spark, s"$base/out",
+        s"$base/index", s"$base/out2", "vec_id", "embedding", k = 3)
+      assert(re.count() > 0)
+      def ids() = graft.knn.HnswIndex.readIds(spark, s"$base/index")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids() == wantIds)
+      val replay = Streams.hnswReingestLate(spark, s"$base/out",
+        s"$base/index", s"$base/out2", "vec_id", "embedding", k = 3)
+      assert(replay.isEmpty && ids() == wantIds)
+      val none = Streams.hnswReingestLate(spark, s"$base/never",
+        s"$base/index", s"$base/out3", "vec_id", "embedding")
+      assert(none.isEmpty && none.schema == graft.knn.IvfIndex.searchSchema)
+    }
+  }
+
   test("IngestWatermark: versioned FS JSON — crash-safe, monotone, " +
     "cleared by index build") {
     import org.apache.spark.sql.functions._
