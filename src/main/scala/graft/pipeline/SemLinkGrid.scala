@@ -47,10 +47,12 @@ object SemLinkGrid {
     * measured the escalated IVF grid at 174.9 s for 200k keys vs 1.4 s
     * at 2k. The sharded HNSW beam is `shards·ef·log(N/shards)` per
     * query — N·log N overall — and emits only top-k rows from
-    * `mapPartitions`, no pair-row shuffle; the ScaleProbe `gridhnsw` /
-    * `griddefault` modes measure this tier side by side with that IVF
-    * number on the same catalogs (committed SCALE artifacts carry the
-    * rows). The default equals [[DefaultAnnAbove]]: every
+    * `mapPartitions`, no pair-row shuffle; SCALE_r16_default_gate
+    * MEASURES the untuned 200k-key grid on this tier at 122.2 s vs the
+    * IVF tier's 174.9 s on the identical catalog
+    * (SCALE_r14_default_gate), growing 55× per 100× data where IVF grew
+    * 124× — the log N vs √N per-query gap, widening with N.
+    * The default equals [[DefaultAnnAbove]]: every
     * untuned escalation goes straight to the N·log N plan, and the IVF
     * tier remains the EXPLICIT middle choice (`hnswAbove =
     * Long.MaxValue`, or tuned nList/nProbe — its full-probe sentinel is
