@@ -448,12 +448,21 @@ object ScaleProbe {
         }.mkString("{", ",", "}")
       val sm = ivfPqDriftProbe(small)
       val bg = ivfPqDriftProbe(big)
-      // the recovery floor: after the full rebuild the FULL probe (p32 =
-      // nList — no coarse misses, pure codebook quality) must be back
-      // above it on BOTH tiers — the rebuild-cadence claim
-      val floor = 0.85
-      val recovered = (sm ++ bg).filter(_._1 == "rebuild").forall(_._4 >= floor)
-      Seq(s""""ivfpq_drift":{"small":${fmt(sm)},"big":${fmt(bg)},"floor_rebuild_p32":$floor,"rebuild_within_floor":$recovered}""")
+      // the recovery gate is RELATIVE: after the full rebuild the full
+      // probe (p32 = nList — no coarse misses, pure codebook quality)
+      // must be back at the BUILD-TIME level on both tiers. An absolute
+      // floor would encode a density assumption — the big tier's
+      // no-drift build-time p32 is 0.687 (20k corpus: true-neighbor
+      // gaps shrink toward the ADC error scale), and rebuild restores
+      // (slightly exceeds) it because centroids AND codebooks retrain
+      // over the full drifted corpus. The rebuild-cadence claim is
+      // exactly this restoration, not a fixed number.
+      def p32(rows: Seq[(String, Double, Double, Double)], st: String) =
+        rows.find(_._1 == st).get._4
+      val tol = 0.02
+      val recovered = Seq(sm, bg).forall(r =>
+        p32(r, "rebuild") >= p32(r, "build") - tol)
+      Seq(s""""ivfpq_drift":{"small":${fmt(sm)},"big":${fmt(bg)},"gate":"rebuild_p32 >= build_p32 - $tol","rebuild_restores_build_level":$recovered}""")
     }
 
     // null, not false, when the block probe was skipped — false would
