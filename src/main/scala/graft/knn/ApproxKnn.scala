@@ -871,7 +871,26 @@ private[knn] object HnswSearch {
         .map { case (nid, d) => (qid, nid, d) }
     }
 
-  /** Merge per-shard partials into the global per-query top-k. */
+  /** Merge per-shard/per-block partials into the global per-query top-k:
+    * (query_id, neighbor_id, dist, rank), rank 1-based ascending by
+    * (dist, neighbor_id) — every kNN strategy's one merge.
+    *
+    * Deliberately a ranking WINDOW, not a bounded top-k aggregate —
+    * MEASURED, round 16, on the 200k-key grid tier (64M partial rows
+    * through this merge, identical catalog/protocol/host): window
+    * 102.5 s end to end; a TypedImperativeAggregate top-k buffer
+    * (BoundedTopK's shape on (dist, id) pairs) 145.8 s on the default
+    * ObjectHashAggregate sort-fallback and 160.2 s with the fallback
+    * threshold raised to pure hash. The window's per-partition sort is
+    * whole-stage-codegen'd UnsafeRow radix sort + a streaming
+    * row_number; the object aggregate pays interpreted per-row
+    * `eval`, generic buffers and serde on every map-side row, and k·N
+    * buffer inserts cost more than N·log N radix comparisons at these
+    * k. A bounded aggregate only wins when per-group row counts are
+    * UNBOUNDED (the profiler's near-unique-column case — BoundedTopK's
+    * A2); here every shard emits exactly k rows per query, so the sort
+    * input is already top-k-bounded and the window is the faster plan.
+    */
   def topKMerge(partials: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
     partials
