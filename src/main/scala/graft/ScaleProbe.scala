@@ -161,7 +161,11 @@ object ScaleProbe {
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // INFO exposes per-job DAGScheduler timings with callsites — the
+    // cheap way to attribute a probe's wall-clock to build vs search
+    // stages without changing what is measured
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
 
     def runOne(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)

@@ -192,8 +192,16 @@ object HnswIndex {
     import spark.implicits._
     src
       .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
-      .repartition(shards, col("shard"))
+      // PERFECT shard placement (graft.util.ShardSlots): a bare
+      // repartition(shards, col("shard")) hash-collides shard keys —
+      // ~1/e of the build tasks idle while others construct two whole
+      // graphs. The groupBy below still tolerates multi-shard
+      // partitions, so the slot mapping is a pure balance hint.
+      .withColumn("__slot",
+        graft.util.ShardSlots.slotCol(col("shard"), 0 until shards))
+      .repartition(shards, col("__slot"))
       .sortWithinPartitions("shard", "id")
+      .select("id", "vec", "shard")
       .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
         it.toSeq.groupBy(_._3).iterator.flatMap { case (shard, rows) =>
@@ -206,7 +214,9 @@ object HnswIndex {
       }
       .toDF("shard", "pos", "id", "vec", "links")
       .withColumn("g", lit(gen))
-      .repartition(col("shard"))
+      // one shard per partition already (the slot repartition above) —
+      // no second shuffle; the partitionBy("g","shard") writer emits one
+      // file per live (g, shard) from its own task
   }
 
   /** Atomically publish the shard→generation map as manifest generation
@@ -485,8 +495,18 @@ object HnswIndex {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         IvfIndex.searchSchema)
+    // PERFECT shard placement (graft.util.ShardSlots) — one restored
+    // graph per task: a bare repartition(col("shard")) hash-collides
+    // shard keys, measured on the 200k-key grid tier as 18 non-empty
+    // beam tasks out of 32 with 40–437 s spreads (a doubled task beams
+    // every query through TWO graphs while a third of the cores idle).
+    // The groupBy below still tolerates multi-shard partitions, so the
+    // slot mapping is a pure balance hint.
+    val liveShards = shardGens.keys.toSeq.sorted
     val partials = loadNodes(spark, dir, shardGens)
-      .repartition(col("shard"))
+      .withColumn("__slot",
+        graft.util.ShardSlots.slotCol(col("shard"), liveShards))
+      .repartition(liveShards.size, col("__slot"))
       .sortWithinPartitions("shard", "pos")
       .select(col("shard"), col("id"), col("vec").cast("array<float>"),
         col("links").cast("array<array<int>>"))
