@@ -32,9 +32,17 @@ object MakeScale {
     val src = args(0)
     val dst = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val knownTables = Set("documents", "embeddings", "events")
     val tables: Set[String] =
       if (args.length > 3) args(3).split(',').toSet
-      else Set("documents", "embeddings", "events")
+      else knownTables
+    // fail LOUDLY on a typo'd table token — a silently skipped table
+    // writes nothing while the echoed JSON records the run as intended
+    // (the same silent-skip failure mode the probe-token check closes)
+    val unknownTables = tables -- knownTables
+    require(unknownTables.isEmpty,
+      s"MakeScale: unknown table token(s) ${unknownTables.mkString(",")} — " +
+        s"known: ${knownTables.toSeq.sorted.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -725,6 +725,20 @@ object ApproxKnn {
     * the merged top-k equals brute force — the oracle form (the q97
     * convention).
     */
+  /** [[hnswBlockKnn]]'s scratch-dir placement guard, factored out so the
+    * message is spec-testable without a non-local cluster: the DEFAULT
+    * (owned) scratch dir is a driver-local temp path, which executors on
+    * any non-local master cannot read — the build would scatter graph
+    * files across machine-local disks and the search would restore
+    * nothing. Refuse loudly instead.
+    */
+  private[graft] def requireLocalScratch(master: String, owned: Boolean): Unit =
+    require(!owned || master.startsWith("local"),
+      s"hnswBlockKnn: the default scratchDir is DRIVER-LOCAL temp space, " +
+        s"which executors under master '$master' cannot read — pass a " +
+        "shared-filesystem scratchDir (hdfs:/s3a:/...) on non-local " +
+        "deployments")
+
   def hnswBlockKnn(
       queries: DataFrame,
       candidates: DataFrame,
@@ -749,8 +763,17 @@ object ApproxKnn {
     // place, results returned lazy over it. NOTE the default is a
     // DRIVER-LOCAL temp path — fine in local mode; on a real cluster pass
     // a shared-FS scratchDir (the graphs are written and re-read through
-    // the Hadoop FS API, so any hdfs:/s3a: path works).
+    // the Hadoop FS API, so any hdfs:/s3a: path works) — the guard below
+    // REFUSES the default off local masters rather than letting executors
+    // silently write graphs to a path only the driver can see. The owned
+    // path also makes the result EAGER via localCheckpoint (see finish):
+    // the checkpointed blocks are unreplicated executor state, so on a
+    // non-local deployment a lost executor makes the returned frame
+    // unrecoverable — a second reason the owned default is scoped to
+    // local mode, and a caller-provided shared-FS scratchDir keeps the
+    // result lazily recomputable instead.
     val owned = scratchDir.isEmpty
+    requireLocalScratch(spark.sparkContext.master, owned)
     val dir = scratchDir.getOrElse {
       val d = java.nio.file.Files.createTempDirectory("graft_hnsw_block")
         .toString
@@ -877,7 +900,11 @@ private[knn] object HnswSearch {
     *
     * Deliberately a ranking WINDOW, not a bounded top-k aggregate —
     * MEASURED, round 16, on the 200k-key grid tier (64M partial rows
-    * through this merge, identical catalog/protocol/host): window
+    * through this merge; all three numbers from the ONE experiment
+    * session — the committed SCALE_r16_default_gate records this same
+    * window plan at 72.5 s in a separate session on the shared host,
+    * so the claim is the within-session 1.42×/1.56× loss, not the
+    * absolutes): window
     * 102.5 s end to end; a TypedImperativeAggregate top-k buffer
     * (BoundedTopK's shape on (dist, id) pairs) 145.8 s on the default
     * ObjectHashAggregate sort-fallback and 160.2 s with the fallback

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *  - `assignments/` — (id, vec) parquet PARTITIONED BY cid: each inverted
   *    list is a partition directory, so a probe of `nProbe` lists becomes
   *    a partition-pruned scan that never touches the other lists' files;
-  *  - `params/` — one row (n_list, metric, seed): like [[HnswIndex]]'s
-  *    `params/`, the metric rides IN the index — search and append read
-  *    it from disk, so a caller cannot probe a cosine-built index with L2.
+  *  - `params/` — one row (n_list, metric, seed, n_at_train): like
+  *    [[HnswIndex]]'s `params/`, the metric rides IN the index — search
+  *    and append read it from disk, so a caller cannot probe a
+  *    cosine-built index with L2; `n_at_train` anchors the [[staleness]]
+  *    rebuild-cadence signal.
   *
   * Cosine runs as spherical IVF: the quantizer is trained on unit-
   * normalized vectors and both assign and probe normalize on the fly, but
@@ -90,11 +92,13 @@ object IvfIndex {
     // losing the append's rows
     graft.util.IndexLock.withLock(candidates.sparkSession, dir,
         "IvfIndex.build") {
-      val lists =
-        if (nList > 0) nList else ApproxKnn.autoNList(candidates.count())
+      // one column-pruned count serves the auto-nList rule AND the
+      // training-time corpus size persisted for [[staleness]]
+      val nCand = candidates.count()
+      val lists = if (nList > 0) nList else ApproxKnn.autoNList(nCand)
       buildLocked(candidates, idCol, vecCol, dir, lists, metric, kmeansIters,
         sampleCap, seed, pqM, pqKsub, pqByResidual, distributedTrain,
-        twoLevelAssign, twoLevelProbes)
+        twoLevelAssign, twoLevelProbes, nCand)
     }
 
   private def buildLocked(
@@ -112,7 +116,8 @@ object IvfIndex {
       pqByResidual: Boolean,
       distributedTrain: Boolean,
       twoLevelAssign: Boolean,
-      twoLevelProbes: Int): Int = {
+      twoLevelProbes: Int,
+      nAtTrain: Long): Int = {
     val spark = candidates.sparkSession
     import spark.implicits._
     // a crashed rebalance/build must not leak staged tables into this
@@ -171,8 +176,11 @@ object IvfIndex {
       .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "vec")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.tmp")
-    Seq((centroids.length, metric, seed))
-      .toDF("n_list", "metric", "seed")
+    // n_at_train: the corpus size the quantizer (and codebooks, if any)
+    // trained on — the denominator-anchor [[staleness]] reports drift
+    // against. A fresh build trains everything, so it IS the corpus size.
+    Seq((centroids.length, metric, seed, Some(nAtTrain): Option[Long]))
+      .toDF("n_list", "metric", "seed", "n_at_train")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
 
@@ -422,6 +430,105 @@ object IvfIndex {
     spark.read.parquet(s"$dir/assignments")
       .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
 
+  /** Rebuild-cadence signal — the operational answer to "when is rebuild
+    * due?" that the IVF-PQ drift harness ([[IvfPqDrift]]) measures
+    * offline. One row:
+    *
+    *  - `n_rows` — current corpus size (column-pruned id scan);
+    *  - `n_at_train` — corpus size when the quantizer/codebooks last
+    *    trained (null for pre-column legacy indexes: unknown, not fresh);
+    *  - `frac_appended_since_train` — (n_rows − n_at_train)/n_rows, the
+    *    CHEAP proxy: appends are the only way corpus and training drift
+    *    apart (builds and vectors-only rebalances reset the anchor;
+    *    PQ rebalances preserve it because they keep the codebooks);
+    *  - `mean_adc_displacement` — the DIRECT quality signal, PQ indexes
+    *    only (null otherwise): over `probeQueries` sampled member
+    *    vectors, the mean |ADC rank − exact rank| of the exact top-k
+    *    within the k·rerank ADC shortlist, from two probes of the live
+    *    index. Fresh codebooks order the shortlist nearly exactly
+    *    (displacement ≈ small); drifted appends quantize badly and the
+    *    ADC order scrambles — the same mechanism that collapsed recall
+    *    in the drift harness (build 0.69 → drifted 0.22 at the 20k
+    *    tier), caught here from the index alone, no ground truth or
+    *    harness run needed.
+    *
+    * Operating rule: trend `mean_adc_displacement` from build time (or
+    * alarm on `frac` past ~0.25, where the harness measured the recall
+    * trough) — a displacement well above its build-time level means ADC
+    * is no longer short-listing what exact distance would, and
+    * [[rebalance]] will NOT recover it (it keeps the codebooks);
+    * schedule a [[build]].
+    *
+    * Cost: one id-count + (PQ only) two `probeQueries`-sized probes at
+    * `nProbe` — index-size-independent beyond the probed lists' scan.
+    */
+  def staleness(
+      spark: SparkSession,
+      dir: String,
+      probeQueries: Int = 64,
+      k: Int = 10,
+      nProbe: Int = 8,
+      rerank: Int = 4,
+      seed: Int = 42): DataFrame = {
+    import spark.implicits._
+    val nRows = readIds(spark, dir).count()
+    val nAtTrain = loadNAtTrain(spark, dir)
+    val frac = nAtTrain.map(t =>
+      if (nRows == 0) 0.0 else math.max(0.0, (nRows - t).toDouble / nRows))
+    val hasPq = {
+      val p = new Path(s"$dir/pq")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val disp: Option[Double] =
+      if (!hasPq || nRows == 0) None
+      else {
+        // deterministic member sample as the probe query set: the
+        // seeded id-hash draws uniformly across list directories (a
+        // bare limit() would sample whichever lists list first)
+        val sample = spark.read.parquet(s"$dir/assignments")
+          .select(col("id"), col("vec"))
+          .filter(pmod(xxhash64(col("id"), lit(seed)), lit(math.max(1L, nRows)))
+            < lit(math.min(nRows, probeQueries * 2L)))
+          .limit(probeQueries)
+          .localCheckpoint(eager = false)
+        // same queries, same nProbe → identical probed lists, so the
+        // exact-reranked top-k is a REORDERING of the ADC shortlist and
+        // the rank join below is total
+        val adcOrder = search(spark, dir, sample, "id", "vec",
+          k = k * math.max(1, rerank), nProbe = nProbe, usePq = true,
+          rerank = 0)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("__adc_rank"))
+        val exactTop = search(spark, dir, sample, "id", "vec",
+          k = k, nProbe = nProbe, usePq = true, rerank = math.max(1, rerank))
+        val joined = exactTop.join(adcOrder, Seq("query_id", "neighbor_id"))
+          .agg(avg(abs(col("__adc_rank") - col("rank"))).as("d"))
+          .collect()(0)
+        if (joined.isNullAt(0)) None else Some(joined.getDouble(0))
+      }
+    Seq((nRows, nAtTrain, frac, disp))
+      .toDF("n_rows", "n_at_train", "frac_appended_since_train",
+        "mean_adc_displacement")
+  }
+
+  /** The persisted training-time corpus size, if this index (or its last
+    * vectors-only rebalance) recorded one — None for legacy layouts.
+    */
+  private def loadNAtTrain(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new Path(s"$dir/params")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val df = spark.read.parquet(s"$dir/params")
+      if (!df.columns.contains("n_at_train")) None
+      else {
+        val r = df.select("n_at_train").collect()
+        if (r.length != 1 || r.head.isNullAt(0)) None
+        else Some(r.head.getLong(0))
+      }
+    }
+  }
+
   /** Re-train the coarse quantizer IN PLACE on the current corpus and
     * re-file every vector — the answer to append drift that [[stats]]
     * diagnoses. [[append]] keeps the quantizer fixed (FAISS `IndexIVF.add`
@@ -567,8 +674,17 @@ object IvfIndex {
       .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "vec")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.tmp")
-    Seq((centroids.length, metric, seed))
-      .toDF("n_list", "metric", "seed")
+    // n_at_train across rebalance: a PQ index KEEPS its codebooks (the
+    // stat tracks exactly the drift rebalance cannot fix — see the
+    // IvfPqDrift two-regime result), so the training anchor is preserved
+    // (legacy indexes without the column stay unknown rather than
+    // claiming false freshness); a vectors-only index has its whole
+    // quantizer retrained here, so the anchor resets to the current
+    // corpus
+    val nAtTrain: Option[Long] =
+      if (pq.isDefined) loadNAtTrain(spark, dir) else Some(nRows)
+    Seq((centroids.length, metric, seed, nAtTrain))
+      .toDF("n_list", "metric", "seed", "n_at_train")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
     writeAssignments(corpus, "id", "vec", dir, bcCentroids, cosine, pq,

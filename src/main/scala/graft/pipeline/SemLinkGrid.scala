@@ -48,13 +48,14 @@ object SemLinkGrid {
     * at 2k. The sharded HNSW beam is `shards·ef·log(N/shards)` per
     * query — N·log N overall — and emits only top-k rows from
     * `mapPartitions`, no pair-row shuffle; SCALE_r16_default_gate
-    * MEASURES the untuned 200k-key grid on this tier at 122.2 s vs the
-    * IVF tier's 174.9 s on the identical catalog
-    * (SCALE_r14_default_gate), growing 55× per 100× data where IVF grew
-    * 124× — the log N vs √N per-query gap, widening with N. At the
-    * 10⁶-key tier (SCALE_r16_1m) the untuned default measures 688.9 s —
-    * per-key cost nearly FLAT across 5× more keys (0.69 vs 0.61 ms/key
-    * at 200k, the log-N signature), where IVF's Θ(N^1.5) projects
+    * MEASURES the untuned 200k-key grid on this tier at 76.9 s
+    * (forced-HNSW row: 72.5 s) vs the IVF tier's 174.9 s on the
+    * identical catalog (SCALE_r14_default_gate), growing 62.8× per
+    * 100× data where IVF grew 124× — the log N vs √N per-query gap,
+    * widening with N. At the 10⁶-key tier (SCALE_r16_1m) the untuned
+    * default measures 688.9 s — per-key cost 0.38 → 0.69 ms across 5×
+    * more keys (1.8× per key: between pure log-N's 1.2× and √N's
+    * 2.2×, far below exact's 5×), where IVF's Θ(N^1.5) projects
     * ~1950 s from its own 200k measurement; the crossover in HNSW's
     * favor is already behind the gate at 10⁵ and only widens.
     * The default equals [[DefaultAnnAbove]]: every

@@ -54,14 +54,35 @@ object ShardSlots {
 
   /** The slot COLUMN for `shardCol` over `keys` — pair it with
     * `repartition(keys.size, slotCol(...))`.
+    *
+    * A shard value NOT in `keys` falls through to TRUE modular
+    * placement — the slot value that provably lands in partition
+    * `shard mod n` — so an under-covering key set degrades to
+    * round-robin balance (still collision-free if the uncovered
+    * shards are distinct mod n) instead of silently collapsing every
+    * uncovered row into the one NULL-hash partition. Correctness
+    * never depends on the mapping either way (consumers group by the
+    * shard column inside the partition); the fallback protects the
+    * BALANCE the helper exists to provide.
     */
   def slotCol(shardCol: Column, keys: Seq[Int]): Column = {
     // a literal CASE chain in deterministic key order — keys are few
     // (shard counts), so the codegen'd chain is trivial
     val pairs = slotFor(keys).toSeq.sorted
+    // invert the assignment: slotOfPartition(p) = the slot value that
+    // Murmur3-routes to partition p — element_at over this literal
+    // array IS modular placement for the fallback branch
+    val n = pairs.size
+    val slotOfPartition = new Array[Int](n)
+    pairs.foreach { case (_, v) =>
+      slotOfPartition(math.floorMod(
+        Murmur3_x86_32.hashInt(v, 42), n)) = v
+    }
     pairs.tail.foldLeft(
       when(shardCol === lit(pairs.head._1), lit(pairs.head._2))) {
       case (acc, (k, v)) => acc.when(shardCol === lit(k), lit(v))
-    }
+    }.otherwise(element_at(
+      array(slotOfPartition.map(lit(_)): _*),
+      (pmod(shardCol, lit(n)) + 1).cast("int")))
   }
 }

@@ -272,4 +272,19 @@ class ApproxKnnSpec extends SparkSpec {
       "embedding", k = 5, truncDim = 32, rerank = 12))
     assert(r12 >= r4 - 0.02, s"wider rerank regressed recall: $r4 -> $r12")
   }
+
+  test("hnswBlockKnn scratch guard: the owned driver-local default is " +
+    "refused off local masters, allowed locally or with a caller dir") {
+    // local master, owned default: fine (this suite's own mode)
+    ApproxKnn.requireLocalScratch("local[32]", owned = true)
+    // non-local master with a CALLER-provided shared dir: fine
+    ApproxKnn.requireLocalScratch("yarn", owned = false)
+    // non-local master falling back to driver temp: refused loudly —
+    // executors would write graphs to a path only the driver can see
+    val e = intercept[IllegalArgumentException] {
+      ApproxKnn.requireLocalScratch("spark://host:7077", owned = true)
+    }
+    assert(e.getMessage.contains("shared-filesystem scratchDir"),
+      s"guard message changed: ${e.getMessage}")
+  }
 }

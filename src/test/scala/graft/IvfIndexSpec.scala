@@ -371,4 +371,69 @@ class IvfIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == exact)
   }
+
+  test("staleness: frac tracks appends, PQ rebalance preserves the " +
+    "training anchor, rebuild resets it; ADC displacement rises under " +
+    "drifted appends") {
+    import org.apache.spark.sql.Row
+    def row(dir: String): Row =
+      IvfIndex.staleness(spark, dir, probeQueries = 48).collect()(0)
+    val bucket = pmod(xxhash64(col("vec_id")), lit(10))
+    val base = emb.filter(bucket < 8)
+    // the drift-harness fixture: the appended batch is component-shifted
+    // out of the training distribution
+    val drifted = emb.filter(bucket >= 8).withColumn("embedding",
+      transform(col("embedding"), x => (x + lit(0.6)).cast("float")))
+
+    val dir = graft.util.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("ivf_stale").toString)
+    val nBase = base.count()
+    IvfIndex.build(base, "vec_id", "embedding", dir, nList = 16, pqM = 8)
+    val fresh = row(dir)
+    assert(fresh.getLong(0) == nBase)
+    assert(fresh.getLong(1) == nBase)               // anchor = build corpus
+    assert(fresh.getDouble(2) == 0.0)               // nothing appended
+    val dispFresh = fresh.getDouble(3)
+    assert(!fresh.isNullAt(3) && dispFresh >= 0.0)
+
+    IvfIndex.append(spark, dir, drifted, "vec_id", "embedding")
+    val nAll = emb.count()
+    val after = row(dir)
+    assert(after.getLong(0) == nAll)
+    assert(after.getLong(1) == nBase)               // anchor unchanged
+    val expFrac = (nAll - nBase).toDouble / nAll
+    assert(math.abs(after.getDouble(2) - expFrac) < 1e-9)
+    // the DIRECT signal: drifted appends quantize badly against the
+    // build-time codebooks, so the ADC shortlist order scrambles
+    val dispDrifted = after.getDouble(3)
+    assert(dispDrifted > dispFresh,
+      s"ADC displacement did not rise under drift: $dispFresh -> $dispDrifted")
+
+    // PQ rebalance keeps the codebooks → the anchor (and frac) persist:
+    // the stat must keep saying "rebuild due" after the non-recovery op
+    IvfIndex.rebalance(spark, dir)
+    val rebal = row(dir)
+    assert(rebal.getLong(1) == nBase, "PQ rebalance moved the anchor")
+    assert(math.abs(rebal.getDouble(2) - expFrac) < 1e-9)
+
+    // full rebuild retrains everything → fresh anchor, frac back to 0
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 16, pqM = 8)
+    val rebuilt = row(dir)
+    assert(rebuilt.getLong(1) == nAll)
+    assert(rebuilt.getDouble(2) == 0.0)
+
+    // vectors-only index: no codebooks → displacement is null, and a
+    // rebalance RETRAINS the whole quantizer, so the anchor resets
+    val dir2 = graft.util.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("ivf_stale2").toString)
+    IvfIndex.build(base, "vec_id", "embedding", dir2, nList = 16)
+    IvfIndex.append(spark, dir2, drifted, "vec_id", "embedding")
+    val v1 = row(dir2)
+    assert(v1.isNullAt(3), "vectors-only index reported ADC displacement")
+    assert(v1.getLong(1) == nBase)
+    IvfIndex.rebalance(spark, dir2)
+    val v2 = row(dir2)
+    assert(v2.getLong(1) == nAll, "vectors-only rebalance kept a stale anchor")
+    assert(v2.getDouble(2) == 0.0)
+  }
 }

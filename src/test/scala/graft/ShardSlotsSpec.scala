@@ -42,4 +42,27 @@ class ShardSlotsSpec extends SparkSpec {
           "contract ShardSlots replicates has changed")
     }
   }
+
+  test("under-covering key set: uncovered shards degrade to modular " +
+    "placement, never collapse into one NULL partition") {
+    import spark.implicits._
+    val n = 8
+    val covered = 0 until n
+    // shard values 8..15 are NOT in the key set: the CASE chain's
+    // fallback must route shard s to partition s mod 8 — i.e. 8..15
+    // spread over ALL 8 partitions, not pile into the NULL-hash one
+    val df = (0 until 16).flatMap(s => Seq.fill(2)(s)).toDF("shard")
+      .withColumn("__slot", ShardSlots.slotCol(col("shard"), covered))
+    val placed = df.repartition(n, col("__slot"))
+      .select(col("shard"), spark_partition_id().as("pid"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    // covered keys keep their perfect one-per-partition placement
+    assert(covered.map(placed).distinct.length == n)
+    // the 8 uncovered shards spread round-robin over ALL n partitions
+    // (distinct mod n → distinct partitions) — the documented
+    // degradation; pre-fallback they all hashed NULL into one
+    val uncovered = (8 until 16).map(placed)
+    assert(uncovered.distinct.length == n,
+      s"uncovered shards collapsed: $uncovered")
+  }
 }
