@@ -135,7 +135,9 @@ object MakeScale {
   * "gridhnsw" (the forced HNSW escalation tier — the N·log N plan),
   * "drift" (HNSW recall curve across an append/vacuum/reshard mix),
   * "ivfpqdrift" (IVF-PQ ADC recall under drifting appends, with the
-  * rebalance recovery stage), or "none".
+  * rebalance recovery stage), "gridrecall" (recall@10 of the untuned
+  * default grid engine vs exact kNN on a sampled query subset — the
+  * quality twin of griddefault's runtime rows), or "none".
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -153,7 +155,7 @@ object ScaleProbe {
         "q91_stream_late_ingest", "q92_stream_dedup_late",
         "q95_stream_ann_ingest", "q96_stream_hnsw_late")
     val knownProbes = Set("block", "grid", "reshard", "griddefault",
-      "gridhnsw", "drift", "ivfpqdrift", "none")
+      "gridhnsw", "drift", "ivfpqdrift", "gridrecall", "none")
     val probes: Set[String] =
       if (args.length > 4) args(4).split(',').toSet else Set("block", "grid")
     // fail LOUDLY on a typo'd probe token — a silently skipped probe
@@ -406,6 +408,57 @@ object ScaleProbe {
       Seq(s""""hnsw_drift":{"small":${fmt(sm)},"big":${fmt(bg)},"floor_ef128":$floor,"all_within_floor":$within}""")
     }
 
+    // RECALL of the DEFAULT grid engine at each tier, measured on a
+    // sampled query subset against exact kNN — the quality companion of
+    // gridknn_default (whose committed rows prove RUNTIME; recall at the
+    // tiers where the HNSW gate actually fires was the one claim still
+    // extrapolated from small-tier drift floors). The probe runs the
+    // full untuned gridKnnWithEngine ONCE — the measured rows are the
+    // default path's own output, not a re-implementation — then filters
+    // to ~500 deterministically-sampled queries and scores them against
+    // brute-force truth via the ONE RecallEval the drift harnesses use.
+    def gridRecallProbe(dir: String): (Long, String, Long, Double) = {
+      import spark.implicits._
+      val cat = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("key"),
+          col("embedding").as("vec"))
+      val (knnDf, engine) = graft.pipeline.SemLinkGrid.gridKnnWithEngine(cat, 10)
+      // the grid's own id space (xxhash64 of the string key) — truth and
+      // approx compare as longs, the same rule gridKnnIds hashes by
+      val withId = cat.select(xxhash64(col("key").cast("string")).as("id"),
+        col("vec").cast("array<float>").as("vec"))
+      val n = withId.count()
+      val step = math.max(1L, n / 500L)
+      // seeded id-hash sample: uniform across the catalog, deterministic
+      // across runs; pinned so the approx filter and the truth side see
+      // the same queries
+      val sample = withId
+        .filter(pmod(xxhash64(col("id"), lit(17)), lit(step)) === 0)
+        .localCheckpoint()
+      val nQ = sample.count()
+      val approx = knnDf.select(
+          xxhash64(col("query_id").cast("string")).as("query_id"),
+          xxhash64(col("neighbor_id").cast("string")).as("neighbor_id"))
+        .join(broadcast(sample.select(col("id").as("query_id"))), "query_id")
+      val r = graft.knn.RecallEval.recallVsExact(
+        approx, sample, withId, "id", "vec", 10)
+      (n, engine, nQ, r)
+    }
+    val gridRecallRows = if (!probes("gridrecall")) Seq.empty else {
+      val (smN, smE, smQ, smR) = gridRecallProbe(small)
+      val (bgN, bgE, bgQ, bgR) = gridRecallProbe(big)
+      // the drift-mix floor (ScaleProbe `drift` / HnswIndexSpec): the
+      // wide-beam recall every operational stage must clear. The small
+      // side's exact engine must score ~1.0 by construction — a probe
+      // self-check, not a claim
+      val floor = 0.8
+      require(smE != "exact" || smR > 0.999,
+        s"gridrecall: exact engine scored $smR against brute force — " +
+          "the probe's truth side is broken")
+      Seq(
+        f""""gridknn_recall":{"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE","recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE","recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
+    }
+
     // IVF-PQ ADC recall under DRIFTING appends (the PQ family's named
     // LIMIT in COVERAGE.md — "ADC error under drift; the answer is
     // rebuild cadence"): centroids and codebooks train on the base
@@ -483,7 +536,7 @@ object ScaleProbe {
     val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
     } ++ blockRows ++ gridRows ++ reshardRows ++ gridDefaultRows ++
-      gridHnswRows ++ driftRows ++ ivfPqDriftRows).mkString(
+      gridHnswRows ++ gridRecallRows ++ driftRows ++ ivfPqDriftRows).mkString(
       s"""{"small":"$small","big":"$big","block_hash_equal":$blockHash,"queries":{""",
       ",", "}}")
     println(json)

@@ -420,23 +420,10 @@ object HnswIndex {
       require(existing.select("id")
         .join(fresh.select("id"), "id").isEmpty,
         "HnswIndex.append: id already present in the index")
-      val rebuilt = existing
-        .groupByKey(_._1)
-        .cogroup(fresh.select(col("shard"), col("id"), col("vec"))
-          .as[(Int, Long, Array[Float])].groupByKey(_._1)) {
-          (shard, oldIt, newIt) =>
-            val olds = oldIt.toSeq.sortBy(_._2) // original insertion order
-            val g = HnswGraph.restore(m, cosine,
-              olds.map { case (_, _, id, vec, links) => (id, vec, links) },
-              efConstruction, seed)
-            newIt.toSeq.sortBy(_._2).foreach { case (_, id, vec) => g.insert(id, vec) }
-            g.nodes.iterator.zipWithIndex.map { case ((id, vec, links), pos) =>
-              (shard, pos, id, vec, links)
-            }
-        }
-        .toDF("shard", "pos", "id", "vec", "links")
+      val rebuilt = rebuildTouchedShards(existing.toDF(),
+          fresh.select(col("shard"), col("id"), col("vec")),
+          touched.toSeq, m, cosine, efConstruction, seed)
         .withColumn("g", lit(gen + 1))
-        .repartition(col("shard"))
       val fs = new Path(s"$dir/nodes").getFileSystem(
         spark.sessionState.newHadoopConf())
       // the live manifest resolves gen, so anything already under
@@ -461,6 +448,61 @@ object HnswIndex {
       }
       nNew
     } finally fresh.unpersist()
+  }
+
+  /** [[append]]'s touched-shard rebuild as ONE slot-placed partition
+    * pass: existing nodes (restore order = `pos`) and fresh rows
+    * (insert order = `id`, marked `pos = -1`) union into a single frame,
+    * PERFECT-placed one shard per task via [[graft.util.ShardSlots]]
+    * (the same contract the build and search stages use — a cogroup on
+    * `groupByKey(shard)` hash-collided shard keys exactly like the bare
+    * `repartition(col("shard"))` the r16 fix removed elsewhere: with S
+    * touched shards into the shuffle's partitions, ~1/e of the rebuild
+    * tasks idled while others restored+inserted two whole graphs), and
+    * each task restores its graph and replays the inserts. Output is
+    * already one shard per partition, so the caller's
+    * `partitionBy("g","shard")` writer emits one file per shard from
+    * its own task with NO second shuffle (the cogroup shape paid one).
+    * Per-shard output is byte-identical to the cogroup it replaces:
+    * same restore order, same insert order, same zipWithIndex `pos`.
+    */
+  private[graft] def rebuildTouchedShards(
+      existing: DataFrame,
+      fresh: DataFrame,
+      touched: Seq[Int],
+      m: Int,
+      cosine: Boolean,
+      efConstruction: Int,
+      seed: Int): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    existing
+      .select(col("shard"), col("pos"), col("id"), col("vec"), col("links"))
+      .unionByName(fresh.select(col("shard"), lit(-1).as("pos"), col("id"),
+        col("vec"), lit(null).cast("array<array<int>>").as("links")))
+      .withColumn("__slot",
+        graft.util.ShardSlots.slotCol(col("shard"), touched))
+      .repartition(touched.size, col("__slot"))
+      .select("shard", "pos", "id", "vec", "links")
+      .as[(Int, Int, Long, Array[Float], Seq[Seq[Int]])]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          // pos >= 0 marks a persisted node (links ride along); -1 a
+          // fresh insert — links may legitimately be empty, never null,
+          // so the marker is positional, not the links column
+          val (olds, news) = rows.partition(_._2 >= 0)
+          val g = HnswGraph.restore(m, cosine,
+            olds.sortBy(_._2).map { case (_, _, id, vec, links) =>
+              (id, vec, links) },
+            efConstruction, seed)
+          news.sortBy(_._3).foreach { case (_, _, id, vec, _) =>
+            g.insert(id, vec) }
+          g.nodes.iterator.zipWithIndex.map { case ((id, vec, links), pos) =>
+            (shard, pos, id, vec, links)
+          }
+        }
+      }
+      .toDF("shard", "pos", "id", "vec", "links")
   }
 
   /** Probe the persisted index: every shard's graph is restored in place

@@ -305,13 +305,30 @@ object IvfIndex {
           else
             graft.functions.VectorExpressions.pqEncode(assignVec, pqKernel))
     }
-    withCode
-      // cluster by list before writing: without this every task writes a
-      // sliver into every cid directory (tasks × nList small files — slow
-      // to commit here, slow to list/read at scale). One shuffle buys one
-      // well-sized file per list per write; for petabyte lists, salt the
-      // partition key to split a hot list across writers
-      .repartition(col("cid"))
+    // cluster by list before writing: without this every task writes a
+    // sliver into every cid directory (tasks × nList small files — slow
+    // to commit here, slow to list/read at scale). One shuffle buys one
+    // well-sized file per list per write; for petabyte lists, salt the
+    // partition key to split a hot list across writers.
+    // PLACEMENT: when the list count is at most the shuffle parallelism,
+    // a bare repartition(col("cid")) Murmur3-collides list ids — ~1/e of
+    // the writer tasks idle while others write two whole lists (the
+    // measured HnswIndex build/search failure mode, graft.util
+    // .ShardSlots) — so small-nList writes place one list per task via
+    // the slot mapping. Past that, nList >> partitions and hash placement
+    // is statistically balanced (each task writes ~nList/partitions
+    // lists), where a 1:1 slot layout would only shrink parallelism.
+    val nList = bcCentroids.value.length
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    val placed =
+      if (nList <= shufflePartitions)
+        withCode
+          .withColumn("__slot",
+            graft.util.ShardSlots.slotCol(col("cid"), 0 until nList))
+          .repartition(nList, col("__slot"))
+          .drop("__slot")
+      else withCode.repartition(col("cid"))
+    placed
       .write.mode(mode)
       .partitionBy("cid")
       .parquet(s"$dir/$table")

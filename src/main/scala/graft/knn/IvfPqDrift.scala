@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rows per query, and a fixed `queries·k` denominator would deflate
   * recall on a small tier even for a perfect index).
   */
-private[knn] object RecallEval {
+private[graft] object RecallEval {
 
   def recallVsExact(approx: DataFrame, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): Double = {

@@ -154,6 +154,11 @@ object SemLinkGrid {
           xxhash64(col("q").cast("string")).as("q"),
           xxhash64(col("c").cast("string")).as("c")),
         "q", "c")
+      // hash placement is the right call HERE (vs the ShardSlots slot
+      // mapping the shard-keyed sites use): the key space is the full
+      // (query, candidate) pair domain — cardinality >> partitions, so
+      // collisions average out and per-task load is row-bounded, not
+      // graph-bounded
       .repartition(col("query"), col("candidate"))
       .localCheckpoint(eager = false)
     val nTruth = truth.count() // one action: materializes the checkpoint

@@ -82,6 +82,55 @@ class HnswIndexSpec extends SparkSpec {
     }
   }
 
+  test("append rebuild: one touched shard per task (slot placement), " +
+    "insert order id-ascending regardless of arrival order") {
+    import spark.implicits._
+    val shards = 8
+    val dir = tempDir("slotappend")
+    val base = emb.filter(col("vec_id") < 300)
+    HnswIndex.build(base, "vec_id", "embedding", dir, shards = shards)
+    val fresh = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vec"))
+      .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
+      // REVERSED arrival order: the rebuild must re-sort inserts by id,
+      // so persisted state stays arrival-order-independent
+      .orderBy(desc("id"))
+    // a fresh build persists one generation — the documented node
+    // layout reads back directly (shard/g are partition columns)
+    val existing = spark.read.parquet(s"$dir/nodes")
+      .select(col("shard").cast("int"), col("pos"), col("id"),
+        col("vec").cast("array<float>"),
+        col("links").cast("array<array<int>>"))
+    val touched = (0 until shards).toSeq
+    val rebuilt = HnswIndex.rebuildTouchedShards(existing,
+      fresh.select("shard", "id", "vec"), touched, m = 16, cosine = false,
+      efConstruction = 100, seed = 42)
+    // the ShardSlots contract end to end on the APPEND path: every
+    // touched shard rebuilds alone in its own task — the cogroup shape
+    // this replaced idled ~1/e of the tasks on Murmur3 collisions
+    val placed = rebuilt
+      .select(col("shard"), spark_partition_id().as("pid"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(placed.length == shards, s"shards split across tasks: $placed")
+    assert(placed.map(_._2).distinct.length == shards,
+      s"two shards shared a rebuild task: $placed")
+    // arrival-order independence: the same append via the public API
+    // (which hits this helper) must answer full-beam searches exactly
+    // like a fresh build over the union — the byte-determinism contract
+    HnswIndex.append(spark, dir, emb.filter(col("vec_id") >= 300)
+      .orderBy(desc("vec_id")), "vec_id", "embedding")
+    val dir2 = tempDir("slotappend_fresh")
+    HnswIndex.build(emb, "vec_id", "embedding", dir2, shards = shards)
+    val n = emb.count().toInt
+    def fullBeam(d: String) = HnswIndex
+      .search(spark, d, emb, "vec_id", "embedding", k = 5, efSearch = n + 8)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fullBeam(dir) == fullBeam(dir2),
+      "append-built index diverged from fresh build at full beam")
+  }
+
   test("reshard: full-beam search identical before and after; byte-deterministic vs fresh build") {
     val dir = tempDir("reshard")
     val n = emb.count().toInt
