@@ -417,12 +417,20 @@ object ScaleProbe {
     // default path's own output, not a re-implementation — then filters
     // to ~500 deterministically-sampled queries and scores them against
     // brute-force truth via the ONE RecallEval the drift harnesses use.
+    // GRAFT_GRIDRECALL_EF overrides the HNSW tier's beam width (0 = the
+    // untuned default, which is what the committed default-gate claim is
+    // about); the JSON records whichever ran, so an ef-sensitivity
+    // artifact cannot masquerade as the default-path number
+    val gridRecallEf = sys.env.getOrElse("GRAFT_GRIDRECALL_EF", "0").toInt
     def gridRecallProbe(dir: String): (Long, String, Long, Double) = {
       import spark.implicits._
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
-      val (knnDf, engine) = graft.pipeline.SemLinkGrid.gridKnnWithEngine(cat, 10)
+      val (knnDf, engine) =
+        if (gridRecallEf > 0) graft.pipeline.SemLinkGrid
+          .gridKnnWithEngine(cat, 10, efSearch = gridRecallEf)
+        else graft.pipeline.SemLinkGrid.gridKnnWithEngine(cat, 10)
       // the grid's own id space (xxhash64 of the string key) — truth and
       // approx compare as longs, the same rule gridKnnIds hashes by
       val withId = cat.select(xxhash64(col("key").cast("string")).as("id"),
@@ -455,8 +463,9 @@ object ScaleProbe {
       require(smE != "exact" || smR > 0.999,
         s"gridrecall: exact engine scored $smR against brute force — " +
           "the probe's truth side is broken")
+      val efUsed = if (gridRecallEf > 0) gridRecallEf else 64
       Seq(
-        f""""gridknn_recall":{"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE","recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE","recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
+        f""""gridknn_recall":{"ef_search":$efUsed,"default_ef":${gridRecallEf <= 0},"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE","recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE","recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
     }
 
     // IVF-PQ ADC recall under DRIFTING appends (the PQ family's named

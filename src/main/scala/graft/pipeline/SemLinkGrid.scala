@@ -58,6 +58,16 @@ object SemLinkGrid {
     * 2.2×, far below exact's 5×), where IVF's Θ(N^1.5) projects
     * ~1950 s from its own 200k measurement; the crossover in HNSW's
     * favor is already behind the gate at 10⁵ and only widens.
+    * RECALL at the tiers where this gate fires is measured, not
+    * extrapolated (the `gridrecall` probe scores the untuned default's
+    * own output against brute-force truth on ~500 sampled queries):
+    * recall@10 = 1.0000 at the 200k tier (SCALE_r17_recall_200k) and
+    * 0.9680 at the 10⁶ tier (SCALE_r17_recall_1m) at the default
+    * efSearch = 64 — the expected mild log-N beam decay as per-shard
+    * graphs grow; both clear the drift-mix floor (0.8) with margin,
+    * and a caller needing build-level recall at the 10⁶ tier raises
+    * `efSearch` (beam cost is ~linear in it; efSearch <= 0 is the
+    * rank-exact full beam).
     * The default equals [[DefaultAnnAbove]]: every
     * untuned escalation goes straight to the N·log N plan, and the IVF
     * tier remains the EXPLICIT middle choice (`hnswAbove =
