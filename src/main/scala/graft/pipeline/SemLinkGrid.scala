@@ -64,10 +64,14 @@ object SemLinkGrid {
     * recall@10 = 1.0000 at the 200k tier (SCALE_r17_recall_200k) and
     * 0.9680 at the 10⁶ tier (SCALE_r17_recall_1m) at the default
     * efSearch = 64 — the expected mild log-N beam decay as per-shard
-    * graphs grow; both clear the drift-mix floor (0.8) with margin,
-    * and a caller needing build-level recall at the 10⁶ tier raises
-    * `efSearch` (beam cost is ~linear in it; efSearch <= 0 is the
-    * rank-exact full beam).
+    * graphs grow; both clear the drift-mix floor (0.8) with margin.
+    * The ef knob is measured, not guessed
+    * (SCALE_r17_recall_{200k_ef32,1m_ef128}): at 200k, HALVING the
+    * beam (ef 32) still scores 0.9996 — the down-tuning room near the
+    * gate; at 10⁶, DOUBLING it (ef 128) restores 0.9949 at ~2× beam
+    * cost. Operational rule: the default holds ≥0.99 to ~5·10⁵ keys;
+    * past that raise efSearch one doubling per ~5× keys to stay at
+    * build-level recall (efSearch <= 0 is the rank-exact full beam).
     * The default equals [[DefaultAnnAbove]]: every
     * untuned escalation goes straight to the N·log N plan, and the IVF
     * tier remains the EXPLICIT middle choice (`hnswAbove =
