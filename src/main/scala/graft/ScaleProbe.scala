@@ -311,34 +311,35 @@ object ScaleProbe {
     // it the gate escalates to auto-√N IVF — the probe records which
     // engine each side used, so the committed artifact shows the gate
     // firing at scale rather than asserting it.
-    def gridDefaultProbe(dir: String): (Double, Long, String) = {
+    def gridDefaultProbe(dir: String): (Double, Long, String, Int) = {
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
       val n = cat.count()
-      // gridKnnWithEngine surfaces the engine the gate ACTUALLY picked —
-      // re-deriving it here from the thresholds would record what the
-      // gate SHOULD pick, and a future gate change could silently
-      // desynchronize artifact and plan
-      def once(): String = {
-        val (df, engine) = graft.pipeline.SemLinkGrid
+      // gridKnnWithEngine surfaces the engine AND effective beam the
+      // gate ACTUALLY picked — re-deriving them here from the
+      // thresholds/beam law would record what the gate SHOULD pick, and
+      // a future gate change could silently desynchronize artifact and
+      // plan
+      def once(): (String, Int) = {
+        val (df, engine, ef) = graft.pipeline.SemLinkGrid
           .gridKnnWithEngine(cat, 10)
         df.count()
-        engine
+        (engine, ef)
       }
-      val engine = once() // warm
+      val (engine, ef) = once() // warm
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         once()
         (System.nanoTime() - t0) / 1e9
       }.min
-      (t, n, engine)
+      (t, n, engine, ef)
     }
     val gridDefaultRows = if (!probes("griddefault")) Seq.empty else {
-      val (smT, smN, smE) = gridDefaultProbe(small)
-      val (bgT, bgN, bgE) = gridDefaultProbe(big)
+      val (smT, smN, smE, smEf) = gridDefaultProbe(small)
+      val (bgT, bgN, bgE, bgEf) = gridDefaultProbe(big)
       Seq(
-        f""""gridknn_default":{"small_s":$smT%.3f,"big_s":$bgT%.3f,"growth":${bgT / smT}%.2f,"small_n":$smN,"big_n":$bgN,"small_escalated":${smE != "exact"},"big_escalated":${bgE != "exact"},"small_engine":"$smE","big_engine":"$bgE"}""")
+        f""""gridknn_default":{"small_s":$smT%.3f,"big_s":$bgT%.3f,"growth":${bgT / smT}%.2f,"small_n":$smN,"big_n":$bgN,"small_escalated":${smE != "exact"},"big_escalated":${bgE != "exact"},"small_engine":"$smE","big_engine":"$bgE","small_ef":$smEf,"big_ef":$bgEf}""")
     }
 
     // The HNSW escalation tier, measured directly (forced via
@@ -419,17 +420,21 @@ object ScaleProbe {
     // brute-force truth via the ONE RecallEval the drift harnesses use.
     // GRAFT_GRIDRECALL_EF overrides the HNSW tier's beam width (0 = the
     // untuned default, which is what the committed default-gate claim is
-    // about); the JSON records whichever ran, so an ef-sensitivity
-    // artifact cannot masquerade as the default-path number
+    // about; an explicit override is a RAW sensitivity run — the beam
+    // law is disabled so the artifact measures exactly the knob it
+    // names); the JSON records the EFFECTIVE beam the gate ran, so an
+    // ef-sensitivity artifact cannot masquerade as the default-path
+    // number and a default-path artifact shows what the law resolved to
     val gridRecallEf = sys.env.getOrElse("GRAFT_GRIDRECALL_EF", "0").toInt
-    def gridRecallProbe(dir: String): (Long, String, Long, Double) = {
+    def gridRecallProbe(dir: String): (Long, String, Long, Double, Int) = {
       import spark.implicits._
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
-      val (knnDf, engine) =
+      val (knnDf, engine, efUsed) =
         if (gridRecallEf > 0) graft.pipeline.SemLinkGrid
-          .gridKnnWithEngine(cat, 10, efSearch = gridRecallEf)
+          .gridKnnWithEngine(cat, 10, efSearch = gridRecallEf,
+            efAutoScale = false)
         else graft.pipeline.SemLinkGrid.gridKnnWithEngine(cat, 10)
       // the grid's own id space (xxhash64 of the string key) — truth and
       // approx compare as longs, the same rule gridKnnIds hashes by
@@ -450,11 +455,11 @@ object ScaleProbe {
         .join(broadcast(sample.select(col("id").as("query_id"))), "query_id")
       val r = graft.knn.RecallEval.recallVsExact(
         approx, sample, withId, "id", "vec", 10)
-      (n, engine, nQ, r)
+      (n, engine, nQ, r, efUsed)
     }
     val gridRecallRows = if (!probes("gridrecall")) Seq.empty else {
-      val (smN, smE, smQ, smR) = gridRecallProbe(small)
-      val (bgN, bgE, bgQ, bgR) = gridRecallProbe(big)
+      val (smN, smE, smQ, smR, smEf) = gridRecallProbe(small)
+      val (bgN, bgE, bgQ, bgR, bgEf) = gridRecallProbe(big)
       // the drift-mix floor (ScaleProbe `drift` / HnswIndexSpec): the
       // wide-beam recall every operational stage must clear. The small
       // side's exact engine must score ~1.0 by construction — a probe
@@ -463,9 +468,8 @@ object ScaleProbe {
       require(smE != "exact" || smR > 0.999,
         s"gridrecall: exact engine scored $smR against brute force — " +
           "the probe's truth side is broken")
-      val efUsed = if (gridRecallEf > 0) gridRecallEf else 64
       Seq(
-        f""""gridknn_recall":{"ef_search":$efUsed,"default_ef":${gridRecallEf <= 0},"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE","recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE","recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
+        f""""gridknn_recall":{"default_ef":${gridRecallEf <= 0},"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE","ef":$smEf,"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE","ef":$bgEf,"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
     }
 
     // IVF-PQ ADC recall under DRIFTING appends (the PQ family's named

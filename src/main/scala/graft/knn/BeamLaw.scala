@@ -1,0 +1,43 @@
+package graft.knn
+
+/** The HNSW beam-width law, shared by every surface that serves an
+  * UNTUNED default beam over a graph whose size the caller did not pick
+  * (the flagship grid's escalation gate —
+  * [[graft.pipeline.SemLinkGrid]] — and the persistent
+  * [[HnswIndex.search]], whose corpus grows under streaming appends):
+  * a fixed beam's recall decays as per-shard graphs grow, measured at
+  * the grid tiers as recall@10 = 1.0000 at 2·10⁵ keys but 0.9680 at
+  * 10⁶ at ef 64, with one doubling (ef 128) restoring 0.9949
+  * (SCALE_r17_recall_{200k,1m,1m_ef128}). The law holds the base beam
+  * through [[HoldKeys]] and doubles it once per [[DoublePerKeys]]×
+  * keys past that — ceil, the quality-first side of the measured
+  * trade, so 10⁶ keys already gets the doubling the artifact measured.
+  * Per-shard beam work is `ef·log(N/shards)`: each doubling costs ~2×
+  * search compute and buys ~5× catalog at held recall, so the scaled
+  * beam stays O(log N) per query overall.
+  */
+object BeamLaw {
+
+  /** The measured hold range: a given base beam keeps ~build-level
+    * recall while the catalog stays within this many keys (the decay
+    * only appears past ~5·10⁵ — see the artifacts above).
+    */
+  val HoldKeys: Long = 500000L
+
+  /** Catalog growth per beam doubling past [[HoldKeys]]. */
+  val DoublePerKeys: Double = 5.0
+
+  /** `base` up to [[HoldKeys]] keys, then one doubling per
+    * [[DoublePerKeys]]× keys. `base <= 0` (the rank-exact full-beam
+    * sentinel) is returned untouched — exactness needs no scaling. The
+    * shift is clamped at 24 doublings: past any representable catalog
+    * (Long.MaxValue needs 19) and guards the Int domain.
+    */
+  def autoEf(base: Int, n: Long): Int =
+    if (base <= 0 || n <= HoldKeys) base
+    else {
+      val doublings = math.ceil(
+        math.log(n.toDouble / HoldKeys) / math.log(DoublePerKeys)).toInt
+      base << math.min(doublings, 24)
+    }
+}

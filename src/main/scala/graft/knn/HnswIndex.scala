@@ -107,7 +107,7 @@ object HnswIndex {
       catch { case _: IllegalArgumentException => None }
 
     liveState match {
-      case Some((gen, oldShards)) =>
+      case Some((gen, oldShards, _)) =>
         // rebuild OVER A LIVE INDEX: generation-staged, reshard-protocol
         // commit — the previous index stays fully live until the new
         // manifest lands, and a crash at any point rolls back to it
@@ -138,7 +138,8 @@ object HnswIndex {
         val tmp = new Path(s"$dir/params.tmp")
         require(fs.rename(live, old), s"HnswIndex.build: could not stage $live")
         require(fs.rename(tmp, live), s"HnswIndex.build: could not commit $tmp")
-        writeManifest(spark, dir, newGen, byShard.map(_._1 -> newGen).toMap)
+        writeManifest(spark, dir, newGen, byShard.map(_._1 -> newGen).toMap,
+          byShard.toMap)
         graft.util.IngestState.clear(spark, dir)
         fs.delete(old, true)
         fs.delete(new Path(s"$dir/$ReshardMarker"), false)
@@ -176,7 +177,8 @@ object HnswIndex {
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
         val byShard = spark.read.parquet(s"$dir/nodes")
           .groupBy("shard").count().as[(Int, Long)].collect()
-        writeManifest(spark, dir, 0, byShard.map(_._1 -> 0).toMap)
+        writeManifest(spark, dir, 0, byShard.map(_._1 -> 0).toMap,
+          byShard.toMap)
         byShard.map(_._2).sum
     }
   }
@@ -234,13 +236,23 @@ object HnswIndex {
     * writers externally.
     */
   private def writeManifest(
-      spark: SparkSession, dir: String, gen: Int, shards: Map[Int, Int]): Unit = {
+      spark: SparkSession, dir: String, gen: Int, shards: Map[Int, Int],
+      counts: Map[Int, Long]): Unit = {
     val mdir = new Path(s"$dir/manifest")
     val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(mdir)
+    // counts ride the manifest so search can size its beam from state
+    // it already reads (graft.knn.BeamLaw — no extra count job on the
+    // serving path); written only when complete, so a partial map can
+    // never understate the corpus and under-beam the search
+    val countsJson =
+      if (counts.keySet == shards.keySet)
+        counts.toSeq.sorted.map { case (s, n) => s""""$s":$n""" }
+          .mkString(""","counts":{""", ",", "}")
+      else ""
     val json = shards.toSeq.sorted
       .map { case (s, g) => s""""$s":$g""" }
-      .mkString("""{"shards":{""", ",", "}}")
+      .mkString("""{"shards":{""", ",", s"}$countsJson}")
     val tmp = new Path(mdir, f".m$gen%06d.json.inprogress")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -253,11 +265,16 @@ object HnswIndex {
       throw new IllegalStateException(s"HnswIndex: manifest commit failed: $dest")
   }
 
-  /** Resolve the live (generation, shard→gen) state: the highest-numbered
-    * committed manifest. Temp (`.inprogress`) files from a crashed writer
-    * never match the committed name pattern.
+  /** Resolve the live (generation, shard→gen, shard→count) state: the
+    * highest-numbered committed manifest. Temp (`.inprogress`) files from
+    * a crashed writer never match the committed name pattern. The counts
+    * map is EMPTY for a manifest written before counts rode along
+    * (readers must treat that as "size unknown" — [[search]]'s beam law
+    * goes inert rather than guessing); it self-heals at the next append,
+    * build, or reshard.
     */
-  private def readManifest(spark: SparkSession, dir: String): (Int, Map[Int, Int]) = {
+  private def readManifest(spark: SparkSession, dir: String)
+      : (Int, Map[Int, Int], Map[Int, Long]) = {
     val mdir = new Path(s"$dir/manifest")
     val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
     // missing manifest/ (an empty dir, or an index persisted by a pre-
@@ -280,12 +297,18 @@ object HnswIndex {
     val body =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(body).path("shards")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body)
+    val node = root.path("shards")
     require(node.isObject, s"HnswIndex: malformed manifest $path")
     val shards = scala.collection.mutable.Map.empty[Int, Int]
     node.fields().forEachRemaining(e => shards += e.getKey.toInt -> e.getValue.asInt())
-    (gen, shards.toMap)
+    val countsNode = root.path("counts")
+    val counts = scala.collection.mutable.Map.empty[Int, Long]
+    if (countsNode.isObject)
+      countsNode.fields().forEachRemaining(e =>
+        counts += e.getKey.toInt -> e.getValue.asLong())
+    (gen, shards.toMap, counts.toMap)
   }
 
   /** The live node rows per the manifest — exactly the committed
@@ -306,7 +329,7 @@ object HnswIndex {
     * partition columns of the manifest's shard paths.
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
-    val (_, shardGens) = readManifest(spark, dir)
+    val (_, shardGens, _) = readManifest(spark, dir)
     loadNodes(spark, dir, shardGens)
       .groupBy("shard")
       .agg(org.apache.spark.sql.functions.count(
@@ -364,7 +387,7 @@ object HnswIndex {
     * mirroring [[IvfIndex.readIds]].
     */
   private[graft] def readIds(spark: SparkSession, dir: String): DataFrame = {
-    val (_, shardGens) = readManifest(spark, dir)
+    val (_, shardGens, _) = readManifest(spark, dir)
     if (shardGens.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -398,16 +421,22 @@ object HnswIndex {
       .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
       .cache()
     try {
-      val touched = fresh.select("shard").distinct().as[Int].collect().sorted
+      // ONE agg over the cached batch serves the touched-shard set, the
+      // appended-row count, AND the manifest's incremental count update
+      // (this replaces the former separate distinct + count jobs — two
+      // fewer scheduler round-trips per streaming micro-batch)
+      val freshByShard = fresh.groupBy("shard").count()
+        .as[(Int, Long)].collect().toMap
+      val touched = freshByShard.keys.toArray.sorted
       if (touched.isEmpty) return 0L
-      val nNew = fresh.count()
+      val nNew = freshByShard.values.sum
       // duplicate labels are rejected, matching hnswlib add_items: a
       // silent double-insert would persist two nodes with one external id
       // and search would return that neighbor twice within top-k
       require(fresh.groupBy("id").count().filter(col("count") > 1).isEmpty,
         "HnswIndex.append: duplicate ids within the appended batch")
 
-      val (gen, shardGens) = readManifest(spark, dir)
+      val (gen, shardGens, oldCounts) = readManifest(spark, dir)
       val touchedLive = shardGens.view.filterKeys(touched.contains).toMap
       val existing = (if (touchedLive.isEmpty)
           spark.emptyDataset[(Int, Int, Long, Array[Float], Seq[Seq[Int]])].toDF(
@@ -437,8 +466,19 @@ object HnswIndex {
       rebuilt.write.mode(SaveMode.Append)
         .partitionBy("g", "shard")
         .parquet(s"$dir/nodes")
-      writeManifest(spark, dir, gen + 1,
-        shardGens ++ touched.map(_ -> (gen + 1)))
+      val newShardGens = shardGens ++ touched.map(_ -> (gen + 1))
+      // counts update incrementally (append never deletes: new count =
+      // old + fresh per touched shard). A legacy counts-less manifest
+      // heals ONCE here with a partition-column-only count over the new
+      // live layout (the staged g=gen+1 dirs are durable at this point;
+      // the manifest rename below is still the only commit)
+      val newCounts: Map[Int, Long] =
+        if (oldCounts.keySet == shardGens.keySet)
+          oldCounts ++ touched.map(s =>
+            s -> (oldCounts.getOrElse(s, 0L) + freshByShard.getOrElse(s, 0L)))
+        else loadNodes(spark, dir, newShardGens)
+          .groupBy("shard").count().as[(Int, Long)].collect().toMap
+      writeManifest(spark, dir, gen + 1, newShardGens, newCounts)
       // superseded generation dirs are garbage once the new manifest is
       // committed; deletion is best-effort (a failure here leaves orphans,
       // never an inconsistent index)
@@ -511,6 +551,17 @@ object HnswIndex {
     * window — the [[ApproxKnn.hnswKnn]] execution over restored state.
     * `m` and the metric come from the persisted `params/`, never from the
     * caller.
+    *
+    * Beam law: a positive `efSearch` is the beam at gate-tier scale —
+    * past [[BeamLaw.HoldKeys]] live nodes it is widened by the measured
+    * [[BeamLaw.autoEf]] rule (the index's corpus grows under streaming
+    * appends exactly the way the grid's catalog grows across tiers, and
+    * a fixed beam sheds the same measured recall). The size comes from
+    * the manifest's counts — state this method already reads, zero
+    * extra jobs on the serving path. `efAutoScale = false` pins the raw
+    * knob; `efSearch <= 0` (full beam, rank-exact) passes through
+    * unscaled; a legacy counts-less manifest leaves the law inert (raw
+    * knob) until the next append/build/reshard heals it.
     */
   def search(
       spark: SparkSession,
@@ -520,15 +571,20 @@ object HnswIndex {
       vecCol: String,
       k: Int,
       efSearch: Int = 64,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      efAutoScale: Boolean = true): DataFrame = {
     import spark.implicits._
     val (m, metric, _, _, _) = loadParams(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     val bc = spark.sparkContext.broadcast(
       HnswSearch.collectQueries(queries, idCol, vecCol, "HnswIndex.search"))
-    val (kL, efS, ex) = (k, efSearch, excludeSelf)
 
-    val (_, shardGens) = readManifest(spark, dir)
+    val (_, shardGens, counts) = readManifest(spark, dir)
+    val efEff =
+      if (efAutoScale && counts.keySet == shardGens.keySet)
+        BeamLaw.autoEf(efSearch, counts.values.sum)
+      else efSearch
+    val (kL, efS, ex) = (k, efEff, excludeSelf)
     // an empty manifest (reachable: readIds special-cases it, and the
     // streaming gate probes BEFORE the first append) has no neighbors —
     // an empty correctly-shaped frame, not a zero-path parquet read
@@ -608,7 +664,7 @@ object HnswIndex {
     recoverReshardLocked(spark, fs, dir)
     val (m, metric, _, efConstruction, seed) = loadParams(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
-    val (gen, shardGens) = readManifest(spark, dir)
+    val (gen, shardGens, _) = readManifest(spark, dir)
     val corpus = (if (shardGens.isEmpty)
         spark.emptyDataset[(Long, Array[Float])].toDF("id", "vec")
       else loadNodes(spark, dir, shardGens).select(col("id"), col("vec")))
@@ -643,7 +699,8 @@ object HnswIndex {
     val tmp = new Path(s"$dir/params.tmp")
     require(fs.rename(live, old), s"HnswIndex.reshard: could not stage $live")
     require(fs.rename(tmp, live), s"HnswIndex.reshard: could not commit $tmp")
-    writeManifest(spark, dir, gen + 1, byShard.map(_._1 -> (gen + 1)).toMap)
+    writeManifest(spark, dir, gen + 1, byShard.map(_._1 -> (gen + 1)).toMap,
+      byShard.toMap)
     fs.delete(old, true)
     fs.delete(marker, false)
     // superseded generations are garbage once the manifest committed;
@@ -733,7 +790,7 @@ object HnswIndex {
     // disagreeing would treat the committed layout's directories as
     // orphans
     recoverReshard(spark, dir)
-    val (liveGen, shardGens) = readManifest(spark, dir)
+    val (liveGen, shardGens, _) = readManifest(spark, dir)
     val ndir = new Path(s"$dir/nodes")
     val fs = ndir.getFileSystem(spark.sessionState.newHadoopConf())
     val genPat = "g=(\\d+)".r

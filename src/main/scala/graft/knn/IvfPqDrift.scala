@@ -14,6 +14,20 @@ private[graft] object RecallEval {
 
   def recallVsExact(approx: DataFrame, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): Double = {
+    // both result sets collect to the driver — sanctioned for a
+    // probe/spec harness because each is bounded by queries·k rows of
+    // two longs. The bound is only as good as the caller's query
+    // sampling, so enforce it on the CHEAP side (the query set is
+    // driver-small by contract; counting the approx frame would re-run
+    // the expensive search a caller has not checkpointed): 5M rows
+    // ≈ 80 MB — far past any probe's ~500-query sample, far below
+    // driver heap
+    val maxRows = 5000000L
+    val bound = queries.count() * math.max(k, 1)
+    require(bound <= maxRows,
+      s"RecallEval.recallVsExact: queries*k = $bound rows (> $maxRows) " +
+        "— this evaluator collects to the driver and is meant for " +
+        "sampled probe/spec query sets, not full-corpus runs")
     val got = approx
       .select("query_id", "neighbor_id").collect()
       .groupBy(_.getLong(0))

@@ -62,16 +62,23 @@ object SemLinkGrid {
     * extrapolated (the `gridrecall` probe scores the untuned default's
     * own output against brute-force truth on ~500 sampled queries):
     * recall@10 = 1.0000 at the 200k tier (SCALE_r17_recall_200k) and
-    * 0.9680 at the 10⁶ tier (SCALE_r17_recall_1m) at the default
+    * 0.9680 at the 10⁶ tier (SCALE_r17_recall_1m) at a FIXED
     * efSearch = 64 — the expected mild log-N beam decay as per-shard
     * graphs grow; both clear the drift-mix floor (0.8) with margin.
     * The ef knob is measured, not guessed
     * (SCALE_r17_recall_{200k_ef32,1m_ef128}): at 200k, HALVING the
     * beam (ef 32) still scores 0.9996 — the down-tuning room near the
     * gate; at 10⁶, DOUBLING it (ef 128) restores 0.9949 at ~2× beam
-    * cost. Operational rule: the default holds ≥0.99 to ~5·10⁵ keys;
-    * past that raise efSearch one doubling per ~5× keys to stay at
-    * build-level recall (efSearch <= 0 is the rank-exact full beam).
+    * cost. Since round 17 the gate APPLIES that measured trade instead
+    * of documenting it as an operational rule: [[autoEfSearch]] holds
+    * the base beam to [[EfHoldKeys]] = 5·10⁵ keys and doubles it once
+    * per [[EfDoublePerKeys]] = 5× keys past that, so the untuned
+    * default's recall stays at build level across tiers instead of
+    * decaying one beam-decay step per catalog decade (measured under
+    * the law: recall@10 = 0.9949 at 10⁶ keys, SCALE_r17_recall_1m_auto,
+    * vs 0.9680 fixed). `efAutoScale = false` pins the raw knob
+    * (the ef-sensitivity artifacts above are raw runs); efSearch <= 0
+    * remains the rank-exact full beam, never scaled.
     * The default equals [[DefaultAnnAbove]]: every
     * untuned escalation goes straight to the N·log N plan, and the IVF
     * tier remains the EXPLICIT middle choice (`hnswAbove =
@@ -80,6 +87,37 @@ object SemLinkGrid {
     * `Long.MaxValue` opts out.
     */
   val DefaultHnswAbove: Long = DefaultAnnAbove
+
+  /** The measured hold range of the HNSW tier's base beam: a given
+    * efSearch keeps ~build-level recall while the catalog stays within
+    * this many keys (SCALE_r17_recall_200k: ef 64 → recall@10 1.0000 at
+    * 2·10⁵; the decay only appears past ~5·10⁵ — 0.9680 at 10⁶,
+    * SCALE_r17_recall_1m). Shared anchor of [[autoEfSearch]]; the law
+    * itself lives in [[graft.knn.BeamLaw]] — [[graft.knn.HnswIndex]]
+    * applies the same rule to its persistent serving path, whose corpus
+    * grows under streaming appends the same way the grid's catalog
+    * grows across tiers.
+    */
+  val EfHoldKeys: Long = graft.knn.BeamLaw.HoldKeys
+
+  /** Catalog growth per beam doubling past [[EfHoldKeys]]: the measured
+    * trade (SCALE_r17_recall_1m_ef128: one doubling restores 0.9949 at
+    * 2× keys past the hold range) rounded to the conservative side —
+    * per-shard beam work is `ef·log(N/shards)`, so each doubling costs
+    * ~2× search compute and buys ~5× catalog at held recall.
+    */
+  val EfDoublePerKeys: Double = graft.knn.BeamLaw.DoublePerKeys
+
+  /** The HNSW tier's beam-width law — [[graft.knn.BeamLaw.autoEf]]:
+    * `base` up to [[EfHoldKeys]] keys, then one doubling per
+    * [[EfDoublePerKeys]]× keys (ceil — the quality-first side of the
+    * measured rule, so 10⁶ keys already gets the doubling that
+    * SCALE_r17_recall_1m_ef128 measured restoring 0.9949 from the fixed
+    * beam's 0.9680). `base <= 0` (the rank-exact full-beam sentinel) is
+    * returned untouched — exactness needs no scaling.
+    */
+  private[graft] def autoEfSearch(base: Int, n: Long): Int =
+    graft.knn.BeamLaw.autoEf(base, n)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -130,7 +168,8 @@ object SemLinkGrid {
       nList: Int = 0,
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
-      efSearch: Int = 64): Seq[GridCell] = {
+      efSearch: Int = 64,
+      efAutoScale: Boolean = true): Seq[GridCell] = {
     // fail fast on an empty sweep — ks.max and the callers' metric
     // reduces would otherwise surface as bare empty.max/empty.reduce
     // after the expensive profiling already ran
@@ -187,9 +226,10 @@ object SemLinkGrid {
     // Metrics consume the LONG-ID core; only the user-facing discovered
     // frames pay the id → key map-back (two broadcast joins, per cell,
     // evaluated only if the caller uses them)
-    val (coreKnn, keys, engine) = gridKnnIds(embedded, kMax,
+    val (coreKnn, keys, engine, _) = gridKnnIds(embedded, kMax,
       annAbove = annAbove, nList = nList, nProbe = nProbe,
-      hnswAbove = hnswAbove, efSearch = efSearch)
+      hnswAbove = hnswAbove, efSearch = efSearch,
+      efAutoScale = efAutoScale)
     val knn = coreKnn.localCheckpoint(eager = false)
     knn.count() // materialize once
 
@@ -289,15 +329,18 @@ object SemLinkGrid {
       nList: Int = 0,
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
-      efSearch: Int = 64): DataFrame =
+      efSearch: Int = 64,
+      efAutoScale: Boolean = true): DataFrame =
     gridKnnWithEngine(embedded, kMax, blockSize, annAbove, nList, nProbe,
-      hnswAbove, efSearch)._1
+      hnswAbove, efSearch, efAutoScale)._1
 
   /** [[gridKnn]] plus the engine the gate ACTUALLY picked ("exact" /
-    * "ivf" / "hnsw") — the surface the scale probe records, so a
-    * committed artifact reflects the real plan rather than re-deriving
-    * the thresholds (which a future gate change could silently
-    * desynchronize).
+    * "ivf" / "hnsw") and the EFFECTIVE beam width the HNSW tier ran
+    * (post-[[autoEfSearch]]; the passed `efSearch` verbatim on the
+    * other engines, where it is inert) — the surface the scale probe
+    * records, so a committed artifact reflects the real plan rather
+    * than re-deriving the thresholds or the beam law (which a future
+    * gate change could silently desynchronize).
     */
   private[graft] def gridKnnWithEngine(embedded: DataFrame, kMax: Int,
       blockSize: Int = 100000,
@@ -305,16 +348,17 @@ object SemLinkGrid {
       nList: Int = 0,
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
-      efSearch: Int = 64): (DataFrame, String) = {
-    val (core, keys, engine) = gridKnnIds(embedded, kMax, blockSize,
-      annAbove, nList, nProbe, hnswAbove, efSearch)
+      efSearch: Int = 64,
+      efAutoScale: Boolean = true): (DataFrame, String, Int) = {
+    val (core, keys, engine, efUsed) = gridKnnIds(embedded, kMax, blockSize,
+      annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale)
     (core
       .join(broadcast(keys.withColumnRenamed("id", "query_id")
         .withColumnRenamed("key", "__qkey")), Seq("query_id"))
       .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")
         .withColumnRenamed("key", "__nkey")), Seq("neighbor_id"))
       .select(col("__qkey").as("query_id"), col("__nkey").as("neighbor_id"),
-        col("dist"), col("rank")), engine)
+        col("dist"), col("rank")), engine, efUsed)
   }
 
   /** [[gridKnn]]'s long-id core: (the kNN frame on xxhash64 ids, the
@@ -329,7 +373,8 @@ object SemLinkGrid {
       nList: Int = 0,
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
-      efSearch: Int = 64): (DataFrame, DataFrame, String) = {
+      efSearch: Int = 64,
+      efAutoScale: Boolean = true): (DataFrame, DataFrame, String, Int) = {
     // string-canonicalized hash — must stay in lockstep with the truth
     // hashing in gridCellsFromCatalog (mixed-type tolerance note there)
     val withId = embedded
@@ -345,18 +390,28 @@ object SemLinkGrid {
     val gated = annAbove != Long.MaxValue
     val n = if (gated) withId.count() else 0L
     if (gated && n > annAbove && hnswAbove != Long.MaxValue && n > hnswAbove) {
+      // the beam-width law: the caller's ef is calibrated at gate-tier
+      // scale; past EfHoldKeys the gate widens it per the measured
+      // recall-decay trade so the UNTUNED default holds build-level
+      // recall at any tier (efAutoScale = false pins the raw knob; a
+      // full-beam sentinel passes through untouched)
+      val ef = if (efAutoScale) autoEfSearch(efSearch, n) else efSearch
       // loud, named: the plan just changed ENGINE (exact → ANN) — see
       // the IVF branch's rationale
       log.warn(s"SemLinkGrid.gridKnn: catalog has $n keys > " +
         s"hnswAbove=$hnswAbove — escalating the grid kNN to the " +
-        s"sharded HNSW tier (efSearch=$efSearch): N·log N beam work, " +
-        "no pair-row shuffle. Pass annAbove=Long.MaxValue to force " +
-        "exact, hnswAbove=Long.MaxValue for the IVF tier, or " +
-        "efSearch<=0 for full-beam (rank-exact) HNSW.")
+        s"sharded HNSW tier (efSearch=$ef" +
+        (if (ef != efSearch) s", auto-scaled from $efSearch by the " +
+          s"beam law at $n keys; pass efAutoScale=false to pin the raw " +
+          "knob" else "") +
+        "): N·log N beam work, no pair-row shuffle. Pass " +
+        "annAbove=Long.MaxValue to force exact, hnswAbove=Long.MaxValue " +
+        "for the IVF tier, or efSearch<=0 for full-beam (rank-exact) " +
+        "HNSW.")
       (graft.knn.ApproxKnn.hnswBlockKnn(withId, withId, "id", "vec", kMax,
-        metric = KnnJoin.MetricL2Sq, efSearch = efSearch,
+        metric = KnnJoin.MetricL2Sq, efSearch = ef,
         queryBlockSize = blockSize, excludeSelf = true),
-        keys, "hnsw")
+        keys, "hnsw", ef)
     } else if (gated && n > annAbove) {
       val (lists, probe) = resolveIvfParams(n, nList, nProbe)
       // loud, named: the plan just changed ENGINE (exact → ANN). A
@@ -371,11 +426,11 @@ object SemLinkGrid {
       (graft.knn.ApproxKnn.ivfKnn(withId, withId, "id", "vec", kMax,
         nList = lists, nProbe = probe, metric = KnnJoin.MetricL2Sq,
         excludeSelf = true),
-        keys, "ivf")
+        keys, "ivf", efSearch)
     } else
       (graft.knn.ApproxKnn.blockKnn(withId, withId, "id", "vec", kMax,
         KnnJoin.MetricL2Sq, blockSize = blockSize, excludeSelf = true),
-        keys, "exact")
+        keys, "exact", efSearch)
   }
 
   /** The escalation's IVF sizing rule, isolated for direct spec pinning.
@@ -416,8 +471,11 @@ object SemLinkGrid {
     * `Long.MaxValue` forces exact at any size). The escalation engine is
     * the sharded HNSW tier past `hnswAbove` keys (default
     * [[DefaultHnswAbove]] — N·log N; `efSearch <= 0` means full beam,
-    * exact) and IVF between the two thresholds (`nList <= 0` sizes lists
-    * ∝ √N automatically; `nProbe <= 0` means full probe, exact).
+    * exact; a positive `efSearch` is the beam at gate-tier scale,
+    * widened past [[EfHoldKeys]] keys by the measured [[autoEfSearch]]
+    * law unless `efAutoScale = false`) and IVF between the two
+    * thresholds (`nList <= 0` sizes lists ∝ √N automatically;
+    * `nProbe <= 0` means full probe, exact).
     */
   def evaluationGridFromCatalog(
       catalog: DataFrame,
@@ -428,9 +486,10 @@ object SemLinkGrid {
       nList: Int = 0,
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
-      efSearch: Int = 64): DataFrame =
+      efSearch: Int = 64,
+      efAutoScale: Boolean = true): DataFrame =
     gridCellsFromCatalog(catalog, groundTruth, ks, thresholds,
-        annAbove, nList, nProbe, hnswAbove, efSearch)
+        annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale)
       .map(_.metrics).reduce(_.unionByName(_))
 
   /** Reference-parity export (join_discoverer.py:491–517): one CSV of

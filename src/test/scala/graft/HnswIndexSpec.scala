@@ -561,4 +561,84 @@ class HnswIndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(res(d1) == res(d2))
   }
+
+  test("manifest counts: maintained by build/append/reshard, equal to " +
+    "stats(), feed the search beam law, and a legacy counts-less " +
+    "manifest is inert then heals on append") {
+    import org.apache.hadoop.fs.Path
+    import java.nio.charset.StandardCharsets
+    val dir = tempDir("counts")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def liveManifest(): Path = {
+      val pat = "m(\\d{6,})\\.json".r
+      fs.listStatus(new Path(s"$dir/manifest")).toSeq
+        .flatMap(st => st.getPath.getName match {
+          case pat(n) => Some(n.toInt -> st.getPath)
+          case _ => None
+        }).maxBy(_._1)._2
+    }
+    def manifestBody(): String = {
+      val in = fs.open(liveManifest())
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def manifestCounts(): Map[Int, Long] = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(manifestBody()).path("counts")
+      assert(node.isObject, s"manifest has no counts: ${manifestBody()}")
+      val m = scala.collection.mutable.Map.empty[Int, Long]
+      node.fields().forEachRemaining(e =>
+        m += e.getKey.toInt -> e.getValue.asLong())
+      m.toMap
+    }
+    def statsCounts(): Map[Int, Long] = HnswIndex.stats(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // every writer keeps the manifest's counts equal to the scanned
+    // truth (stats): the serving path sizes its beam off them, so a
+    // stale count would silently mis-beam every later search
+    HnswIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      dir, shards = 4)
+    assert(manifestCounts() == statsCounts(), "after build")
+    HnswIndex.append(spark, dir,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 380),
+      "vec_id", "embedding")
+    assert(manifestCounts() == statsCounts(), "after append")
+    HnswIndex.reshard(spark, dir, 3)
+    assert(manifestCounts() == statsCounts(), "after reshard")
+
+    // below BeamLaw.HoldKeys the law is inert: search with and without
+    // it answers identically — no small-corpus caller pays anything
+    val q = emb.filter(col("vec_id") < 30)
+    def got(auto: Boolean) = HnswIndex.search(spark, dir, q,
+        "vec_id", "embedding", k = 5, efAutoScale = auto)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got(auto = true) == got(auto = false))
+    // ...and it defaults ON (the untuned caller gets the law — the
+    // point of it), pinned via the synthetic $default$9
+    // (spark, dir, queries, idCol, vecCol, k, efSearch, excludeSelf, efAutoScale)
+    assert(HnswIndex.getClass.getMethod("search$default$9")
+      .invoke(HnswIndex).asInstanceOf[Boolean],
+      "HnswIndex.search efAutoScale default off")
+    // the law the manifest counts feed is the ONE BeamLaw the grid gate
+    // uses (its anchors are spec-pinned in SemLinkGridSpec)
+    assert(graft.knn.BeamLaw.autoEf(64, 1000000L) == 128)
+
+    // legacy manifest (written before counts rode along): strip counts
+    // in place — search must still answer (raw beam, law inert rather
+    // than guessing a size), and the NEXT append heals the counts from
+    // the live layout
+    val body = manifestBody()
+    val stripped = body.replaceAll(""","counts":\{[^}]*\}""", "")
+    assert(stripped != body, "counts strip did not match")
+    val live = liveManifest()
+    val out = fs.create(live, true)
+    try out.write(stripped.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    assert(got(auto = true) == got(auto = false), "legacy search broken")
+    HnswIndex.append(spark, dir,
+      emb.filter(col("vec_id") >= 380 && col("vec_id") < 440),
+      "vec_id", "embedding")
+    assert(manifestCounts() == statsCounts(), "append did not heal counts")
+  }
 }

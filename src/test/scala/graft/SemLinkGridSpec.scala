@@ -336,6 +336,67 @@ class SemLinkGridSpec extends SparkSpec {
     assert(optOut == Seq("exact"))
   }
 
+  test("HNSW beam law: autoEfSearch holds the base to EfHoldKeys, " +
+    "doubles per 5x past it, passes sentinels through, and is on by " +
+    "default") {
+    import SemLinkGrid.autoEfSearch
+    // the measured anchors (SCALE_r17_recall_{200k,1m,1m_ef128}): the
+    // base holds through the hold range...
+    assert(autoEfSearch(64, 1L) == 64)
+    assert(autoEfSearch(64, 200000L) == 64)
+    assert(autoEfSearch(64, SemLinkGrid.EfHoldKeys) == 64)
+    // ...the first key past it gets the first doubling (ceil — the
+    // quality-first side), which carries exactly to 5x...
+    assert(autoEfSearch(64, SemLinkGrid.EfHoldKeys + 1) == 128)
+    assert(autoEfSearch(64, 1000000L) == 128) // the measured 1M anchor
+    assert(autoEfSearch(64, 2500000L) == 128) // exactly 5x: still one
+    // ...and each further 5x adds one more
+    assert(autoEfSearch(64, 2500001L) == 256)
+    assert(autoEfSearch(64, 12500000L) == 256)
+    assert(autoEfSearch(64, 12500001L) == 512)
+    // the law scales ANY positive base the same way (a caller's ef is
+    // the beam at gate-tier scale)
+    assert(autoEfSearch(32, 1000000L) == 64)
+    // full-beam sentinel (rank-exact) is never scaled
+    assert(autoEfSearch(0, 10000000L) == 0)
+    assert(autoEfSearch(-1, 10000000L) == -1)
+    // the whole Long domain stays positive: Long.MaxValue/EfHoldKeys is
+    // ~1.8e13 → 19 doublings (the 24-doubling clamp is headroom past
+    // any representable catalog, never the binding bound)
+    assert(autoEfSearch(64, Long.MaxValue) == (64 << 19))
+    // plumbing: gridKnnWithEngine returns the EFFECTIVE beam the branch
+    // ran — the raw knob below the hold range, the sentinel verbatim
+    val catalog = (1 to 40).map { i =>
+      (s"t$i:c$i", Array.tabulate(8)(j => ((i * 29 + j * 11) % 19).toFloat / 19f))
+    }.toDF("key", "vec")
+    val (_, engRaw, efRaw) = SemLinkGrid.gridKnnWithEngine(catalog, 5,
+      annAbove = 10, hnswAbove = 10, efSearch = 48)
+    assert(engRaw == "hnsw" && efRaw == 48)
+    val (_, engFull, efFull) = SemLinkGrid.gridKnnWithEngine(catalog, 5,
+      annAbove = 10, hnswAbove = 10, efSearch = 0)
+    assert(engFull == "hnsw" && efFull == 0)
+    // efAutoScale defaults TRUE on every grid surface (the synthetic
+    // $default$N reflection the hnswAbove pins use): the untuned caller
+    // gets the law — that is the point of it
+    def defaultBoolOf(method: String, pos: Int): Boolean = SemLinkGrid
+      .getClass.getMethod(s"$method$$default$$$pos").invoke(SemLinkGrid)
+      .asInstanceOf[Boolean]
+    // gridKnn(embedded, kMax, blockSize, annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale)
+    assert(defaultBoolOf("gridKnn", 9), "gridKnn efAutoScale default off")
+    assert(defaultBoolOf("gridCellsFromCatalog", 10),
+      "gridCellsFromCatalog efAutoScale default off")
+    assert(defaultBoolOf("evaluationGridFromCatalog", 10),
+      "evaluationGridFromCatalog efAutoScale default off")
+    // opting out is behavior-identical below the hold range (the law is
+    // inert at gate-tier n — no small-catalog caller pays anything)
+    val on = SemLinkGrid.gridKnn(catalog, 5, annAbove = 10, hnswAbove = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val off = SemLinkGrid.gridKnn(catalog, 5, annAbove = 10, hnswAbove = 10,
+        efAutoScale = false)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(on == off)
+  }
+
   test("grid metrics tolerate mixed-type ground truth: long q/c against " +
     "string catalog keys") {
     // the pre-hash code joined raw truth values against string keys and
