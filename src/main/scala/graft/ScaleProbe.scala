@@ -426,13 +426,27 @@ object ScaleProbe {
     // ef-sensitivity artifact cannot masquerade as the default-path
     // number and a default-path artifact shows what the law resolved to
     val gridRecallEf = sys.env.getOrElse("GRAFT_GRIDRECALL_EF", "0").toInt
+    // GRAFT_GRIDRECALL_ENGINE=ivf forces the EXPLICIT middle tier
+    // (annAbove=1, hnswAbove=MaxValue, default auto-nList/nProbe=16) —
+    // the grid's IVF choice has measured RUNTIME rows (gridknn_ivf) but
+    // its recall at tier scale is otherwise uncited, and its default
+    // probed FRACTION (nProbe/√N) shrinks with N: the same decay class
+    // the HNSW beam law closes. "default" = whatever the untuned gate
+    // picks (the committed default-path claims).
+    val gridRecallEngine =
+      sys.env.getOrElse("GRAFT_GRIDRECALL_ENGINE", "default")
+    require(Set("default", "ivf")(gridRecallEngine),
+      s"GRAFT_GRIDRECALL_ENGINE must be default|ivf, got $gridRecallEngine")
     def gridRecallProbe(dir: String): (Long, String, Long, Double, Int) = {
       import spark.implicits._
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
       val (knnDf, engine, efUsed) =
-        if (gridRecallEf > 0) graft.pipeline.SemLinkGrid
+        if (gridRecallEngine == "ivf") graft.pipeline.SemLinkGrid
+          .gridKnnWithEngine(cat, 10, annAbove = 1,
+            hnswAbove = Long.MaxValue)
+        else if (gridRecallEf > 0) graft.pipeline.SemLinkGrid
           .gridKnnWithEngine(cat, 10, efSearch = gridRecallEf,
             efAutoScale = false)
         else graft.pipeline.SemLinkGrid.gridKnnWithEngine(cat, 10)
@@ -469,7 +483,7 @@ object ScaleProbe {
         s"gridrecall: exact engine scored $smR against brute force — " +
           "the probe's truth side is broken")
       Seq(
-        f""""gridknn_recall":{"default_ef":${gridRecallEf <= 0},"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE","ef":$smEf,"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE","ef":$bgEf,"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
+        f""""gridknn_recall":{"mode":"$gridRecallEngine","default_ef":${gridRecallEf <= 0},"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE","ef":$smEf,"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE","ef":$bgEf,"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
     }
 
     // IVF-PQ ADC recall under DRIFTING appends (the PQ family's named

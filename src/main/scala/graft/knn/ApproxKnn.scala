@@ -803,9 +803,13 @@ object ApproxKnn {
     val qs = queries.filter(col(idCol).isNotNull)
     val n = qs.count()
     val nBlocks = math.max(1L, (n + queryBlockSize - 1) / queryBlockSize).toInt
+    // efAutoScale = false: this is a RAW primitive — the resolved `ef`
+    // is the caller's knob verbatim (the grid gate applies
+    // graft.knn.BeamLaw BEFORE calling here; letting the scratch
+    // index's search scale it again would double-apply the law)
     if (nBlocks == 1)
       return finish(HnswIndex.search(spark, dir, qs, idCol, vecCol, k, ef,
-        excludeSelf))
+        excludeSelf, efAutoScale = false))
     val bounds = idBlockBounds(qs, idCol, nBlocks)
     // same presence scan as blockKnn: quantile rank error can empty an
     // edge block, and HnswIndex.search treats an empty query side as
@@ -818,7 +822,7 @@ object ApproxKnn {
     val parts = bounds.zipWithIndex.collect {
       case ((lo, hi), i) if present(i) =>
         HnswIndex.search(spark, dir, idBlock(qs, idCol, lo, hi), idCol,
-          vecCol, k, ef, excludeSelf)
+          vecCol, k, ef, excludeSelf, efAutoScale = false)
     }
     require(parts.nonEmpty, "hnswBlockKnn: no non-empty query blocks")
     finish(unionChunked(parts))

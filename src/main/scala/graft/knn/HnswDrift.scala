@@ -22,9 +22,12 @@ private[graft] object HnswDrift {
       k: Int = 10): Double =
     // the ONE recall evaluator (shared with IvfPqDrift) — actual-truth-
     // size denominator, see RecallEval
+    // efAutoScale = false: a recall-vs-ef measurement must run the ef
+    // it records — the beam law scaling a "ef 32" stage to 64 would
+    // mislabel every drift artifact
     RecallEval.recallVsExact(
       HnswIndex.search(spark, dir, queries, idCol, vecCol,
-        k = k, efSearch = ef),
+        k = k, efSearch = ef, efAutoScale = false),
       queries, corpus, idCol, vecCol, k)
 
   /** Build at `shards`, then run the canonical mix — append b1, vacuum,

@@ -580,11 +580,8 @@ object HnswIndex {
       HnswSearch.collectQueries(queries, idCol, vecCol, "HnswIndex.search"))
 
     val (_, shardGens, counts) = readManifest(spark, dir)
-    val efEff =
-      if (efAutoScale && counts.keySet == shardGens.keySet)
-        BeamLaw.autoEf(efSearch, counts.values.sum)
-      else efSearch
-    val (kL, efS, ex) = (k, efEff, excludeSelf)
+    val (kL, efS, ex) =
+      (k, effectiveEf(efSearch, efAutoScale, shardGens, counts), excludeSelf)
     // an empty manifest (reachable: readIds special-cases it, and the
     // streaming gate probes BEFORE the first append) has no neighbors —
     // an empty correctly-shaped frame, not a zero-path parquet read
@@ -620,6 +617,18 @@ object HnswIndex {
 
     HnswSearch.topKMerge(partials, k)
   }
+
+  /** [[search]]'s beam resolution, isolated for direct spec pinning:
+    * the [[BeamLaw]] applies only when the caller left auto-scaling on
+    * AND the manifest's counts are complete (an incomplete/legacy map
+    * must never under-state the corpus and silently under- or
+    * over-beam — the law goes inert, raw knob, instead of guessing).
+    */
+  private[graft] def effectiveEf(efSearch: Int, efAutoScale: Boolean,
+      shardGens: Map[Int, Int], counts: Map[Int, Long]): Int =
+    if (efAutoScale && counts.keySet == shardGens.keySet)
+      BeamLaw.autoEf(efSearch, counts.values.sum)
+    else efSearch
 
   private val ReshardMarker = "_reshard_commit"
 

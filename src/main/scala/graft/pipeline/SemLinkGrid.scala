@@ -52,12 +52,16 @@ object SemLinkGrid {
     * (forced-HNSW row: 72.5 s) vs the IVF tier's 174.9 s on the
     * identical catalog (SCALE_r14_default_gate), growing 62.8× per
     * 100× data where IVF grew 124× — the log N vs √N per-query gap,
-    * widening with N. At the 10⁶-key tier (SCALE_r16_1m) the untuned
-    * default measures 688.9 s — per-key cost 0.38 → 0.69 ms across 5×
-    * more keys (1.8× per key: between pure log-N's 1.2× and √N's
-    * 2.2×, far below exact's 5×), where IVF's Θ(N^1.5) projects
-    * ~1950 s from its own 200k measurement; the crossover in HNSW's
-    * favor is already behind the gate at 10⁵ and only widens.
+    * widening with N. At the 10⁶-key tier the RAW beam (ef 64,
+    * SCALE_r16_1m) measures 688.9 s — per-key cost 0.38 → 0.69 ms
+    * across 5× more keys (1.8× per key: between pure log-N's 1.2× and
+    * √N's 2.2×, far below exact's 5×); the untuned default NOW runs
+    * the beam law there (ef 128) at a measured 914.9 s
+    * (SCALE_r17_1m_auto — the ~2× beam cost lands on the search leg
+    * only; build dominates the rest), still far under IVF's Θ(N^1.5)
+    * projection of ~1950 s from its own 200k measurement; the
+    * crossover in HNSW's favor is already behind the gate at 10⁵ and
+    * only widens.
     * RECALL at the tiers where this gate fires is measured, not
     * extrapolated (the `gridrecall` probe scores the untuned default's
     * own output against brute-force truth on ~500 sampled queries):
@@ -75,7 +79,7 @@ object SemLinkGrid {
     * per [[EfDoublePerKeys]] = 5× keys past that, so the untuned
     * default's recall stays at build level across tiers instead of
     * decaying one beam-decay step per catalog decade (measured under
-    * the law: recall@10 = 0.9949 at 10⁶ keys, SCALE_r17_recall_1m_auto,
+    * the law: recall@10 = 0.9949 at 10⁶ keys, SCALE_r17_1m_auto,
     * vs 0.9680 fixed). `efAutoScale = false` pins the raw knob
     * (the ef-sensitivity artifacts above are raw runs); efSearch <= 0
     * remains the rank-exact full beam, never scaled.

@@ -623,6 +623,23 @@ class HnswIndexSpec extends SparkSpec {
     // the law the manifest counts feed is the ONE BeamLaw the grid gate
     // uses (its anchors are spec-pinned in SemLinkGridSpec)
     assert(graft.knn.BeamLaw.autoEf(64, 1000000L) == 128)
+    // search's beam resolution, pinned at the decision function (the
+    // graph clamps ef to >= k, so result-level observation can't
+    // distinguish beams at spec-sized corpora): the law fires only with
+    // auto ON and COMPLETE counts — a 10^6-node manifest doubles the
+    // default beam; auto off, an incomplete/legacy counts map, and the
+    // full-beam sentinel all pin the raw knob. hnswBlockKnn and the
+    // drift harness call search with efAutoScale=false (their callers
+    // own the law / the recorded ef), so the law applies exactly once
+    // on every path.
+    val sg = Map(0 -> 1, 1 -> 1)
+    val full = Map(0 -> 600000L, 1 -> 400000L)
+    assert(HnswIndex.effectiveEf(64, efAutoScale = true, sg, full) == 128)
+    assert(HnswIndex.effectiveEf(64, efAutoScale = false, sg, full) == 64)
+    assert(HnswIndex.effectiveEf(64, efAutoScale = true, sg,
+      full - 1) == 64, "incomplete counts must leave the law inert")
+    assert(HnswIndex.effectiveEf(0, efAutoScale = true, sg, full) == 0,
+      "full-beam sentinel must never scale")
 
     // legacy manifest (written before counts rode along): strip counts
     // in place — search must still answer (raw beam, law inert rather
