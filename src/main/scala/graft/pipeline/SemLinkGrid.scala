@@ -87,7 +87,19 @@ object SemLinkGrid {
     * untuned escalation goes straight to the N·log N plan, and the IVF
     * tier remains the EXPLICIT middle choice (`hnswAbove =
     * Long.MaxValue`, or tuned nList/nProbe — its full-probe sentinel is
-    * the grid's rank-exact oracle form, q93/q94). Like `annAbove`,
+    * the grid's rank-exact oracle form, q93/q94). That ordering now has
+    * a measured QUALITY argument on top of the runtime one
+    * (SCALE_r17_recall_200k_ivf, the forced middle tier at its
+    * defaults): IVF recall is cluster-structure-dependent, not
+    * scale-dependent — 1.0000 at the clustered 200k tier (nProbe 16
+    * of √N lists still always catches the query's own cluster) but
+    * 0.7614 on the 2k-key SPREAD catalog probing 16 of 45 lists,
+    * below the 0.8 drift floor — while the graph tier measures high
+    * on both shapes (≥0.994 wide-beam across the drift mix on the
+    * spread corpus; 1.0000/0.9949 at the clustered tiers under the
+    * beam law). An untuned caller cannot know their catalog's
+    * cluster structure; the default must not route them through the
+    * one engine whose recall depends on it. Like `annAbove`,
     * `Long.MaxValue` opts out.
     */
   val DefaultHnswAbove: Long = DefaultAnnAbove
