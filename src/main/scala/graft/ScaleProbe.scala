@@ -20,12 +20,23 @@ import org.apache.spark.sql.functions._
   *  - events: ids offset by k·100M, timestamps kept (10× denser windows
   *    — the realistic shape of more traffic over the same wall-clock).
   *
-  * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> [copies=10] [tables]
+  * Usage: runMain graft.MakeScale <srcSfDir> <dstDir> [copies=10] [tables] [embMode]
   * The TPC-H relational tables are not replicated — the scale probe
   * targets the index/ingest/dedup operators, which read these three.
   * `tables` (comma list, default all three) restricts which tables are
   * written — a 500× embeddings-only tier need not pay a 500× document
   * salt pass it never reads.
+  *
+  * `embMode` (default "jitter") picks the embeddings copies' SHAPE:
+  * "jitter" keeps the ±0.05 per-component perturbation — every copy
+  * clusters tightly around its original, so the scaled catalog is
+  * STRONGLY CLUSTERED (~2000 clusters of `copies` members each);
+  * "spread" replaces copy components with deterministic uniform values
+  * over the original ±0.37 range — no cluster structure at all. The
+  * two shapes bracket real catalogs: SCALE_r17_recall_200k_ivf
+  * measured the IVF tier's recall as cluster-structure-DEPENDENT
+  * (1.0000 clustered vs 0.7614 spread-2k), so any recall claim at a
+  * tier needs the shape that makes it hardest, not just the default.
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
@@ -43,6 +54,9 @@ object MakeScale {
     require(unknownTables.isEmpty,
       s"MakeScale: unknown table token(s) ${unknownTables.mkString(",")} — " +
         s"known: ${knownTables.toSeq.sorted.mkString(",")}")
+    val embMode = if (args.length > 4) args(4) else "jitter"
+    require(Set("jitter", "spread")(embMode),
+      s"MakeScale: embMode must be jitter|spread, got $embMode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,6 +94,19 @@ object MakeScale {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embCopies = (0 until copies).map { k =>
       if (k == 0) emb
+      else if (embMode == "spread")
+        // no cluster structure: every copy component is a fresh
+        // deterministic uniform draw over the original ±0.37 range —
+        // the hardest shape for a cluster-pruned engine (see the
+        // embMode doc above)
+        emb.withColumn("vec_id", col("vec_id") + lit(k.toLong * 50000000L))
+          .withColumn("embedding",
+            zip_with(col("embedding"),
+              sequence(lit(0), size(col("embedding")) - 1),
+              (_, i) => ((pmod(
+                  xxhash64(col("vec_id") * 131 + i + lit(k * 17)),
+                  lit(100000)).cast("double") / 100000.0 - 0.5) * 0.74)
+                .cast("float")))
       else emb.withColumn("vec_id", col("vec_id") + lit(k.toLong * 50000000L))
         .withColumn("embedding",
           zip_with(col("embedding"),
@@ -105,7 +132,7 @@ object MakeScale {
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
     }
 
-    println(s"""{"made":"$dst","copies":$copies,"tables":"${tables.toSeq.sorted.mkString(",")}"}""")
+    println(s"""{"made":"$dst","copies":$copies,"tables":"${tables.toSeq.sorted.mkString(",")}","embMode":"$embMode"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,14 @@ object BeamLaw {
 
   /** The measured hold range: a given base beam keeps ~build-level
     * recall while the catalog stays within this many keys (the decay
-    * only appears past ~5·10⁵ — see the artifacts above).
+    * only appears past ~5·10⁵ — see the artifacts above). Anchored on
+    * the CLUSTERED catalog shape (jittered-copy scale tiers — the
+    * shape real embedding corpora approximate); the adversarial
+    * fully-spread shape measures lower at the same beam
+    * (SCALE_r17_recall_200k_spread: 0.9186 at ef 64 / 0.9736 at
+    * ef 128 at 2·10⁵ keys, floor-clear but below build level) — a
+    * knowingly spread catalog wants a raised base ef or the full-beam
+    * sentinel, both of which the law passes through faithfully.
     */
   val HoldKeys: Long = 500000L
 

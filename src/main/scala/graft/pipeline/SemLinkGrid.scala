@@ -88,18 +88,25 @@ object SemLinkGrid {
     * tier remains the EXPLICIT middle choice (`hnswAbove =
     * Long.MaxValue`, or tuned nList/nProbe — its full-probe sentinel is
     * the grid's rank-exact oracle form, q93/q94). That ordering now has
-    * a measured QUALITY argument on top of the runtime one
-    * (SCALE_r17_recall_200k_ivf, the forced middle tier at its
-    * defaults): IVF recall is cluster-structure-dependent, not
-    * scale-dependent — 1.0000 at the clustered 200k tier (nProbe 16
-    * of √N lists still always catches the query's own cluster) but
-    * 0.7614 on the 2k-key SPREAD catalog probing 16 of 45 lists,
-    * below the 0.8 drift floor — while the graph tier measures high
-    * on both shapes (≥0.994 wide-beam across the drift mix on the
-    * spread corpus; 1.0000/0.9949 at the clustered tiers under the
-    * beam law). An untuned caller cannot know their catalog's
-    * cluster structure; the default must not route them through the
-    * one engine whose recall depends on it. Like `annAbove`,
+    * a measured QUALITY argument on top of the runtime one: the full
+    * shape × engine matrix at the 200k tier, identical defaults
+    * (SCALE_r17_recall_200k{,_ivf,_spread,_spread_ef128,_spread_ivf})
+    * — HNSW 1.0000 clustered / 0.9186 fully-spread (0.9736 at one
+    * beam doubling); IVF 1.0000 clustered / 0.2886 fully-spread
+    * (nProbe 16 of ~448 auto lists = 3.6% probed, and with no
+    * cluster structure the probed fraction IS roughly the recall;
+    * 0.7614 already on the 2k-key spread catalog probing 16 of 45).
+    * The cluster-pruned engine COLLAPSES on the shape an untuned
+    * caller cannot rule out, while the graph degrades gracefully and
+    * answers to the beam knob. The spread shape (uniform components,
+    * no cluster structure) is the adversarial extreme — distance
+    * concentration makes it the hardest regime for any ANN — so its
+    * rows are worst-case floors, not typical expectations: real
+    * embedding catalogs cluster, and both clustered tiers measure
+    * ≥0.99 under the beam law. The law's HoldKeys anchor is measured
+    * on the clustered shape; a knowingly fully-spread catalog at
+    * scale wants a raised base efSearch (per the measured table) or
+    * the full-beam sentinel. Like `annAbove`,
     * `Long.MaxValue` opts out.
     */
   val DefaultHnswAbove: Long = DefaultAnnAbove
