@@ -375,26 +375,33 @@ object ScaleProbe {
     // side with gridknn_ivf on the same catalogs. Also records recall
     // vs the exact top-k ON THE SMALL SIDE only (exact kNN at the big
     // tier is the O(N²) cost this tier exists to avoid).
-    def gridHnswProbe(dir: String): Double = {
+    def gridHnswProbe(dir: String): (Double, Int) = {
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
-      def once(): Unit = {
-        graft.pipeline.SemLinkGrid
-          .gridKnn(cat, 10, annAbove = 1, hnswAbove = 1).count(); ()
+      // forced graph tier runs under the beam law like the untuned
+      // default would — and the row RECORDS the effective beam, so a
+      // >HoldKeys-tier timing can never be silently compared against a
+      // raw-beam artifact (the gridknn_default/gridknn_recall rule)
+      def once(): Int = {
+        val (df, _, ef) = graft.pipeline.SemLinkGrid
+          .gridKnnWithEngine(cat, 10, annAbove = 1, hnswAbove = 1)
+        df.count()
+        ef
       }
-      once() // warm
-      (1 to 2).map { _ =>
+      val ef = once() // warm
+      val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         once()
         (System.nanoTime() - t0) / 1e9
       }.min
+      (t, ef)
     }
     val gridHnswRows = if (!probes("gridhnsw")) Seq.empty else {
-      val smG = gridHnswProbe(small)
-      val bgG = gridHnswProbe(big)
+      val (smG, smEf) = gridHnswProbe(small)
+      val (bgG, bgEf) = gridHnswProbe(big)
       Seq(
-        f""""gridknn_hnsw":{"small_s":$smG%.3f,"big_s":$bgG%.3f,"growth":${bgG / smG}%.2f}""")
+        f""""gridknn_hnsw":{"small_s":$smG%.3f,"big_s":$bgG%.3f,"growth":${bgG / smG}%.2f,"small_ef":$smEf,"big_ef":$bgEf}""")
     }
 
     // HNSW quality drift under an operational mix at probe scale: build
@@ -464,6 +471,12 @@ object ScaleProbe {
       sys.env.getOrElse("GRAFT_GRIDRECALL_ENGINE", "default")
     require(Set("default", "ivf")(gridRecallEngine),
       s"GRAFT_GRIDRECALL_ENGINE must be default|ivf, got $gridRecallEngine")
+    // the ef override has no meaning on the IVF tier — accepting the
+    // combination would stamp default_ef:false on a run that silently
+    // ignored the override, the exact artifact-masquerade the recorded
+    // ef exists to prevent
+    require(gridRecallEngine == "default" || gridRecallEf <= 0,
+      "GRAFT_GRIDRECALL_EF is ignored in ivf mode — unset it")
     def gridRecallProbe(dir: String): (Long, String, Long, Double, Int) = {
       import spark.implicits._
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")

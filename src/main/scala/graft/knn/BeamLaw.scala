@@ -35,16 +35,34 @@ object BeamLaw {
   val DoublePerKeys: Double = 5.0
 
   /** `base` up to [[HoldKeys]] keys, then one doubling per
-    * [[DoublePerKeys]]× keys. `base <= 0` (the rank-exact full-beam
-    * sentinel) is returned untouched — exactness needs no scaling. The
-    * shift is clamped at 24 doublings: past any representable catalog
-    * (Long.MaxValue needs 19) and guards the Int domain.
+    * [[DoublePerKeys]]× keys — the boundary is INCLUSIVE (exactly
+    * HoldKeys·5^d keys stays at d doublings). `base <= 0` (the
+    * rank-exact full-beam sentinel) is returned untouched — exactness
+    * needs no scaling. The shift is clamped at 24 doublings: past any
+    * representable catalog (Long.MaxValue needs 19) and guards the Int
+    * domain.
+    *
+    * Computed with INTEGRAL thresholds, not `ceil(log(n/hold)/log(5))`:
+    * the log-ratio form overshoots by a whole doubling at exact
+    * power-of-5 boundaries (JVM `log(62.5e6/5e5)/log(5)` =
+    * 3.0000000000000004 → ceil 4 → ef 1024 where the law says 512) —
+    * a silent 2× beam-compute violation of the documented rule on both
+    * serving surfaces. The growth factor is integral by construction
+    * (5); the threshold ladder saturates at Long.MaxValue instead of
+    * overflowing.
     */
   def autoEf(base: Int, n: Long): Int =
     if (base <= 0 || n <= HoldKeys) base
     else {
-      val doublings = math.ceil(
-        math.log(n.toDouble / HoldKeys) / math.log(DoublePerKeys)).toInt
-      base << math.min(doublings, 24)
+      val per = DoublePerKeys.toLong
+      var threshold = HoldKeys
+      var doublings = 0
+      while (n > threshold && doublings < 24) {
+        doublings += 1
+        threshold =
+          if (threshold > Long.MaxValue / per) Long.MaxValue
+          else threshold * per
+      }
+      base << doublings
     }
 }

@@ -192,7 +192,8 @@ object SemLinkGrid {
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
-      efAutoScale: Boolean = true): Seq[GridCell] = {
+      efAutoScale: Boolean = true,
+      scratchDir: Option[String] = None): Seq[GridCell] = {
     // fail fast on an empty sweep — ks.max and the callers' metric
     // reduces would otherwise surface as bare empty.max/empty.reduce
     // after the expensive profiling already ran
@@ -252,7 +253,7 @@ object SemLinkGrid {
     val (coreKnn, keys, engine, _) = gridKnnIds(embedded, kMax,
       annAbove = annAbove, nList = nList, nProbe = nProbe,
       hnswAbove = hnswAbove, efSearch = efSearch,
-      efAutoScale = efAutoScale)
+      efAutoScale = efAutoScale, scratchDir = scratchDir)
     val knn = coreKnn.localCheckpoint(eager = false)
     knn.count() // materialize once
 
@@ -353,9 +354,10 @@ object SemLinkGrid {
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
-      efAutoScale: Boolean = true): DataFrame =
+      efAutoScale: Boolean = true,
+      scratchDir: Option[String] = None): DataFrame =
     gridKnnWithEngine(embedded, kMax, blockSize, annAbove, nList, nProbe,
-      hnswAbove, efSearch, efAutoScale)._1
+      hnswAbove, efSearch, efAutoScale, scratchDir)._1
 
   /** [[gridKnn]] plus the engine the gate ACTUALLY picked ("exact" /
     * "ivf" / "hnsw") and the EFFECTIVE beam width the HNSW tier ran
@@ -372,9 +374,10 @@ object SemLinkGrid {
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
-      efAutoScale: Boolean = true): (DataFrame, String, Int) = {
+      efAutoScale: Boolean = true,
+      scratchDir: Option[String] = None): (DataFrame, String, Int) = {
     val (core, keys, engine, efUsed) = gridKnnIds(embedded, kMax, blockSize,
-      annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale)
+      annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale, scratchDir)
     (core
       .join(broadcast(keys.withColumnRenamed("id", "query_id")
         .withColumnRenamed("key", "__qkey")), Seq("query_id"))
@@ -397,7 +400,8 @@ object SemLinkGrid {
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
-      efAutoScale: Boolean = true): (DataFrame, DataFrame, String, Int) = {
+      efAutoScale: Boolean = true,
+      scratchDir: Option[String] = None): (DataFrame, DataFrame, String, Int) = {
     // string-canonicalized hash — must stay in lockstep with the truth
     // hashing in gridCellsFromCatalog (mixed-type tolerance note there)
     val withId = embedded
@@ -433,7 +437,8 @@ object SemLinkGrid {
         "HNSW.")
       (graft.knn.ApproxKnn.hnswBlockKnn(withId, withId, "id", "vec", kMax,
         metric = KnnJoin.MetricL2Sq, efSearch = ef,
-        queryBlockSize = blockSize, excludeSelf = true),
+        queryBlockSize = blockSize, excludeSelf = true,
+        scratchDir = scratchDir),
         keys, "hnsw", ef)
     } else if (gated && n > annAbove) {
       val (lists, probe) = resolveIvfParams(n, nList, nProbe)
@@ -498,7 +503,12 @@ object SemLinkGrid {
     * widened past [[EfHoldKeys]] keys by the measured [[autoEfSearch]]
     * law unless `efAutoScale = false`) and IVF between the two
     * thresholds (`nList <= 0` sizes lists ∝ √N automatically;
-    * `nProbe <= 0` means full probe, exact).
+    * `nProbe <= 0` means full probe, exact). `scratchDir`: where the
+    * HNSW tier stages its scratch graphs — REQUIRED on a non-local
+    * master (a shared-filesystem path: hdfs:/s3a:/...), because the
+    * driver-local temp default is refused there (executors could not
+    * read it — the [[graft.knn.ApproxKnn.hnswBlockKnn]] guard); on
+    * local masters the default temp is correct and self-cleaning.
     */
   def evaluationGridFromCatalog(
       catalog: DataFrame,
@@ -510,9 +520,11 @@ object SemLinkGrid {
       nProbe: Int = 16,
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
-      efAutoScale: Boolean = true): DataFrame =
+      efAutoScale: Boolean = true,
+      scratchDir: Option[String] = None): DataFrame =
     gridCellsFromCatalog(catalog, groundTruth, ks, thresholds,
-        annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale)
+        annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale,
+        scratchDir)
       .map(_.metrics).reduce(_.unionByName(_))
 
   /** Reference-parity export (join_discoverer.py:491–517): one CSV of

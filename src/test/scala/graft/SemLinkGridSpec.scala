@@ -354,6 +354,14 @@ class SemLinkGridSpec extends SparkSpec {
     assert(autoEfSearch(64, 2500001L) == 256)
     assert(autoEfSearch(64, 12500000L) == 256)
     assert(autoEfSearch(64, 12500001L) == 512)
+    // exact power-of-5 boundaries stay INCLUSIVE at every rung — the
+    // former ceil(log/log) form overshot here by FP error (JVM
+    // log(62.5e6/5e5)/log(5) = 3.0000000000000004 → ef 1024); the
+    // integral-threshold law must not
+    assert(autoEfSearch(64, 62500000L) == 512)   // 5^3 x hold
+    assert(autoEfSearch(64, 62500001L) == 1024)
+    assert(autoEfSearch(64, 7812500000L) == 4096) // 5^6 x hold
+    assert(autoEfSearch(64, 7812500001L) == 8192)
     // the law scales ANY positive base the same way (a caller's ef is
     // the beam at gate-tier scale)
     assert(autoEfSearch(32, 1000000L) == 64)
