@@ -522,8 +522,19 @@ object ScaleProbe {
       require(smE != "exact" || smR > 0.999,
         s"gridrecall: exact engine scored $smR against brute force — " +
           "the probe's truth side is broken")
+      // beam fields are HNSW-tier knobs: in ivf mode the raw ef passes
+      // through an inert knob, and recording it would let an IVF
+      // artifact masquerade as an ef-64 HNSW run (the exact confusion
+      // the recorded-ef design exists to prevent) — record the IVF
+      // knobs that actually governed the run instead
+      def efFields(ef: Int): String =
+        if (gridRecallEngine == "ivf")
+          """"ef":null,"nprobe":16,"nlist":"auto_sqrt_n""""
+        else s""""ef":$ef"""
+      val defaultEfField =
+        if (gridRecallEngine == "ivf") "null" else s"${gridRecallEf <= 0}"
       Seq(
-        f""""gridknn_recall":{"mode":"$gridRecallEngine","default_ef":${gridRecallEf <= 0},"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE","ef":$smEf,"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE","ef":$bgEf,"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
+        f""""gridknn_recall":{"mode":"$gridRecallEngine","default_ef":$defaultEfField,"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE",${efFields(smEf)},"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE",${efFields(bgEf)},"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
     }
 
     // IVF-PQ ADC recall under DRIFTING appends (the PQ family's named
@@ -547,7 +558,8 @@ object ScaleProbe {
     // is pure CODEBOOK error, which rebalance cannot fix (it keeps the
     // build-time codebooks) — only rebuild does. The committed floor
     // gates the full-probe rebuild number: the rebuild-cadence claim.
-    def ivfPqDriftProbe(dir: String): Seq[(String, Double, Double, Double)] = {
+    def ivfPqDriftProbe(dir: String)
+        : Seq[(String, Double, Double, Double, Option[Double], Option[Double])] = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")
       val bucket = pmod(xxhash64(col("vec_id")), lit(10))
@@ -568,15 +580,33 @@ object ScaleProbe {
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-      graft.knn.IvfPqDrift.runMix(spark, idx,
+      // the LIVE staleness signal (IvfIndex.staleness, operator defaults:
+      // no ground truth, no harness) read beside every stage's measured
+      // recall — the committed correlation that pins the displacement
+      // alarm threshold (a number, not a trend-reading exercise)
+      val stale = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Option[Double], Option[Double])]
+      val mix = graft.knn.IvfPqDrift.runMix(spark, idx,
           base, b1, b2, queries, "vec_id", "embedding",
-          nList = 32, pqM = 8, nProbes = Seq(4, 16, 32))
-        .map { case (stage, r) => (stage, r(4), r(16), r(32)) }
+          nList = 32, pqM = 8, nProbes = Seq(4, 16, 32),
+          onStage = { st =>
+            val row = graft.knn.IvfIndex.staleness(spark, idx).collect()(0)
+            stale += st -> (
+              (if (row.isNullAt(2)) None else Some(row.getDouble(2))),
+              (if (row.isNullAt(3)) None else Some(row.getDouble(3))))
+          })
+      mix.map { case (stage, r) =>
+        val (frac, disp) = stale(stage)
+        (stage, r(4), r(16), r(32), frac, disp)
+      }
     }
     val ivfPqDriftRows = if (!probes("ivfpqdrift")) Seq.empty else {
-      def fmt(rows: Seq[(String, Double, Double, Double)]): String =
-        rows.map { case (st, r4, r16, r32) =>
-          f""""$st":{"p4":$r4%.4f,"p16":$r16%.4f,"p32":$r32%.4f}"""
+      def fmt(rows: Seq[(String, Double, Double, Double,
+          Option[Double], Option[Double])]): String =
+        rows.map { case (st, r4, r16, r32, frac, disp) =>
+          val fracS = frac.map(v => f"$v%.4f").getOrElse("null")
+          val dispS = disp.map(v => f"$v%.4f").getOrElse("null")
+          f""""$st":{"p4":$r4%.4f,"p16":$r16%.4f,"p32":$r32%.4f,"frac_appended":$fracS,"adc_displacement":$dispS}"""
         }.mkString("{", ",", "}")
       val sm = ivfPqDriftProbe(small)
       val bg = ivfPqDriftProbe(big)
@@ -589,7 +619,8 @@ object ScaleProbe {
       // (slightly exceeds) it because centroids AND codebooks retrain
       // over the full drifted corpus. The rebuild-cadence claim is
       // exactly this restoration, not a fixed number.
-      def p32(rows: Seq[(String, Double, Double, Double)], st: String) =
+      def p32(rows: Seq[(String, Double, Double, Double,
+          Option[Double], Option[Double])], st: String) =
         rows.find(_._1 == st).get._4
       val tol = 0.02
       val recovered = Seq(sm, bg).forall(r =>

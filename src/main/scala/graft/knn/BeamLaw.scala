@@ -38,9 +38,14 @@ object BeamLaw {
     * [[DoublePerKeys]]× keys — the boundary is INCLUSIVE (exactly
     * HoldKeys·5^d keys stays at d doublings). `base <= 0` (the
     * rank-exact full-beam sentinel) is returned untouched — exactness
-    * needs no scaling. The shift is clamped at 24 doublings: past any
-    * representable catalog (Long.MaxValue needs 19) and guards the Int
-    * domain.
+    * needs no scaling. The shift is clamped at 24 doublings (past any
+    * representable catalog — Long.MaxValue needs 19) and the widened
+    * beam SATURATES at Int.MaxValue: a large base under many doublings
+    * must clip to the widest representable beam, never wrap negative —
+    * a negative ef is the full-beam rank-exact sentinel downstream, so
+    * an Int overflow here would silently flip ANN to exact at extreme
+    * scale (unreachable for realistic base/corpus pairs, guarded
+    * anyway).
     *
     * Computed with INTEGRAL thresholds, not `ceil(log(n/hold)/log(5))`:
     * the log-ratio form overshoots by a whole doubling at exact
@@ -54,15 +59,27 @@ object BeamLaw {
   def autoEf(base: Int, n: Long): Int =
     if (base <= 0 || n <= HoldKeys) base
     else {
-      val per = DoublePerKeys.toLong
-      var threshold = HoldKeys
-      var doublings = 0
-      while (n > threshold && doublings < 24) {
-        doublings += 1
-        threshold =
-          if (threshold > Long.MaxValue / per) Long.MaxValue
-          else threshold * per
-      }
-      base << doublings
+      // Long-domain shift + clamp: base ≤ Int.MaxValue and doublings
+      // ≤ 24, so base.toLong << doublings ≤ 2^55 — no Long overflow
+      val widened = base.toLong << doublings(n)
+      if (widened > Int.MaxValue) Int.MaxValue else widened.toInt
     }
+
+  /** How many doublings the law applies at `n` keys — the integral
+    * threshold ladder shared with [[autoEf]], exposed so a health
+    * surface ([[HnswIndex.staleness]]) can report the multiplier
+    * without reverse-engineering it from a (possibly saturated) beam.
+    */
+  def doublings(n: Long): Int = {
+    val per = DoublePerKeys.toLong
+    var threshold = HoldKeys
+    var d = 0
+    while (n > threshold && d < 24) {
+      d += 1
+      threshold =
+        if (threshold > Long.MaxValue / per) Long.MaxValue
+        else threshold * per
+    }
+    d
+  }
 }

@@ -243,13 +243,20 @@ object HnswIndex {
     fs.mkdirs(mdir)
     // counts ride the manifest so search can size its beam from state
     // it already reads (graft.knn.BeamLaw — no extra count job on the
-    // serving path); written only when complete, so a partial map can
-    // never understate the corpus and under-beam the search
+    // serving path). Completeness is REQUIRED at write time: every
+    // writer derives counts from the same per-shard agg that derives
+    // the shard map, so an incomplete map here is a writer bug — and
+    // silently omitting the block would produce a legacy-style manifest
+    // that disables the beam law with no signal (search goes inert at
+    // the raw knob). Incompleteness stays tolerated on the READ side
+    // only, for manifests written before counts rode along.
+    require(counts.keySet == shards.keySet,
+      s"HnswIndex.writeManifest: counts ${counts.keySet.toSeq.sorted} do " +
+        s"not cover shards ${shards.keySet.toSeq.sorted} — a partial map " +
+        "would understate the corpus and under-beam every search")
     val countsJson =
-      if (counts.keySet == shards.keySet)
-        counts.toSeq.sorted.map { case (s, n) => s""""$s":$n""" }
-          .mkString(""","counts":{""", ",", "}")
-      else ""
+      counts.toSeq.sorted.map { case (s, n) => s""""$s":$n""" }
+        .mkString(""","counts":{""", ",", "}")
     val json = shards.toSeq.sorted
       .map { case (s, g) => s""""$s":$g""" }
       .mkString("""{"shards":{""", ",", s"}$countsJson}")
@@ -334,6 +341,86 @@ object HnswIndex {
       .groupBy("shard")
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_nodes"))
+  }
+
+  /** One-row health surface — the [[IvfIndex.staleness]] counterpart for
+    * the graph family. The IVF signal answers "is a rebuild due?"
+    * (quality decays through codebook drift); HNSW quality decay is
+    * corpus-GROWTH-driven and [[BeamLaw]] compensates automatically at
+    * serving time, so the operator questions left are capacity and
+    * hygiene — answered here from state the index already persists,
+    * with ZERO Spark jobs (manifest JSON + two directory listings):
+    *
+    *  - `n_nodes` — live corpus size from the manifest-v2 counts (null
+    *    for a legacy counts-less manifest: unknown, and the beam law is
+    *    then inert — see `beam_law_active`);
+    *  - `n_shards`, `max_shard_nodes`, `shard_skew` — per-shard count
+    *    skew (max/mean). Query latency follows the LARGEST shard's
+    *    graph (every query beams every shard; the slowest task gates the
+    *    merge), and hash sharding keeps skew ≈ 1 — a high value means
+    *    pathological id clustering: [[reshard]] is the knob;
+    *  - `beam_law_active` — whether [[search]] will auto-scale the beam
+    *    (counts complete and not overridden); false on a legacy manifest
+    *    means a grown corpus serves at the RAW base beam, shedding the
+    *    measured recall — heal by any append/build/[[reshard]];
+    *  - `base_ef`, `effective_ef`, `beam_doublings` — the beam the law
+    *    will pick for `baseEf` at the current size ([[BeamLaw.autoEf]]):
+    *    the per-query search-cost multiplier an operator is implicitly
+    *    paying, and the capacity signal (each doubling ≈ 2× search
+    *    compute for ~5× catalog — a high doubling count says the
+    *    build-time shard sizing is due a [[reshard]] upward);
+    *  - `orphan_paths` — unreferenced generation/shard directories and
+    *    superseded manifests (crash debris / failed best-effort deletes;
+    *    the graph family has no tombstones, so dead FILES, not dead
+    *    rows, are its vacuum bookkeeping): the storage [[vacuum]] would
+    *    reclaim.
+    */
+  def staleness(spark: SparkSession, dir: String, baseEf: Int = 64)
+      : DataFrame = {
+    import spark.implicits._
+    val (liveGen, shardGens, counts) = readManifest(spark, dir)
+    val complete = counts.keySet == shardGens.keySet && shardGens.nonEmpty
+    val nNodes: Option[Long] = if (complete) Some(counts.values.sum) else None
+    val maxShard: Option[Long] = if (complete) Some(counts.values.max) else None
+    val skew: Option[Double] =
+      nNodes.filter(_ > 0).map(n =>
+        counts.values.max.toDouble / (n.toDouble / shardGens.size))
+    val effEf = effectiveEf(baseEf, efAutoScale = true, shardGens, counts)
+    val doublings =
+      if (complete && baseEf > 0) BeamLaw.doublings(counts.values.sum) else 0
+    // hygiene listing: same walk as vacuumImpl, count-only — orphaned
+    // (gen, shard) dirs plus superseded/torn manifests
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val ndir = new Path(s"$dir/nodes")
+    val genPat = "g=(\\d+)".r
+    val shardPat = "shard=(\\d+)".r
+    var orphans = 0L
+    if (fs.exists(ndir)) fs.listStatus(ndir).foreach { gSt =>
+      gSt.getPath.getName match {
+        case genPat(g) =>
+          fs.listStatus(gSt.getPath).foreach { sSt =>
+            sSt.getPath.getName match {
+              case shardPat(sh) if !shardGens.get(sh.toInt).contains(g.toInt) =>
+                orphans += 1
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    val mPat = "m(\\d{6,})\\.json".r
+    fs.listStatus(new Path(s"$dir/manifest")).foreach { st =>
+      st.getPath.getName match {
+        case mPat(n) if n.toInt < liveGen => orphans += 1
+        case name if name.endsWith(".inprogress") => orphans += 1
+        case _ => ()
+      }
+    }
+    Seq((nNodes, shardGens.size, maxShard, skew, complete,
+        baseEf, effEf, doublings, orphans))
+      .toDF("n_nodes", "n_shards", "max_shard_nodes", "shard_skew",
+        "beam_law_active", "base_ef", "effective_ef", "beam_doublings",
+        "orphan_paths")
   }
 
   private def loadParams(spark: SparkSession, dir: String)

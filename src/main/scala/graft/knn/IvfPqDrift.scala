@@ -12,18 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object RecallEval {
 
+  /** NOTE the hard contract (since r17): the evaluator REFUSES a query
+    * set whose distinct-id count × k exceeds [[recallVsExact]]'s 5M-row
+    * driver bound, instead of gambling the driver heap — a caller that
+    * used to hand a corpus-sized query frame now fails loudly and must
+    * sample. Costs one extra distinct-count Spark job per evaluation —
+    * acceptable for a probe/spec harness (the bound is checked on the
+    * CHEAP side; counting the approx frame would re-run the expensive
+    * search a caller has not checkpointed).
+    */
   def recallVsExact(approx: DataFrame, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): Double = {
+    import org.apache.spark.sql.functions.col
     // both result sets collect to the driver — sanctioned for a
-    // probe/spec harness because each is bounded by queries·k rows of
-    // two longs. The bound is only as good as the caller's query
-    // sampling, so enforce it on the CHEAP side (the query set is
-    // driver-small by contract; counting the approx frame would re-run
-    // the expensive search a caller has not checkpointed): 5M rows
-    // ≈ 80 MB — far past any probe's ~500-query sample, far below
-    // driver heap
+    // probe/spec harness because each is bounded by distinct-queries·k
+    // rows of two longs: 5M rows ≈ 80 MB — far past any probe's
+    // ~500-query sample, far below driver heap. DISTINCT ids, matching
+    // what the exact side below actually groups and collects —
+    // duplicate query rows must not fail a set that fits
     val maxRows = 5000000L
-    val bound = queries.count() * math.max(k, 1)
+    val bound = queries.select(col(idCol)).distinct().count() * math.max(k, 1)
     require(bound <= maxRows,
       s"RecallEval.recallVsExact: queries*k = $bound rows (> $maxRows) " +
         "— this evaluator collects to the driver and is meant for " +
@@ -91,6 +99,13 @@ private[graft] object IvfPqDrift {
     * recall@k for every `nProbes` entry after every stage. Returns
     * (stage, nProbe -> recall) in mix order: build, append1, append2,
     * rebalance, rebuild.
+    *
+    * `onStage` fires once per stage AFTER its maintenance op ran and its
+    * recall was measured, while the persisted index still holds that
+    * stage's state — the hook the staleness-correlation probe uses to
+    * read [[IvfIndex.staleness]] beside each measured recall (the curve
+    * that pins the displacement alarm threshold) without forking the
+    * mix.
     */
   def runMix(
       spark: SparkSession,
@@ -99,7 +114,8 @@ private[graft] object IvfPqDrift {
       queries: DataFrame,
       idCol: String, vecCol: String,
       nList: Int, pqM: Int,
-      nProbes: Seq[Int], k: Int = 10): Seq[(String, Map[Int, Double])] = {
+      nProbes: Seq[Int], k: Int = 10,
+      onStage: String => Unit = _ => ()): Seq[(String, Map[Int, Double])] = {
     IvfIndex.build(base, idCol, vecCol, dir, nList = nList, pqM = pqM)
     val full = base.unionByName(b1).unionByName(b2)
     // thunks, NOT eager values — each stage's maintenance op must run
@@ -122,6 +138,7 @@ private[graft] object IvfPqDrift {
       val r = nProbes.map(p =>
         p -> recallAt(spark, dir, queries, idCol, vecCol, p, corpus, k)).toMap
       corpus.unpersist()
+      onStage(stage)
       stage -> r
     }
   }

@@ -420,6 +420,7 @@ object Streams {
       idCol: String,
       textCol: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    val dedupNbMemo = new MetaMemo[(Int, Int, Int)]
     val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
         "graft_dedup_ckpt", maxFilesPerTrigger) { (b, batchId) =>
       val sp = b.sparkSession
@@ -450,10 +451,11 @@ object Streams {
         b(idCol).cast("long") === sigs("id"), "left_anti")
         .localCheckpoint()
       if (!fresh.isEmpty) {
-        // one MinHash kernel pass + one params read per batch, shared
-        // by the probe and the append — the dedupIngestBatch fast path
-        val params @ (_, bands, rpb) = graft.dedup.LshDedupIndex
-          .loadParams(sp, indexDir)
+        // one MinHash kernel pass per batch, one params read per LOOP
+        // (MetaMemo — band params are append-immutable), shared by the
+        // probe and the append — the dedupIngestBatch fast path
+        val params @ (_, bands, rpb) = dedupNbMemo.getOrLoad(
+          graft.dedup.LshDedupIndex.loadParams(sp, indexDir))
         val signed = graft.dedup.LshDedupIndex
           .signBatch(fresh, idCol, textCol, params)
         // batch-keyed Overwrite: a crash between this write and the
@@ -505,13 +507,38 @@ object Streams {
       textCol: String,
       topK: Int = 10,
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    val nbMemo = new MetaMemo[Int] // one params read per loop, not per batch
     val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
         "graft_lex_ckpt", maxFilesPerTrigger) { (b, batchId) =>
       lexOnceBatch(b.sparkSession, indexDir, outDir, batchId, b,
-        idCol, textCol, topK)
+        idCol, textCol, topK, nbMemo)
     }
     channelOrEmpty(spark, fs, outDir,
       graft.text.Bm25Index.searchSchema, dropBatch = true)
+  }
+
+  /** One-slot memo for index metadata that is IMMUTABLE across a
+    * single-writer ingest loop (BM25 nBuckets, LSH band params, IVF
+    * centroids/metric/codebooks): appends never touch these tables, the
+    * loop holds the only writer lock per batch, and any crashed-commit
+    * recovery that COULD swap them runs inside the first batch before
+    * the memo is forced — so loading them once per LOOP instead of once
+    * per BATCH is semantics-free and deletes one metadata read per
+    * micro-batch from the q9x serving floor (the q98 phase ledger's
+    * per-batch machinery). Each loop creates its own memo; the
+    * default-argument form gives direct spec/probe callers a fresh,
+    * cache-free instance per call.
+    */
+  private[graft] final class MetaMemo[A] {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference[Option[A]](None)
+    def getOrLoad(load: => A): A = ref.get match {
+      case Some(v) => v
+      case None =>
+        val v = load
+        ref.set(Some(v))
+        v
+    }
   }
 
   /** One micro-batch of [[lexIngestOnce]] — extracted so the late
@@ -528,7 +555,8 @@ object Streams {
       b: DataFrame,
       idCol: String,
       textCol: String,
-      topK: Int): Unit = {
+      topK: Int,
+      nbMemo: MetaMemo[Int] = new MetaMemo[Int]): Unit = {
     // FRESH docs only — the ids the index does not already hold.
     // Search-then-append over `fresh` (not the raw batch) keeps the
     // "a document's search sees exactly the pre-commit index state"
@@ -550,9 +578,9 @@ object Streams {
       b(idCol).cast("long") === dl("id"), "left_anti")
       .localCheckpoint()
     if (!fresh.isEmpty) {
-      // one tokenize pass + one params read per batch, shared by the
-      // probe and the append — the lexIngestBatch gate's fast path
-      val nb = graft.text.Bm25Index.loadParams(sp, indexDir)
+      // one tokenize pass per batch, one params read per LOOP (MetaMemo
+      // — params are append-immutable), shared by probe and append
+      val nb = nbMemo.getOrLoad(graft.text.Bm25Index.loadParams(sp, indexDir))
       val rows = graft.text.Bm25Index
         .tokenRows(fresh, idCol, textCol)
         .localCheckpoint(eager = false)
@@ -756,10 +784,11 @@ object Streams {
       lateness: Long,
       topK: Int = 10,
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    val nbMemo = new MetaMemo[Int] // one params read per loop, not per batch
     val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
         "graft_lexwm_ckpt", maxFilesPerTrigger) { (b, batchId) =>
       lexIngestBatch(b.sparkSession, indexDir, outDir, batchId,
-        b, idCol, textCol, tsCol, lateness, topK)
+        b, idCol, textCol, tsCol, lateness, topK, nbMemo)
     }
     channelOrEmpty(spark, fs, s"$outDir/search",
       graft.text.Bm25Index.searchSchema, dropBatch = true)
@@ -782,7 +811,8 @@ object Streams {
       textCol: String,
       tsCol: String,
       lateness: Long,
-      topK: Int): Unit = {
+      topK: Int,
+      nbMemo: MetaMemo[Int] = new MetaMemo[Int]): Unit = {
     // lazy checkpoints: each frame is materialized by its first action
     // (the gate's one-pass agg) and reused from blocks after — eager
     // would pay one extra dedicated job per frame per batch
@@ -805,8 +835,8 @@ object Streams {
       // ONE tokenize pass for the whole batch: the tokenRows frame feeds
       // the probe's query-term set (preQTerms — tf rows are unique per
       // (id, term), matching queryTerms' array_distinct) AND the index
-      // append (appendRows); params are read once and shared the same way
-      val nb = graft.text.Bm25Index.loadParams(sp, indexDir)
+      // append (appendRows); params are read once per LOOP (MetaMemo)
+      val nb = nbMemo.getOrLoad(graft.text.Bm25Index.loadParams(sp, indexDir))
       val rows = graft.text.Bm25Index
         .tokenRows(fresh, idCol, textCol)
         .localCheckpoint(eager = false)
@@ -991,10 +1021,11 @@ object Streams {
       tsCol: String,
       lateness: Long,
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    val nbMemo = new MetaMemo[(Int, Int, Int)]
     val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
         "graft_dedupwm_ckpt", maxFilesPerTrigger) { (b, batchId) =>
       dedupIngestBatch(b.sparkSession, indexDir, outDir, batchId,
-        b, idCol, textCol, tsCol, lateness)
+        b, idCol, textCol, tsCol, lateness, nbMemo)
     }
     channelOrEmpty(spark, fs, s"$outDir/cands",
       graft.dedup.LshDedupIndex.candidateSchema, dropBatch = true)
@@ -1013,7 +1044,9 @@ object Streams {
       idCol: String,
       textCol: String,
       tsCol: String,
-      lateness: Long): Unit = {
+      lateness: Long,
+      nbMemo: MetaMemo[(Int, Int, Int)] = new MetaMemo[(Int, Int, Int)])
+      : Unit = {
     // lazy checkpoints — see lexIngestBatch
     val b = batch.localCheckpoint(eager = false)
     // ONE signatures scan serves the gate's marker join and (via
@@ -1027,9 +1060,9 @@ object Streams {
       }, idCol, tsCol, lateness) { fresh =>
       // ONE MinHash kernel pass for the whole batch: the signed frame
       // feeds the probe (preSigned) AND the index append (appendSigned);
-      // params are read once and shared the same way
-      val params @ (_, bands, rpb) = graft.dedup.LshDedupIndex
-        .loadParams(sp, indexDir)
+      // params are read once per LOOP (MetaMemo) and shared the same way
+      val params @ (_, bands, rpb) = nbMemo.getOrLoad(
+        graft.dedup.LshDedupIndex.loadParams(sp, indexDir))
       val signed = graft.dedup.LshDedupIndex
         .signBatch(fresh, idCol, textCol, params)
       sp.sparkContext.setJobDescription("graft ingest: probe")
@@ -1079,10 +1112,12 @@ object Streams {
       k: Int = 10,
       nProbe: Int = 4,
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    val metaMemo = new MetaMemo[(Array[Array[Float]], String,
+      Option[(graft.knn.PqCodebooks, Boolean)])]
     val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
         "graft_annwm_ckpt", maxFilesPerTrigger) { (b, batchId) =>
       annIngestBatch(b.sparkSession, indexDir, outDir, batchId,
-        b, idCol, vecCol, tsCol, lateness, k, nProbe)
+        b, idCol, vecCol, tsCol, lateness, k, nProbe, metaMemo)
     }
     channelOrEmpty(spark, fs, s"$outDir/search",
       graft.knn.IvfIndex.searchSchema, dropBatch = true)
@@ -1103,7 +1138,11 @@ object Streams {
       tsCol: String,
       lateness: Long,
       k: Int,
-      nProbe: Int): Unit = {
+      nProbe: Int,
+      metaMemo: MetaMemo[(Array[Array[Float]], String,
+        Option[(graft.knn.PqCodebooks, Boolean)])] =
+        new MetaMemo[(Array[Array[Float]], String,
+          Option[(graft.knn.PqCodebooks, Boolean)])]): Unit = {
     // lazy checkpoints — see lexIngestBatch
     val b = batch.localCheckpoint(eager = false)
     watermarkGatedBatch(sp, indexDir, outDir, batchId, b, {
@@ -1116,10 +1155,12 @@ object Streams {
         graft.knn.IvfIndex.readIds(sp, indexDir)
           .localCheckpoint(eager = false)
       }, idCol, tsCol, lateness) { fresh =>
-      // ONE metadata load (post-recovery — the thunk above ran first)
+      // ONE metadata load per LOOP (MetaMemo — centroids/metric/PQ are
+      // append-immutable; a crashed-rebalance recovery that could swap
+      // them ran in the first batch's thunk, before the memo forces)
       // serves both the probe (preMeta) and the append (appendPrepared)
-      val (centroids, metric, pq) =
-        graft.knn.IvfIndex.loadIndexMeta(sp, indexDir)
+      val (centroids, metric, pq) = metaMemo.getOrLoad(
+        graft.knn.IvfIndex.loadIndexMeta(sp, indexDir))
       sp.sparkContext.setJobDescription("graft ingest: probe")
       // probe against the index AS OF batch start (fresh ids are not yet
       // members, so excludeSelf has nothing to exclude — kept for the

@@ -658,4 +658,78 @@ class HnswIndexSpec extends SparkSpec {
       "vec_id", "embedding")
     assert(manifestCounts() == statsCounts(), "append did not heal counts")
   }
+
+  test("staleness: one-row health surface — zero-job size/skew/beam from " +
+    "the manifest, orphan bookkeeping tracks vacuum, legacy counts go " +
+    "inert not wrong") {
+    import org.apache.hadoop.fs.Path
+    import java.nio.charset.StandardCharsets
+    val dir = tempDir("stale")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def liveManifest(): Path = {
+      val pat = "m(\\d{6,})\\.json".r
+      fs.listStatus(new Path(s"$dir/manifest")).toSeq
+        .flatMap(st => st.getPath.getName match {
+          case pat(n) => Some(n.toInt -> st.getPath)
+          case _ => None
+        }).maxBy(_._1)._2
+    }
+    def rewriteManifest(f: String => String): Unit = {
+      val live = liveManifest()
+      val in = fs.open(live)
+      val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      val out = fs.create(live, true)
+      try out.write(f(body).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def row() = HnswIndex.staleness(spark, dir).collect()(0)
+
+    HnswIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      dir, shards = 4)
+    val statsCounts = HnswIndex.stats(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val r0 = row()
+    assert(r0.getLong(0) == statsCounts.values.sum, "n_nodes != live corpus")
+    assert(r0.getInt(1) == 4, "n_shards")
+    assert(r0.getLong(2) == statsCounts.values.max, "max_shard_nodes")
+    val expectSkew = statsCounts.values.max.toDouble /
+      (statsCounts.values.sum.toDouble / 4)
+    assert(math.abs(r0.getDouble(3) - expectSkew) < 1e-9, "shard_skew")
+    assert(r0.getBoolean(4), "beam law must be active on a v2 manifest")
+    assert(r0.getInt(5) == 64 && r0.getInt(6) == 64 && r0.getInt(7) == 0,
+      "below HoldKeys the reported beam is the raw base at zero doublings")
+    assert(r0.getLong(8) == 0, "fresh build has no orphans")
+
+    // an append supersedes the old manifest (best-effort deletes clear
+    // the old generation dirs locally) — the health row must surface the
+    // debris vacuum would reclaim, and drop to zero after vacuum runs
+    HnswIndex.append(spark, dir,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 360),
+      "vec_id", "embedding")
+    assert(row().getLong(8) > 0, "superseded manifest not counted as orphan")
+    HnswIndex.vacuum(spark, dir)
+    assert(row().getLong(8) == 0, "orphans survive vacuum")
+
+    // the beam the law will pick is reported from the manifest counts
+    // alone: a (faked) 10^6-node manifest shows one doubling at the
+    // default base — the capacity signal, with zero Spark jobs
+    rewriteManifest(_.replaceAll(""""counts":\{[^}]*\}""",
+      s""""counts":{${statsCounts.keys.toSeq.sorted
+        .map(s => s""""$s":250000""").mkString(",")}}"""))
+    val rBig = row()
+    assert(rBig.getLong(0) == 1000000L)
+    assert(rBig.getInt(6) == 128 && rBig.getInt(7) == 1,
+      "effective_ef/beam_doublings must report the law at manifest size")
+
+    // legacy counts-less manifest: size unknown — null n_nodes/skew and
+    // beam_law_active=false (the effective beam honestly reports the raw
+    // base the search will actually run), never a guessed size
+    rewriteManifest(_.replaceAll(""","counts":\{[^}]*\}""", ""))
+    val rLegacy = row()
+    assert(rLegacy.isNullAt(0) && rLegacy.isNullAt(2) && rLegacy.isNullAt(3),
+      "legacy manifest must report unknown size, not a guess")
+    assert(!rLegacy.getBoolean(4), "law must be inert on a legacy manifest")
+    assert(rLegacy.getInt(6) == 64 && rLegacy.getInt(7) == 0)
+  }
 }

@@ -372,6 +372,21 @@ class SemLinkGridSpec extends SparkSpec {
     // ~1.8e13 → 19 doublings (the 24-doubling clamp is headroom past
     // any representable catalog, never the binding bound)
     assert(autoEfSearch(64, Long.MaxValue) == (64 << 19))
+    // SATURATION: a wide base under many doublings clips to
+    // Int.MaxValue, never wraps negative — a negative ef is the
+    // full-beam rank-exact sentinel downstream, so an Int overflow here
+    // would silently flip ANN to exact (base 4096 at 19 doublings is
+    // exactly 2^31, the first overflowing case)
+    assert(autoEfSearch(4096, Long.MaxValue) == Int.MaxValue)
+    assert(autoEfSearch(Int.MaxValue, SemLinkGrid.EfHoldKeys + 1)
+      == Int.MaxValue)
+    // doublings() is the same integral ladder, exposed for the health
+    // surface (HnswIndex.staleness reports the multiplier directly)
+    assert(graft.knn.BeamLaw.doublings(SemLinkGrid.EfHoldKeys) == 0)
+    assert(graft.knn.BeamLaw.doublings(1000000L) == 1)
+    assert(graft.knn.BeamLaw.doublings(2500000L) == 1)
+    assert(graft.knn.BeamLaw.doublings(2500001L) == 2)
+    assert(graft.knn.BeamLaw.doublings(Long.MaxValue) == 19)
     // plumbing: gridKnnWithEngine returns the EFFECTIVE beam the branch
     // ran — the raw knob below the hold range, the sentinel verbatim
     val catalog = (1 to 40).map { i =>

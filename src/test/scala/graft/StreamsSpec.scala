@@ -1081,6 +1081,15 @@ class StreamsSpec extends SparkSpec {
     assert(wm.read(spark, dir) == Long.MinValue)
     assert(!new java.io.File(s"$dir/ingest_watermark").exists())
   }
+
+  test("MetaMemo: the first load is cached for the life of the loop — " +
+    "one metadata read per ingest loop, not per micro-batch") {
+    var loads = 0
+    val memo = new graft.streaming.Streams.MetaMemo[Int]
+    assert(memo.getOrLoad { loads += 1; 7 } == 7)
+    assert(memo.getOrLoad { loads += 1; 99 } == 7)
+    assert(loads == 1, "metadata loaded more than once per loop")
+  }
 }
 
 /** Test-only filesystem modeling an object store whose `setTimes` is the
