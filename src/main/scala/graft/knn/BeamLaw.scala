@@ -22,12 +22,19 @@ object BeamLaw {
     * recall while the catalog stays within this many keys (the decay
     * only appears past ~5·10⁵ — see the artifacts above). Anchored on
     * the CLUSTERED catalog shape (jittered-copy scale tiers — the
-    * shape real embedding corpora approximate); the adversarial
-    * fully-spread shape measures lower at the same beam
-    * (SCALE_r17_recall_200k_spread: 0.9186 at ef 64 / 0.9736 at
-    * ef 128 at 2·10⁵ keys, floor-clear but below build level) — a
-    * knowingly spread catalog wants a raised base ef or the full-beam
-    * sentinel, both of which the law passes through faithfully.
+    * shape real embedding corpora approximate). The adversarial
+    * fully-spread shape is measured at BOTH gate tiers and the law
+    * does NOT fully hold it — it decays ~0.03 recall per 5× step
+    * instead of holding: 0.9186 at 2·10⁵/ef 64 → 0.8916 at 10⁶ under
+    * the law's ef 128 (SCALE_r17_recall_200k_spread,
+    * SCALE_r18_recall_1m_spread; floor-clear, not build-level). The
+    * measured fix is a DOUBLED base ef: base 128 — 0.9736 at 2·10⁵,
+    * and the law resolves it to 256 at 10⁶ where the same beam
+    * measures 0.9578 (SCALE_r17_recall_200k_spread_ef128,
+    * SCALE_r18_recall_1m_spread_ef256; ~+0.066 per further doubling
+    * on this shape). A knowingly spread catalog therefore sets
+    * base ≥ 128 or the full-beam sentinel — both pass through the law
+    * faithfully.
     */
   val HoldKeys: Long = 500000L
 

@@ -469,11 +469,29 @@ object IvfIndex {
     *    tier), caught here from the index alone, no ground truth or
     *    harness run needed.
     *
-    * Operating rule: trend `mean_adc_displacement` from build time (or
-    * alarm on `frac` past ~0.25, where the harness measured the recall
-    * trough) — a displacement well above its build-time level means ADC
-    * is no longer short-listing what exact distance would, and
-    * [[rebalance]] will NOT recover it (it keeps the codebooks);
+    * Operating rule — MEASURED, not a trend-reading exercise
+    * (SCALE_r18_ivfpq_staleness.json: the `ivfpqdrift` probe reads this
+    * signal beside every drift stage's harness recall): snapshot
+    * `mean_adc_displacement` right after every [[build]] (the anchor —
+    * its absolute value is corpus-dependent: 3.86 at the 20k tier vs
+    * 8.73 at 2k, where the k·rerank shortlist width saturates it), and
+    * alarm via [[rebuildDue]] when the live value reaches
+    * [[AdcDisplacementAlarmRatio]] = 1.5× the anchor. The ratio is
+    * bracketed on both sides at the 20k tier: every recall-degraded
+    * stage measured ≥ 1.53× (first drifted append 5.91/3.86 = 1.53×,
+    * p32 recall already collapsed 0.72 → 0.29; fully drifted 2.19×)
+    * and every recall-healthy state ≤ 1.39× (post-rebalance
+    * 5.38/3.86 = 1.39× at restored p32 0.716; rebuild 1.0×). The
+    * earlier "frac ≈ 0.25" note was optimistic for adversarial drift:
+    * the same artifact measured recall halved at frac 0.107 — treat
+    * `frac` as the zero-cost trailing indicator (any material value
+    * says "go read the displacement") and the displacement ratio as
+    * the alarm. Caveat at SPEC-scale corpora (≲ a few k rows): the
+    * displacement floor saturates (2k tier: 8.73 build, only 1.16×
+    * when drifted) — there, frac is the better signal; the operational
+    * tiers this signal exists for sit on the clean side. A fired alarm
+    * means ADC is no longer short-listing what exact distance would,
+    * and [[rebalance]] will NOT recover it (it keeps the codebooks);
     * schedule a [[build]].
     *
     * Cost: one id-count + (PQ only) two `probeQueries`-sized probes at
@@ -527,6 +545,23 @@ object IvfIndex {
       .toDF("n_rows", "n_at_train", "frac_appended_since_train",
         "mean_adc_displacement")
   }
+
+  /** The measured rebuild-alarm threshold on [[staleness]]'s
+    * `mean_adc_displacement`, relative to its post-build anchor — see
+    * the operating rule on [[staleness]] for the artifact bracket
+    * (healthy states measured ≤ 1.39× the anchor, recall-collapsed
+    * states ≥ 1.53×, SCALE_r18_ivfpq_staleness.json, 20k tier).
+    */
+  val AdcDisplacementAlarmRatio: Double = 1.5
+
+  /** The one-line cadence decision: is a [[build]] due, given the
+    * displacement snapshot taken right after the last build/rebuild and
+    * the live value from [[staleness]]? (Ratio rule — absolute
+    * displacement is corpus-dependent.)
+    */
+  def rebuildDue(buildDisplacement: Double,
+      currentDisplacement: Double): Boolean =
+    currentDisplacement >= AdcDisplacementAlarmRatio * buildDisplacement
 
   /** The persisted training-time corpus size, if this index (or its last
     * vectors-only rebalance) recorded one — None for legacy layouts.

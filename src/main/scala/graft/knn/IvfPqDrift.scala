@@ -65,11 +65,19 @@ private[graft] object RecallEval {
   *    corpus and re-codes every residual against them — but keeps the
   *    build-time CODEBOOKS (rebalance stages `centroids/params/
   *    assignments`, never `pq/` — IvfIndex.rebalance). MEASURED: this
-  *    is not an ADC recovery at all — the re-coded residual
+  *    is not a CODEBOOK recovery — the re-coded residual
   *    distribution (relative to the NEW centroids) mismatches codebooks
   *    trained on the old one, and full-probe recall can land BELOW the
   *    drifted trough (IvfPqDriftSpec: 0.88 after rebalance vs 0.97
-  *    drifted). Rebalance answers list skew, not codebook drift;
+  *    drifted). Regime-dependent: when the drifted vectors sit FAR
+  *    from every build-time centroid their residuals blow out of the
+  *    codebooks' operating range, and THAT rebalance does fix — fresh
+  *    centroids shrink the residuals back to codebook scale
+  *    (SCALE_r18_ivfpq_staleness, 20k tier: full-probe 0.24 drifted →
+  *    0.716 after rebalance ≈ build 0.719). What it can never fix is
+  *    codebook-SHAPE error — residuals of ordinary magnitude whose
+  *    distribution no longer matches the trained codebooks (the spec
+  *    fixture's regime above);
   *  - `rebuild` (a fresh [[IvfIndex.build]] over everything) retrains
   *    centroids AND codebooks — the actual recovery, at full-build cost.
   *    "Rebuild cadence" is therefore the operational answer COVERAGE.md

@@ -103,10 +103,16 @@ object SemLinkGrid {
     * concentration makes it the hardest regime for any ANN — so its
     * rows are worst-case floors, not typical expectations: real
     * embedding catalogs cluster, and both clustered tiers measure
-    * ≥0.99 under the beam law. The law's HoldKeys anchor is measured
-    * on the clustered shape; a knowingly fully-spread catalog at
-    * scale wants a raised base efSearch (per the measured table) or
-    * the full-beam sentinel. Like `annAbove`,
+    * ≥0.99 under the beam law. The spread shape is measured at BOTH
+    * gate tiers (round 18 closed the last extrapolated cell): under
+    * the law it decays ~0.03 per 5× step instead of holding — 0.9186
+    * at 2·10⁵/ef 64 → 0.8916 at 10⁶/law'd ef 128
+    * (SCALE_r18_recall_1m_spread; floor-clear, not build-level) — and
+    * the measured fix is a DOUBLED base efSearch = 128: 0.9736 at
+    * 2·10⁵, resolved by the law to ef 256 at 10⁶ where it measures
+    * 0.9578 (SCALE_r18_recall_1m_spread_ef256; ~+0.066 per further
+    * doubling on this shape). Base ≥ 128 or the full-beam sentinel is
+    * therefore the knowingly-spread-catalog setting. Like `annAbove`,
     * `Long.MaxValue` opts out.
     */
   val DefaultHnswAbove: Long = DefaultAnnAbove

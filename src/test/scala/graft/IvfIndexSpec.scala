@@ -436,4 +436,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(v2.getLong(1) == nAll, "vectors-only rebalance kept a stale anchor")
     assert(v2.getDouble(2) == 0.0)
   }
+
+  test("rebuildDue: the measured displacement alarm — 1.5x the build-time " +
+    "anchor separates every measured healthy state from every degraded one") {
+    // the constant is a MEASURED value (SCALE_r18_ivfpq_staleness.json,
+    // 20k tier, the ivfpqdrift probe reading staleness() beside harness
+    // recall at every drift stage) — pin it so a silent change must
+    // re-justify itself against the artifact
+    assert(IvfIndex.AdcDisplacementAlarmRatio == 1.5)
+    val anchor = 3.8625 // the artifact's post-build displacement
+    // recall-degraded stages (p32 0.72 -> 0.29 / 0.24) sit at >= 1.53x:
+    assert(IvfIndex.rebuildDue(anchor, 5.9109))  // first drifted append
+    assert(IvfIndex.rebuildDue(anchor, 8.4563))  // fully drifted, 2.19x
+    // recall-healthy states (p32 0.716 / 0.740) sit at <= 1.39x:
+    assert(!IvfIndex.rebuildDue(anchor, 5.3813)) // post-rebalance
+    assert(!IvfIndex.rebuildDue(anchor, 3.8625)) // fresh build
+    // post-rebuild measured 5.5188 at restored recall — 1.43x the OLD
+    // anchor, still under the alarm (and an operator re-snapshots the
+    // anchor at every rebuild anyway)
+    assert(!IvfIndex.rebuildDue(anchor, 5.5188))
+  }
 }
