@@ -164,7 +164,10 @@ object MakeScale {
   * "ivfpqdrift" (IVF-PQ ADC recall under drifting appends, with the
   * rebalance recovery stage), "gridrecall" (recall@10 of the untuned
   * default grid engine vs exact kNN on a sampled query subset — the
-  * quality twin of griddefault's runtime rows), or "none".
+  * quality twin of griddefault's runtime rows), "shape" (seeded
+  * relative contrast of each tier's embeddings —
+  * [[graft.knn.ShapeStats]] — the statistic that says which column of
+  * the shape × engine recall matrix applies), or "none".
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -182,7 +185,7 @@ object ScaleProbe {
         "q91_stream_late_ingest", "q92_stream_dedup_late",
         "q95_stream_ann_ingest", "q96_stream_hnsw_late")
     val knownProbes = Set("block", "grid", "reshard", "griddefault",
-      "gridhnsw", "drift", "ivfpqdrift", "gridrecall", "none")
+      "gridhnsw", "drift", "ivfpqdrift", "gridrecall", "shape", "none")
     val probes: Set[String] =
       if (args.length > 4) args(4).split(',').toSet else Set("block", "grid")
     // fail LOUDLY on a typo'd probe token — a silently skipped probe
@@ -628,13 +631,24 @@ object ScaleProbe {
       Seq(s""""ivfpq_drift":{"small":${fmt(sm)},"big":${fmt(bg)},"gate":"rebuild_p32 >= build_p32 - $tol","rebuild_restores_build_level":$recovered}""")
     }
 
+    // Catalog-shape diagnostic: seeded relative contrast of each tier's
+    // embeddings (graft.knn.ShapeStats) — the anchors the operating
+    // rule cites (clustered well above 2, spread near 1), committed so
+    // the rc thresholds in the doc are measured numbers, not folklore
+    val shapeRows = if (!probes("shape")) Seq.empty else {
+      def rc(dir: String): Double = graft.knn.ShapeStats.relativeContrast(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      Seq(f""""shape_contrast":{"small_rc":${rc(small)}%.4f,"big_rc":${rc(big)}%.4f}""")
+    }
+
     // null, not false, when the block probe was skipped — false would
     // read as "the hashes DIVERGED"
     val blockHash = if (probes("block")) "true" else "null"
     val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
     } ++ blockRows ++ gridRows ++ reshardRows ++ gridDefaultRows ++
-      gridHnswRows ++ gridRecallRows ++ driftRows ++ ivfPqDriftRows).mkString(
+      gridHnswRows ++ gridRecallRows ++ driftRows ++ ivfPqDriftRows ++
+      shapeRows).mkString(
       s"""{"small":"$small","big":"$big","block_hash_equal":$blockHash,"queries":{""",
       ",", "}}")
     println(json)
