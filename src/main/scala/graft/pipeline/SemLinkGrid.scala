@@ -77,10 +77,11 @@ object SemLinkGrid {
     * of documenting it as an operational rule: [[autoEfSearch]] holds
     * the base beam to [[EfHoldKeys]] = 5·10⁵ keys and doubles it once
     * per [[EfDoublePerKeys]] = 5× keys past that, so the untuned
-    * default's recall stays at build level across tiers instead of
-    * decaying one beam-decay step per catalog decade (measured under
-    * the law: recall@10 = 0.9949 at 10⁶ keys, SCALE_r17_1m_auto,
-    * vs 0.9680 fixed). `efAutoScale = false` pins the raw knob
+    * default's recall stays at build level across tiers ON THE
+    * CLUSTERED SHAPE instead of decaying one beam-decay step per
+    * catalog decade (measured under the law: recall@10 = 0.9949 at
+    * 10⁶ keys, SCALE_r17_1m_auto, vs 0.9680 fixed; the adversarial
+    * spread shape's measured ladder is below). `efAutoScale = false` pins the raw knob
     * (the ef-sensitivity artifacts above are raw runs); efSearch <= 0
     * remains the rank-exact full beam, never scaled.
     * The default equals [[DefaultAnnAbove]]: every
@@ -112,7 +113,13 @@ object SemLinkGrid {
     * 2·10⁵, resolved by the law to ef 256 at 10⁶ where it measures
     * 0.9578 (SCALE_r18_recall_1m_spread_ef256; ~+0.066 per further
     * doubling on this shape). Base ≥ 128 or the full-beam sentinel is
-    * therefore the knowingly-spread-catalog setting. Like `annAbove`,
+    * therefore the knowingly-spread-catalog setting — and
+    * [[graft.knn.ShapeStats.relativeContrast]] measures WHICH regime a
+    * catalog is in (one pass; tier-stable anchors: clustered ≈ 6.3,
+    * spread ≈ 1.5 — SCALE_r18_shape_contrast*). The diagnostic is
+    * deliberately operator-invoked, not wired into the gate: it costs
+    * a full catalog pass, and the gate's promise is that an untuned
+    * call pays only the work its plan needs. Like `annAbove`,
     * `Long.MaxValue` opts out.
     */
   val DefaultHnswAbove: Long = DefaultAnnAbove
