@@ -1876,6 +1876,39 @@ object SparkEntry {
         .select(col("id"), col("width"), col("height"),
           (col("max_abs_err") <= 6).cast("bigint").as("within_tol"))
     }),
+
+    // The graph family's health surface (HnswIndex.staleness), ORACLED
+    // on its closed-form columns: a fresh deterministic build has
+    // n_nodes = the built corpus, an active beam law (manifest-v2
+    // counts), the raw base beam at zero doublings (spec-scale corpus,
+    // law inert below HoldKeys) and zero orphan paths. The
+    // hash-placement columns (max_shard_nodes, shard_skew) depend on
+    // Spark's xxhash64 and are spec-gated instead (HnswIndexSpec) —
+    // DuckDB cannot reproduce the shard assignment.
+    "q103_hnsw_staleness" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxDir = graft.util.TempDirs.register(
+        s"/tmp/graft_hnsw_stale_${new java.io.File(d).getName}" +
+          s"_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // fresh dir per run: a bench re-run would otherwise take the
+      // rebuild-over-live path, whose superseded manifest is exactly
+      // the orphan this row pins at zero
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      val corpus = emb.filter(col("vec_id") < 400)
+        .select("vec_id", "embedding")
+      graft.knn.HnswIndex.build(corpus, "vec_id", "embedding", idxDir,
+        shards = 4)
+      graft.knn.HnswIndex.staleness(s, idxDir)
+        .select(col("n_nodes"),
+          col("n_shards").cast("long").as("n_shards"),
+          col("beam_law_active"),
+          col("base_ef").cast("long").as("base_ef"),
+          col("effective_ef").cast("long").as("effective_ef"),
+          col("beam_doublings").cast("long").as("beam_doublings"),
+          col("orphan_paths"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -3854,5 +3887,16 @@ object SparkEntry {
         |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM y GROUP BY user_id, sno""".stripMargin,
+
+    // closed-form: a fresh build of the <400 corpus at 4 shards has
+    // counts = the corpus, an active law at the raw base beam, and
+    // zero orphans (the hash-placement columns are spec-gated)
+    "q103_hnsw_staleness" ->
+      """SELECT count(*) AS n_nodes, CAST(4 AS BIGINT) AS n_shards,
+        |  true AS beam_law_active, CAST(64 AS BIGINT) AS base_ef,
+        |  CAST(64 AS BIGINT) AS effective_ef,
+        |  CAST(0 AS BIGINT) AS beam_doublings,
+        |  CAST(0 AS BIGINT) AS orphan_paths
+        |FROM embeddings WHERE vec_id < 400""".stripMargin,
   )
 }
