@@ -11,18 +11,44 @@ Usage: python3 scripts/bench_idle.py OUT.json [runs=3] [sfDir]
 Writes OUT.json:
   {"metric":"total","value":<sum of per-query medians>,"unit":"sec",
    "runs":N,"queries":{q:median},"queries_min":{q:min},
-   "queries_spread":{q:max-min},"totals":[per-run totals],"sf":dir}
+   "queries_spread":{q:max-min},"totals":[per-run totals],
+   "canary_s":[per-run fixed-workload times],"canary_drift":max/min,
+   "sf":dir}
+
+The canary (graft.HostCanary: 32 threads x a fixed xorshift count, code
+never changes) runs in its own JVM immediately before each bench run;
+its time moving between runs/rounds is HOST drift by construction.
+Normalization rule (COVERAGE.md): per-query deltas smaller than
+canary_drift are host-attributed.
 """
 import json, subprocess, sys, os, statistics
+
+def canary(repo):
+    cp = os.path.join(repo, "target/scala-2.13/classes") \
+        + ":/opt/spark/jars/*"  # scala-library for the Scala runtime
+    p = subprocess.run(
+        ["java", "-cp", cp, "graft.HostCanary"],
+        capture_output=True, text=True)
+    line = next(
+        (l for l in p.stdout.splitlines() if '{"canary_s"' in l), None)
+    if p.returncode != 0 or line is None:
+        sys.stderr.write("canary FAILED rc=%d\n%s\n" % (
+            p.returncode, p.stderr[-2000:]))
+        sys.exit(1)
+    return json.loads(line[line.index('{"canary_s"'):])["canary_s"]
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "BENCH_idle.json"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS="32")
     samples = []          # list of {query: sec}
     totals = []
+    canaries = []
     for i in range(runs):
+        canaries.append(canary(repo))
+        print(f"canary {i+1}/{runs}: {canaries[-1]:.3f} s", flush=True)
         p = subprocess.run(
             ["sbt", "-batch", "runMain graft.Bench"],
             capture_output=True, text=True, env=env, cwd=os.path.dirname(
@@ -59,12 +85,17 @@ def main():
     spread = {q: max(s[q] for s in samples) - mn[q] for q in qs}
     doc = {"metric": "total", "value": sum(med.values()), "unit": "sec",
            "runs": runs, "queries": med, "queries_min": mn,
-           "queries_spread": spread, "totals": totals, "sf": sf}
+           "queries_spread": spread, "totals": totals,
+           "canary_s": canaries,
+           "canary_drift": (max(canaries) / min(canaries))
+               if canaries and min(canaries) > 0 else None,
+           "sf": sf}
     with open(out, "w") as f:
         json.dump(doc, f)
         f.write("\n")
     print(f"median-of-{runs} total: {sum(med.values()):.1f} s "
-          f"(run totals: {', '.join(f'{t:.1f}' for t in totals)})")
+          f"(run totals: {', '.join(f'{t:.1f}' for t in totals)}; "
+          f"canaries: {', '.join(f'{c:.2f}' for c in canaries)})")
 
 if __name__ == "__main__":
     main()

@@ -32,11 +32,15 @@ import org.apache.spark.sql.functions._
   * clusters tightly around its original, so the scaled catalog is
   * STRONGLY CLUSTERED (~2000 clusters of `copies` members each);
   * "spread" replaces copy components with deterministic uniform values
-  * over the original ±0.37 range — no cluster structure at all. The
-  * two shapes bracket real catalogs: SCALE_r17_recall_200k_ivf
-  * measured the IVF tier's recall as cluster-structure-DEPENDENT
-  * (1.0000 clustered vs 0.7614 spread-2k), so any recall claim at a
-  * tier needs the shape that makes it hardest, not just the default.
+  * over the original ±0.37 range — no cluster structure at all;
+  * "mixed" alternates the two per copy (odd copies jitter, even copies
+  * spread) — half the catalog clustered, half structureless, the
+  * INTERMEDIATE shape that places ShapeStats' rc gray zone (2 ≲ rc
+  * ≲ 3) on the recall map. The jitter/spread extremes bracket real
+  * catalogs: SCALE_r17_recall_200k_ivf measured the IVF tier's recall
+  * as cluster-structure-DEPENDENT (1.0000 clustered vs 0.7614
+  * spread-2k), so any recall claim at a tier needs the shape that
+  * makes it hardest, not just the default.
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
@@ -55,8 +59,8 @@ object MakeScale {
       s"MakeScale: unknown table token(s) ${unknownTables.mkString(",")} — " +
         s"known: ${knownTables.toSeq.sorted.mkString(",")}")
     val embMode = if (args.length > 4) args(4) else "jitter"
-    require(Set("jitter", "spread")(embMode),
-      s"MakeScale: embMode must be jitter|spread, got $embMode")
+    require(Set("jitter", "spread", "mixed")(embMode),
+      s"MakeScale: embMode must be jitter|spread|mixed, got $embMode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,8 +97,11 @@ object MakeScale {
     if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embCopies = (0 until copies).map { k =>
+      // "mixed": per-copy alternation — even copies structureless
+      // uniform, odd copies jittered clusters; with copy 0 the original,
+      // the catalog lands ~half clustered / ~half spread
       if (k == 0) emb
-      else if (embMode == "spread")
+      else if (embMode == "spread" || (embMode == "mixed" && k % 2 == 0))
         // no cluster structure: every copy component is a fresh
         // deterministic uniform draw over the original ±0.37 range —
         // the hardest shape for a cluster-pruned engine (see the
@@ -341,35 +348,38 @@ object ScaleProbe {
     // it the gate escalates to auto-√N IVF — the probe records which
     // engine each side used, so the committed artifact shows the gate
     // firing at scale rather than asserting it.
-    def gridDefaultProbe(dir: String): (Double, Long, String, Int) = {
+    def gridDefaultProbe(dir: String)
+        : (Double, Long, graft.pipeline.SemLinkGrid.GridEngine) = {
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
       val n = cat.count()
-      // gridKnnWithEngine surfaces the engine AND effective beam the
-      // gate ACTUALLY picked — re-deriving them here from the
-      // thresholds/beam law would record what the gate SHOULD pick, and
-      // a future gate change could silently desynchronize artifact and
-      // plan
-      def once(): (String, Int) = {
-        val (df, engine, ef) = graft.pipeline.SemLinkGrid
+      // gridKnnWithEngine surfaces the engine, effective beam, shape
+      // decision and resolved IVF knobs the gate ACTUALLY picked —
+      // re-deriving them here from the thresholds/beam law would record
+      // what the gate SHOULD pick, and a future gate change could
+      // silently desynchronize artifact and plan
+      def once(): graft.pipeline.SemLinkGrid.GridEngine = {
+        val (df, eng) = graft.pipeline.SemLinkGrid
           .gridKnnWithEngine(cat, 10)
         df.count()
-        (engine, ef)
+        eng
       }
-      val (engine, ef) = once() // warm
+      val eng = once() // warm
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         once()
         (System.nanoTime() - t0) / 1e9
       }.min
-      (t, n, engine, ef)
+      (t, n, eng)
     }
     val gridDefaultRows = if (!probes("griddefault")) Seq.empty else {
-      val (smT, smN, smE, smEf) = gridDefaultProbe(small)
-      val (bgT, bgN, bgE, bgEf) = gridDefaultProbe(big)
+      val (smT, smN, smE) = gridDefaultProbe(small)
+      val (bgT, bgN, bgE) = gridDefaultProbe(big)
+      def rcS(e: graft.pipeline.SemLinkGrid.GridEngine): String =
+        e.rc.map(v => f"$v%.4f").getOrElse("null")
       Seq(
-        f""""gridknn_default":{"small_s":$smT%.3f,"big_s":$bgT%.3f,"growth":${bgT / smT}%.2f,"small_n":$smN,"big_n":$bgN,"small_escalated":${smE != "exact"},"big_escalated":${bgE != "exact"},"small_engine":"$smE","big_engine":"$bgE","small_ef":$smEf,"big_ef":$bgEf}""")
+        f""""gridknn_default":{"small_s":$smT%.3f,"big_s":$bgT%.3f,"growth":${bgT / smT}%.2f,"small_n":$smN,"big_n":$bgN,"small_escalated":${smE.engine != "exact"},"big_escalated":${bgE.engine != "exact"},"small_engine":"${smE.engine}","big_engine":"${bgE.engine}","small_ef":${smE.efUsed},"big_ef":${bgE.efUsed},"small_base_ef":${smE.baseEf},"big_base_ef":${bgE.baseEf},"small_rc":${rcS(smE)},"big_rc":${rcS(bgE)}}""")
     }
 
     // The HNSW escalation tier, measured directly (forced via
@@ -387,10 +397,10 @@ object ScaleProbe {
       // >HoldKeys-tier timing can never be silently compared against a
       // raw-beam artifact (the gridknn_default/gridknn_recall rule)
       def once(): Int = {
-        val (df, _, ef) = graft.pipeline.SemLinkGrid
+        val (df, eng) = graft.pipeline.SemLinkGrid
           .gridKnnWithEngine(cat, 10, annAbove = 1, hnswAbove = 1)
         df.count()
-        ef
+        eng.efUsed
       }
       val ef = once() // warm
       val t = (1 to 2).map { _ =>
@@ -480,12 +490,13 @@ object ScaleProbe {
     // ef exists to prevent
     require(gridRecallEngine == "default" || gridRecallEf <= 0,
       "GRAFT_GRIDRECALL_EF is ignored in ivf mode — unset it")
-    def gridRecallProbe(dir: String): (Long, String, Long, Double, Int) = {
+    def gridRecallProbe(dir: String)
+        : (Long, Long, Double, graft.pipeline.SemLinkGrid.GridEngine) = {
       import spark.implicits._
       val cat = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("key"),
           col("embedding").as("vec"))
-      val (knnDf, engine, efUsed) =
+      val (knnDf, eng) =
         if (gridRecallEngine == "ivf") graft.pipeline.SemLinkGrid
           .gridKnnWithEngine(cat, 10, annAbove = 1,
             hnswAbove = Long.MaxValue)
@@ -512,32 +523,36 @@ object ScaleProbe {
         .join(broadcast(sample.select(col("id").as("query_id"))), "query_id")
       val r = graft.knn.RecallEval.recallVsExact(
         approx, sample, withId, "id", "vec", 10)
-      (n, engine, nQ, r, efUsed)
+      (n, nQ, r, eng)
     }
     val gridRecallRows = if (!probes("gridrecall")) Seq.empty else {
-      val (smN, smE, smQ, smR, smEf) = gridRecallProbe(small)
-      val (bgN, bgE, bgQ, bgR, bgEf) = gridRecallProbe(big)
+      val (smN, smQ, smR, smE) = gridRecallProbe(small)
+      val (bgN, bgQ, bgR, bgE) = gridRecallProbe(big)
       // the drift-mix floor (ScaleProbe `drift` / HnswIndexSpec): the
       // wide-beam recall every operational stage must clear. The small
       // side's exact engine must score ~1.0 by construction — a probe
       // self-check, not a claim
       val floor = 0.8
-      require(smE != "exact" || smR > 0.999,
+      require(smE.engine != "exact" || smR > 0.999,
         s"gridrecall: exact engine scored $smR against brute force — " +
           "the probe's truth side is broken")
       // beam fields are HNSW-tier knobs: in ivf mode the raw ef passes
       // through an inert knob, and recording it would let an IVF
       // artifact masquerade as an ef-64 HNSW run (the exact confusion
-      // the recorded-ef design exists to prevent) — record the IVF
-      // knobs that actually governed the run instead
-      def efFields(ef: Int): String =
+      // the recorded-ef design exists to prevent) — record the RESOLVED
+      // IVF knobs the run actually used (from the gate itself, not
+      // re-stated defaults — resolveIvfParams' auto-sizing and clamps
+      // applied). HNSW rows also record the base the law scaled and the
+      // measured rc when the shape probe ran, so a shape-raised default
+      // run is distinguishable from a caller-set base.
+      def engFields(e: graft.pipeline.SemLinkGrid.GridEngine): String =
         if (gridRecallEngine == "ivf")
-          """"ef":null,"nprobe":16,"nlist":"auto_sqrt_n""""
-        else s""""ef":$ef"""
+          s""""ef":null,"nprobe":${e.nProbe.map(_.toString).getOrElse("null")},"nlist":${e.nList.map(_.toString).getOrElse("null")}"""
+        else s""""ef":${e.efUsed},"base_ef":${e.baseEf},"rc":${e.rc.map(v => f"$v%.4f").getOrElse("null")}"""
       val defaultEfField =
         if (gridRecallEngine == "ivf") "null" else s"${gridRecallEf <= 0}"
       Seq(
-        f""""gridknn_recall":{"mode":"$gridRecallEngine","default_ef":$defaultEfField,"small":{"n":$smN,"n_queries":$smQ,"engine":"$smE",${efFields(smEf)},"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"$bgE",${efFields(bgEf)},"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
+        f""""gridknn_recall":{"mode":"$gridRecallEngine","default_ef":$defaultEfField,"small":{"n":$smN,"n_queries":$smQ,"engine":"${smE.engine}",${engFields(smE)},"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"${bgE.engine}",${engFields(bgE)},"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
     }
 
     // IVF-PQ ADC recall under DRIFTING appends (the PQ family's named
@@ -562,7 +577,8 @@ object ScaleProbe {
     // build-time codebooks) — only rebuild does. The committed floor
     // gates the full-probe rebuild number: the rebuild-cadence claim.
     def ivfPqDriftProbe(dir: String)
-        : Seq[(String, Double, Double, Double, Option[Double], Option[Double])] = {
+        : Seq[(String, Double, Double, Double, Option[Double], Option[Double],
+          Option[Double], Option[Boolean])] = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")
       val bucket = pmod(xxhash64(col("vec_id")), lit(10))
@@ -586,9 +602,14 @@ object ScaleProbe {
       // the LIVE staleness signal (IvfIndex.staleness, operator defaults:
       // no ground truth, no harness) read beside every stage's measured
       // recall — the committed correlation that pins the displacement
-      // alarm threshold (a number, not a trend-reading exercise)
+      // alarm threshold (a number, not a trend-reading exercise). Since
+      // r19 the anchor is PERSISTED at build, so the probe also records
+      // the ratio/alarm columns staleness now derives from index state
+      // alone — confirming the persisted-anchor path reproduces the
+      // r18 operator-kept brackets.
       val stale = scala.collection.mutable.LinkedHashMap
-        .empty[String, (Option[Double], Option[Double])]
+        .empty[String, (Option[Double], Option[Double], Option[Double],
+          Option[Boolean])]
       val mix = graft.knn.IvfPqDrift.runMix(spark, idx,
           base, b1, b2, queries, "vec_id", "embedding",
           nList = 32, pqM = 8, nProbes = Seq(4, 16, 32),
@@ -596,20 +617,25 @@ object ScaleProbe {
             val row = graft.knn.IvfIndex.staleness(spark, idx).collect()(0)
             stale += st -> (
               (if (row.isNullAt(2)) None else Some(row.getDouble(2))),
-              (if (row.isNullAt(3)) None else Some(row.getDouble(3))))
+              (if (row.isNullAt(3)) None else Some(row.getDouble(3))),
+              (if (row.isNullAt(5)) None else Some(row.getDouble(5))),
+              (if (row.isNullAt(6)) None else Some(row.getBoolean(6))))
           })
       mix.map { case (stage, r) =>
-        val (frac, disp) = stale(stage)
-        (stage, r(4), r(16), r(32), frac, disp)
+        val (frac, disp, ratio, due) = stale(stage)
+        (stage, r(4), r(16), r(32), frac, disp, ratio, due)
       }
     }
     val ivfPqDriftRows = if (!probes("ivfpqdrift")) Seq.empty else {
       def fmt(rows: Seq[(String, Double, Double, Double,
-          Option[Double], Option[Double])]): String =
-        rows.map { case (st, r4, r16, r32, frac, disp) =>
+          Option[Double], Option[Double], Option[Double],
+          Option[Boolean])]): String =
+        rows.map { case (st, r4, r16, r32, frac, disp, ratio, due) =>
           val fracS = frac.map(v => f"$v%.4f").getOrElse("null")
           val dispS = disp.map(v => f"$v%.4f").getOrElse("null")
-          f""""$st":{"p4":$r4%.4f,"p16":$r16%.4f,"p32":$r32%.4f,"frac_appended":$fracS,"adc_displacement":$dispS}"""
+          val ratioS = ratio.map(v => f"$v%.4f").getOrElse("null")
+          val dueS = due.map(_.toString).getOrElse("null")
+          f""""$st":{"p4":$r4%.4f,"p16":$r16%.4f,"p32":$r32%.4f,"frac_appended":$fracS,"adc_displacement":$dispS,"displacement_ratio":$ratioS,"rebuild_due":$dueS}"""
         }.mkString("{", ",", "}")
       val sm = ivfPqDriftProbe(small)
       val bg = ivfPqDriftProbe(big)
@@ -623,7 +649,8 @@ object ScaleProbe {
       // over the full drifted corpus. The rebuild-cadence claim is
       // exactly this restoration, not a fixed number.
       def p32(rows: Seq[(String, Double, Double, Double,
-          Option[Double], Option[Double])], st: String) =
+          Option[Double], Option[Double], Option[Double],
+          Option[Boolean])], st: String) =
         rows.find(_._1 == st).get._4
       val tol = 0.02
       val recovered = Seq(sm, bg).forall(r =>

@@ -213,6 +213,18 @@ object LshDedupIndex {
     (rows.head.getInt(0), rows.head.getInt(1), rows.head.getInt(2))
   }
 
+  /** Commit-generation fingerprint of `params/` — the revalidation key
+    * for an ingest loop's per-loop params memo (see
+    * [[graft.knn.IvfIndex.metaGen]] for the failure this prevents: a
+    * rebuild committing between batches swaps the banding the memo
+    * caches, and stale band params would hash signatures no committed
+    * row was banded under). Filesystem metadata only, no Spark jobs.
+    */
+  private[graft] def metaGen(spark: SparkSession, dir: String): Long =
+    graft.util.StagedTables.metaFingerprint(
+      new Path(dir).getFileSystem(spark.sessionState.newHadoopConf()),
+      dir, Seq("params"))
+
   /** Sign a batch under `params` ([[loadParams]]) — the one MinHash kernel
     * pass a streaming micro-batch shares between its probe (`preSigned`)
     * and its append ([[appendSigned]]); localCheckpoint-ed EAGERLY on

@@ -41,6 +41,20 @@ object BeamLaw {
   /** Catalog growth per beam doubling past [[HoldKeys]]. */
   val DoublePerKeys: Double = 5.0
 
+  /** The measured SPREAD-SHAPE base beam: on a catalog
+    * [[ShapeStats.relativeContrast]] classifies as spread
+    * (rc ≤ [[ShapeStats.SpreadRcMax]]), the default base (64) holds
+    * only floor-level recall under the law (0.9186 at 2·10⁵ →
+    * 0.8916 at 10⁶) while THIS base restores near-build level
+    * (0.9736 at 2·10⁵; the law resolves it to 256 at 10⁶ where it
+    * measures 0.9578 — SCALE_r17_recall_200k_spread_ef128,
+    * SCALE_r18_recall_1m_spread_ef256). The grid gate raises an
+    * untuned smaller base to this value when the shape probe fires
+    * (SemLinkGrid's shape-aware escalation); a caller's LARGER base is
+    * never lowered.
+    */
+  val SpreadBaseEf: Int = 128
+
   /** `base` up to [[HoldKeys]] keys, then one doubling per
     * [[DoublePerKeys]]× keys — the boundary is INCLUSIVE (exactly
     * HoldKeys·5^d keys stays at d doublings). `base <= 0` (the

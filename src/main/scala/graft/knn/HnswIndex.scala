@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   *    manifest — so a crash anywhere in append leaves the previous
   *    manifest pointing at fully-intact state, and orphaned
   *    new-generation files are simply never referenced;
-  *  - `params/` — one row (m, metric, shards, ef_construction): the
-  *    hyperparameters the graphs were built under. Search reads them
-  *    from the index itself — a caller cannot mismatch the build.
+  *  - `params/` — one row (m, metric, shards, ef_construction,
+  *    ef_search): the hyperparameters the graphs were built under plus
+  *    the intended serving beam. Search reads them from the index
+  *    itself — a caller cannot mismatch the build, and an untuned
+  *    [[search]] serves the beam the builder declared (pre-column
+  *    legacy layouts read as the engine-wide default 64, which is what
+  *    they were always served at).
   *
   * Shard assignment is a deterministic hash of the id (stable across
   * builds and loads, independent of input partitioning), and insertion
@@ -63,14 +67,15 @@ object HnswIndex {
       efConstruction: Int = 100,
       metric: String = KnnJoin.MetricL2Sq,
       shards: Int = 16,
-      seed: Int = 42): Long =
+      seed: Int = 42,
+      efSearch: Int = 64): Long =
     // same single-writer lock as append/vacuum: a build racing a live
     // append would clear manifests and Overwrite nodes/ the append is
     // mid-commit on, silently losing the append's generation
     graft.util.IndexLock.withLock(candidates.sparkSession, dir,
         "HnswIndex.build") {
       buildLocked(candidates, idCol, vecCol, dir, m, efConstruction, metric,
-        shards, seed)
+        shards, seed, efSearch)
     }
 
   private def buildLocked(
@@ -82,7 +87,8 @@ object HnswIndex {
       efConstruction: Int,
       metric: String,
       shards: Int,
-      seed: Int): Long = {
+      seed: Int,
+      efSearch: Int): Long = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
@@ -118,8 +124,9 @@ object HnswIndex {
           .write.mode(SaveMode.Append)
           .partitionBy("g", "shard")
           .parquet(s"$dir/nodes")
-        Seq((m, metric, shards, efConstruction, seed))
-          .toDF("m", "metric", "shards", "ef_construction", "seed")
+        Seq((m, metric, shards, efConstruction, seed, efSearch))
+          .toDF("m", "metric", "shards", "ef_construction", "seed",
+            "ef_search")
           .repartition(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
         val byShard = spark.read.option("basePath", s"$dir/nodes")
@@ -171,8 +178,9 @@ object HnswIndex {
           .write.mode(SaveMode.Overwrite)
           .partitionBy("g", "shard") // immutable generation dirs; the
           .parquet(s"$dir/nodes")    // manifest below is the commit point
-        Seq((m, metric, shards, efConstruction, seed))
-          .toDF("m", "metric", "shards", "ef_construction", "seed")
+        Seq((m, metric, shards, efConstruction, seed, efSearch))
+          .toDF("m", "metric", "shards", "ef_construction", "seed",
+            "ef_search")
           .repartition(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
         val byShard = spark.read.parquet(s"$dir/nodes")
@@ -364,30 +372,51 @@ object HnswIndex {
     *    means a grown corpus serves at the RAW base beam, shedding the
     *    measured recall — heal by any append/build/[[reshard]];
     *  - `base_ef`, `effective_ef`, `beam_doublings` — the beam the law
-    *    will pick for `baseEf` at the current size ([[BeamLaw.autoEf]]):
-    *    the per-query search-cost multiplier an operator is implicitly
-    *    paying, and the capacity signal (each doubling ≈ 2× search
-    *    compute for ~5× catalog — a high doubling count says the
-    *    build-time shard sizing is due a [[reshard]] upward);
+    *    will pick at the current size ([[BeamLaw.autoEf]]) for the
+    *    index's OWN serving beam (params' `ef_search` — what an untuned
+    *    [[search]] actually runs; the `baseEf` argument overrides for
+    *    what-if probing): the per-query search-cost multiplier an
+    *    operator is implicitly paying, and the capacity signal (each
+    *    doubling ≈ 2× search compute for ~5× catalog — a high doubling
+    *    count says the build-time shard sizing is due a [[reshard]]
+    *    upward);
     *  - `orphan_paths` — unreferenced generation/shard directories and
     *    superseded manifests (crash debris / failed best-effort deletes;
     *    the graph family has no tombstones, so dead FILES, not dead
     *    rows, are its vacuum bookkeeping): the storage [[vacuum]] would
     *    reclaim.
+    *
+    * Cost: the manifest JSON, two directory listings, and one one-row
+    * params collect (the row's only Spark job — the price of reporting
+    * the beam the index will actually serve instead of an argument).
+    *
+    * CONCURRENCY: deliberately lock-free and recovery-free — a health
+    * probe must never contend with (or heal under) a live writer. The
+    * consequence: during a concurrent append/reshard commit window, or
+    * against an index whose last writer crashed mid-swap, the orphan
+    * count can include legitimately-staged next-generation directories
+    * and the read can even throw on mid-rename state — `orphan_paths`
+    * is ADVISORY under concurrency; re-read after the writer settles
+    * (or after any maintenance op has run recovery) for a durable
+    * number.
     */
-  def staleness(spark: SparkSession, dir: String, baseEf: Int = 64)
-      : DataFrame = {
+  def staleness(spark: SparkSession, dir: String,
+      baseEf: Int = UseIndexDefault): DataFrame = {
     import spark.implicits._
     val (liveGen, shardGens, counts) = readManifest(spark, dir)
+    val resolvedBaseEf =
+      if (baseEf == UseIndexDefault) loadParams(spark, dir)._6 else baseEf
     val complete = counts.keySet == shardGens.keySet && shardGens.nonEmpty
     val nNodes: Option[Long] = if (complete) Some(counts.values.sum) else None
     val maxShard: Option[Long] = if (complete) Some(counts.values.max) else None
     val skew: Option[Double] =
       nNodes.filter(_ > 0).map(n =>
         counts.values.max.toDouble / (n.toDouble / shardGens.size))
-    val effEf = effectiveEf(baseEf, efAutoScale = true, shardGens, counts)
+    val effEf = effectiveEf(resolvedBaseEf, efAutoScale = true, shardGens,
+      counts)
     val doublings =
-      if (complete && baseEf > 0) BeamLaw.doublings(counts.values.sum) else 0
+      if (complete && resolvedBaseEf > 0) BeamLaw.doublings(counts.values.sum)
+      else 0
     // hygiene listing: same walk as vacuumImpl, count-only — orphaned
     // (gen, shard) dirs plus superseded/torn manifests
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -417,19 +446,28 @@ object HnswIndex {
       }
     }
     Seq((nNodes, shardGens.size, maxShard, skew, complete,
-        baseEf, effEf, doublings, orphans))
+        resolvedBaseEf, effEf, doublings, orphans))
       .toDF("n_nodes", "n_shards", "max_shard_nodes", "shard_skew",
         "beam_law_active", "base_ef", "effective_ef", "beam_doublings",
         "orphan_paths")
   }
 
+  /** (m, metric, shards, ef_construction, seed, ef_search). A pre-column
+    * legacy layout reads `ef_search` as 64 — the engine-wide untuned
+    * default such an index was always served at, not a guess.
+    */
   private def loadParams(spark: SparkSession, dir: String)
-      : (Int, String, Int, Int, Int) = {
-    val rows = spark.read.parquet(s"$dir/params")
-      .select("m", "metric", "shards", "ef_construction", "seed").collect()
+      : (Int, String, Int, Int, Int, Int) = {
+    val df = spark.read.parquet(s"$dir/params")
+    val withEf =
+      if (df.columns.contains("ef_search")) df
+      else df.withColumn("ef_search", lit(64))
+    val rows = withEf
+      .select("m", "metric", "shards", "ef_construction", "seed", "ef_search")
+      .collect()
     require(rows.length == 1, s"HnswIndex: malformed params under $dir")
     (rows.head.getInt(0), rows.head.getString(1), rows.head.getInt(2),
-      rows.head.getInt(3), rows.head.getInt(4))
+      rows.head.getInt(3), rows.head.getInt(4), rows.head.getInt(5))
   }
 
   /** Append new vectors WITHOUT rebuilding the whole index: each new
@@ -500,7 +538,7 @@ object HnswIndex {
     // duplicate nodes. Idempotent, so the streaming thunk's own call is
     // a harmless second pass.
     recoverReshard(spark, dir)
-    val (m, metric, shards, efConstruction, seed) = loadParams(spark, dir)
+    val (m, metric, shards, efConstruction, seed, _) = loadParams(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     val fresh = newVectors
       .select(col(idCol).cast("long").as("id"),
@@ -657,18 +695,24 @@ object HnswIndex {
       idCol: String,
       vecCol: String,
       k: Int,
-      efSearch: Int = 64,
+      efSearch: Int = UseIndexDefault,
       excludeSelf: Boolean = true,
       efAutoScale: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (m, metric, _, _, _) = loadParams(spark, dir)
+    val (m, metric, _, _, _, efDefault) = loadParams(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     val bc = spark.sparkContext.broadcast(
       HnswSearch.collectQueries(queries, idCol, vecCol, "HnswIndex.search"))
 
+    // the UNTUNED call serves the beam the index declares for itself
+    // (params' ef_search — 64 on every index built before the column
+    // and on defaults, so behavior is unchanged unless a builder SET a
+    // serving beam); an explicit efSearch, including the <= 0 full-beam
+    // sentinel, overrides as before
+    val baseEf = if (efSearch == UseIndexDefault) efDefault else efSearch
     val (_, shardGens, counts) = readManifest(spark, dir)
     val (kL, efS, ex) =
-      (k, effectiveEf(efSearch, efAutoScale, shardGens, counts), excludeSelf)
+      (k, effectiveEf(baseEf, efAutoScale, shardGens, counts), excludeSelf)
     // an empty manifest (reachable: readIds special-cases it, and the
     // streaming gate probes BEFORE the first append) has no neighbors —
     // an empty correctly-shaped frame, not a zero-path parquet read
@@ -704,6 +748,12 @@ object HnswIndex {
 
     HnswSearch.topKMerge(partials, k)
   }
+
+  /** [[search]]/[[staleness]]'s "use the persisted serving beam"
+    * sentinel — distinct from the <= 0 full-beam (rank-exact) sentinel,
+    * which remains an explicit caller choice and passes through.
+    */
+  val UseIndexDefault: Int = Int.MinValue
 
   /** [[search]]'s beam resolution, isolated for direct spec pinning:
     * the [[BeamLaw]] applies only when the caller left auto-scaling on
@@ -758,7 +808,7 @@ object HnswIndex {
     require(newShards > 0, s"HnswIndex.reshard: newShards must be positive, got $newShards")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     recoverReshardLocked(spark, fs, dir)
-    val (m, metric, _, efConstruction, seed) = loadParams(spark, dir)
+    val (m, metric, _, efConstruction, seed, efSearch) = loadParams(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     val (gen, shardGens, _) = readManifest(spark, dir)
     val corpus = (if (shardGens.isEmpty)
@@ -775,8 +825,10 @@ object HnswIndex {
     rebuilt.write.mode(SaveMode.Append)
       .partitionBy("g", "shard")
       .parquet(s"$dir/nodes")
-    Seq((m, metric, newShards, efConstruction, seed))
-      .toDF("m", "metric", "shards", "ef_construction", "seed")
+    // ef_search rides through unchanged — reshard keeps the corpus AND
+    // the declared serving beam
+    Seq((m, metric, newShards, efConstruction, seed, efSearch))
+      .toDF("m", "metric", "shards", "ef_construction", "seed", "ef_search")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
     val byShard = (if (fs.exists(new Path(s"$dir/nodes/g=${gen + 1}")))

@@ -248,12 +248,30 @@ object IvfIndex {
       if (pq.isEmpty) MarkerBuildClearPq else MarkerBuild)
     swapStaged(fs, dir)
     if (pq.isEmpty) fs.delete(new Path(s"$dir/pq"), true)
+    // the previous build's displacement anchor describes codebooks this
+    // build just replaced — delete it INSIDE the marker window (recovery
+    // replays the delete), so no crash point leaves the new index
+    // alarmed against a dead anchor. The fresh anchor is measured after
+    // the commit; a crash before that write leaves an anchor-less index
+    // (ratio columns null — the honest legacy state), never a stale one.
+    deleteAnchor(fs, dir)
     // fresh corpus → fresh ingest state (graft.util.IngestState
     // contract); inside the marker window so a crash here replays the
     // clear on recovery instead of leaving the NEW index gated by the
     // previous corpus's high-water mark
     graft.util.IngestState.clear(spark, dir)
     fs.delete(marker, false)
+    // the post-build displacement ANCHOR ([[staleness]]'s operating
+    // rule): measured on the just-committed index at the staleness
+    // probe's defaults and persisted beside the training-time corpus
+    // size, so [[staleness]] can emit `displacement_ratio` and
+    // `rebuild_due` from index state alone — the r18 artifact's alarm
+    // required the operator to have kept this number themselves
+    pq.foreach { _ =>
+      measureAdcDisplacement(spark, dir, nAtTrain,
+        AnchorProbeQueries, AnchorK, AnchorNProbe, AnchorRerank, AnchorSeed)
+        .foreach(d => writeAnchor(spark, fs, dir, d))
+    }
     centroids.length
   }
 
@@ -429,6 +447,24 @@ object IvfIndex {
       : (Array[Array[Float]], String, Option[(PqCodebooks, Boolean)]) =
     (loadCentroids(spark, dir), loadMetric(spark, dir), loadPq(spark, dir))
 
+  /** Commit-generation fingerprint of the [[loadIndexMeta]] tables — the
+    * key an ingest loop's per-loop metadata memo revalidates against
+    * each batch ([[graft.streaming.Streams.MetaMemo]]): a [[build]] or
+    * [[rebalance]] committing (or being crash-recovered) BETWEEN batches
+    * swaps centroids/params/pq, and a memo that kept serving the
+    * pre-swap centroids would probe and append against lists whose
+    * quantizer was replaced — wrong list membership, silently degraded
+    * search. Filesystem metadata only (one listing per table, no Spark
+    * jobs), so revalidation costs nothing against the per-batch metadata
+    * read the memo deletes. `assignments/` is deliberately NOT part of
+    * the key — appends grow it every batch, and the memo'd tables are
+    * exactly the ones appends never touch.
+    */
+  private[graft] def metaGen(spark: SparkSession, dir: String): Long =
+    graft.util.StagedTables.metaFingerprint(
+      new Path(dir).getFileSystem(spark.sessionState.newHadoopConf()),
+      dir, Seq("centroids", "params", "pq"))
+
   /** The committed id set (one `id` column, column-pruned scan — no
     * vector I/O). Package-private for the streaming ingester's freshness
     * marker join, mirroring [[graft.text.Bm25Index.readDoclens]] /
@@ -471,28 +507,45 @@ object IvfIndex {
     *
     * Operating rule — MEASURED, not a trend-reading exercise
     * (SCALE_r18_ivfpq_staleness.json: the `ivfpqdrift` probe reads this
-    * signal beside every drift stage's harness recall): snapshot
-    * `mean_adc_displacement` right after every [[build]] (the anchor —
-    * its absolute value is corpus-dependent: 3.86 at the 20k tier vs
-    * 8.73 at 2k, where the k·rerank shortlist width saturates it), and
-    * alarm via [[rebuildDue]] when the live value reaches
-    * [[AdcDisplacementAlarmRatio]] = 1.5× the anchor. The ratio is
-    * bracketed on both sides at the 20k tier: every recall-degraded
-    * stage measured ≥ 1.53× (first drifted append 5.91/3.86 = 1.53×,
-    * p32 recall already collapsed 0.72 → 0.29; fully drifted 2.19×)
-    * and every recall-healthy state ≤ 1.39× (post-rebalance
-    * 5.38/3.86 = 1.39× at restored p32 0.716; rebuild 1.0×). The
+    * signal beside every drift stage's harness recall; the persisted-
+    * anchor path re-confirms the same brackets in
+    * SCALE_r19_ivfpq_staleness.json): every PQ [[build]] snapshots the
+    * post-build `mean_adc_displacement` into the index (`adc_anchor/`,
+    * beside `n_at_train` — its absolute value is corpus-dependent:
+    * 3.86 at the 20k tier vs 8.73 at 2k, where the k·rerank shortlist
+    * width saturates it), and this row alarms when the live value
+    * reaches [[AdcDisplacementAlarmRatio]] = 1.5× that anchor:
+    *
+    *  - `disp_at_train` — the persisted anchor (null: anchor-less
+    *    legacy/vectors-only index, or a build that crashed between its
+    *    commit and the anchor write);
+    *  - `displacement_ratio` — live/anchor, null unless the live probe
+    *    ran the same protocol the anchor records (probeQueries, k,
+    *    nProbe, rerank, seed all match — a mismatched probe is not the
+    *    measured bracket);
+    *  - `rebuild_due` — ratio ≥ 1.5, the one-line cadence answer, from
+    *    index state alone (no operator-kept snapshot; [[rebuildDue]]
+    *    remains for callers holding their own anchor).
+    *
+    * The ratio is bracketed on both sides at the 20k tier: every
+    * recall-degraded stage measured ≥ 1.53× (first drifted append
+    * 5.91/3.86 = 1.53×, p32 recall already collapsed 0.72 → 0.29;
+    * fully drifted 2.19×) and every recall-healthy state ≤ 1.39×
+    * (post-rebalance 5.38/3.86 = 1.39× at restored p32 0.716; rebuild
+    * 1.0×). [[rebalance]] keeps both the codebooks and the anchor (the
+    * stat tracks codebook drift, which rebalance cannot fix). The
     * earlier "frac ≈ 0.25" note was optimistic for adversarial drift:
     * the same artifact measured recall halved at frac 0.107 — treat
     * `frac` as the zero-cost trailing indicator (any material value
     * says "go read the displacement") and the displacement ratio as
     * the alarm. Caveat at SPEC-scale corpora (≲ a few k rows): the
     * displacement floor saturates (2k tier: 8.73 build, only 1.16×
-    * when drifted) — there, frac is the better signal; the operational
-    * tiers this signal exists for sit on the clean side. A fired alarm
-    * means ADC is no longer short-listing what exact distance would,
-    * and [[rebalance]] will NOT recover it (it keeps the codebooks);
-    * schedule a [[build]].
+    * when drifted; r19 re-measure 1.10×) — there, frac is the better
+    * signal and `rebuild_due` stays quiet even when drifted; the
+    * operational tiers this signal exists for sit on the clean side.
+    * A fired alarm means ADC is no longer short-listing what exact
+    * distance would, and [[rebalance]] will NOT recover it (it keeps
+    * the codebooks); schedule a [[build]].
     *
     * Cost: one id-count + (PQ only) two `probeQueries`-sized probes at
     * `nProbe` — index-size-independent beyond the probed lists' scan.
@@ -516,34 +569,123 @@ object IvfIndex {
     }
     val disp: Option[Double] =
       if (!hasPq || nRows == 0) None
-      else {
-        // deterministic member sample as the probe query set: the
-        // seeded id-hash draws uniformly across list directories (a
-        // bare limit() would sample whichever lists list first)
-        val sample = spark.read.parquet(s"$dir/assignments")
-          .select(col("id"), col("vec"))
-          .filter(pmod(xxhash64(col("id"), lit(seed)), lit(math.max(1L, nRows)))
-            < lit(math.min(nRows, probeQueries * 2L)))
-          .limit(probeQueries)
-          .localCheckpoint(eager = false)
-        // same queries, same nProbe → identical probed lists, so the
-        // exact-reranked top-k is a REORDERING of the ADC shortlist and
-        // the rank join below is total
-        val adcOrder = search(spark, dir, sample, "id", "vec",
-          k = k * math.max(1, rerank), nProbe = nProbe, usePq = true,
-          rerank = 0)
-          .select(col("query_id"), col("neighbor_id"),
-            col("rank").as("__adc_rank"))
-        val exactTop = search(spark, dir, sample, "id", "vec",
-          k = k, nProbe = nProbe, usePq = true, rerank = math.max(1, rerank))
-        val joined = exactTop.join(adcOrder, Seq("query_id", "neighbor_id"))
-          .agg(avg(abs(col("__adc_rank") - col("rank"))).as("d"))
-          .collect()(0)
-        if (joined.isNullAt(0)) None else Some(joined.getDouble(0))
-      }
-    Seq((nRows, nAtTrain, frac, disp))
+      else measureAdcDisplacement(spark, dir, nRows, probeQueries, k,
+        nProbe, rerank, seed)
+    // the persisted post-build anchor ([[buildLocked]]'s final step):
+    // ratio/alarm only when the live probe ran the SAME protocol the
+    // anchor was measured under — a 128-query nProbe-16 displacement
+    // against a 64-query nProbe-8 anchor is not the measured bracket
+    val anchor = loadAnchor(spark, dir)
+    val anchorMatches = anchor.exists(a =>
+      a.probeQueries == probeQueries && a.k == k && a.nProbe == nProbe &&
+        a.rerank == rerank && a.seed == seed)
+    val dispAtTrain: Option[Double] = anchor.map(_.disp)
+    val ratio: Option[Double] = for {
+      d <- disp
+      a <- anchor if anchorMatches && a.disp > 0.0
+    } yield d / a.disp
+    val due: Option[Boolean] = ratio.map(_ >= AdcDisplacementAlarmRatio)
+    Seq((nRows, nAtTrain, frac, disp, dispAtTrain, ratio, due))
       .toDF("n_rows", "n_at_train", "frac_appended_since_train",
-        "mean_adc_displacement")
+        "mean_adc_displacement", "disp_at_train", "displacement_ratio",
+        "rebuild_due")
+  }
+
+  /** Mean |ADC rank − exact rank| of the exact top-k within the
+    * k·rerank ADC shortlist, over a seeded member sample — the direct
+    * codebook-quality probe [[staleness]] reports and [[buildLocked]]
+    * anchors. Two probes of the live index; None on an empty join (a
+    * degenerate corpus).
+    */
+  private def measureAdcDisplacement(
+      spark: SparkSession,
+      dir: String,
+      nRows: Long,
+      probeQueries: Int,
+      k: Int,
+      nProbe: Int,
+      rerank: Int,
+      seed: Int): Option[Double] = {
+    // deterministic member sample as the probe query set: the
+    // seeded id-hash draws uniformly across list directories (a
+    // bare limit() would sample whichever lists list first)
+    val sample = spark.read.parquet(s"$dir/assignments")
+      .select(col("id"), col("vec"))
+      .filter(pmod(xxhash64(col("id"), lit(seed)), lit(math.max(1L, nRows)))
+        < lit(math.min(nRows, probeQueries * 2L)))
+      .limit(probeQueries)
+      .localCheckpoint(eager = false)
+    // same queries, same nProbe → identical probed lists, so the
+    // exact-reranked top-k is a REORDERING of the ADC shortlist and
+    // the rank join below is total
+    val adcOrder = search(spark, dir, sample, "id", "vec",
+      k = k * math.max(1, rerank), nProbe = nProbe, usePq = true,
+      rerank = 0)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__adc_rank"))
+    val exactTop = search(spark, dir, sample, "id", "vec",
+      k = k, nProbe = nProbe, usePq = true, rerank = math.max(1, rerank))
+    val joined = exactTop.join(adcOrder, Seq("query_id", "neighbor_id"))
+      .agg(avg(abs(col("__adc_rank") - col("rank"))).as("d"))
+      .collect()(0)
+    if (joined.isNullAt(0)) None else Some(joined.getDouble(0))
+  }
+
+  /** The displacement anchor's measurement protocol — [[staleness]]'s
+    * defaults, pinned as named constants so the anchor row records the
+    * protocol it was measured under and the ratio only fires against a
+    * matching live probe.
+    */
+  private[knn] val AnchorProbeQueries = 64
+  private[knn] val AnchorK = 10
+  private[knn] val AnchorNProbe = 8
+  private[knn] val AnchorRerank = 4
+  private[knn] val AnchorSeed = 42
+
+  private val AnchorTable = "adc_anchor"
+
+  private[knn] final case class AdcAnchor(disp: Double, probeQueries: Int,
+      k: Int, nProbe: Int, rerank: Int, seed: Int)
+
+  /** Persist the post-build displacement anchor (tmp + atomic rename —
+    * the live table is never torn; a crash between delete and rename
+    * leaves an anchor-less index, the honest legacy state).
+    */
+  private def writeAnchor(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      disp: Double): Unit = {
+    import spark.implicits._
+    Seq((disp, AnchorProbeQueries, AnchorK, AnchorNProbe, AnchorRerank,
+        AnchorSeed))
+      .toDF("disp_at_train", "probe_queries", "k", "n_probe", "rerank",
+        "seed")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$AnchorTable.tmp")
+    fs.delete(new Path(s"$dir/$AnchorTable"), true)
+    require(fs.rename(new Path(s"$dir/$AnchorTable.tmp"),
+        new Path(s"$dir/$AnchorTable")),
+      s"IvfIndex: could not publish $AnchorTable under $dir")
+  }
+
+  private def deleteAnchor(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    fs.delete(new Path(s"$dir/$AnchorTable.tmp"), true)
+    fs.delete(new Path(s"$dir/$AnchorTable"), true)
+  }
+
+  private def loadAnchor(spark: SparkSession,
+      dir: String): Option[AdcAnchor] = {
+    val p = new Path(s"$dir/$AnchorTable")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$dir/$AnchorTable")
+        .select("disp_at_train", "probe_queries", "k", "n_probe", "rerank",
+          "seed").collect()
+      require(r.length == 1, s"IvfIndex: malformed $AnchorTable under $dir")
+      Some(AdcAnchor(r.head.getDouble(0), r.head.getInt(1), r.head.getInt(2),
+        r.head.getInt(3), r.head.getInt(4), r.head.getInt(5)))
+    }
   }
 
   /** The measured rebuild-alarm threshold on [[staleness]]'s
@@ -554,10 +696,12 @@ object IvfIndex {
     */
   val AdcDisplacementAlarmRatio: Double = 1.5
 
-  /** The one-line cadence decision: is a [[build]] due, given the
-    * displacement snapshot taken right after the last build/rebuild and
-    * the live value from [[staleness]]? (Ratio rule — absolute
-    * displacement is corpus-dependent.)
+  /** The one-line cadence decision: is a [[build]] due, given a
+    * displacement snapshot and the live value? (Ratio rule — absolute
+    * displacement is corpus-dependent.) Since the anchor is persisted
+    * at build time, [[staleness]] emits `rebuild_due` directly; this
+    * form remains for callers tracking their own anchor (e.g. one
+    * snapshotted under a non-default probe protocol).
     */
   def rebuildDue(buildDisplacement: Double,
       currentDisplacement: Double): Boolean =
@@ -870,6 +1014,10 @@ object IvfIndex {
       if (markerOp.startsWith(MarkerBuild)) {
         if (markerOp == MarkerBuildClearPq)
           fs.delete(new Path(s"$dir/pq"), true)
+        // replay the build's in-window anchor delete: the crashed build
+        // never measured its fresh anchor, and the old one describes
+        // codebooks the swap just replaced
+        deleteAnchor(fs, dir)
         graft.util.IngestState.clear(spark, dir)
       }
       fs.delete(marker, false)

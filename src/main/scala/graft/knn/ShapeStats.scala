@@ -123,14 +123,39 @@ object ShapeStats {
     val rcs = ids.zipWithIndex.map { case (id, q) =>
       nn.get(id) match {
         // an exact duplicate in the catalog gives nn = 0: contrast is
-        // effectively infinite there — clamp so duplicates cannot NaN
-        // the median (an all-duplicates catalog IS maximally clustered)
-        case Some(d) if d > 0.0 => means(q) / d
-        case Some(_) => Double.MaxValue
-        case None => Double.MaxValue // sole-member id: no non-self neighbor
+        // effectively infinite there — clamp to a FINITE documented
+        // sentinel ([[DuplicateContrast]]) so duplicates can neither
+        // NaN the median nor print an unreadable 1.8e308 into a
+        // committed shape artifact (an all-duplicates catalog IS
+        // maximally clustered, and 10⁶ sits as far above the rc ≳ 3
+        // clustered threshold as any real ratio ever measures)
+        case Some(d) if d > 0.0 => math.min(means(q) / d, DuplicateContrast)
+        case Some(_) => DuplicateContrast
+        case None => DuplicateContrast // sole-member id: no non-self neighbor
       }
     }
     java.util.Arrays.sort(rcs)
-    rcs(m / 2)
+    // true median: average the middle pair on even sample sizes (the
+    // default m = 256 is even — the upper-middle pick alone would bias
+    // the statistic by half an order-statistic gap)
+    if (m % 2 == 1) rcs(m / 2)
+    else (rcs(m / 2 - 1) + rcs(m / 2)) / 2.0
   }
+
+  /** Per-query contrast sentinel for exact-duplicate (nn = 0) queries —
+    * finite so the reported median stays readable against the rc ≲ 2 /
+    * ≳ 3 operating thresholds even when duplicates are the majority.
+    */
+  val DuplicateContrast: Double = 1e6
+
+  /** The classifier threshold of the operating rule: rc at or below this
+    * is SPREAD-SHAPED — the regime where the clustered default beam
+    * measurably sheds recall and the measured fix is the doubled base
+    * ([[BeamLaw.SpreadBaseEf]]). Sits between the measured spread
+    * anchors (≈ 1.5 at both tiers) and the clustered ones (≈ 6.3),
+    * below the r19 mixed-shape gray-zone point, on the conservative
+    * side: a catalog must MEASURE like the adversarial fixtures to pay
+    * the doubled beam.
+    */
+  val SpreadRcMax: Double = 2.0
 }

@@ -113,14 +113,24 @@ object SemLinkGrid {
     * 2·10⁵, resolved by the law to ef 256 at 10⁶ where it measures
     * 0.9578 (SCALE_r18_recall_1m_spread_ef256; ~+0.066 per further
     * doubling on this shape). Base ≥ 128 or the full-beam sentinel is
-    * therefore the knowingly-spread-catalog setting — and
+    * therefore the knowingly-spread-catalog setting — and since r19
+    * the UNTUNED gate applies it itself (the same measured-rule-to-
+    * default-on maturation the beam law took in r17):
     * [[graft.knn.ShapeStats.relativeContrast]] measures WHICH regime a
     * catalog is in (one pass; tier-stable anchors: clustered ≈ 6.3,
-    * spread ≈ 1.5 — SCALE_r18_shape_contrast*). The diagnostic is
-    * deliberately operator-invoked, not wired into the gate: it costs
-    * a full catalog pass, and the gate's promise is that an untuned
-    * call pays only the work its plan needs. Like `annAbove`,
-    * `Long.MaxValue` opts out.
+    * spread ≈ 1.5 — SCALE_r19_shape_* supersede the r18 anchors under
+    * the exact-median fix), and [[resolveShapeBase]] raises an untuned
+    * base at or below rc = 2 to the measured spread fix before the
+    * size law runs — measured end-to-end on the DEFAULT path:
+    * recall@10 0.9578 at the spread 10⁶ tier with NO knob set
+    * (SCALE_r19_recall_1m_spread_default), the clustered tiers
+    * unchanged by construction (rc ≈ 6.3 keeps the default base).
+    * The probe runs ONLY on the untuned HNSW escalation (a catalog
+    * past this gate pays an index build, so the one 256-query rc pass
+    * is noise against it; smaller catalogs never pay it);
+    * `shapeAutoScale = false` opts out of just the probe,
+    * `efAutoScale = false` pins the raw knob entirely. Like
+    * `annAbove`, `Long.MaxValue` opts out of the whole tier.
     */
   val DefaultHnswAbove: Long = DefaultAnnAbove
 
@@ -164,6 +174,56 @@ object SemLinkGrid {
   final case class GridCell(k: Int, threshold: Double,
       discovered: DataFrame, metrics: DataFrame)
 
+  /** What the escalation gate ACTUALLY ran — the surface the scale
+    * probes record, so a committed artifact reflects the real plan
+    * rather than re-deriving thresholds, the beam law, or the IVF
+    * sizing rule (any of which a future gate change could silently
+    * desynchronize from the artifact):
+    *
+    *  - `engine` — "exact" / "ivf" / "hnsw";
+    *  - `efUsed` — the EFFECTIVE beam the HNSW tier ran
+    *    (post-[[autoEfSearch]]); the caller's `efSearch` verbatim on
+    *    the other engines, where it is inert;
+    *  - `baseEf` — the base the law scaled: the caller's knob, or the
+    *    shape-raised [[graft.knn.BeamLaw.SpreadBaseEf]] when the shape
+    *    probe fired;
+    *  - `rc` — the measured [[graft.knn.ShapeStats.relativeContrast]],
+    *    when the shape probe ran (untuned HNSW escalations only);
+    *  - `nList`/`nProbe` — the RESOLVED IVF knobs
+    *    ([[resolveIvfParams]] — auto-√N sizing and full-probe/clamp
+    *    sentinels applied), ivf engine only.
+    */
+  final case class GridEngine(
+      engine: String,
+      efUsed: Int,
+      baseEf: Int,
+      rc: Option[Double] = None,
+      nList: Option[Int] = None,
+      nProbe: Option[Int] = None)
+
+  /** The UNTUNED base beam of the HNSW tier — the value the shape rule
+    * treats as "no caller choice": the probe-and-raise path runs only
+    * when `efSearch` is left here, because an EXPLICIT base (wider for
+    * quality, narrower for speed) is a caller decision the gate must
+    * not override (an explicit 64 is indistinguishable from the
+    * default and gets the probe — harmless, it IS the default).
+    */
+  val DefaultEfSearch: Int = 64
+
+  /** The shape-aware base-beam rule, isolated for direct spec pinning
+    * against the committed rc anchors: a catalog measuring at or below
+    * [[graft.knn.ShapeStats.SpreadRcMax]] (spread anchors ≈ 1.5 at
+    * 2·10⁵ AND 10⁶ keys — tier-stable) gets its base raised to
+    * [[graft.knn.BeamLaw.SpreadBaseEf]] (never lowered: a caller who
+    * set a wider base keeps it); a clustered catalog (anchors ≈ 6.3)
+    * keeps the untuned default, whose recall is measured ≥ 0.99 under
+    * the law at both tiers.
+    */
+  private[graft] def resolveShapeBase(rc: Double, base: Int): Int =
+    if (rc <= graft.knn.ShapeStats.SpreadRcMax)
+      math.max(base, graft.knn.BeamLaw.SpreadBaseEf)
+    else base
+
   /** The shared grid plumbing: one kNN pass at max(k), cached; every
     * (k, threshold) cell is a pure filter over it.
     */
@@ -206,6 +266,7 @@ object SemLinkGrid {
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
       efAutoScale: Boolean = true,
+      shapeAutoScale: Boolean = true,
       scratchDir: Option[String] = None): Seq[GridCell] = {
     // fail fast on an empty sweep — ks.max and the callers' metric
     // reduces would otherwise surface as bare empty.max/empty.reduce
@@ -263,10 +324,11 @@ object SemLinkGrid {
     // Metrics consume the LONG-ID core; only the user-facing discovered
     // frames pay the id → key map-back (two broadcast joins, per cell,
     // evaluated only if the caller uses them)
-    val (coreKnn, keys, engine, _) = gridKnnIds(embedded, kMax,
+    val (coreKnn, keys, eng) = gridKnnIds(embedded, kMax,
       annAbove = annAbove, nList = nList, nProbe = nProbe,
       hnswAbove = hnswAbove, efSearch = efSearch,
-      efAutoScale = efAutoScale, scratchDir = scratchDir)
+      efAutoScale = efAutoScale, shapeAutoScale = shapeAutoScale,
+      scratchDir = scratchDir)
     val knn = coreKnn.localCheckpoint(eager = false)
     knn.count() // materialize once
 
@@ -307,7 +369,7 @@ object SemLinkGrid {
           ndcgByK(k).map(lit(_)).getOrElse(lit(null)).cast("double"))
         .withColumn("k", lit(k))
         .withColumn("threshold", lit(t))
-        .withColumn("engine", lit(engine))
+        .withColumn("engine", lit(eng.engine))
         .select("k", "threshold", "tp", "fp", "fn",
           "precision", "recall", "f1", "ndcg", "engine")
       GridCell(k, t, discovered, metrics)
@@ -368,17 +430,13 @@ object SemLinkGrid {
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
       efAutoScale: Boolean = true,
+      shapeAutoScale: Boolean = true,
       scratchDir: Option[String] = None): DataFrame =
     gridKnnWithEngine(embedded, kMax, blockSize, annAbove, nList, nProbe,
-      hnswAbove, efSearch, efAutoScale, scratchDir)._1
+      hnswAbove, efSearch, efAutoScale, shapeAutoScale, scratchDir)._1
 
-  /** [[gridKnn]] plus the engine the gate ACTUALLY picked ("exact" /
-    * "ivf" / "hnsw") and the EFFECTIVE beam width the HNSW tier ran
-    * (post-[[autoEfSearch]]; the passed `efSearch` verbatim on the
-    * other engines, where it is inert) — the surface the scale probe
-    * records, so a committed artifact reflects the real plan rather
-    * than re-deriving the thresholds or the beam law (which a future
-    * gate change could silently desynchronize).
+  /** [[gridKnn]] plus [[GridEngine]] — the plan the gate actually ran,
+    * for artifacts and metrics consumers.
     */
   private[graft] def gridKnnWithEngine(embedded: DataFrame, kMax: Int,
       blockSize: Int = 100000,
@@ -388,16 +446,18 @@ object SemLinkGrid {
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
       efAutoScale: Boolean = true,
-      scratchDir: Option[String] = None): (DataFrame, String, Int) = {
-    val (core, keys, engine, efUsed) = gridKnnIds(embedded, kMax, blockSize,
-      annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale, scratchDir)
+      shapeAutoScale: Boolean = true,
+      scratchDir: Option[String] = None): (DataFrame, GridEngine) = {
+    val (core, keys, eng) = gridKnnIds(embedded, kMax, blockSize,
+      annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale,
+      shapeAutoScale, scratchDir)
     (core
       .join(broadcast(keys.withColumnRenamed("id", "query_id")
         .withColumnRenamed("key", "__qkey")), Seq("query_id"))
       .join(broadcast(keys.withColumnRenamed("id", "neighbor_id")
         .withColumnRenamed("key", "__nkey")), Seq("neighbor_id"))
       .select(col("__qkey").as("query_id"), col("__nkey").as("neighbor_id"),
-        col("dist"), col("rank")), engine, efUsed)
+        col("dist"), col("rank")), eng)
   }
 
   /** [[gridKnn]]'s long-id core: (the kNN frame on xxhash64 ids, the
@@ -414,7 +474,9 @@ object SemLinkGrid {
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
       efAutoScale: Boolean = true,
-      scratchDir: Option[String] = None): (DataFrame, DataFrame, String, Int) = {
+      shapeAutoScale: Boolean = true,
+      scratchDir: Option[String] = None)
+      : (DataFrame, DataFrame, GridEngine) = {
     // string-canonicalized hash — must stay in lockstep with the truth
     // hashing in gridCellsFromCatalog (mixed-type tolerance note there)
     val withId = embedded
@@ -430,19 +492,41 @@ object SemLinkGrid {
     val gated = annAbove != Long.MaxValue
     val n = if (gated) withId.count() else 0L
     if (gated && n > annAbove && hnswAbove != Long.MaxValue && n > hnswAbove) {
-      // the beam-width law: the caller's ef is calibrated at gate-tier
-      // scale; past EfHoldKeys the gate widens it per the measured
-      // recall-decay trade so the UNTUNED default holds build-level
-      // recall at any tier (efAutoScale = false pins the raw knob; a
-      // full-beam sentinel passes through untouched)
-      val ef = if (efAutoScale) autoEfSearch(efSearch, n) else efSearch
+      // the SHAPE probe (the r19 maturation of the ShapeStats operating
+      // rule from a documented diagnostic into gate behavior, the same
+      // step the beam law took in r17): on the fully-UNTUNED escalation
+      // path only — efSearch left at the default base (an explicit
+      // base, wider or narrower, is a caller decision the gate never
+      // overrides) and both auto-scale knobs on. A catalog this size
+      // pays an index build, so one seeded 256-query rc pass is noise
+      // against it: measure which column of the shape × engine recall
+      // matrix this catalog is in, and raise the base beam to the
+      // measured spread fix when rc says spread (clustered catalogs
+      // keep the default unchanged — anchors ≈ 6.3 vs spread ≈ 1.5,
+      // tier-stable). efAutoScale = false pins the raw knob for BOTH
+      // laws (the ef-sensitivity artifacts are raw runs);
+      // shapeAutoScale = false skips just the shape probe (and its
+      // catalog pass) while keeping the size law.
+      val rc: Option[Double] =
+        if (shapeAutoScale && efAutoScale && efSearch == DefaultEfSearch)
+          Some(graft.knn.ShapeStats.relativeContrast(withId, "id", "vec"))
+        else None
+      val base = rc.map(resolveShapeBase(_, efSearch)).getOrElse(efSearch)
+      // the beam-width law: the (possibly shape-raised) base is
+      // calibrated at gate-tier scale; past EfHoldKeys the gate widens
+      // it per the measured recall-decay trade so the UNTUNED default
+      // holds build-level recall at any tier
+      val ef = if (efAutoScale) autoEfSearch(base, n) else base
       // loud, named: the plan just changed ENGINE (exact → ANN) — see
       // the IVF branch's rationale
       log.warn(s"SemLinkGrid.gridKnn: catalog has $n keys > " +
         s"hnswAbove=$hnswAbove — escalating the grid kNN to the " +
         s"sharded HNSW tier (efSearch=$ef" +
-        (if (ef != efSearch) s", auto-scaled from $efSearch by the " +
-          s"beam law at $n keys; pass efAutoScale=false to pin the raw " +
+        (if (base != efSearch) s"; base $efSearch raised to $base by the " +
+          s"shape rule at measured rc=${rc.map(r => f"$r%.2f").get} — " +
+          "pass shapeAutoScale=false to skip the shape probe" else "") +
+        (if (ef != base) s"; auto-scaled from base $base by the " +
+          s"beam law at $n keys — pass efAutoScale=false to pin the raw " +
           "knob" else "") +
         "): N·log N beam work, no pair-row shuffle. Pass " +
         "annAbove=Long.MaxValue to force exact, hnswAbove=Long.MaxValue " +
@@ -452,7 +536,7 @@ object SemLinkGrid {
         metric = KnnJoin.MetricL2Sq, efSearch = ef,
         queryBlockSize = blockSize, excludeSelf = true,
         scratchDir = scratchDir),
-        keys, "hnsw", ef)
+        keys, GridEngine("hnsw", ef, base, rc))
     } else if (gated && n > annAbove) {
       val (lists, probe) = resolveIvfParams(n, nList, nProbe)
       // loud, named: the plan just changed ENGINE (exact → ANN). A
@@ -467,11 +551,12 @@ object SemLinkGrid {
       (graft.knn.ApproxKnn.ivfKnn(withId, withId, "id", "vec", kMax,
         nList = lists, nProbe = probe, metric = KnnJoin.MetricL2Sq,
         excludeSelf = true),
-        keys, "ivf", efSearch)
+        keys, GridEngine("ivf", efSearch, efSearch,
+          nList = Some(lists), nProbe = Some(probe)))
     } else
       (graft.knn.ApproxKnn.blockKnn(withId, withId, "id", "vec", kMax,
         KnnJoin.MetricL2Sq, blockSize = blockSize, excludeSelf = true),
-        keys, "exact", efSearch)
+        keys, GridEngine("exact", efSearch, efSearch))
   }
 
   /** The escalation's IVF sizing rule, isolated for direct spec pinning.
@@ -534,10 +619,11 @@ object SemLinkGrid {
       hnswAbove: Long = DefaultHnswAbove,
       efSearch: Int = 64,
       efAutoScale: Boolean = true,
+      shapeAutoScale: Boolean = true,
       scratchDir: Option[String] = None): DataFrame =
     gridCellsFromCatalog(catalog, groundTruth, ks, thresholds,
         annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale,
-        scratchDir)
+        shapeAutoScale, scratchDir)
       .map(_.metrics).reduce(_.unionByName(_))
 
   /** Reference-parity export (join_discoverer.py:491–517): one CSV of

@@ -452,9 +452,11 @@ object Streams {
         .localCheckpoint()
       if (!fresh.isEmpty) {
         // one MinHash kernel pass per batch, one params read per LOOP
-        // (MetaMemo — band params are append-immutable), shared by the
+        // (generation-keyed MetaMemo — a rebuild committing between
+        // batches swaps params and forces a reload), shared by the
         // probe and the append — the dedupIngestBatch fast path
         val params @ (_, bands, rpb) = dedupNbMemo.getOrLoad(
+            graft.dedup.LshDedupIndex.metaGen(sp, indexDir))(
           graft.dedup.LshDedupIndex.loadParams(sp, indexDir))
         val signed = graft.dedup.LshDedupIndex
           .signBatch(fresh, idCol, textCol, params)
@@ -517,26 +519,35 @@ object Streams {
       graft.text.Bm25Index.searchSchema, dropBatch = true)
   }
 
-  /** One-slot memo for index metadata that is IMMUTABLE across a
-    * single-writer ingest loop (BM25 nBuckets, LSH band params, IVF
-    * centroids/metric/codebooks): appends never touch these tables, the
-    * loop holds the only writer lock per batch, and any crashed-commit
-    * recovery that COULD swap them runs inside the first batch before
-    * the memo is forced — so loading them once per LOOP instead of once
-    * per BATCH is semantics-free and deletes one metadata read per
-    * micro-batch from the q9x serving floor (the q98 phase ledger's
-    * per-batch machinery). Each loop creates its own memo; the
-    * default-argument form gives direct spec/probe callers a fresh,
-    * cache-free instance per call.
+  /** Generation-keyed one-slot memo for index metadata that appends
+    * never touch (BM25 nBuckets, LSH band params, IVF centroids/metric/
+    * codebooks): loading them once per LOOP instead of once per BATCH
+    * deletes one metadata read per micro-batch from the q9x serving
+    * floor (the q98 phase ledger's per-batch machinery).
+    *
+    * The memo is NOT unconditional, because "append-immutable" is not
+    * "loop-immutable": a rebuild/rebalance can commit — or be CRASH-
+    * RECOVERED by this loop's own in-lock `recoverSwap`/`recoverCommit`
+    * — BETWEEN batches, swapping the very tables the memo caches. An
+    * unkeyed memo would then keep serving the pre-swap IVF centroids
+    * and silently file later batches' vectors into lists whose
+    * quantizer was replaced (or band LSH signatures under dead params).
+    * Each `getOrLoad` therefore revalidates against the index's commit
+    * generation (the family's `metaGen` — a filesystem-metadata
+    * fingerprint of the swap-committed tables, zero Spark jobs, read
+    * AFTER the batch's in-lock recovery): same generation → cached
+    * value; any committed swap → reload. Each loop creates its own
+    * memo; the default-argument form gives direct spec/probe callers a
+    * fresh instance per call.
     */
   private[graft] final class MetaMemo[A] {
     private val ref =
-      new java.util.concurrent.atomic.AtomicReference[Option[A]](None)
-    def getOrLoad(load: => A): A = ref.get match {
-      case Some(v) => v
-      case None =>
+      new java.util.concurrent.atomic.AtomicReference[Option[(Long, A)]](None)
+    def getOrLoad(gen: Long)(load: => A): A = ref.get match {
+      case Some((g, v)) if g == gen => v
+      case _ =>
         val v = load
-        ref.set(Some(v))
+        ref.set(Some((gen, v)))
         v
     }
   }
@@ -578,9 +589,12 @@ object Streams {
       b(idCol).cast("long") === dl("id"), "left_anti")
       .localCheckpoint()
     if (!fresh.isEmpty) {
-      // one tokenize pass per batch, one params read per LOOP (MetaMemo
-      // — params are append-immutable), shared by probe and append
-      val nb = nbMemo.getOrLoad(graft.text.Bm25Index.loadParams(sp, indexDir))
+      // one tokenize pass per batch, one params read per LOOP
+      // (generation-keyed MetaMemo — a rebuild committing between
+      // batches swaps params and forces a reload), shared by probe
+      // and append
+      val nb = nbMemo.getOrLoad(graft.text.Bm25Index.metaGen(sp, indexDir))(
+        graft.text.Bm25Index.loadParams(sp, indexDir))
       val rows = graft.text.Bm25Index
         .tokenRows(fresh, idCol, textCol)
         .localCheckpoint(eager = false)
@@ -835,8 +849,11 @@ object Streams {
       // ONE tokenize pass for the whole batch: the tokenRows frame feeds
       // the probe's query-term set (preQTerms — tf rows are unique per
       // (id, term), matching queryTerms' array_distinct) AND the index
-      // append (appendRows); params are read once per LOOP (MetaMemo)
-      val nb = nbMemo.getOrLoad(graft.text.Bm25Index.loadParams(sp, indexDir))
+      // append (appendRows); params are read once per LOOP (generation-
+      // keyed MetaMemo — revalidated against the commit fingerprint
+      // AFTER this batch's in-lock recovery ran)
+      val nb = nbMemo.getOrLoad(graft.text.Bm25Index.metaGen(sp, indexDir))(
+        graft.text.Bm25Index.loadParams(sp, indexDir))
       val rows = graft.text.Bm25Index
         .tokenRows(fresh, idCol, textCol)
         .localCheckpoint(eager = false)
@@ -1060,8 +1077,11 @@ object Streams {
       }, idCol, tsCol, lateness) { fresh =>
       // ONE MinHash kernel pass for the whole batch: the signed frame
       // feeds the probe (preSigned) AND the index append (appendSigned);
-      // params are read once per LOOP (MetaMemo) and shared the same way
+      // params are read once per LOOP (generation-keyed MetaMemo —
+      // revalidated AFTER this batch's in-lock recovery ran) and shared
+      // the same way
       val params @ (_, bands, rpb) = nbMemo.getOrLoad(
+          graft.dedup.LshDedupIndex.metaGen(sp, indexDir))(
         graft.dedup.LshDedupIndex.loadParams(sp, indexDir))
       val signed = graft.dedup.LshDedupIndex
         .signBatch(fresh, idCol, textCol, params)
@@ -1155,11 +1175,15 @@ object Streams {
         graft.knn.IvfIndex.readIds(sp, indexDir)
           .localCheckpoint(eager = false)
       }, idCol, tsCol, lateness) { fresh =>
-      // ONE metadata load per LOOP (MetaMemo — centroids/metric/PQ are
-      // append-immutable; a crashed-rebalance recovery that could swap
-      // them ran in the first batch's thunk, before the memo forces)
+      // ONE metadata load per LOOP (generation-keyed MetaMemo —
+      // centroids/metric/PQ are append-immutable, but a rebalance can
+      // commit or be crash-recovered by THIS batch's thunk between
+      // batches, so the memo revalidates against the commit fingerprint
+      // read here, AFTER that recovery ran, and a swapped quantizer
+      // forces a reload instead of filing vectors into replaced lists)
       // serves both the probe (preMeta) and the append (appendPrepared)
       val (centroids, metric, pq) = metaMemo.getOrLoad(
+          graft.knn.IvfIndex.metaGen(sp, indexDir))(
         graft.knn.IvfIndex.loadIndexMeta(sp, indexDir))
       sp.sparkContext.setJobDescription("graft ingest: probe")
       // probe against the index AS OF batch start (fresh ids are not yet

@@ -217,6 +217,17 @@ object Bm25Index {
     rows.head.getInt(0)
   }
 
+  /** Commit-generation fingerprint of `params/` — the revalidation key
+    * for an ingest loop's per-loop params memo (see
+    * [[graft.knn.IvfIndex.metaGen]] for the failure this prevents: a
+    * rebuild committing between batches swaps the table the memo
+    * caches). Filesystem metadata only, no Spark jobs.
+    */
+  private[graft] def metaGen(spark: SparkSession, dir: String): Long =
+    graft.util.StagedTables.metaFingerprint(
+      new Path(dir).getFileSystem(spark.sessionState.newHadoopConf()),
+      dir, Seq("params"))
+
   private def readPostings(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(postingsSchema).parquet(s"$dir/postings")
 

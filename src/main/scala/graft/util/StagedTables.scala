@@ -113,6 +113,40 @@ object StagedTables {
     catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** Commit-generation fingerprint of a set of swap-committed metadata
+    * tables — the cache key that lets a long-running reader (an ingest
+    * loop's per-loop metadata memo) detect that a marker-protected swap
+    * replaced a table between its reads. Folds every direct entry's
+    * (name, length, modification time) of each table directory plus the
+    * directory's own mtime: a swap renames a freshly-staged `<t>.tmp`
+    * over the live dir, so its entries were written at a different time
+    * (and usually a different length) than the ones they replaced — the
+    * fingerprint changes for ANY committed swap, while appends to OTHER
+    * tables (inverted lists, signatures, doclens) leave it untouched.
+    * A missing table folds as a sentinel (presence changes — e.g. a
+    * PQ-less rebuild deleting `pq/` — also change the value). Pure
+    * filesystem metadata: one listing per table, ZERO Spark jobs — the
+    * point, since the memo exists to delete per-batch Spark reads.
+    */
+  def metaFingerprint(fs: FileSystem, dir: String, tables: Seq[String]): Long = {
+    var h = 1125899906842597L
+    def mix(v: Long): Unit = { h = h * 31 + v }
+    tables.foreach { t =>
+      val p = new Path(s"$dir/$t")
+      if (!fs.exists(p)) mix(-1L)
+      else {
+        val st = fs.getFileStatus(p)
+        mix(st.getModificationTime)
+        if (st.isDirectory) fs.listStatus(p).foreach { e =>
+          mix(e.getPath.getName.hashCode.toLong)
+          mix(e.getLen)
+          mix(e.getModificationTime)
+        }
+      }
+    }
+    h
+  }
+
   /** Crash recovery for [[commit]] — see the object doc. `postSwap` runs
     * only on roll-forward (marker present).
     */

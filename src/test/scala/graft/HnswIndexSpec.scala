@@ -732,4 +732,53 @@ class HnswIndexSpec extends SparkSpec {
     assert(!rLegacy.getBoolean(4), "law must be inert on a legacy manifest")
     assert(rLegacy.getInt(6) == 64 && rLegacy.getInt(7) == 0)
   }
+
+  test("ef_search persisted in params: staleness reports the beam the " +
+    "index will actually serve (not an argument), an untuned search " +
+    "serves it, reshard preserves it, and legacy layouts read as 64") {
+    val dir = tempDir("efparam")
+    val corpus = emb.filter(col("vec_id") < 300)
+    // builder declares a non-default serving beam
+    HnswIndex.build(corpus, "vec_id", "embedding", dir, shards = 4,
+      efSearch = 96)
+    def staleRow() = HnswIndex.staleness(spark, dir).collect()(0)
+    val r0 = staleRow()
+    assert(r0.getInt(5) == 96,
+      "staleness base_ef must come from the persisted serving beam")
+    assert(r0.getInt(6) == 96, "law inert below HoldKeys: effective == base")
+    // the explicit baseEf argument still overrides (what-if probing)
+    val rOver = HnswIndex.staleness(spark, dir, baseEf = 32).collect()(0)
+    assert(rOver.getInt(5) == 32 && rOver.getInt(6) == 32)
+    // an UNTUNED search runs the declared beam: ef 96 >= corpus size
+    // here, so it must match the full-beam (rank-exact) top-k exactly,
+    // while a deliberately narrow explicit beam is allowed to differ
+    // (and an explicit efSearch still overrides — same knob as before)
+    val q = corpus.limit(8)
+    val untuned = HnswIndex.search(spark, dir, q, "vec_id", "embedding",
+        k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = HnswIndex.search(spark, dir, q, "vec_id", "embedding",
+        k = 3, efSearch = 0)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(untuned == full,
+      "untuned search did not serve the declared (saturating) beam")
+    // reshard keeps the corpus AND the declared serving beam
+    HnswIndex.reshard(spark, dir, 2)
+    assert(staleRow().getInt(5) == 96, "reshard dropped ef_search")
+    // legacy layout (params written before the column): strip ef_search
+    // from the persisted row — reads as the engine-wide default 64
+    val legacy = spark.read.parquet(s"$dir/params")
+      .drop("ef_search")
+    legacy.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/params_legacy")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/params"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/params_legacy"),
+      new org.apache.hadoop.fs.Path(s"$dir/params")))
+    assert(staleRow().getInt(5) == 64,
+      "legacy params must read as the default 64, not fail or guess")
+  }
 }

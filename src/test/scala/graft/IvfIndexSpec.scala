@@ -456,4 +456,73 @@ class IvfIndexSpec extends SparkSpec {
     // anchor at every rebuild anyway)
     assert(!IvfIndex.rebuildDue(anchor, 5.5188))
   }
+
+  test("persisted displacement anchor: a PQ build snapshots its post-" +
+    "build displacement, staleness() emits ratio + rebuild_due from " +
+    "index state alone, a protocol-mismatched probe nulls the ratio, " +
+    "rebalance keeps the anchor and rebuild re-snapshots it") {
+    import org.apache.spark.sql.Row
+    def row(dir: String): Row = IvfIndex.staleness(spark, dir).collect()(0)
+    // columns: 0 n_rows, 1 n_at_train, 2 frac, 3 disp, 4 disp_at_train,
+    //          5 displacement_ratio, 6 rebuild_due
+    val bucket = pmod(xxhash64(col("vec_id")), lit(10))
+    val base = emb.filter(bucket < 8)
+    val drifted = emb.filter(bucket >= 8).withColumn("embedding",
+      transform(col("embedding"), x => (x + lit(0.6)).cast("float")))
+    val dir = graft.util.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("ivf_anchor").toString)
+    IvfIndex.build(base, "vec_id", "embedding", dir, nList = 16, pqM = 8)
+    val fresh = row(dir)
+    assert(!fresh.isNullAt(4), "PQ build did not persist its anchor")
+    val anchor = fresh.getDouble(4)
+    assert(anchor >= 0.0)
+    assert(!fresh.isNullAt(5), "default-protocol probe must yield a ratio")
+    // a just-built index re-probes near its own anchor — far under the
+    // alarm (exact equality is not asserted: the seeded sample's limit()
+    // may tie-break differently across scans)
+    assert(fresh.getDouble(5) < IvfIndex.AdcDisplacementAlarmRatio,
+      s"fresh build already alarmed: ratio ${fresh.getDouble(5)}")
+    assert(!fresh.isNullAt(6) && !fresh.getBoolean(6))
+    // a probe under a DIFFERENT protocol than the anchor records must
+    // not pretend to be the measured bracket
+    val mismatched =
+      IvfIndex.staleness(spark, dir, probeQueries = 48).collect()(0)
+    assert(mismatched.isNullAt(5) && mismatched.isNullAt(6),
+      "protocol-mismatched probe produced a ratio/alarm")
+    assert(!mismatched.isNullAt(4), "the anchor itself is protocol-free")
+
+    // drift, then the two maintenance ops: rebalance KEEPS the anchor
+    // (codebook drift is what the ratio tracks and rebalance cannot
+    // fix); rebuild re-measures and re-persists it
+    IvfIndex.append(spark, dir, drifted, "vec_id", "embedding")
+    val after = row(dir)
+    assert(!after.isNullAt(5))
+    assert(after.getBoolean(6) ==
+      (after.getDouble(5) >= IvfIndex.AdcDisplacementAlarmRatio),
+      "rebuild_due inconsistent with the ratio rule")
+    IvfIndex.rebalance(spark, dir)
+    val rebal = row(dir)
+    assert(!rebal.isNullAt(4) && rebal.getDouble(4) == anchor,
+      "PQ rebalance moved the persisted anchor")
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 16, pqM = 8)
+    val rebuilt = row(dir)
+    assert(!rebuilt.isNullAt(4))
+    assert(!rebuilt.isNullAt(5) &&
+      rebuilt.getDouble(5) < IvfIndex.AdcDisplacementAlarmRatio)
+    assert(!rebuilt.getBoolean(6))
+
+    // a PQ-less rebuild over a PQ index clears pq AND the dead anchor
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nList = 16)
+    val noPq = row(dir)
+    assert(noPq.isNullAt(3) && noPq.isNullAt(4) && noPq.isNullAt(5) &&
+      noPq.isNullAt(6),
+      "PQ-less rebuild left displacement state behind")
+
+    // vectors-only index from scratch: all displacement columns null
+    val dir2 = graft.util.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("ivf_anchor2").toString)
+    IvfIndex.build(base, "vec_id", "embedding", dir2, nList = 16)
+    val v = row(dir2)
+    assert(v.isNullAt(3) && v.isNullAt(4) && v.isNullAt(5) && v.isNullAt(6))
+  }
 }

@@ -388,16 +388,21 @@ class SemLinkGridSpec extends SparkSpec {
     assert(graft.knn.BeamLaw.doublings(2500001L) == 2)
     assert(graft.knn.BeamLaw.doublings(Long.MaxValue) == 19)
     // plumbing: gridKnnWithEngine returns the EFFECTIVE beam the branch
-    // ran — the raw knob below the hold range, the sentinel verbatim
+    // ran — an explicit (caller-tuned) base verbatim below the hold
+    // range (no shape probe: the base is not the untuned default), the
+    // sentinel verbatim
     val catalog = (1 to 40).map { i =>
       (s"t$i:c$i", Array.tabulate(8)(j => ((i * 29 + j * 11) % 19).toFloat / 19f))
     }.toDF("key", "vec")
-    val (_, engRaw, efRaw) = SemLinkGrid.gridKnnWithEngine(catalog, 5,
+    val (_, engRaw) = SemLinkGrid.gridKnnWithEngine(catalog, 5,
       annAbove = 10, hnswAbove = 10, efSearch = 48)
-    assert(engRaw == "hnsw" && efRaw == 48)
-    val (_, engFull, efFull) = SemLinkGrid.gridKnnWithEngine(catalog, 5,
+    assert(engRaw.engine == "hnsw" && engRaw.efUsed == 48)
+    assert(engRaw.rc.isEmpty,
+      "an explicit base must not pay the shape probe's catalog pass")
+    val (_, engFull) = SemLinkGrid.gridKnnWithEngine(catalog, 5,
       annAbove = 10, hnswAbove = 10, efSearch = 0)
-    assert(engFull == "hnsw" && efFull == 0)
+    assert(engFull.engine == "hnsw" && engFull.efUsed == 0)
+    assert(engFull.rc.isEmpty)
     // efAutoScale defaults TRUE on every grid surface (the synthetic
     // $default$N reflection the hnswAbove pins use): the untuned caller
     // gets the law — that is the point of it
@@ -410,14 +415,96 @@ class SemLinkGridSpec extends SparkSpec {
       "gridCellsFromCatalog efAutoScale default off")
     assert(defaultBoolOf("evaluationGridFromCatalog", 10),
       "evaluationGridFromCatalog efAutoScale default off")
-    // opting out is behavior-identical below the hold range (the law is
-    // inert at gate-tier n — no small-catalog caller pays anything)
+    // opting out is result-identical below the hold range (the size
+    // law is inert at gate-tier n; the default-base path may shape-
+    // raise the beam, but any beam ≥ n explores the whole 40-node
+    // graph, so the ranking cannot differ)
     val on = SemLinkGrid.gridKnn(catalog, 5, annAbove = 10, hnswAbove = 10)
       .orderBy("query_id", "rank").collect().toSeq
     val off = SemLinkGrid.gridKnn(catalog, 5, annAbove = 10, hnswAbove = 10,
         efAutoScale = false)
       .orderBy("query_id", "rank").collect().toSeq
     assert(on == off)
+  }
+
+  test("shape-aware gate: the untuned HNSW escalation measures rc and " +
+    "raises the default base to the measured spread fix (rc <= 2 -> " +
+    "base 128), keeps clustered catalogs at the default, and never " +
+    "overrides an explicit base") {
+    // the decision function, pinned at the committed rc anchors
+    // (SCALE_r19_shape_*: clustered ~6.3 at both tiers, spread ~1.5)
+    import SemLinkGrid.resolveShapeBase
+    assert(resolveShapeBase(6.3, 64) == 64, "clustered anchor must hold")
+    assert(resolveShapeBase(1.5, 64) == 128, "spread anchor must raise")
+    assert(resolveShapeBase(2.0, 64) == 128, "boundary is inclusive (rc <= 2)")
+    assert(resolveShapeBase(2.0001, 64) == 64)
+    // never lowered: a caller's wider base survives a spread verdict
+    assert(resolveShapeBase(1.5, 256) == 256)
+    assert(graft.knn.BeamLaw.SpreadBaseEf == 128,
+      "the measured spread fix (SCALE_r17_recall_200k_spread_ef128 / " +
+        "SCALE_r18_recall_1m_spread_ef256) is base 128")
+    assert(graft.knn.ShapeStats.SpreadRcMax == 2.0)
+
+    // end-to-end through the gate, forced low so spec-sized fixtures
+    // exercise the real path. SPREAD fixture: genuinely pseudorandom
+    // uniform vectors in d=64 (a LATTICE here measures clustered — its
+    // aligned differences give it real near-structure, rc ≈ 38) —
+    // distance concentration puts rc well under 2, like the sf0.1
+    // random embeddings' measured 1.30
+    val rnd = new scala.util.Random(42)
+    val spread = (1 to 150).map { i =>
+      (s"s$i", Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("key", "vec")
+    val (_, sEng) = SemLinkGrid.gridKnnWithEngine(spread, 5,
+      annAbove = 10, hnswAbove = 10)
+    assert(sEng.engine == "hnsw")
+    assert(sEng.rc.isDefined, "untuned escalation must measure rc")
+    assert(sEng.rc.get <= 2.0,
+      s"uniform fixture measured rc=${sEng.rc.get} — expected spread")
+    assert(sEng.baseEf == 128 && sEng.efUsed == 128,
+      "spread catalog below the hold range: base raised, size law inert")
+    // CLUSTERED fixture: 40 tight jittered triples — nn distance is the
+    // jitter scale, mean distance the inter-cluster scale, rc >> 3
+    val clustered = (0 until 120).map { i =>
+      val c = i / 3
+      (s"c$i", Array.tabulate(16)(j =>
+        ((c * 53 + j * 17) % 23).toFloat + 0.001f * (i % 3)))
+    }.toDF("key", "vec")
+    val (_, cEng) = SemLinkGrid.gridKnnWithEngine(clustered, 5,
+      annAbove = 10, hnswAbove = 10)
+    assert(cEng.engine == "hnsw")
+    assert(cEng.rc.isDefined)
+    assert(cEng.rc.get > 3.0,
+      s"jittered-copy fixture measured rc=${cEng.rc.get} — expected clustered")
+    assert(cEng.baseEf == 64 && cEng.efUsed == 64,
+      "clustered catalog: the default base must be unchanged")
+    // the opt-out skips the probe (no rc, no catalog pass, default base)
+    val (_, offEng) = SemLinkGrid.gridKnnWithEngine(spread, 5,
+      annAbove = 10, hnswAbove = 10, shapeAutoScale = false)
+    assert(offEng.rc.isEmpty && offEng.baseEf == 64)
+    // efAutoScale=false pins the raw knob for BOTH laws
+    val (_, rawEng) = SemLinkGrid.gridKnnWithEngine(spread, 5,
+      annAbove = 10, hnswAbove = 10, efAutoScale = false)
+    assert(rawEng.rc.isEmpty && rawEng.efUsed == 64)
+    // shapeAutoScale defaults TRUE on every grid surface (the synthetic
+    // $default$N reflection the efAutoScale pins use)
+    def defaultBoolOf(method: String, pos: Int): Boolean = SemLinkGrid
+      .getClass.getMethod(s"$method$$default$$$pos").invoke(SemLinkGrid)
+      .asInstanceOf[Boolean]
+    // gridKnn(embedded, kMax, blockSize, annAbove, nList, nProbe, hnswAbove, efSearch, efAutoScale, shapeAutoScale)
+    assert(defaultBoolOf("gridKnn", 10), "gridKnn shapeAutoScale default off")
+    assert(defaultBoolOf("gridCellsFromCatalog", 11),
+      "gridCellsFromCatalog shapeAutoScale default off")
+    assert(defaultBoolOf("evaluationGridFromCatalog", 11),
+      "evaluationGridFromCatalog shapeAutoScale default off")
+    // the IVF middle tier records its RESOLVED knobs (ADVICE r18: the
+    // artifact must not re-state defaults that a clamp may have changed)
+    val (_, ivfEng) = SemLinkGrid.gridKnnWithEngine(spread, 5,
+      annAbove = 10, hnswAbove = Long.MaxValue, nProbe = 1000)
+    assert(ivfEng.engine == "ivf")
+    assert(ivfEng.nList.contains(16), "auto-sqrt sizing: max(16, ceil(sqrt(120)))")
+    assert(ivfEng.nProbe.contains(16),
+      "nProbe must record the CLAMPED value (1000 -> resolved nList)")
   }
 
   test("grid metrics tolerate mixed-type ground truth: long q/c against " +

@@ -52,13 +52,41 @@ class ShapeStatsSpec extends SparkSpec {
     assert(a == b, "seeded sample must be layout-independent")
 
     // exact duplicates give a zero nearest-neighbor distance — the
-    // per-query contrast clamps instead of producing NaN/Infinity in
-    // the median
+    // per-query contrast clamps to the FINITE documented sentinel, so
+    // an all-duplicates catalog reads as maximally clustered without
+    // printing 1.8e308 into a committed shape artifact
     val dup = frame(Seq.fill(50)(Array.fill(8)(1.0f)))
     val rcDup = ShapeStats.relativeContrast(dup, "id", "vec")
     assert(!rcDup.isNaN && !rcDup.isInfinity)
+    assert(rcDup == ShapeStats.DuplicateContrast,
+      s"all-duplicates catalog must read as the sentinel, got $rcDup")
+    assert(ShapeStats.DuplicateContrast == 1e6)
 
     assert(ShapeStats.relativeContrast(frame(Seq(
       Array(1f, 2f), Array(3f, 4f))), "id", "vec") == 1.0)
+  }
+
+  test("the reported statistic is the true median: even sample sizes " +
+    "average the middle pair (the upper-middle pick alone biased the " +
+    "statistic by half an order-statistic gap)") {
+    // 4 vectors on a line with one tight pair: per-query rc values are
+    // distinct and computable by hand, and m = 4 is even — the result
+    // must be the mean of the 2nd and 3rd order statistics, which is
+    // NOT any single per-query value
+    // quarters only — exactly representable in binary floats, so the
+    // hand arithmetic below is bit-reproducible
+    val df = frame(Seq(
+      Array(0.0f), Array(0.25f), Array(5.0f), Array(9.0f)))
+    val rc = ShapeStats.relativeContrast(df, "id", "vec")
+    // per-query (mean over the other 3) / (nn over the catalog):
+    // q0: mean (0.25+5+9)/3 = 4.75      nn 0.25 -> 19.0
+    // q1: mean (0.25+4.75+8.75)/3       nn 0.25 -> 18.333...
+    // q2: mean (5+4.75+4)/3 = 4.5833    nn 4.0  -> 1.145833...
+    // q3: mean (9+8.75+4)/3 = 7.25      nn 4.0  -> 1.8125
+    // sorted -> median = (1.8125 + 18.333...)/2, not any single value
+    val q1 = (0.25 + 4.75 + 8.75) / 3 / 0.25
+    val q3 = (9.0 + 8.75 + 4.0) / 3 / 4.0
+    assert(math.abs(rc - (q3 + q1) / 2) < 1e-9,
+      s"expected the averaged middle pair, got $rc")
   }
 }

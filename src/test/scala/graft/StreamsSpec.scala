@@ -1082,13 +1082,85 @@ class StreamsSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/ingest_watermark").exists())
   }
 
-  test("MetaMemo: the first load is cached for the life of the loop — " +
-    "one metadata read per ingest loop, not per micro-batch") {
+  test("MetaMemo: cached while the commit generation holds — one " +
+    "metadata read per ingest loop, not per micro-batch — and a changed " +
+    "generation (a rebuild/rebalance committed between batches) forces " +
+    "a reload instead of serving the pre-swap metadata") {
     var loads = 0
     val memo = new graft.streaming.Streams.MetaMemo[Int]
-    assert(memo.getOrLoad { loads += 1; 7 } == 7)
-    assert(memo.getOrLoad { loads += 1; 99 } == 7)
-    assert(loads == 1, "metadata loaded more than once per loop")
+    assert(memo.getOrLoad(10L) { loads += 1; 7 } == 7)
+    assert(memo.getOrLoad(10L) { loads += 1; 99 } == 7)
+    assert(loads == 1, "metadata loaded more than once per generation")
+    // the swap: a new fingerprint invalidates the slot
+    assert(memo.getOrLoad(11L) { loads += 1; 42 } == 42)
+    assert(memo.getOrLoad(11L) { loads += 1; 99 } == 42)
+    assert(loads == 2, "post-swap metadata not reloaded exactly once")
+  }
+
+  test("IvfIndex.metaGen: stable across appends, changed by a rebalance " +
+    "commit — the revalidation key that keeps a mid-loop rebalance from " +
+    "leaving later batches probing with replaced centroids") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("metagen_ivf").toString
+    val vecs = (0 until 60)
+      .map(i => (i.toLong, Array.fill(4)(i.toFloat / 60)))
+      .toDF("id", "vec")
+    graft.knn.IvfIndex.build(vecs, "id", "vec", dir, nList = 2)
+    val g0 = graft.knn.IvfIndex.metaGen(spark, dir)
+    assert(g0 == graft.knn.IvfIndex.metaGen(spark, dir),
+      "fingerprint not deterministic")
+    // appends grow assignments/ only — the memo'd tables are untouched
+    graft.knn.IvfIndex.append(spark, dir,
+      Seq((100L, Array(0.9f, 0.9f, 0.9f, 0.9f))).toDF("id", "vec"),
+      "id", "vec")
+    assert(graft.knn.IvfIndex.metaGen(spark, dir) == g0,
+      "append must not invalidate the metadata memo")
+    // a rebalance swaps centroids+params: the fingerprint MUST move
+    graft.knn.IvfIndex.rebalance(spark, dir, nList = 5)
+    val g1 = graft.knn.IvfIndex.metaGen(spark, dir)
+    assert(g1 != g0, "rebalance commit did not change the fingerprint")
+  }
+
+  test("annIngestBatch after a mid-loop rebalance: the shared memo " +
+    "reloads the swapped quantizer, and the appended vector is filed " +
+    "under the NEW centroids' assignment — not the pre-swap lists") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("memo_swap_idx").toString
+    val out = Files.createTempDirectory("memo_swap_out").toString
+    // two tight far-apart clusters; nList=2 puts one centroid on each
+    val base = ((0 until 30).map(i => (i.toLong, Array.fill(8)(0.01f * i % 0.3f))) ++
+      (30 until 60).map(i => (i.toLong, Array.fill(8)(10f + 0.01f * i % 0.3f))))
+      .toDF("id", "vec")
+    graft.knn.IvfIndex.build(base, "id", "vec", dir, nList = 2)
+    val memo = new graft.streaming.Streams.MetaMemo[(Array[Array[Float]],
+      String, Option[(graft.knn.PqCodebooks, Boolean)])]
+    def batch(id: Long, fill: Float) =
+      Seq((id, Array.fill(8)(fill), 1000L)).toDF("id", "vec", "ts")
+    graft.streaming.Streams.annIngestBatch(spark, dir, out, 0L,
+      batch(100L, 0.1f), "id", "vec", "ts", lateness = 10L, k = 3,
+      nProbe = 2, metaMemo = memo)
+    // the mid-loop maintenance op: retrains the quantizer (5 lists)
+    graft.knn.IvfIndex.rebalance(spark, dir, nList = 5)
+    graft.streaming.Streams.annIngestBatch(spark, dir, out, 1L,
+      batch(200L, 9.9f), "id", "vec", "ts", lateness = 10L, k = 3,
+      nProbe = 2, metaMemo = memo)
+    // the proof: id 200's persisted cid equals the nearest-centroid
+    // assignment under the LIVE (post-rebalance) centroids — a stale
+    // memo would have filed it under the dead 2-list quantizer
+    val live = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid"), col("vec").cast("array<float>"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    assert(live.length == 5, "rebalance did not commit 5 lists")
+    val v = Array.fill(8)(9.9f)
+    val want = live.minBy { case (_, c) =>
+      c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+    }._1
+    val got = spark.read.parquet(s"$dir/assignments")
+      .filter(col("id") === 200L).select("cid").collect()
+    assert(got.length == 1)
+    assert(got.head.getInt(0) == want,
+      s"appended row filed under cid ${got.head.getInt(0)}, but the live " +
+        s"quantizer assigns $want — the memo served pre-swap centroids")
   }
 }
 
