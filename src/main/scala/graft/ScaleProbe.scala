@@ -378,8 +378,10 @@ object ScaleProbe {
       val (bgT, bgN, bgE) = gridDefaultProbe(big)
       def rcS(e: graft.pipeline.SemLinkGrid.GridEngine): String =
         e.rc.map(v => f"$v%.4f").getOrElse("null")
+      def rcQ(e: graft.pipeline.SemLinkGrid.GridEngine): String =
+        e.rcQ25.map(v => f"$v%.4f").getOrElse("null")
       Seq(
-        f""""gridknn_default":{"small_s":$smT%.3f,"big_s":$bgT%.3f,"growth":${bgT / smT}%.2f,"small_n":$smN,"big_n":$bgN,"small_escalated":${smE.engine != "exact"},"big_escalated":${bgE.engine != "exact"},"small_engine":"${smE.engine}","big_engine":"${bgE.engine}","small_ef":${smE.efUsed},"big_ef":${bgE.efUsed},"small_base_ef":${smE.baseEf},"big_base_ef":${bgE.baseEf},"small_rc":${rcS(smE)},"big_rc":${rcS(bgE)}}""")
+        f""""gridknn_default":{"small_s":$smT%.3f,"big_s":$bgT%.3f,"growth":${bgT / smT}%.2f,"small_n":$smN,"big_n":$bgN,"small_escalated":${smE.engine != "exact"},"big_escalated":${bgE.engine != "exact"},"small_engine":"${smE.engine}","big_engine":"${bgE.engine}","small_ef":${smE.efUsed},"big_ef":${bgE.efUsed},"small_base_ef":${smE.baseEf},"big_base_ef":${bgE.baseEf},"small_rc":${rcS(smE)},"big_rc":${rcS(bgE)},"small_rc_q25":${rcQ(smE)},"big_rc_q25":${rcQ(bgE)}}""")
     }
 
     // The HNSW escalation tier, measured directly (forced via
@@ -548,7 +550,7 @@ object ScaleProbe {
       def engFields(e: graft.pipeline.SemLinkGrid.GridEngine): String =
         if (gridRecallEngine == "ivf")
           s""""ef":null,"nprobe":${e.nProbe.map(_.toString).getOrElse("null")},"nlist":${e.nList.map(_.toString).getOrElse("null")}"""
-        else s""""ef":${e.efUsed},"base_ef":${e.baseEf},"rc":${e.rc.map(v => f"$v%.4f").getOrElse("null")}"""
+        else s""""ef":${e.efUsed},"base_ef":${e.baseEf},"rc":${e.rc.map(v => f"$v%.4f").getOrElse("null")},"rc_q25":${e.rcQ25.map(v => f"$v%.4f").getOrElse("null")}"""
       val defaultEfField =
         if (gridRecallEngine == "ivf") "null" else s"${gridRecallEf <= 0}"
       Seq(
@@ -663,9 +665,12 @@ object ScaleProbe {
     // rule cites (clustered well above 2, spread near 1), committed so
     // the rc thresholds in the doc are measured numbers, not folklore
     val shapeRows = if (!probes("shape")) Seq.empty else {
-      def rc(dir: String): Double = graft.knn.ShapeStats.relativeContrast(
-        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
-      Seq(f""""shape_contrast":{"small_rc":${rc(small)}%.4f,"big_rc":${rc(big)}%.4f}""")
+      def rc(dir: String): graft.knn.ShapeStats.RcStats =
+        graft.knn.ShapeStats.relativeContrastStats(
+          spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+          "embedding")
+      val (s, b) = (rc(small), rc(big))
+      Seq(f""""shape_contrast":{"small_rc":${s.median}%.4f,"small_rc_q25":${s.q25}%.4f,"big_rc":${b.median}%.4f,"big_rc_q25":${b.q25}%.4f}""")
     }
 
     // null, not false, when the block probe was skipped — false would

@@ -28,13 +28,20 @@ object BeamLaw {
     * instead of holding: 0.9186 at 2·10⁵/ef 64 → 0.8916 at 10⁶ under
     * the law's ef 128 (SCALE_r17_recall_200k_spread,
     * SCALE_r18_recall_1m_spread; floor-clear, not build-level). The
-    * measured fix is a DOUBLED base ef: base 128 — 0.9736 at 2·10⁵,
-    * and the law resolves it to 256 at 10⁶ where the same beam
-    * measures 0.9578 (SCALE_r17_recall_200k_spread_ef128,
-    * SCALE_r18_recall_1m_spread_ef256; ~+0.066 per further doubling
-    * on this shape). A knowingly spread catalog therefore sets
-    * base ≥ 128 or the full-beam sentinel — both pass through the law
-    * faithfully.
+    * measured fix is a DOUBLED base ef ([[SpreadBaseEf]], applied
+    * automatically by the grid's shape-aware gate since r19): base
+    * 128 — 0.9736 at 2·10⁵, and the law resolves it to 256 at 10⁶
+    * where the same beam measures 0.9578
+    * (SCALE_r17_recall_200k_spread_ef128,
+    * SCALE_r18_recall_1m_spread_ef256). The ladder's 10⁶ endpoint is
+    * MEASURED, not extrapolated, through one more doubling: raw
+    * ef 512 (= base 256 under the law) scores 0.9888
+    * (SCALE_r19_recall_1m_spread_ef512) — the per-doubling gain
+    * DECELERATES (+0.066 at 128→256, +0.031 at 256→512), so
+    * build-level ≥ 0.99 on this shape sits at roughly one further
+    * doubling (≈ 4× the default search compute), and the full-beam
+    * sentinel remains the honest setting when strict build-level
+    * recall is required on a knowingly spread catalog.
     */
   val HoldKeys: Long = 500000L
 

@@ -539,9 +539,10 @@ object IvfIndex {
     * `frac` as the zero-cost trailing indicator (any material value
     * says "go read the displacement") and the displacement ratio as
     * the alarm. Caveat at SPEC-scale corpora (≲ a few k rows): the
-    * displacement floor saturates (2k tier: 8.73 build, only 1.16×
-    * when drifted; r19 re-measure 1.10×) — there, frac is the better
-    * signal and `rebuild_due` stays quiet even when drifted; the
+    * displacement floor saturates (2k tier: 8.73 build, only ≤ 1.16×
+    * when drifted — both rounds' measurements agree) — there, frac is
+    * the better signal and `rebuild_due` stays quiet even when
+    * drifted; the
     * operational tiers this signal exists for sit on the clean side.
     * A fired alarm means ADC is no longer short-listing what exact
     * distance would, and [[rebalance]] will NOT recover it (it keeps

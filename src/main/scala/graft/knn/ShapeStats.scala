@@ -30,19 +30,28 @@ import org.apache.spark.sql.functions._
   * statistic is the MEDIAN over sampled queries (robust to isolated
   * points and exact duplicates, whose per-query ratio is clamped).
   *
-  * MEASURED anchors, committed in SCALE_r18_shape_contrast*.json (the
-  * `shape` ScaleProbe mode; 256-query sample, d = 64) — the statistic
-  * is TIER-STABLE per shape, which is what makes it usable as a
-  * classifier: the jittered-copy clustered fixtures (the shape whose
-  * recall rows measure ≥ 0.99 under the beam law) score rc = 6.32 at
-  * 2·10⁴ keys and 6.23 at 10⁶; the adversarial `embMode=spread`
-  * uniform fixtures score 1.52 at 2·10⁵ and 1.56 at 10⁶ (on uniform
-  * data rc drifts up only as N^(1/d) — negligibly); the raw sf0.1
-  * driver embeddings (2k random vectors — spread-shaped by
-  * construction, and exact-tier by size anyway) score 1.30. Operating
-  * rule: rc ≲ 2 → treat the catalog as spread-shaped (set base
-  * efSearch ≥ 128 per the measured ladder, or the full-beam sentinel);
-  * rc ≳ 3 → the clustered defaults apply as measured.
+  * MEASURED anchors, committed in SCALE_r19_shape_*.json (the `shape`
+  * ScaleProbe mode; 256-query sample, d = 64; supersedes the r18
+  * artifacts under the exact-median fix — values moved only at the
+  * 4th decimal) — the statistic is TIER-STABLE per shape, which is
+  * what makes it usable as a classifier: the jittered-copy clustered
+  * fixtures (the shape whose recall rows measure ≥ 0.99 under the
+  * beam law) score median rc = 6.32 (q25 6.08) at 2·10⁴ keys and
+  * 6.23 (q25 6.05) at 10⁶; the adversarial `embMode=spread` uniform
+  * fixtures score 1.52 (q25 1.50) at 2·10⁵ and 1.56 (q25 1.53) at
+  * 10⁶ (on uniform data rc drifts up only as N^(1/d) — negligibly);
+  * the raw sf0.1 driver embeddings (2k random vectors —
+  * spread-shaped by construction, and exact-tier by size anyway)
+  * score 1.30. Operating rule — applied AUTOMATICALLY by the grid's
+  * untuned escalation since r19, on the q25 statistic (see
+  * [[relativeContrastStats]] for why the median alone cannot classify
+  * a bimodal mixture): q25 ≲ 2 → treat the catalog as spread-shaped
+  * (base efSearch ≥ 128 per the measured ladder, or the full-beam
+  * sentinel); q25 ≳ 3 → the clustered defaults apply as measured.
+  * The half-clustered/half-uniform mixture (embMode=mixed, 2·10⁵
+  * keys) measures q25 = 1.44 — firmly in the spread regime, where
+  * the raised default base measures recall@10 0.9939 on the whole
+  * mixed catalog (SCALE_r19_recall_200k_mixed_default).
   *
   * Cost: one hash-ordered top-K sample scan (TakeOrderedAndProject —
   * per-partition heaps, no full sort) plus ONE full-catalog pass for
@@ -64,8 +73,42 @@ object ShapeStats {
       idCol: String,
       vecCol: String,
       sample: Int = 256,
-      seed: Int = 17): Double = {
+      seed: Int = 17): Double =
+    relativeContrastStats(cat, idCol, vecCol, sample, seed).median
+
+  /** Both order statistics of the per-query contrast distribution, one
+    * catalog pass: `median` (the published tier-stable anchor) and
+    * `q25` (the lower quartile — the GATE's decision statistic).
+    *
+    * Why two: the median is the right summary for a unimodal catalog
+    * (both fixtures' anchors), but on a BIMODAL mixture near 50/50 it
+    * is knife-edged — it snaps to whichever mode the seeded draw tips
+    * past half, not to anything intermediate. MEASURED on the r19
+    * mixed fixture (MakeScale embMode=mixed at 2·10⁵: ~51% jittered
+    * clusters / ~49% uniform): the committed seeded draw reads median
+    * rc = 1.5233 — indistinguishable from the fully-spread anchor —
+    * while an independent draw of the same catalog reads ≈ 5.2
+    * (SCALE_r19_shape_mixed.json and the COVERAGE.md note). The rc
+    * "gray zone" (2 ≲ rc ≲ 3) is therefore NOT where mixtures land;
+    * mixtures are bimodal and the median jumps across it. What recall
+    * actually depends on is the FRACTION of queries in the spread
+    * regime (each such query pays the measured spread floors at the
+    * default beam), so the gate decides on q25: any catalog where a
+    * material (≳ ¼) share of queries measures spread-like fires the
+    * raise DETERMINISTICALLY — a 50/50 mixture always gets the wider
+    * beam its spread half measurably needs — while fully-clustered
+    * catalogs (q25 ≈ the median ≈ 6) keep the default. The residual
+    * ambiguous band (spread share near ¼) errs toward the beam raise,
+    * the recall-safe side of a ~2× search-compute trade.
+    */
+  def relativeContrastStats(
+      cat: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sample: Int = 256,
+      seed: Int = 17): RcStats = {
     require(sample >= 3, s"ShapeStats: sample must be >= 3, got $sample")
+    val degenerate = RcStats(1.0, 1.0)
     // ids hash to longs so any key type rides broadcastKnn, and
     // self-exclusion keys on the same hash on both sides
     val base = cat.select(
@@ -84,7 +127,7 @@ object ShapeStats {
       .drop("__h")
       .localCheckpoint() // reused: the driver mean AND the kNN query side
     val rows = sampled.collect()
-    if (rows.length < 3) return 1.0
+    if (rows.length < 3) return degenerate
     val ids = rows.map(_.getLong(0))
     val vs: Array[Array[Float]] = rows.map(_.getSeq[Float](1).toArray)
     val m = vs.length
@@ -138,9 +181,18 @@ object ShapeStats {
     // true median: average the middle pair on even sample sizes (the
     // default m = 256 is even — the upper-middle pick alone would bias
     // the statistic by half an order-statistic gap)
-    if (m % 2 == 1) rcs(m / 2)
-    else (rcs(m / 2 - 1) + rcs(m / 2)) / 2.0
+    val median =
+      if (m % 2 == 1) rcs(m / 2)
+      else (rcs(m / 2 - 1) + rcs(m / 2)) / 2.0
+    // lower quartile as the ⌊(m−1)/4⌋-th order statistic — the gate's
+    // decision value (see relativeContrastStats)
+    RcStats(median, rcs(math.max(0, (m - 1) / 4)))
   }
+
+  /** One catalog's contrast summary: the published `median` and the
+    * gate's `q25` (see [[relativeContrastStats]]).
+    */
+  final case class RcStats(median: Double, q25: Double)
 
   /** Per-query contrast sentinel for exact-duplicate (nn = 0) queries —
     * finite so the reported median stays readable against the rc ≲ 2 /
@@ -148,14 +200,16 @@ object ShapeStats {
     */
   val DuplicateContrast: Double = 1e6
 
-  /** The classifier threshold of the operating rule: rc at or below this
-    * is SPREAD-SHAPED — the regime where the clustered default beam
-    * measurably sheds recall and the measured fix is the doubled base
+  /** The classifier threshold of the operating rule, applied by the
+    * gate to the LOWER QUARTILE (see [[relativeContrastStats]]): q25
+    * at or below this means a material share of queries is in the
+    * SPREAD regime — where the clustered default beam measurably sheds
+    * recall and the measured fix is the doubled base
     * ([[BeamLaw.SpreadBaseEf]]). Sits between the measured spread
-    * anchors (≈ 1.5 at both tiers) and the clustered ones (≈ 6.3),
-    * below the r19 mixed-shape gray-zone point, on the conservative
-    * side: a catalog must MEASURE like the adversarial fixtures to pay
-    * the doubled beam.
+    * anchors (≈ 1.5 at both tiers; mixtures' spread mode ≈ 1.4) and
+    * the clustered ones (≈ 6.3): a catalog must MEASURE like the
+    * adversarial fixtures on a quarter of its queries to pay the
+    * doubled beam.
     */
   val SpreadRcMax: Double = 2.0
 }

@@ -187,8 +187,12 @@ object SemLinkGrid {
     *  - `baseEf` — the base the law scaled: the caller's knob, or the
     *    shape-raised [[graft.knn.BeamLaw.SpreadBaseEf]] when the shape
     *    probe fired;
-    *  - `rc` — the measured [[graft.knn.ShapeStats.relativeContrast]],
-    *    when the shape probe ran (untuned HNSW escalations only);
+    *  - `rc`/`rcQ25` — the measured contrast statistics
+    *    ([[graft.knn.ShapeStats.relativeContrastStats]]: the published
+    *    median and the lower quartile the DECISION uses — a bimodal
+    *    mixture's median snaps to a mode, the quartile fires on any
+    *    material spread share), when the shape probe ran (untuned HNSW
+    *    escalations only);
     *  - `nList`/`nProbe` — the RESOLVED IVF knobs
     *    ([[resolveIvfParams]] — auto-√N sizing and full-probe/clamp
     *    sentinels applied), ivf engine only.
@@ -198,6 +202,7 @@ object SemLinkGrid {
       efUsed: Int,
       baseEf: Int,
       rc: Option[Double] = None,
+      rcQ25: Option[Double] = None,
       nList: Option[Int] = None,
       nProbe: Option[Int] = None)
 
@@ -211,16 +216,19 @@ object SemLinkGrid {
   val DefaultEfSearch: Int = 64
 
   /** The shape-aware base-beam rule, isolated for direct spec pinning
-    * against the committed rc anchors: a catalog measuring at or below
-    * [[graft.knn.ShapeStats.SpreadRcMax]] (spread anchors ≈ 1.5 at
-    * 2·10⁵ AND 10⁶ keys — tier-stable) gets its base raised to
+    * against the committed rc anchors — applied to the LOWER-QUARTILE
+    * contrast ([[graft.knn.ShapeStats.relativeContrastStats]].q25; the
+    * median would coin-flip on a bimodal mixture): a catalog whose q25
+    * sits at or below [[graft.knn.ShapeStats.SpreadRcMax]] (spread
+    * anchors ≈ 1.5 at 2·10⁵ AND 10⁶ keys — tier-stable; a 50/50
+    * mixture's spread mode ≈ 1.4) gets its base raised to
     * [[graft.knn.BeamLaw.SpreadBaseEf]] (never lowered: a caller who
-    * set a wider base keeps it); a clustered catalog (anchors ≈ 6.3)
-    * keeps the untuned default, whose recall is measured ≥ 0.99 under
-    * the law at both tiers.
+    * set a wider base keeps it); a clustered catalog (q25 ≈ 6) keeps
+    * the untuned default, whose recall is measured ≥ 0.99 under the
+    * law at both tiers.
     */
-  private[graft] def resolveShapeBase(rc: Double, base: Int): Int =
-    if (rc <= graft.knn.ShapeStats.SpreadRcMax)
+  private[graft] def resolveShapeBase(rcQ25: Double, base: Int): Int =
+    if (rcQ25 <= graft.knn.ShapeStats.SpreadRcMax)
       math.max(base, graft.knn.BeamLaw.SpreadBaseEf)
     else base
 
@@ -506,12 +514,17 @@ object SemLinkGrid {
       // tier-stable). efAutoScale = false pins the raw knob for BOTH
       // laws (the ef-sensitivity artifacts are raw runs);
       // shapeAutoScale = false skips just the shape probe (and its
-      // catalog pass) while keeping the size law.
-      val rc: Option[Double] =
+      // catalog pass) while keeping the size law. The DECISION is on
+      // the lower quartile (a bimodal mixture's median snaps to a
+      // mode; the quartile fires on any material spread share — see
+      // ShapeStats.relativeContrastStats); the median rides along as
+      // the published anchor statistic.
+      val rcStats: Option[graft.knn.ShapeStats.RcStats] =
         if (shapeAutoScale && efAutoScale && efSearch == DefaultEfSearch)
-          Some(graft.knn.ShapeStats.relativeContrast(withId, "id", "vec"))
+          Some(graft.knn.ShapeStats.relativeContrastStats(withId, "id", "vec"))
         else None
-      val base = rc.map(resolveShapeBase(_, efSearch)).getOrElse(efSearch)
+      val base = rcStats.map(s => resolveShapeBase(s.q25, efSearch))
+        .getOrElse(efSearch)
       // the beam-width law: the (possibly shape-raised) base is
       // calibrated at gate-tier scale; past EfHoldKeys the gate widens
       // it per the measured recall-decay trade so the UNTUNED default
@@ -523,7 +536,9 @@ object SemLinkGrid {
         s"hnswAbove=$hnswAbove — escalating the grid kNN to the " +
         s"sharded HNSW tier (efSearch=$ef" +
         (if (base != efSearch) s"; base $efSearch raised to $base by the " +
-          s"shape rule at measured rc=${rc.map(r => f"$r%.2f").get} — " +
+          s"shape rule at measured rc q25=" +
+          s"${rcStats.map(s => f"${s.q25}%.2f").get} (median " +
+          s"${rcStats.map(s => f"${s.median}%.2f").get}) — " +
           "pass shapeAutoScale=false to skip the shape probe" else "") +
         (if (ef != base) s"; auto-scaled from base $base by the " +
           s"beam law at $n keys — pass efAutoScale=false to pin the raw " +
@@ -536,7 +551,8 @@ object SemLinkGrid {
         metric = KnnJoin.MetricL2Sq, efSearch = ef,
         queryBlockSize = blockSize, excludeSelf = true,
         scratchDir = scratchDir),
-        keys, GridEngine("hnsw", ef, base, rc))
+        keys, GridEngine("hnsw", ef, base, rcStats.map(_.median),
+          rcStats.map(_.q25)))
     } else if (gated && n > annAbove) {
       val (lists, probe) = resolveIvfParams(n, nList, nProbe)
       // loud, named: the plan just changed ENGINE (exact → ANN). A

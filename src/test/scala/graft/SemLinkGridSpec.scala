@@ -432,7 +432,12 @@ class SemLinkGridSpec extends SparkSpec {
     "base 128), keeps clustered catalogs at the default, and never " +
     "overrides an explicit base") {
     // the decision function, pinned at the committed rc anchors
-    // (SCALE_r19_shape_*: clustered ~6.3 at both tiers, spread ~1.5)
+    // (SCALE_r19_shape_*: clustered ~6.3/q25 ~6 at both tiers, spread
+    // ~1.5/q25 ~1.4). The decision statistic is the LOWER QUARTILE —
+    // a bimodal mixture's median snaps to a mode (measured: the r19
+    // mixed fixture read 1.52 on the committed draw and ~5.2 on an
+    // independent one), while q25 fires deterministically on any
+    // material spread share
     import SemLinkGrid.resolveShapeBase
     assert(resolveShapeBase(6.3, 64) == 64, "clustered anchor must hold")
     assert(resolveShapeBase(1.5, 64) == 128, "spread anchor must raise")
@@ -458,9 +463,11 @@ class SemLinkGridSpec extends SparkSpec {
     val (_, sEng) = SemLinkGrid.gridKnnWithEngine(spread, 5,
       annAbove = 10, hnswAbove = 10)
     assert(sEng.engine == "hnsw")
-    assert(sEng.rc.isDefined, "untuned escalation must measure rc")
-    assert(sEng.rc.get <= 2.0,
-      s"uniform fixture measured rc=${sEng.rc.get} — expected spread")
+    assert(sEng.rc.isDefined && sEng.rcQ25.isDefined,
+      "untuned escalation must measure both contrast statistics")
+    assert(sEng.rcQ25.get <= 2.0,
+      s"uniform fixture measured rc q25=${sEng.rcQ25.get} — expected spread")
+    assert(sEng.rcQ25.get <= sEng.rc.get, "q25 must not exceed the median")
     assert(sEng.baseEf == 128 && sEng.efUsed == 128,
       "spread catalog below the hold range: base raised, size law inert")
     // CLUSTERED fixture: 40 tight jittered triples — nn distance is the
@@ -473,11 +480,32 @@ class SemLinkGridSpec extends SparkSpec {
     val (_, cEng) = SemLinkGrid.gridKnnWithEngine(clustered, 5,
       annAbove = 10, hnswAbove = 10)
     assert(cEng.engine == "hnsw")
-    assert(cEng.rc.isDefined)
-    assert(cEng.rc.get > 3.0,
-      s"jittered-copy fixture measured rc=${cEng.rc.get} — expected clustered")
+    assert(cEng.rc.isDefined && cEng.rcQ25.isDefined)
+    assert(cEng.rcQ25.get > 3.0,
+      s"jittered-copy fixture measured rc q25=${cEng.rcQ25.get} — " +
+        "expected clustered")
     assert(cEng.baseEf == 64 && cEng.efUsed == 64,
       "clustered catalog: the default base must be unchanged")
+    // BIMODAL mixture — the case that motivated the quartile decision:
+    // 90 tight-cluster members + 60 uniform rows. The spread share
+    // (40%) is far past the quartile, so the gate must raise the base
+    // DETERMINISTICALLY even though the majority (and so possibly the
+    // median) is clustered.
+    val mixedRnd = new scala.util.Random(7)
+    val mixed = ((0 until 90).map { i =>
+      val c = i / 3
+      (s"m$i", Array.tabulate(64)(j =>
+        ((c * 53 + j * 17) % 23).toFloat + 0.001f * (i % 3)))
+    } ++ (90 until 150).map { i =>
+      (s"m$i", Array.fill(64)(mixedRnd.nextFloat() * 23f))
+    }).toDF("key", "vec")
+    val (_, mEng) = SemLinkGrid.gridKnnWithEngine(mixed, 5,
+      annAbove = 10, hnswAbove = 10)
+    assert(mEng.rcQ25.get <= 2.0,
+      s"40%-spread mixture measured q25=${mEng.rcQ25.get} — the " +
+        "quartile must see the spread share")
+    assert(mEng.baseEf == 128,
+      "a material spread share must raise the base deterministically")
     // the opt-out skips the probe (no rc, no catalog pass, default base)
     val (_, offEng) = SemLinkGrid.gridKnnWithEngine(spread, 5,
       annAbove = 10, hnswAbove = 10, shapeAutoScale = false)

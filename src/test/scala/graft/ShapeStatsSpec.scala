@@ -29,17 +29,47 @@ class ShapeStatsSpec extends SparkSpec {
     val spread = frame((0 until 800).map(_ =>
       Array.fill(d)(rnd.nextFloat() * 2 - 1)))
 
-    val rcClustered = ShapeStats.relativeContrast(clustered, "id", "vec")
-    val rcSpread = ShapeStats.relativeContrast(spread, "id", "vec")
+    val stClustered = ShapeStats.relativeContrastStats(clustered, "id", "vec")
+    val stSpread = ShapeStats.relativeContrastStats(spread, "id", "vec")
     // the doc's operating rule: rc ≲ 2 → spread-shaped (raise the
     // base beam per the measured ladder); rc ≳ 3 → clustered defaults
     // apply. The two shapes must land on opposite sides of the rule's
-    // thresholds, with margin between them.
-    assert(rcClustered > 3.0,
-      s"clustered catalog measured rc $rcClustered — no contrast?")
-    assert(rcSpread < 2.0,
-      s"uniform catalog measured rc $rcSpread — concentration missing?")
-    assert(rcClustered > 3 * rcSpread)
+    // thresholds, with margin between them — on BOTH statistics
+    // (unimodal catalogs: median and quartile agree).
+    assert(stClustered.median > 3.0,
+      s"clustered catalog measured rc ${stClustered.median} — no contrast?")
+    assert(stSpread.median < 2.0,
+      s"uniform catalog measured rc ${stSpread.median} — concentration missing?")
+    assert(stClustered.median > 3 * stSpread.median)
+    assert(stClustered.q25 > 3.0 && stSpread.q25 < 2.0,
+      s"quartiles must agree on unimodal shapes: ${stClustered.q25} / " +
+        s"${stSpread.q25}")
+    assert(stSpread.q25 <= stSpread.median &&
+      stClustered.q25 <= stClustered.median)
+    // relativeContrast is the stats' median, definitionally
+    assert(ShapeStats.relativeContrast(spread, "id", "vec")
+      == stSpread.median)
+  }
+
+  test("bimodal mixture: the median snaps to a mode while the lower " +
+    "quartile sees the spread share — the gate's decision statistic") {
+    val rnd = new scala.util.Random(3)
+    val d = 64
+    // 65% tight clusters / 35% uniform: majority clustered, so the
+    // median reads the clustered mode — but a 35% spread share pays
+    // the measured spread recall floors at the default beam, and the
+    // quartile must catch it
+    val centers = Array.fill(40)(Array.fill(d)(rnd.nextFloat() * 2 - 1))
+    val vecs = (0 until 520).map { i =>
+      val c = centers(i % 40)
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+    } ++ (0 until 280).map(_ => Array.fill(d)(rnd.nextFloat() * 2 - 1))
+    val st = ShapeStats.relativeContrastStats(frame(vecs), "id", "vec")
+    assert(st.median > 3.0,
+      s"majority-clustered mixture: median ${st.median} should read the " +
+        "clustered mode")
+    assert(st.q25 < 2.0,
+      s"35% spread share: q25 ${st.q25} must read the spread mode")
   }
 
   test("deterministic across runs and layouts; duplicate vectors cannot " +
