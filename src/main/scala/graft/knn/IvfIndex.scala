@@ -267,9 +267,12 @@ object IvfIndex {
     // size, so [[staleness]] can emit `displacement_ratio` and
     // `rebuild_due` from index state alone — the r18 artifact's alarm
     // required the operator to have kept this number themselves
-    pq.foreach { _ =>
+    pq.foreach { p =>
+      // the build holds every piece of metadata the probe needs — no
+      // re-reads of the tables it just wrote
       measureAdcDisplacement(spark, dir, nAtTrain,
-        AnchorProbeQueries, AnchorK, AnchorNProbe, AnchorRerank, AnchorSeed)
+        AnchorProbeQueries, AnchorK, AnchorNProbe, AnchorRerank, AnchorSeed,
+        pre = Some((centroids, metric, Some(p))))
         .foreach(d => writeAnchor(spark, fs, dir, d))
     }
     centroids.length
@@ -570,8 +573,14 @@ object IvfIndex {
     }
     val disp: Option[Double] =
       if (!hasPq || nRows == 0) None
-      else measureAdcDisplacement(spark, dir, nRows, probeQueries, k,
-        nProbe, rerank, seed)
+      else {
+        // ONE metadata load shared by both probe searches (3 driver
+        // collects instead of 6 — the probe is fixed-cost-dominated at
+        // spec scale)
+        val (c, m, pqMeta) = loadIndexMeta(spark, dir)
+        measureAdcDisplacement(spark, dir, nRows, probeQueries, k,
+          nProbe, rerank, seed, Some((c, m, pqMeta)))
+      }
     // the persisted post-build anchor ([[buildLocked]]'s final step):
     // ratio/alarm only when the live probe ran the SAME protocol the
     // anchor was measured under — a 128-query nProbe-16 displacement
@@ -606,7 +615,13 @@ object IvfIndex {
       k: Int,
       nProbe: Int,
       rerank: Int,
-      seed: Int): Option[Double] = {
+      seed: Int,
+      pre: Option[(Array[Array[Float]], String,
+        Option[(PqCodebooks, Boolean)])] = None): Option[Double] = {
+    // caller-loaded metadata (staleness / the post-build anchor, which
+    // holds everything in hand) shared by BOTH searches
+    val preMeta = pre.map { case (c, m, _) => (c, m) }
+    val prePq = pre.flatMap(_._3)
     // deterministic member sample as the probe query set: the
     // seeded id-hash draws uniformly across list directories (a
     // bare limit() would sample whichever lists list first)
@@ -621,11 +636,12 @@ object IvfIndex {
     // the rank join below is total
     val adcOrder = search(spark, dir, sample, "id", "vec",
       k = k * math.max(1, rerank), nProbe = nProbe, usePq = true,
-      rerank = 0)
+      rerank = 0, preMeta = preMeta, prePq = prePq)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").as("__adc_rank"))
     val exactTop = search(spark, dir, sample, "id", "vec",
-      k = k, nProbe = nProbe, usePq = true, rerank = math.max(1, rerank))
+      k = k, nProbe = nProbe, usePq = true, rerank = math.max(1, rerank),
+      preMeta = preMeta, prePq = prePq)
     val joined = exactTop.join(adcOrder, Seq("query_id", "neighbor_id"))
       .agg(avg(abs(col("__adc_rank") - col("rank"))).as("d"))
       .collect()(0)
@@ -693,7 +709,10 @@ object IvfIndex {
     * `mean_adc_displacement`, relative to its post-build anchor — see
     * the operating rule on [[staleness]] for the artifact bracket
     * (healthy states measured ≤ 1.39× the anchor, recall-collapsed
-    * states ≥ 1.53×, SCALE_r18_ivfpq_staleness.json, 20k tier).
+    * states ≥ 1.53×, SCALE_r18_ivfpq_staleness.json, 20k tier;
+    * reproduced from the PERSISTED anchor in
+    * SCALE_r19_ivfpq_staleness.json — `rebuild_due` fires on exactly
+    * the collapsed stages and no healthy one).
     */
   val AdcDisplacementAlarmRatio: Double = 1.5
 
@@ -1100,7 +1119,8 @@ object IvfIndex {
       excludeSelf: Boolean = true,
       usePq: Boolean = false,
       rerank: Int = 4,
-      preMeta: Option[(Array[Array[Float]], String)] = None): DataFrame = {
+      preMeta: Option[(Array[Array[Float]], String)] = None,
+      prePq: Option[(PqCodebooks, Boolean)] = None): DataFrame = {
     import spark.implicits._
     require(nProbe > 0, s"IvfIndex.search: nProbe must be positive, got $nProbe")
     // preMeta: caller-loaded (centroids, metric) — a per-batch caller
@@ -1174,7 +1194,9 @@ object IvfIndex {
       // neighbors' vectors for exact distances (narrow id join against
       // the probed lists), which also restores the zero-vector-queries-
       // score-1.0 cosine convention that raw ADC cannot express.
-      val (pq, residual) = loadPq(spark, dir).getOrElse(
+      // prePq: caller-loaded codebooks (the staleness probe's two
+      // searches and the post-build anchor measurement share ONE load)
+      val (pq, residual) = prePq.orElse(loadPq(spark, dir)).getOrElse(
         throw new IllegalArgumentException(
           s"IvfIndex.search(usePq = true): no pq/ codebooks under $dir — " +
             "build the index with pqM > 0"))

@@ -111,20 +111,28 @@ object SemLinkGrid {
     * (SCALE_r18_recall_1m_spread; floor-clear, not build-level) — and
     * the measured fix is a DOUBLED base efSearch = 128: 0.9736 at
     * 2·10⁵, resolved by the law to ef 256 at 10⁶ where it measures
-    * 0.9578 (SCALE_r18_recall_1m_spread_ef256; ~+0.066 per further
-    * doubling on this shape). Base ≥ 128 or the full-beam sentinel is
-    * therefore the knowingly-spread-catalog setting — and since r19
-    * the UNTUNED gate applies it itself (the same measured-rule-to-
-    * default-on maturation the beam law took in r17):
-    * [[graft.knn.ShapeStats.relativeContrast]] measures WHICH regime a
-    * catalog is in (one pass; tier-stable anchors: clustered ≈ 6.3,
-    * spread ≈ 1.5 — SCALE_r19_shape_* supersede the r18 anchors under
-    * the exact-median fix), and [[resolveShapeBase]] raises an untuned
-    * base at or below rc = 2 to the measured spread fix before the
-    * size law runs — measured end-to-end on the DEFAULT path:
-    * recall@10 0.9578 at the spread 10⁶ tier with NO knob set
-    * (SCALE_r19_recall_1m_spread_default), the clustered tiers
-    * unchanged by construction (rc ≈ 6.3 keeps the default base).
+    * 0.9578 (SCALE_r18_recall_1m_spread_ef256; the ladder's measured
+    * endpoint is ef 512 → 0.9888, SCALE_r19_recall_1m_spread_ef512 —
+    * decelerating gains, so strict build-level on this shape still
+    * means the full-beam sentinel). Base ≥ 128 or the full-beam
+    * sentinel is therefore the knowingly-spread-catalog setting — and
+    * since r19 the UNTUNED gate applies it itself (the same
+    * measured-rule-to-default-on maturation the beam law took in
+    * r17): [[graft.knn.ShapeStats.relativeContrastStats]] measures
+    * WHICH regime a catalog is in (one pass; tier-stable anchors:
+    * clustered median ≈ 6.3 / q25 ≈ 6.05, spread 1.52–1.56 / q25
+    * 1.50–1.53 — SCALE_r19_shape_* supersede the r18 anchors under
+    * the exact-median fix), and [[resolveShapeBase]] raises an
+    * untuned base whose q25 sits at or below 2 to the measured spread
+    * fix before the size law runs (the QUARTILE, not the median: a
+    * bimodal mixture's median snaps to a mode — see
+    * relativeContrastStats) — measured end-to-end on the DEFAULT
+    * path: recall@10 0.9578 at the spread 10⁶ tier with NO knob set
+    * (SCALE_r19_recall_1m_spread_default), 0.9939 on the half/half
+    * mixed 2·10⁵ catalog (SCALE_r19_recall_200k_mixed_default), the
+    * clustered tiers unchanged by construction (q25 ≈ 6 keeps the
+    * default base: 0.9949 re-measured at 10⁶,
+    * SCALE_r19_recall_1m_clustered_default).
     * The probe runs ONLY on the untuned HNSW escalation (a catalog
     * past this gate pays an index build, so the one 256-query rc pass
     * is noise against it; smaller catalogs never pay it);
