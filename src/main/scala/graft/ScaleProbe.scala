@@ -174,7 +174,11 @@ object MakeScale {
   * quality twin of griddefault's runtime rows), "shape" (seeded
   * relative contrast of each tier's embeddings —
   * [[graft.knn.ShapeStats]] — the statistic that says which column of
-  * the shape × engine recall matrix applies), or "none".
+  * the shape × engine recall matrix applies), "indexshape" (the
+  * PERSISTENT family's default path: an untuned [[graft.knn.HnswIndex]]
+  * build shape-resolves its serving beam past ShapeProbeAbove — the
+  * probe records what the index declared and the recall an untuned
+  * search serves), or "none".
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -192,7 +196,8 @@ object ScaleProbe {
         "q91_stream_late_ingest", "q92_stream_dedup_late",
         "q95_stream_ann_ingest", "q96_stream_hnsw_late")
     val knownProbes = Set("block", "grid", "reshard", "griddefault",
-      "gridhnsw", "drift", "ivfpqdrift", "gridrecall", "shape", "none")
+      "gridhnsw", "drift", "ivfpqdrift", "gridrecall", "shape",
+      "indexshape", "none")
     val probes: Set[String] =
       if (args.length > 4) args(4).split(',').toSet else Set("block", "grid")
     // fail LOUDLY on a typo'd probe token — a silently skipped probe
@@ -557,6 +562,50 @@ object ScaleProbe {
         f""""gridknn_recall":{"mode":"$gridRecallEngine","default_ef":$defaultEfField,"small":{"n":$smN,"n_queries":$smQ,"engine":"${smE.engine}",${engFields(smE)},"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"engine":"${bgE.engine}",${engFields(bgE)},"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
     }
 
+    // PERSISTENT-index twin of gridknn_recall: the r19 shape-resolved
+    // serving beam on the DEFAULT HnswIndex.build path, end to end —
+    // build with NO efSearch knob (the probe threshold is the real
+    // ShapeProbeAbove, so only catalogs past 10⁵ nodes pay the shape
+    // pass), then read back what the index declared for itself
+    // (staleness: base_ef / rc_q25 / shape) and measure the recall an
+    // UNTUNED search actually serves, against brute-force truth on the
+    // same ~500-query deterministic sample gridrecall uses. This is the
+    // artifact that proves the persistent family's default path lands
+    // in the measured recall column its shape probe selected.
+    def indexShapeProbe(dir: String)
+        : (Long, Long, Double, Int, Int, String, String) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<float>").as("vec"))
+      val idx = graft.util.TempDirs.register(
+        s"/tmp/graft_scaleprobe_idxshape_${ProcessHandle.current().pid()}")
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.knn.HnswIndex.build(emb, "id", "vec", idx, shards = 16)
+      val st = graft.knn.HnswIndex.staleness(spark, idx).collect()(0)
+      val n = emb.count()
+      val step = math.max(1L, n / 500L)
+      val sample = emb
+        .filter(pmod(xxhash64(col("id"), lit(17)), lit(step)) === 0)
+        .localCheckpoint()
+      val nQ = sample.count()
+      val approx = graft.knn.HnswIndex.search(spark, idx, sample,
+        "id", "vec", k = 10)
+      val r = graft.knn.RecallEval.recallVsExact(approx, sample, emb,
+        "id", "vec", 10)
+      val rcQ25 = if (st.isNullAt(9)) "null" else f"${st.getDouble(9)}%.4f"
+      val shape = if (st.isNullAt(10)) "null" else s""""${st.getString(10)}""""
+      (n, nQ, r, st.getInt(5), st.getInt(6), rcQ25, shape)
+    }
+    val indexShapeRows = if (!probes("indexshape")) Seq.empty else {
+      val (smN, smQ, smR, smB, smE, smRc, smSh) = indexShapeProbe(small)
+      val (bgN, bgQ, bgR, bgB, bgE, bgRc, bgSh) = indexShapeProbe(big)
+      val floor = 0.8
+      Seq(
+        f""""hnsw_index_shape":{"small":{"n":$smN,"n_queries":$smQ,"base_ef":$smB,"effective_ef":$smE,"rc_q25":$smRc,"shape":$smSh,"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"base_ef":$bgB,"effective_ef":$bgE,"rc_q25":$bgRc,"shape":$bgSh,"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
+    }
+
     // IVF-PQ ADC recall under DRIFTING appends (the PQ family's named
     // LIMIT in COVERAGE.md — "ADC error under drift; the answer is
     // rebuild cadence"): centroids and codebooks train on the base
@@ -679,8 +728,8 @@ object ScaleProbe {
     val json = (rows.map { case (n, s, b, g) =>
       f""""$n":{"small_s":$s%.3f,"big_s":$b%.3f,"growth":$g%.2f}"""
     } ++ blockRows ++ gridRows ++ reshardRows ++ gridDefaultRows ++
-      gridHnswRows ++ gridRecallRows ++ driftRows ++ ivfPqDriftRows ++
-      shapeRows).mkString(
+      gridHnswRows ++ gridRecallRows ++ indexShapeRows ++ driftRows ++
+      ivfPqDriftRows ++ shapeRows).mkString(
       s"""{"small":"$small","big":"$big","block_hash_equal":$blockHash,"queries":{""",
       ",", "}}")
     println(json)

@@ -1907,7 +1907,11 @@ object SparkEntry {
           col("base_ef").cast("long").as("base_ef"),
           col("effective_ef").cast("long").as("effective_ef"),
           col("beam_doublings").cast("long").as("beam_doublings"),
-          col("orphan_paths"))
+          col("orphan_paths"),
+          // below ShapeProbeAbove an untuned build never runs the shape
+          // probe — the health row's evidence columns are closed-form
+          // NULL at spec scale (the contract itself, oracled)
+          col("rc_q25"), col("shape"))
     }),
   )
 
@@ -3896,7 +3900,9 @@ object SparkEntry {
         |  true AS beam_law_active, CAST(64 AS BIGINT) AS base_ef,
         |  CAST(64 AS BIGINT) AS effective_ef,
         |  CAST(0 AS BIGINT) AS beam_doublings,
-        |  CAST(0 AS BIGINT) AS orphan_paths
+        |  CAST(0 AS BIGINT) AS orphan_paths,
+        |  CAST(NULL AS DOUBLE) AS rc_q25,
+        |  CAST(NULL AS VARCHAR) AS shape
         |FROM embeddings WHERE vec_id < 400""".stripMargin,
   )
 }

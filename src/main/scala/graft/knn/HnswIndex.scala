@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
   *    manifest pointing at fully-intact state, and orphaned
   *    new-generation files are simply never referenced;
   *  - `params/` — one row (m, metric, shards, ef_construction,
-  *    ef_search): the hyperparameters the graphs were built under plus
-  *    the intended serving beam. Search reads them from the index
-  *    itself — a caller cannot mismatch the build, and an untuned
-  *    [[search]] serves the beam the builder declared (pre-column
-  *    legacy layouts read as the engine-wide default 64, which is what
-  *    they were always served at).
+  *    ef_search, rc_median, rc_q25): the hyperparameters the graphs
+  *    were built under, the intended serving beam, and — when an
+  *    untuned [[build]] resolved that beam from the catalog's measured
+  *    shape (the SERVING BEAM contract on [[build]]) — the relative-
+  *    contrast evidence behind the choice. Search reads them from the
+  *    index itself — a caller cannot mismatch the build, and an
+  *    untuned [[search]] serves the beam the builder declared
+  *    (pre-column legacy layouts read as the engine-wide default 64,
+  *    which is what they were always served at, with null evidence).
   *
   * Shard assignment is a deterministic hash of the id (stable across
   * builds and loads, independent of input partitioning), and insertion
@@ -57,6 +60,31 @@ object HnswIndex {
     * (create-exclusive `_writer.lock`, stale-TTL broken): a second
     * maintenance writer fails fast with `HeldByOther` instead of racing
     * a swap or interleaving generations.
+    *
+    * SERVING BEAM: an untuned build (`efSearch` left at
+    * [[UseIndexDefault]]) resolves the persisted `ef_search` from the
+    * catalog's own measured SHAPE — the same maturation the grid's
+    * escalation gate took in r19 ([[graft.pipeline.SemLinkGrid]]):
+    * past [[ShapeProbeAbove]] nodes, one
+    * [[ShapeStats.relativeContrastStats]] pass over the just-written
+    * node rows (the exact corpus the index will serve; no re-read of
+    * the caller's upstream lineage) classifies the catalog, and a
+    * spread shape (q25 ≤ [[ShapeStats.SpreadRcMax]]) gets the measured
+    * [[BeamLaw.SpreadBaseEf]] while a clustered one keeps
+    * [[DefaultServeEf]] — the beam the recall matrix measured for each
+    * regime (BeamLaw's ladder; SCALE_r19_hnsw_index_shape.json is the
+    * END-TO-END artifact on this path). The decision and its evidence
+    * persist beside the params (`rc_median`/`rc_q25`, null when never
+    * measured) and surface in [[staleness]]. An EXPLICIT `efSearch` —
+    * any value, including the ≤ 0 full-beam sentinel — skips the probe
+    * entirely and persists verbatim; below [[ShapeProbeAbove]] the
+    * default stays [[DefaultServeEf]] unprobed (the measured matrix's
+    * first tier is 2·10⁵ — at spec scale a 64 beam over shard-local
+    * graphs is effectively wide and the probe's full-catalog pass
+    * would be pure overhead). Appends never re-measure: shape is a
+    * BUILD/REBUILD-time decision, like the IVF family's displacement
+    * anchor — a corpus whose shape drifts re-classifies at its next
+    * rebuild.
     */
   def build(
       candidates: DataFrame,
@@ -68,15 +96,32 @@ object HnswIndex {
       metric: String = KnnJoin.MetricL2Sq,
       shards: Int = 16,
       seed: Int = 42,
-      efSearch: Int = 64): Long =
+      efSearch: Int = UseIndexDefault,
+      shapeProbeAbove: Long = ShapeProbeAbove): Long =
     // same single-writer lock as append/vacuum: a build racing a live
     // append would clear manifests and Overwrite nodes/ the append is
     // mid-commit on, silently losing the append's generation
     graft.util.IndexLock.withLock(candidates.sparkSession, dir,
         "HnswIndex.build") {
       buildLocked(candidates, idCol, vecCol, dir, m, efConstruction, metric,
-        shards, seed, efSearch)
+        shards, seed, efSearch, shapeProbeAbove)
     }
+
+  /** The untuned serving beam on a catalog the shape probe did not (or
+    * could not) classify — the engine-wide HNSW default every measured
+    * clustered-shape row was taken at.
+    */
+  val DefaultServeEf: Int = 64
+
+  /** Corpus size below which an untuned [[build]] skips the shape probe
+    * and keeps [[DefaultServeEf]]. Aligned with the grid's ANN tier
+    * ([[graft.pipeline.SemLinkGrid.DefaultHnswAbove]]) and the measured
+    * recall matrix, whose first tier is 2·10⁵: below this the beam
+    * choice has no measured recall gap to buy, and the probe's
+    * full-catalog nearest-neighbor pass would be the build's single
+    * most expensive step instead of noise against graph construction.
+    */
+  val ShapeProbeAbove: Long = 100000L
 
   private def buildLocked(
       candidates: DataFrame,
@@ -88,7 +133,8 @@ object HnswIndex {
       metric: String,
       shards: Int,
       seed: Int,
-      efSearch: Int): Long = {
+      efSearch: Int,
+      shapeProbeAbove: Long): Long = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cosine = HnswSearch.isCosine(metric)
@@ -124,14 +170,18 @@ object HnswIndex {
           .write.mode(SaveMode.Append)
           .partitionBy("g", "shard")
           .parquet(s"$dir/nodes")
-        Seq((m, metric, shards, efConstruction, seed, efSearch))
-          .toDF("m", "metric", "shards", "ef_construction", "seed",
-            "ef_search")
-          .repartition(1)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
-        val byShard = spark.read.option("basePath", s"$dir/nodes")
+        // count (and, on the untuned path, shape-probe) the WRITTEN
+        // rows before staging params — the serving beam is resolved
+        // from the corpus the index will actually serve
+        val written = spark.read.option("basePath", s"$dir/nodes")
           .parquet(s"$dir/nodes/g=$newGen")
+        val byShard = written
           .groupBy("shard").count().as[(Int, Long)].collect()
+        val (efResolved, rcMed, rcQ25) = resolveServeEf(
+          written, byShard.map(_._2).sum, efSearch, shapeProbeAbove)
+        paramsDf(spark, m, metric, shards, efConstruction, seed, efResolved,
+            rcMed, rcQ25)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
         // the `build:` prefix tells roll-forward recovery to ALSO clear
         // ingest state — a fresh corpus must not inherit the previous
         // corpus's high-water mark (reshard keeps the corpus and must
@@ -178,17 +228,51 @@ object HnswIndex {
           .write.mode(SaveMode.Overwrite)
           .partitionBy("g", "shard") // immutable generation dirs; the
           .parquet(s"$dir/nodes")    // manifest below is the commit point
-        Seq((m, metric, shards, efConstruction, seed, efSearch))
-          .toDF("m", "metric", "shards", "ef_construction", "seed",
-            "ef_search")
-          .repartition(1)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-        val byShard = spark.read.parquet(s"$dir/nodes")
+        val written = spark.read.parquet(s"$dir/nodes")
+        val byShard = written
           .groupBy("shard").count().as[(Int, Long)].collect()
+        val (efResolved, rcMed, rcQ25) = resolveServeEf(
+          written, byShard.map(_._2).sum, efSearch, shapeProbeAbove)
+        paramsDf(spark, m, metric, shards, efConstruction, seed, efResolved,
+            rcMed, rcQ25)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
         writeManifest(spark, dir, 0, byShard.map(_._1 -> 0).toMap,
           byShard.toMap)
         byShard.map(_._2).sum
     }
+  }
+
+  /** [[build]]'s serving-beam resolution (the SERVING BEAM contract on
+    * its scaladoc): explicit beams persist verbatim and below-threshold
+    * untuned builds keep [[DefaultServeEf]] — both unprobed (rc null);
+    * an untuned build past `shapeProbeAbove` pays one
+    * [[ShapeStats.relativeContrastStats]] pass over the just-written
+    * node rows and takes the measured beam for the classified shape.
+    */
+  private def resolveServeEf(written: DataFrame, n: Long, efSearch: Int,
+      shapeProbeAbove: Long): (Int, Option[Double], Option[Double]) =
+    if (efSearch != UseIndexDefault) (efSearch, None, None)
+    else if (n < shapeProbeAbove) (DefaultServeEf, None, None)
+    else {
+      val rc = ShapeStats.relativeContrastStats(written, "id", "vec")
+      val ef = if (rc.q25 <= ShapeStats.SpreadRcMax) BeamLaw.SpreadBaseEf
+        else DefaultServeEf
+      (ef, Some(rc.median), Some(rc.q25))
+    }
+
+  /** The one-row params frame — single author for the column list so
+    * build's two paths and [[reshard]] cannot drift. `rc_median`/`rc_q25`
+    * are the shape probe's evidence, null when the beam was explicit,
+    * below-threshold, or pre-column legacy.
+    */
+  private def paramsDf(spark: SparkSession, m: Int, metric: String,
+      shards: Int, efConstruction: Int, seed: Int, efSearch: Int,
+      rcMedian: Option[Double], rcQ25: Option[Double]): DataFrame = {
+    import spark.implicits._
+    Seq((m, metric, shards, efConstruction, seed, efSearch, rcMedian, rcQ25))
+      .toDF("m", "metric", "shards", "ef_construction", "seed", "ef_search",
+        "rc_median", "rc_q25")
+      .repartition(1)
   }
 
   /** The deterministic shard-graph frame shared by [[build]] and
@@ -384,7 +468,14 @@ object HnswIndex {
     *    superseded manifests (crash debris / failed best-effort deletes;
     *    the graph family has no tombstones, so dead FILES, not dead
     *    rows, are its vacuum bookkeeping): the storage [[vacuum]] would
-    *    reclaim.
+    *    reclaim;
+    *  - `rc_q25`, `shape` — the build-time shape probe's evidence and
+    *    verdict ("spread"/"clustered" — which measured recall column
+    *    the persisted default beam was chosen from; see [[build]]'s
+    *    SERVING BEAM contract). Null when the beam was explicit, the
+    *    build was below [[ShapeProbeAbove]], or the layout is
+    *    pre-column legacy — the probe never ran, so there is no
+    *    evidence to report.
     *
     * Cost: the manifest JSON, two directory listings, and one one-row
     * params collect (the row's only Spark job — the price of reporting
@@ -404,8 +495,9 @@ object HnswIndex {
       baseEf: Int = UseIndexDefault): DataFrame = {
     import spark.implicits._
     val (liveGen, shardGens, counts) = readManifest(spark, dir)
+    val params = loadParams(spark, dir)
     val resolvedBaseEf =
-      if (baseEf == UseIndexDefault) loadParams(spark, dir)._6 else baseEf
+      if (baseEf == UseIndexDefault) params.efSearch else baseEf
     val complete = counts.keySet == shardGens.keySet && shardGens.nonEmpty
     val nNodes: Option[Long] = if (complete) Some(counts.values.sum) else None
     val maxShard: Option[Long] = if (complete) Some(counts.values.max) else None
@@ -445,29 +537,47 @@ object HnswIndex {
         case _ => ()
       }
     }
+    // which measured recall column this index's default beam was chosen
+    // from (build's shape probe — see [[build]]'s SERVING BEAM contract):
+    // null/null when the beam was explicit, below-threshold, or legacy
+    val shape: Option[String] = params.rcQ25.map(q =>
+      if (q <= ShapeStats.SpreadRcMax) "spread" else "clustered")
     Seq((nNodes, shardGens.size, maxShard, skew, complete,
-        resolvedBaseEf, effEf, doublings, orphans))
+        resolvedBaseEf, effEf, doublings, orphans, params.rcQ25, shape))
       .toDF("n_nodes", "n_shards", "max_shard_nodes", "shard_skew",
         "beam_law_active", "base_ef", "effective_ef", "beam_doublings",
-        "orphan_paths")
+        "orphan_paths", "rc_q25", "shape")
   }
 
-  /** (m, metric, shards, ef_construction, seed, ef_search). A pre-column
-    * legacy layout reads `ef_search` as 64 — the engine-wide untuned
-    * default such an index was always served at, not a guess.
+  /** The persisted hyperparameters plus the declared serving beam and
+    * its shape evidence. A pre-column legacy layout reads `ef_search`
+    * as [[DefaultServeEf]] — the engine-wide untuned default such an
+    * index was always served at, not a guess — and the rc columns as
+    * None (never measured).
     */
-  private def loadParams(spark: SparkSession, dir: String)
-      : (Int, String, Int, Int, Int, Int) = {
-    val df = spark.read.parquet(s"$dir/params")
-    val withEf =
-      if (df.columns.contains("ef_search")) df
-      else df.withColumn("ef_search", lit(64))
-    val rows = withEf
-      .select("m", "metric", "shards", "ef_construction", "seed", "ef_search")
+  private final case class Params(m: Int, metric: String, shards: Int,
+      efConstruction: Int, seed: Int, efSearch: Int,
+      rcMedian: Option[Double], rcQ25: Option[Double])
+
+  private def loadParams(spark: SparkSession, dir: String): Params = {
+    val raw = spark.read.parquet(s"$dir/params")
+    val df = Seq[(String, org.apache.spark.sql.Column)](
+        "ef_search" -> lit(DefaultServeEf).cast("int"),
+        "rc_median" -> lit(null).cast("double"),
+        "rc_q25" -> lit(null).cast("double"))
+      .foldLeft(raw) { case (d, (c, v)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, v)
+      }
+    val rows = df
+      .select("m", "metric", "shards", "ef_construction", "seed", "ef_search",
+        "rc_median", "rc_q25")
       .collect()
     require(rows.length == 1, s"HnswIndex: malformed params under $dir")
-    (rows.head.getInt(0), rows.head.getString(1), rows.head.getInt(2),
-      rows.head.getInt(3), rows.head.getInt(4), rows.head.getInt(5))
+    val r = rows.head
+    Params(r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      r.getInt(5),
+      if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+      if (r.isNullAt(7)) None else Some(r.getDouble(7)))
   }
 
   /** Append new vectors WITHOUT rebuilding the whole index: each new
@@ -538,7 +648,8 @@ object HnswIndex {
     // duplicate nodes. Idempotent, so the streaming thunk's own call is
     // a harmless second pass.
     recoverReshard(spark, dir)
-    val (m, metric, shards, efConstruction, seed, _) = loadParams(spark, dir)
+    val Params(m, metric, shards, efConstruction, seed, _, _, _) =
+      loadParams(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     val fresh = newVectors
       .select(col(idCol).cast("long").as("id"),
@@ -699,7 +810,8 @@ object HnswIndex {
       excludeSelf: Boolean = true,
       efAutoScale: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (m, metric, _, _, _, efDefault) = loadParams(spark, dir)
+    val params = loadParams(spark, dir)
+    val (m, metric, efDefault) = (params.m, params.metric, params.efSearch)
     val cosine = HnswSearch.isCosine(metric)
     val bc = spark.sparkContext.broadcast(
       HnswSearch.collectQueries(queries, idCol, vecCol, "HnswIndex.search"))
@@ -808,7 +920,8 @@ object HnswIndex {
     require(newShards > 0, s"HnswIndex.reshard: newShards must be positive, got $newShards")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     recoverReshardLocked(spark, fs, dir)
-    val (m, metric, _, efConstruction, seed, efSearch) = loadParams(spark, dir)
+    val Params(m, metric, _, efConstruction, seed, efSearch, rcMed, rcQ25) =
+      loadParams(spark, dir)
     val cosine = HnswSearch.isCosine(metric)
     val (gen, shardGens, _) = readManifest(spark, dir)
     val corpus = (if (shardGens.isEmpty)
@@ -825,11 +938,11 @@ object HnswIndex {
     rebuilt.write.mode(SaveMode.Append)
       .partitionBy("g", "shard")
       .parquet(s"$dir/nodes")
-    // ef_search rides through unchanged — reshard keeps the corpus AND
-    // the declared serving beam
-    Seq((m, metric, newShards, efConstruction, seed, efSearch))
-      .toDF("m", "metric", "shards", "ef_construction", "seed", "ef_search")
-      .repartition(1)
+    // ef_search and the shape evidence ride through unchanged — reshard
+    // keeps the corpus, so it keeps the corpus's declared serving beam
+    // and the rc measurement that chose it
+    paramsDf(spark, m, metric, newShards, efConstruction, seed, efSearch,
+        rcMed, rcQ25)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
     val byShard = (if (fs.exists(new Path(s"$dir/nodes/g=${gen + 1}")))
         spark.read.option("basePath", s"$dir/nodes")

@@ -780,5 +780,101 @@ class HnswIndexSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$dir/params")))
     assert(staleRow().getInt(5) == 64,
       "legacy params must read as the default 64, not fail or guess")
+    // a pre-shape-column legacy layout also reads null rc/shape — the
+    // probe never ran, so the health row reports no evidence
+    val rLeg = staleRow()
+    assert(rLeg.isNullAt(9) && rLeg.isNullAt(10),
+      "legacy params must report null shape evidence")
+  }
+
+  test("shape-resolved serving beam: an untuned build past the probe " +
+    "threshold measures the catalog and persists the measured base for " +
+    "its shape; explicit beams and below-threshold builds stay unprobed; " +
+    "reshard carries the evidence and a rebuild re-measures") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val d = 64
+    // ShapeStatsSpec's two measured shapes in miniature: jittered-copy
+    // clusters (the clustered fixture) vs uniform components (the
+    // embMode=spread adversarial fixture)
+    val centers = Array.fill(20)(Array.fill(d)(rnd.nextFloat() * 2 - 1))
+    val clustered = (0 until 600).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.02f))
+    }.toDF("vec_id", "embedding")
+    val spread = (0 until 600)
+      .map(i => (i.toLong, Array.fill(d)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def stale(dir: String) = HnswIndex.staleness(spark, dir).collect()(0)
+
+    // spread catalog, probe forced on: the persisted beam is the
+    // measured spread base, with the rc evidence and verdict beside it
+    val dirS = tempDir("shapespread")
+    HnswIndex.build(spread, "vec_id", "embedding", dirS, shards = 4,
+      shapeProbeAbove = 0L)
+    val rS = stale(dirS)
+    assert(rS.getInt(5) == graft.knn.BeamLaw.SpreadBaseEf,
+      s"spread catalog must persist the measured base, got ${rS.getInt(5)}")
+    assert(rS.getDouble(9) <= graft.knn.ShapeStats.SpreadRcMax,
+      s"rc_q25 ${rS.getDouble(9)} must classify spread")
+    assert(rS.getString(10) == "spread")
+    // an untuned search serves the shape-resolved beam: identical to an
+    // explicit SpreadBaseEf call (beam-for-beam the same deterministic
+    // search — full-beam identity would be too strong here: a 128 beam
+    // on a spread corpus legitimately misses, which is the very
+    // shape-behavior the raised base exists to mitigate)
+    val q = spread.limit(6)
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ids(HnswIndex.search(spark, dirS, q, "vec_id", "embedding", k = 3))
+      == ids(HnswIndex.search(spark, dirS, q, "vec_id", "embedding", k = 3,
+        efSearch = graft.knn.BeamLaw.SpreadBaseEf)),
+      "untuned search did not serve the shape-resolved beam")
+
+    // clustered catalog: the defaults the recall matrix measured apply
+    val dirC = tempDir("shapeclust")
+    HnswIndex.build(clustered, "vec_id", "embedding", dirC, shards = 4,
+      shapeProbeAbove = 0L)
+    val rC = stale(dirC)
+    assert(rC.getInt(5) == HnswIndex.DefaultServeEf,
+      s"clustered catalog must keep the default base, got ${rC.getInt(5)}")
+    assert(rC.getDouble(9) > graft.knn.ShapeStats.SpreadRcMax)
+    assert(rC.getString(10) == "clustered")
+
+    // below the threshold (the real default: spec-scale corpora) the
+    // probe never runs — default beam, no evidence, same bits as r18
+    val dirD = tempDir("shapedefault")
+    HnswIndex.build(spread, "vec_id", "embedding", dirD, shards = 4)
+    val rD = stale(dirD)
+    assert(rD.getInt(5) == HnswIndex.DefaultServeEf)
+    assert(rD.isNullAt(9) && rD.isNullAt(10),
+      "below-threshold build must not fabricate shape evidence")
+
+    // an explicit beam always wins and skips the probe entirely
+    val dirE = tempDir("shapeexplicit")
+    HnswIndex.build(spread, "vec_id", "embedding", dirE, shards = 4,
+      efSearch = 96, shapeProbeAbove = 0L)
+    val rE = stale(dirE)
+    assert(rE.getInt(5) == 96 && rE.isNullAt(9) && rE.isNullAt(10),
+      "explicit efSearch must persist verbatim with no probe")
+
+    // reshard keeps the corpus — and therefore the corpus's measured
+    // shape and the beam it chose
+    HnswIndex.reshard(spark, dirS, 2)
+    val rReshard = stale(dirS)
+    assert(rReshard.getInt(5) == graft.knn.BeamLaw.SpreadBaseEf
+      && rReshard.getString(10) == "spread"
+      && rReshard.getDouble(9) == rS.getDouble(9),
+      "reshard must carry the shape evidence through unchanged")
+
+    // a rebuild over the live index swaps the corpus, so it RE-measures:
+    // the spread index rebuilt with the clustered corpus flips verdicts
+    HnswIndex.build(clustered, "vec_id", "embedding", dirS, shards = 4,
+      shapeProbeAbove = 0L)
+    val rFlip = stale(dirS)
+    assert(rFlip.getInt(5) == HnswIndex.DefaultServeEf
+      && rFlip.getString(10) == "clustered",
+      "rebuild must re-classify the new corpus")
   }
 }
