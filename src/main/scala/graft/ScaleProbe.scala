@@ -573,7 +573,7 @@ object ScaleProbe {
     // artifact that proves the persistent family's default path lands
     // in the measured recall column its shape probe selected.
     def indexShapeProbe(dir: String)
-        : (Long, Long, Double, Int, Int, String, String) = {
+        : (Long, Long, Double, Int, Int, String, String, Int) = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("long").as("id"),
           col("embedding").cast("array<float>").as("vec"))
@@ -582,7 +582,9 @@ object ScaleProbe {
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-      graft.knn.HnswIndex.build(emb, "id", "vec", idx, shards = 16)
+      // PURE defaults — auto shard sizing AND the shape-resolved beam
+      // are exactly what this probe exists to measure
+      graft.knn.HnswIndex.build(emb, "id", "vec", idx)
       val st = graft.knn.HnswIndex.staleness(spark, idx).collect()(0)
       val n = emb.count()
       val step = math.max(1L, n / 500L)
@@ -596,14 +598,16 @@ object ScaleProbe {
         "id", "vec", 10)
       val rcQ25 = if (st.isNullAt(9)) "null" else f"${st.getDouble(9)}%.4f"
       val shape = if (st.isNullAt(10)) "null" else s""""${st.getString(10)}""""
-      (n, nQ, r, st.getInt(5), st.getInt(6), rcQ25, shape)
+      (n, nQ, r, st.getInt(5), st.getInt(6), rcQ25, shape, st.getInt(1))
     }
     val indexShapeRows = if (!probes("indexshape")) Seq.empty else {
-      val (smN, smQ, smR, smB, smE, smRc, smSh) = indexShapeProbe(small)
-      val (bgN, bgQ, bgR, bgB, bgE, bgRc, bgSh) = indexShapeProbe(big)
+      val (smN, smQ, smR, smB, smE, smRc, smSh, smShards) =
+        indexShapeProbe(small)
+      val (bgN, bgQ, bgR, bgB, bgE, bgRc, bgSh, bgShards) =
+        indexShapeProbe(big)
       val floor = 0.8
       Seq(
-        f""""hnsw_index_shape":{"small":{"n":$smN,"n_queries":$smQ,"base_ef":$smB,"effective_ef":$smE,"rc_q25":$smRc,"shape":$smSh,"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"base_ef":$bgB,"effective_ef":$bgE,"rc_q25":$bgRc,"shape":$bgSh,"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
+        f""""hnsw_index_shape":{"small":{"n":$smN,"n_queries":$smQ,"shards":$smShards,"base_ef":$smB,"effective_ef":$smE,"rc_q25":$smRc,"shape":$smSh,"recall_at_10":$smR%.4f},"big":{"n":$bgN,"n_queries":$bgQ,"shards":$bgShards,"base_ef":$bgB,"effective_ef":$bgE,"rc_q25":$bgRc,"shape":$bgSh,"recall_at_10":$bgR%.4f},"floor":$floor,"within_floor":${smR >= floor && bgR >= floor}}""")
     }
 
     // IVF-PQ ADC recall under DRIFTING appends (the PQ family's named

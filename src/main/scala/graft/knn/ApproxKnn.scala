@@ -793,9 +793,16 @@ object ApproxKnn {
           .delete(p, true)
         out
       }
+    // efSearch is pinned (to the raw default — never served: every
+    // search below passes the caller's resolved beam explicitly with
+    // efAutoScale = false) so the scratch build SKIPS HnswIndex's
+    // untuned-path shape probe: the grid gate already classified this
+    // catalog before choosing the beam it passes here, and paying a
+    // second full-catalog contrast pass per grid call — to resolve a
+    // serving default nothing reads — would be pure waste
     HnswIndex.build(candidates, idCol, vecCol, dir, m = m,
       efConstruction = efConstruction, metric = metric, shards = shards,
-      seed = seed)
+      seed = seed, efSearch = HnswIndex.DefaultServeEf)
     val ef =
       if (efSearch > 0) efSearch
       else math.min(candidates.count(), Int.MaxValue.toLong).toInt

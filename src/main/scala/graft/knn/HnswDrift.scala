@@ -45,7 +45,12 @@ private[graft] object HnswDrift {
       idCol: String, vecCol: String,
       shards: Int, reshardTo: Int,
       efs: Seq[Int], k: Int = 10): Seq[(String, Map[Int, Double])] = {
-    HnswIndex.build(base, idCol, vecCol, dir, shards = shards)
+    // efSearch pinned: every measurement below passes its own raw ef
+    // with efAutoScale = false, so the persisted serving default is
+    // never read — no reason to pay the untuned path's shape probe at
+    // tier-scale drift runs
+    HnswIndex.build(base, idCol, vecCol, dir, shards = shards,
+      efSearch = HnswIndex.DefaultServeEf)
     // thunks, NOT eager values: each stage's maintenance op must run
     // right before ITS measurement, not all up front at Seq construction
     val stages = Seq[(String, () => DataFrame)](

@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
   *
   * Shard assignment is a deterministic hash of the id (stable across
   * builds and loads, independent of input partitioning), and insertion
-  * order within a shard is id-ascending — so the persisted index is
-  * byte-deterministic for a given dataset. Search restores each shard's
+  * order within a shard is ascending HASH-of-id (a seeded chain distinct
+  * from the shard hash — see [[shardGraphFrame]] for the measured reason
+  * arrival must be decorrelated from raw id order) — so the persisted
+  * index is byte-deterministic for a given dataset. Search restores each shard's
   * graph EXACTLY ([[HnswGraph.restore]] — adjacency, entry point, top
   * level) and runs the same [[HnswSearch]] broadcast-query beam as
   * [[ApproxKnn.hnswKnn]]; a restored index answers identically to the
@@ -72,8 +74,9 @@ object HnswIndex {
     * spread shape (q25 ≤ [[ShapeStats.SpreadRcMax]]) gets the measured
     * [[BeamLaw.SpreadBaseEf]] while a clustered one keeps
     * [[DefaultServeEf]] — the beam the recall matrix measured for each
-    * regime (BeamLaw's ladder; SCALE_r19_hnsw_index_shape.json is the
-    * END-TO-END artifact on this path). The decision and its evidence
+    * regime (BeamLaw's ladder;
+    * SCALE_r19_hnsw_index_shape_{spread,clustered}.json are the
+    * END-TO-END artifacts on this path). The decision and its evidence
     * persist beside the params (`rc_median`/`rc_q25`, null when never
     * measured) and surface in [[staleness]]. An EXPLICIT `efSearch` —
     * any value, including the ≤ 0 full-beam sentinel — skips the probe
@@ -85,6 +88,20 @@ object HnswIndex {
     * BUILD/REBUILD-time decision, like the IVF family's displacement
     * anchor — a corpus whose shape drifts re-classifies at its next
     * rebuild.
+    *
+    * SHARD COUNT: the untuned default (`shards` left at
+    * [[UseAutoShards]]) is SIZE-AWARE — [[resolveShards]] holds the
+    * per-shard graph at or under [[TargetShardNodes]] (~31k) nodes,
+    * the per-shard size every committed recall anchor was measured at
+    * (the grid tier runs 32 shards, so its 10⁶-key rows ARE ~31k-node
+    * graphs). Recall tracks the beam's coverage of the PER-SHARD
+    * graph, not the corpus: the same law'd beam measured 0.9949/0.9578
+    * (clustered/spread at 10⁶, 31k shards) but only 0.9037/0.6476 when
+    * a fixed 16-shard default let shards grow to 62.5k nodes
+    * (SCALE_r19_hnsw_index_shape_*_16shards.json — the measurement
+    * that forced this default). An explicit `shards` persists
+    * verbatim, as before; resolution costs one count of the candidate
+    * side on the auto path only.
     */
   def build(
       candidates: DataFrame,
@@ -94,7 +111,7 @@ object HnswIndex {
       m: Int = 16,
       efConstruction: Int = 100,
       metric: String = KnnJoin.MetricL2Sq,
-      shards: Int = 16,
+      shards: Int = UseAutoShards,
       seed: Int = 42,
       efSearch: Int = UseIndexDefault,
       shapeProbeAbove: Long = ShapeProbeAbove): Long =
@@ -122,6 +139,52 @@ object HnswIndex {
     * most expensive step instead of noise against graph construction.
     */
   val ShapeProbeAbove: Long = 100000L
+
+  /** [[build]]'s "size the shards for me" sentinel (see the SHARD COUNT
+    * contract on its scaladoc).
+    */
+  val UseAutoShards: Int = 0
+
+  /** The per-shard node ceiling [[resolveShards]] maintains on the auto
+    * path: 10⁶ keys over the grid tier's 32 shards — the per-shard
+    * graph size behind every committed 10⁶-tier recall row. Larger
+    * shards shed measured recall at the law'd beam (62.5k-node shards:
+    * 0.9037 clustered / 0.6476 spread vs 0.9949/0.9578 at this
+    * ceiling — SCALE_r19_hnsw_index_shape_*_16shards.json); smaller
+    * shards only add merge fan-in.
+    *
+    * Interaction with [[BeamLaw]]: the law keys on TOTAL corpus size,
+    * measured on the grid's fixed 32 shards where per-shard graphs
+    * grow with the corpus. On the auto path per-shard size saturates
+    * at this ceiling instead, so past 10⁶ keys the law's further
+    * doublings are CONSERVATIVE (per-shard beam coverage no longer
+    * shrinks; extra shards only add independent chances to surface the
+    * true neighbor) — quality-safe by construction, unmeasured beyond
+    * the 10⁶ anchors, and the compute-minded operator's knob is an
+    * explicit `efSearch` with the law's autoscale off.
+    */
+  val TargetShardNodes: Long = 31250L
+
+  /** The floor (and the pre-r19 fixed default) for the auto path —
+    * spec-scale corpora resolve here, bit-identical to the old
+    * default.
+    */
+  val DefaultShards: Int = 16
+
+  /** [[build]]'s shard-count resolution, a pure function for direct
+    * spec pinning: explicit counts pass through verbatim; the
+    * [[UseAutoShards]] sentinel resolves to the smallest count that
+    * holds per-shard size at or under [[TargetShardNodes]], floored at
+    * [[DefaultShards]].
+    */
+  private[graft] def resolveShards(shards: Int, n: Long): Int = {
+    require(shards >= 0,
+      s"HnswIndex: shards must be positive (or the UseAutoShards " +
+        s"sentinel 0), got $shards")
+    if (shards != UseAutoShards) shards
+    else math.max(DefaultShards.toLong,
+      (n + TargetShardNodes - 1) / TargetShardNodes).toInt
+  }
 
   private def buildLocked(
       candidates: DataFrame,
@@ -154,6 +217,12 @@ object HnswIndex {
     val src = candidates
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
+    // size-aware shard count (the SHARD COUNT contract on [[build]]):
+    // the count job is paid on the auto path only — an explicit count
+    // passes through without touching the data
+    val nShards =
+      if (shards == UseAutoShards) resolveShards(shards, src.count())
+      else resolveShards(shards, 0L)
     val liveState =
       try Some(readManifest(spark, dir))
       catch { case _: IllegalArgumentException => None }
@@ -166,7 +235,7 @@ object HnswIndex {
         val newGen = gen + 1
         // anything under g=newGen is debris from a crashed attempt
         fs.delete(new Path(s"$dir/nodes/g=$newGen"), true)
-        shardGraphFrame(src, m, efConstruction, cosine, seed, shards, newGen)
+        shardGraphFrame(src, m, efConstruction, cosine, seed, nShards, newGen)
           .write.mode(SaveMode.Append)
           .partitionBy("g", "shard")
           .parquet(s"$dir/nodes")
@@ -179,7 +248,7 @@ object HnswIndex {
           .groupBy("shard").count().as[(Int, Long)].collect()
         val (efResolved, rcMed, rcQ25) = resolveServeEf(
           written, byShard.map(_._2).sum, efSearch, shapeProbeAbove)
-        paramsDf(spark, m, metric, shards, efConstruction, seed, efResolved,
+        paramsDf(spark, m, metric, nShards, efConstruction, seed, efResolved,
             rcMed, rcQ25)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/params.tmp")
         // the `build:` prefix tells roll-forward recovery to ALSO clear
@@ -224,7 +293,7 @@ object HnswIndex {
         graft.util.IngestState.clear(spark, dir)
         val mdir = new Path(s"$dir/manifest")
         if (fs.exists(mdir)) fs.delete(mdir, true) // .inprogress debris
-        shardGraphFrame(src, m, efConstruction, cosine, seed, shards, 0)
+        shardGraphFrame(src, m, efConstruction, cosine, seed, nShards, 0)
           .write.mode(SaveMode.Overwrite)
           .partitionBy("g", "shard") // immutable generation dirs; the
           .parquet(s"$dir/nodes")    // manifest below is the commit point
@@ -233,7 +302,7 @@ object HnswIndex {
           .groupBy("shard").count().as[(Int, Long)].collect()
         val (efResolved, rcMed, rcQ25) = resolveServeEf(
           written, byShard.map(_._2).sum, efSearch, shapeProbeAbove)
-        paramsDf(spark, m, metric, shards, efConstruction, seed, efResolved,
+        paramsDf(spark, m, metric, nShards, efConstruction, seed, efResolved,
             rcMed, rcQ25)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
         writeManifest(spark, dir, 0, byShard.map(_._1 -> 0).toMap,
@@ -275,10 +344,35 @@ object HnswIndex {
       .repartition(1)
   }
 
+  /** The deterministic insertion-order key ([[shardGraphFrame]]'s
+    * scaladoc explains why arrival must be decorrelated from the raw
+    * id): a seeded xxhash64 chain, distinct from the shard-assignment
+    * hash so shard membership and arrival order stay independent.
+    */
+  private val InsertOrderSeed: Long = 2654435769L
+  private def insertOrderCol(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    xxhash64(id, lit(InsertOrderSeed))
+
   /** The deterministic shard-graph frame shared by [[build]] and
     * [[reshard]]: shard by id hash, one builder per shard seeing its
-    * rows contiguously in id order — byte-identical graphs regardless of
-    * source layout.
+    * rows contiguously in HASH-of-id order — byte-identical graphs
+    * regardless of source layout.
+    *
+    * Why hash order and not id order (the pre-r19 recipe): HNSW graph
+    * quality is sensitive to insertion order when id order correlates
+    * with geometry — a time-ordered corpus whose embedding distribution
+    * drifts inserts its oldest regime first, and the graph's upper-level
+    * scaffolding (entry point, early hubs) anchors inside a region the
+    * rest of the corpus does not live in. MEASURED on the 10⁶ spread
+    * fixture (whose first id block is a norm-separated cluster):
+    * id-ordered insertion served recall@10 0.8260 at the default beam
+    * where the identical member set hash-relabeled served 0.9578
+    * (SCALE_r19_hnsw_index_shape_spread* artifacts), and the per-shard
+    * diagnostic isolated ORDER as the whole effect (same members, same
+    * levels: 0.761 id-ordered vs 0.934 hash-shuffled). A seeded hash of
+    * the id decorrelates arrival from any id↔geometry structure while
+    * staying fully deterministic; ties fall back to the id.
     */
   private def shardGraphFrame(src: DataFrame, m: Int, efConstruction: Int,
       cosine: Boolean, seed: Int, shards: Int, gen: Int): DataFrame = {
@@ -286,6 +380,7 @@ object HnswIndex {
     import spark.implicits._
     src
       .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
+      .withColumn("__ins", insertOrderCol(col("id")))
       // PERFECT shard placement (graft.util.ShardSlots): a bare
       // repartition(shards, col("shard")) hash-collides shard keys —
       // ~1/e of the build tasks idle while others construct two whole
@@ -294,7 +389,7 @@ object HnswIndex {
       .withColumn("__slot",
         graft.util.ShardSlots.slotCol(col("shard"), 0 until shards))
       .repartition(shards, col("__slot"))
-      .sortWithinPartitions("shard", "id")
+      .sortWithinPartitions("shard", "__ins", "id")
       .select("id", "vec", "shard")
       .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
@@ -728,7 +823,8 @@ object HnswIndex {
 
   /** [[append]]'s touched-shard rebuild as ONE slot-placed partition
     * pass: existing nodes (restore order = `pos`) and fresh rows
-    * (insert order = `id`, marked `pos = -1`) union into a single frame,
+    * (insert order = hash-of-id, the [[shardGraphFrame]] decorrelation
+    * rule, marked `pos = -1`) union into a single frame,
     * PERFECT-placed one shard per task via [[graft.util.ShardSlots]]
     * (the same contract the build and search stages use — a cogroup on
     * `groupByKey(shard)` hash-collided shard keys exactly like the bare
@@ -756,11 +852,12 @@ object HnswIndex {
       .select(col("shard"), col("pos"), col("id"), col("vec"), col("links"))
       .unionByName(fresh.select(col("shard"), lit(-1).as("pos"), col("id"),
         col("vec"), lit(null).cast("array<array<int>>").as("links")))
+      .withColumn("__ins", insertOrderCol(col("id")))
       .withColumn("__slot",
         graft.util.ShardSlots.slotCol(col("shard"), touched))
       .repartition(touched.size, col("__slot"))
-      .select("shard", "pos", "id", "vec", "links")
-      .as[(Int, Int, Long, Array[Float], Seq[Seq[Int]])]
+      .select("shard", "pos", "id", "vec", "links", "__ins")
+      .as[(Int, Int, Long, Array[Float], Seq[Seq[Int]], Long)]
       .mapPartitions { it =>
         it.toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
           // pos >= 0 marks a persisted node (links ride along); -1 a
@@ -768,10 +865,10 @@ object HnswIndex {
           // so the marker is positional, not the links column
           val (olds, news) = rows.partition(_._2 >= 0)
           val g = HnswGraph.restore(m, cosine,
-            olds.sortBy(_._2).map { case (_, _, id, vec, links) =>
+            olds.sortBy(_._2).map { case (_, _, id, vec, links, _) =>
               (id, vec, links) },
             efConstruction, seed)
-          news.sortBy(_._3).foreach { case (_, _, id, vec, _) =>
+          news.sortBy(r => (r._6, r._3)).foreach { case (_, _, id, vec, _, _) =>
             g.insert(id, vec) }
           g.nodes.iterator.zipWithIndex.map { case ((id, vec, links), pos) =>
             (shard, pos, id, vec, links)
@@ -888,7 +985,7 @@ object HnswIndex {
     * the knob turnable without a from-scratch rebuild of the caller's
     * pipeline. Every live node row is re-assigned by the deterministic
     * id hash under `newShards` and each new shard's graph is rebuilt
-    * with the build recipe (id-ascending insertion — the resharded
+    * with the build recipe (hash-ordered insertion — the resharded
     * index is byte-deterministic, exactly as a fresh [[build]] of the
     * same corpus at `newShards` would be).
     *
@@ -929,7 +1026,7 @@ object HnswIndex {
       else loadNodes(spark, dir, shardGens).select(col("id"), col("vec")))
       .select(col("id").cast("long"), col("vec").cast("array<float>"))
     // same deterministic recipe as buildLocked: contiguous shard rows,
-    // id-ascending insertion
+    // hash-ordered insertion
     val rebuilt = shardGraphFrame(corpus, m, efConstruction, cosine, seed,
       newShards, gen + 1)
     // anything already under g=gen+1 is debris from a crashed attempt

@@ -877,4 +877,31 @@ class HnswIndexSpec extends SparkSpec {
       && rFlip.getString(10) == "clustered",
       "rebuild must re-classify the new corpus")
   }
+
+  test("size-aware default shard count: the auto sentinel holds per-shard " +
+    "size at the measured ceiling, explicit counts pass through, and " +
+    "spec-scale auto builds keep the old fixed default") {
+    import graft.knn.HnswIndex.{UseAutoShards, DefaultShards, TargetShardNodes}
+    // the resolution ladder, pinned as a pure function (the BeamLaw.autoEf
+    // precedent): the floor holds through TargetShardNodes * DefaultShards
+    // keys, then one shard per further TargetShardNodes
+    assert(HnswIndex.resolveShards(UseAutoShards, 2000L) == DefaultShards)
+    assert(HnswIndex.resolveShards(UseAutoShards,
+      TargetShardNodes * DefaultShards) == DefaultShards)
+    assert(HnswIndex.resolveShards(UseAutoShards,
+      TargetShardNodes * DefaultShards + 1) == DefaultShards + 1)
+    // the measured anchor: 10^6 keys resolve to the grid tier's 32
+    // shards — the per-shard size every committed recall row measures
+    assert(HnswIndex.resolveShards(UseAutoShards, 1000000L) == 32)
+    assert(HnswIndex.resolveShards(UseAutoShards, 2000000L) == 64)
+    // explicit counts are never second-guessed (reshard stays the knob)
+    assert(HnswIndex.resolveShards(7, 1000000L) == 7)
+    intercept[IllegalArgumentException](HnswIndex.resolveShards(-1, 10L))
+    // an auto build at spec scale resolves to the floor — bit-compatible
+    // with the pre-auto fixed default
+    val dir = tempDir("autoshards")
+    HnswIndex.build(emb, "vec_id", "embedding", dir)
+    assert(HnswIndex.staleness(spark, dir).collect()(0).getInt(1)
+      == DefaultShards, "spec-scale auto build must keep the old default")
+  }
 }
