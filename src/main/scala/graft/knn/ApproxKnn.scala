@@ -240,13 +240,20 @@ object ApproxKnn {
         val src = if (cosine && nz.isEmpty) cand.select(col("__neighbor_vec")) else nz
         KMeans.train(src, "__neighbor_vec", nList, kmeansIters, seed, "ivfKnn")
       } else {
-        val sample0 = sampleSrc.select(col("__neighbor_vec").cast("array<float>"))
-          .limit(sampleCap).as[Array[Float]].collect()
+        // seeded hash-ordered take (the ShapeStats sampling rule) — a
+        // bare limit() reads a storage prefix, which under distribution
+        // drift trains the quantizer on one regime (see
+        // IvfIndex.collectSample for the full argument)
+        def draw(df: DataFrame): Array[Array[Float]] = df
+          .orderBy(xxhash64(col("neighbor_id"), lit(seed)),
+            col("neighbor_id"))
+          .limit(sampleCap)
+          .select(col("__neighbor_vec").cast("array<float>"))
+          .as[Array[Float]].collect()
+        val sample0 = draw(sampleSrc)
         // all-zero candidate side: every distance is 1.0 anyway — train on
         // the zeros rather than fail
-        val sample = if (sample0.nonEmpty) sample0
-          else cand.select(col("__neighbor_vec").cast("array<float>"))
-            .limit(sampleCap).as[Array[Float]].collect()
+        val sample = if (sample0.nonEmpty) sample0 else draw(cand)
         require(sample.nonEmpty, "ivfKnn: empty candidate side")
         kmeans(sample, math.min(nList, sample.length), kmeansIters, seed)
       }
@@ -478,12 +485,16 @@ object ApproxKnn {
         "query_id", "__query_vec", "__query_zero")
       else queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("__query_vec"), lit(false).as("__query_zero"))
-    val sample0 = cand.filter(!col("__neighbor_zero"))
+    // seeded hash-ordered take (the ShapeStats sampling rule) — a bare
+    // limit() reads a storage prefix, which under distribution drift
+    // trains the codebooks on one regime (see IvfIndex.collectSample)
+    def draw(df: DataFrame): Array[Array[Float]] = df
+      .orderBy(xxhash64(col("neighbor_id"), lit(seed)), col("neighbor_id"))
+      .limit(sampleCap)
       .select(col("__neighbor_vec").cast("array<float>"))
-      .limit(sampleCap).as[Array[Float]].collect()
-    val sample = if (sample0.nonEmpty) sample0
-      else cand.select(col("__neighbor_vec").cast("array<float>"))
-        .limit(sampleCap).as[Array[Float]].collect()
+      .as[Array[Float]].collect()
+    val sample0 = draw(cand.filter(!col("__neighbor_zero")))
+    val sample = if (sample0.nonEmpty) sample0 else draw(cand)
     require(sample.nonEmpty, s"$what: empty candidate side")
     val books = Pq.train(sample, m, ksub, kmeansIters, seed)
     val bcBooks = spark.sparkContext.broadcast(books)

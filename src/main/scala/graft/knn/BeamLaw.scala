@@ -33,15 +33,18 @@ object BeamLaw {
     * 128 — 0.9736 at 2·10⁵, and the law resolves it to 256 at 10⁶
     * where the same beam measures 0.9578
     * (SCALE_r17_recall_200k_spread_ef128,
-    * SCALE_r18_recall_1m_spread_ef256). The ladder's 10⁶ endpoint is
-    * MEASURED, not extrapolated, through one more doubling: raw
-    * ef 512 (= base 256 under the law) scores 0.9888
-    * (SCALE_r19_recall_1m_spread_ef512) — the per-doubling gain
-    * DECELERATES (+0.066 at 128→256, +0.031 at 256→512), so
-    * build-level ≥ 0.99 on this shape sits at roughly one further
-    * doubling (≈ 4× the default search compute), and the full-beam
-    * sentinel remains the honest setting when strict build-level
-    * recall is required on a knowingly spread catalog.
+    * SCALE_r18_recall_1m_spread_ef256). The ladder at 10⁶ is measured
+    * END TO END, including its build-level endpoint: raw ef 512
+    * (= base 256 under the law) scores 0.9888
+    * (SCALE_r19_recall_1m_spread_ef512) and raw ef 1024 scores
+    * **0.9957** (SCALE_r19_recall_1m_spread_ef1024) — the first rung
+    * at build level (≥ 0.99), at ≈ 4× the shape-raised default's
+    * search compute. The per-doubling gain DECELERATES (+0.066 at
+    * 128→256, +0.031 at 256→512, +0.0069 at 512→1024), so past 1024
+    * the remaining ~0.4 recall points cost more per point than the
+    * full-beam sentinel's exactness — raw ef 1024 when build-level
+    * approximate is enough, the full-beam sentinel when strict
+    * exactness is required on a knowingly spread catalog.
     */
   val HoldKeys: Long = 500000L
 

@@ -130,16 +130,27 @@ object IvfIndex {
     // convention makes zero vectors list-agnostic anyway)
     val sampleSrc =
       if (cosine) ApproxKnn.unitNormalized(candidates, idCol, vecCol,
-        "__id", "__vec", "__zero").filter(!col("__zero")).select(col("__vec"))
-      else candidates.select(col(vecCol).cast("array<float>").as("__vec"))
+        "__id", "__vec", "__zero").filter(!col("__zero"))
+        .select(col("__id"), col("__vec"))
+      else candidates.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<float>").as("__vec"))
     def collectSample(): Array[Array[Float]] = {
-      val sample0 = sampleSrc.select(col("__vec")).limit(sampleCap)
-        .as[Array[Float]].collect()
+      // seeded hash-ordered take (the ShapeStats sampling rule:
+      // TakeOrderedAndProject, uniform across the catalog, deterministic
+      // across layouts) — the former bare limit() was a storage-prefix
+      // read, which on a time-ordered corpus under distribution drift
+      // trains the quantizer on the OLDEST regime only, the sampling
+      // twin of the HNSW id-ordered-insertion hazard
+      def draw(df: DataFrame): Array[Array[Float]] = df
+        .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+        .limit(sampleCap)
+        .select(col("__vec")).as[Array[Float]].collect()
+      val sample0 = draw(sampleSrc)
       // all-zero candidate side under cosine: every distance is 1.0 anyway —
       // train on the zeros rather than fail
       val sample = if (sample0.nonEmpty) sample0
-        else candidates.select(col(vecCol).cast("array<float>"))
-          .limit(sampleCap).as[Array[Float]].collect()
+        else draw(candidates.select(col(idCol).cast("long").as("__id"),
+          col(vecCol).cast("array<float>").as("__vec")))
       require(sample.nonEmpty, "IvfIndex.build: empty candidate side")
       sample
     }
@@ -509,15 +520,16 @@ object IvfIndex {
     *    harness run needed.
     *
     * Operating rule — MEASURED, not a trend-reading exercise
-    * (SCALE_r18_ivfpq_staleness.json: the `ivfpqdrift` probe reads this
-    * signal beside every drift stage's harness recall; the persisted-
-    * anchor path re-confirms the same brackets in
-    * SCALE_r19_ivfpq_staleness.json): every PQ [[build]] snapshots the
-    * post-build `mean_adc_displacement` into the index (`adc_anchor/`,
-    * beside `n_at_train` — its absolute value is corpus-dependent:
-    * 3.86 at the 20k tier vs 8.73 at 2k, where the k·rerank shortlist
-    * width saturates it), and this row alarms when the live value
-    * reaches [[AdcDisplacementAlarmRatio]] = 1.5× that anchor:
+    * (the `ivfpqdrift` probe reads this signal beside every drift
+    * stage's harness recall; SCALE_r19_ivfpq_staleness_uniform.json is
+    * the current-bracket artifact, measured under the r19 hash-ordered
+    * training sample, with SCALE_r18_ivfpq_staleness.json as the prior
+    * realization): every PQ [[build]] snapshots the post-build
+    * `mean_adc_displacement` into the index (`adc_anchor/`, beside
+    * `n_at_train` — its absolute value is corpus-dependent: ~3.9–3.95
+    * at the 20k tier vs 8.73 at 2k, where the k·rerank shortlist width
+    * saturates it), and this row alarms when the live value reaches
+    * [[AdcDisplacementAlarmRatio]]× that anchor:
     *
     *  - `disp_at_train` — the persisted anchor (null: anchor-less
     *    legacy/vectors-only index, or a build that crashed between its
@@ -526,30 +538,33 @@ object IvfIndex {
     *    ran the same protocol the anchor records (probeQueries, k,
     *    nProbe, rerank, seed all match — a mismatched probe is not the
     *    measured bracket);
-    *  - `rebuild_due` — ratio ≥ 1.5, the one-line cadence answer, from
-    *    index state alone (no operator-kept snapshot; [[rebuildDue]]
-    *    remains for callers holding their own anchor).
+    *  - `rebuild_due` — ratio ≥ [[AdcDisplacementAlarmRatio]], the
+    *    one-line CODEBOOK-cadence answer, from index state alone (no
+    *    operator-kept snapshot; [[rebuildDue]] remains for callers
+    *    holding their own anchor).
     *
-    * The ratio is bracketed on both sides at the 20k tier: every
-    * recall-degraded stage measured ≥ 1.53× (first drifted append
-    * 5.91/3.86 = 1.53×, p32 recall already collapsed 0.72 → 0.29;
-    * fully drifted 2.19×) and every recall-healthy state ≤ 1.39×
-    * (post-rebalance 5.38/3.86 = 1.39× at restored p32 0.716; rebuild
-    * 1.0×). [[rebalance]] keeps both the codebooks and the anchor (the
-    * stat tracks codebook drift, which rebalance cannot fix). The
+    * The alarm's semantics are CODEBOOK staleness — see the threshold
+    * constant's scaladoc for the two-realization bracket (fresh ≤ 1.20×,
+    * codebook-stale ≥ 1.32× including post-rebalance) and for the
+    * measured proof that the ratio is NOT monotone with serving recall.
+    * [[rebalance]] keeps both the codebooks and the anchor (the stat
+    * tracks codebook drift, which rebalance cannot fix — and after one
+    * the alarm correctly stays up until a PQ [[build]] retrains). The
     * earlier "frac ≈ 0.25" note was optimistic for adversarial drift:
-    * the same artifact measured recall halved at frac 0.107 — treat
+    * the r18 artifact measured recall halved at frac 0.107 — treat
     * `frac` as the zero-cost trailing indicator (any material value
     * says "go read the displacement") and the displacement ratio as
-    * the alarm. Caveat at SPEC-scale corpora (≲ a few k rows): the
-    * displacement floor saturates (2k tier: 8.73 build, only ≤ 1.16×
-    * when drifted — both rounds' measurements agree) — there, frac is
-    * the better signal and `rebuild_due` stays quiet even when
-    * drifted; the
-    * operational tiers this signal exists for sit on the clean side.
-    * A fired alarm means ADC is no longer short-listing what exact
-    * distance would, and [[rebalance]] will NOT recover it (it keeps
-    * the codebooks); schedule a [[build]].
+    * the codebook alarm. Caveat at SPEC-scale corpora (≲ a few k
+    * rows): the displacement floor saturates (2k tier: 8.73 build,
+    * only ≤ 1.20× when drifted — all three realizations agree) —
+    * there, frac is the better signal and `rebuild_due` stays quiet
+    * even when drifted; the operational tiers this signal exists for
+    * sit on the clean side. A fired alarm means the codes are no
+    * longer ordering the shortlist the way exact distance would, and
+    * [[rebalance]] will NOT recover THEM (it keeps the codebooks);
+    * schedule a [[build]] — noting (measured, r19) that when serving
+    * runs the rerank path, a rebalance alone can restore recall while
+    * the alarm stays up.
     *
     * Cost: one id-count + (PQ only) two `probeQueries`-sized probes at
     * `nProbe` — index-size-independent beyond the probed lists' scan.
@@ -705,16 +720,36 @@ object IvfIndex {
     }
   }
 
-  /** The measured rebuild-alarm threshold on [[staleness]]'s
-    * `mean_adc_displacement`, relative to its post-build anchor — see
-    * the operating rule on [[staleness]] for the artifact bracket
-    * (healthy states measured ≤ 1.39× the anchor, recall-collapsed
-    * states ≥ 1.53×, SCALE_r18_ivfpq_staleness.json, 20k tier;
-    * reproduced from the PERSISTED anchor in
-    * SCALE_r19_ivfpq_staleness.json — `rebuild_due` fires on exactly
-    * the collapsed stages and no healthy one).
+  /** The measured CODEBOOK-staleness alarm threshold on [[staleness]]'s
+    * `mean_adc_displacement`, relative to its post-build anchor.
+    *
+    * What the signal tracks — and what it does NOT: displacement
+    * measures how badly the PQ codes order the shortlist against exact
+    * distances, i.e. CODEBOOK drift. It separates codebook-fresh from
+    * codebook-stale states in BOTH committed 20k-tier realizations of
+    * the drift harness (the r19 uniform-sampling fix re-rolled the
+    * quantizer init and moved the band, which is why the threshold
+    * sits between the two realizations' extremes): fresh states —
+    * post-build/post-rebuild 1.0, spec-tier probe noise ≤ 1.20 —
+    * against codebook-stale states — drifted appends 1.32–2.19 across
+    * both realizations AND post-rebalance 1.39/1.94. A rebalance
+    * retrains the coarse quantizer but NEVER the codebooks, so the
+    * alarm correctly stays up after one until a PQ [[build]] clears it
+    * (SCALE_r18_ivfpq_staleness.json;
+    * SCALE_r19_ivfpq_staleness_uniform.json supersedes the r19
+    * prefix-sample artifact and its 1.5 threshold, which the re-rolled
+    * init broke on both sides: a collapsed stage at 1.32 slipped under
+    * it while the recovered rebalance at 1.94 fired over it).
+    *
+    * The ratio is therefore NOT monotone with SERVING recall: the
+    * committed pair measures a recall-collapsed stage at 1.32×
+    * (p32 0.236) and a recall-RECOVERED post-rebalance state at 1.94×
+    * (p32 0.728 — above its own build's 0.607). `rebuild_due` answers
+    * "are the codebooks due a retrain?"; the serving-quality question
+    * under drift belongs to the rerank path and the [[IvfPqDrift]]
+    * harness.
     */
-  val AdcDisplacementAlarmRatio: Double = 1.5
+  val AdcDisplacementAlarmRatio: Double = 1.25
 
   /** The one-line cadence decision: is a [[build]] due, given a
     * displacement snapshot and the live value? (Ratio rule — absolute
@@ -866,8 +901,9 @@ object IvfIndex {
     // vectors under cosine, raw vectors under L2
     val sampleSrc =
       if (cosine) ApproxKnn.unitNormalized(trainRows, "id", "vec",
-        "__id", "__vec", "__zero").filter(!col("__zero")).select(col("__vec"))
-      else trainRows.select(col("vec").as("__vec"))
+        "__id", "__vec", "__zero").filter(!col("__zero"))
+        .select(col("__id"), col("__vec"))
+      else trainRows.select(col("id").as("__id"), col("vec").as("__vec"))
     val centroids =
       if (distributedTrain)
         KMeans.train(
@@ -875,9 +911,18 @@ object IvfIndex {
           else sampleSrc,
           "__vec", k, kmeansIters, seed, "IvfIndex.rebalance")
       else {
-        val sample0 = sampleSrc.limit(sampleCap).as[Array[Float]].collect()
+        // hash-ordered draw from the (already hash-uniform) 2×cap
+        // superset: the former bare limit() took whichever of those
+        // rows answered first — deterministic across layouts now, same
+        // rule as build's collectSample
+        def draw(df: DataFrame): Array[Array[Float]] = df
+          .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+          .limit(sampleCap)
+          .select(col("__vec")).as[Array[Float]].collect()
+        val sample0 = draw(sampleSrc)
         val sample = if (sample0.nonEmpty) sample0
-          else trainRows.select("vec").limit(sampleCap).as[Array[Float]].collect()
+          else draw(trainRows.select(col("id").as("__id"),
+            col("vec").as("__vec")))
         require(sample.nonEmpty, s"IvfIndex.rebalance: empty index under $dir")
         val trained = ApproxKnn.kmeans(sample, math.min(k, sample.length),
           kmeansIters, seed)

@@ -437,24 +437,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(v2.getDouble(2) == 0.0)
   }
 
-  test("rebuildDue: the measured displacement alarm — 1.5x the build-time " +
-    "anchor separates every measured healthy state from every degraded one") {
-    // the constant is a MEASURED value (SCALE_r18_ivfpq_staleness.json,
-    // 20k tier, the ivfpqdrift probe reading staleness() beside harness
-    // recall at every drift stage) — pin it so a silent change must
-    // re-justify itself against the artifact
-    assert(IvfIndex.AdcDisplacementAlarmRatio == 1.5)
-    val anchor = 3.8625 // the artifact's post-build displacement
-    // recall-degraded stages (p32 0.72 -> 0.29 / 0.24) sit at >= 1.53x:
-    assert(IvfIndex.rebuildDue(anchor, 5.9109))  // first drifted append
-    assert(IvfIndex.rebuildDue(anchor, 8.4563))  // fully drifted, 2.19x
-    // recall-healthy states (p32 0.716 / 0.740) sit at <= 1.39x:
-    assert(!IvfIndex.rebuildDue(anchor, 5.3813)) // post-rebalance
-    assert(!IvfIndex.rebuildDue(anchor, 3.8625)) // fresh build
-    // post-rebuild measured 5.5188 at restored recall — 1.43x the OLD
-    // anchor, still under the alarm (and an operator re-snapshots the
-    // anchor at every rebuild anyway)
-    assert(!IvfIndex.rebuildDue(anchor, 5.5188))
+  test("rebuildDue: the measured codebook-staleness alarm separates " +
+    "codebook-fresh from codebook-stale states in BOTH committed " +
+    "drift-harness realizations") {
+    // the constant is a MEASURED value, re-pinned in r19 when the
+    // hash-ordered training sample re-rolled the quantizer init and
+    // broke the old 1.5 threshold on both sides (a recall-collapsed
+    // stage at 1.32x slipped under it; the recovered rebalance at
+    // 1.94x fired over it) — pin it so a silent change must
+    // re-justify itself against the artifact pair
+    // (SCALE_r19_ivfpq_staleness_uniform.json; SCALE_r18_ivfpq_
+    // staleness.json is the prior realization)
+    assert(IvfIndex.AdcDisplacementAlarmRatio == 1.25)
+    // --- r19 uniform-sample realization (anchor 3.9531) ---
+    val a19 = 3.9531
+    // codebook-stale stages fire, whatever serving recall does:
+    assert(IvfIndex.rebuildDue(a19, 5.2078)) // drifted append, 1.32x, p32 0.236
+    assert(IvfIndex.rebuildDue(a19, 8.0438)) // fully drifted, 2.03x
+    assert(IvfIndex.rebuildDue(a19, 7.6563)) // post-rebalance, 1.94x —
+      // recall RECOVERED (p32 0.728 > build 0.607) but the codebooks
+      // were never retrained: the alarm correctly stays up
+    // codebook-fresh states stay quiet:
+    assert(!IvfIndex.rebuildDue(a19, 3.9531)) // fresh build, 1.0x
+    assert(!IvfIndex.rebuildDue(a19, a19 * 1.20)) // spec-tier probe noise
+    // --- r18 prefix-sample realization (anchor 3.8625) ---
+    val a18 = 3.8625
+    assert(IvfIndex.rebuildDue(a18, 5.9109))  // drifted append, 1.53x
+    assert(IvfIndex.rebuildDue(a18, 8.4563))  // fully drifted, 2.19x
+    assert(IvfIndex.rebuildDue(a18, 5.3813))  // post-rebalance, 1.39x —
+      // under the new semantics this correctly fires too (codebooks
+      // stale); the old threshold's quiet here was the init accident
+    assert(!IvfIndex.rebuildDue(a18, 3.8625)) // fresh build
   }
 
   test("persisted displacement anchor: a PQ build snapshots its post-" +
