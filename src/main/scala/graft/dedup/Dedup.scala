@@ -336,9 +336,15 @@ object Dedup {
         graft.knn.KMeans.train(nonZero.select(col("__vec")), "__vec",
           nClusters, kmeansIters, seed, "semanticNearDups")
       else {
+        // seeded hash-ordered take (the ShapeStats sampling rule) — a
+        // bare limit() reads a storage prefix, which on a time-ordered
+        // drifting corpus trains the cluster blocks on one regime (see
+        // IvfIndex.collectSample for the full argument)
         val sample = nonZero
+          .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+          .limit(sampleCap)
           .select(col("__vec").cast("array<float>"))
-          .limit(sampleCap).as[Array[Float]].collect()
+          .as[Array[Float]].collect()
         require(sample.nonEmpty, "semanticNearDups: no non-zero vectors")
         graft.knn.ApproxKnn.kmeans(
           sample, math.min(nClusters, sample.length), kmeansIters, seed)
@@ -388,6 +394,11 @@ object Dedup {
           else assignedTop.filter(isHot && !col("__zero"))
             .select(col("__vec").cast("array<float>"))
             .dropDuplicates()
+            // hash-of-value order (the KMeans-init rule — values are
+            // distinct after the dedup above, so the vec tiebreak makes
+            // the draw fully deterministic): a bare limit() took a
+            // storage-prefix of the hot blocks
+            .orderBy(xxhash64(col("__vec"), lit(seed)), col("__vec"))
             .limit(sampleCap).as[Array[Float]].collect()
         // an all-zero hot block has nothing to sub-cluster (its pairs all
         // score 1.0 and die at any threshold < 1 anyway)
