@@ -206,8 +206,14 @@ object HnswIndex {
     // nodes/ schema inference with the directory unreadable. Empty-seed
     // bootstrap is not supported here (unlike LshDedupIndex/Bm25Index,
     // whose explicit on-read schemas exist for the streaming
-    // create-on-first-batch path); seed with at least one vector
-    require(!candidates.isEmpty,
+    // create-on-first-batch path); seed with at least one vector.
+    // On the auto-shard path the emptiness check rides the shard-sizing
+    // count (count == 0 ⟺ empty) — one pass over the candidate lineage
+    // instead of two; the explicit-shard path keeps the cheaper
+    // isEmpty (a single-partition take, no full count)
+    val nAuto: Option[Long] =
+      if (shards == UseAutoShards) Some(candidates.count()) else None
+    require(nAuto.map(_ > 0L).getOrElse(!candidates.isEmpty),
       s"HnswIndex.build: empty candidate side for $dir — the previous " +
         "index (if any) is untouched")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -220,9 +226,7 @@ object HnswIndex {
     // size-aware shard count (the SHARD COUNT contract on [[build]]):
     // the count job is paid on the auto path only — an explicit count
     // passes through without touching the data
-    val nShards =
-      if (shards == UseAutoShards) resolveShards(shards, src.count())
-      else resolveShards(shards, 0L)
+    val nShards = resolveShards(shards, nAuto.getOrElse(0L))
     val liveState =
       try Some(readManifest(spark, dir))
       catch { case _: IllegalArgumentException => None }

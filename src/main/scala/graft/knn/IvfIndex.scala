@@ -566,8 +566,9 @@ object IvfIndex {
     * runs the rerank path, a rebalance alone can restore recall while
     * the alarm stays up.
     *
-    * Cost: one id-count + (PQ only) two `probeQueries`-sized probes at
-    * `nProbe` — index-size-independent beyond the probed lists' scan.
+    * Cost: one id-count + (PQ only) ONE `probeQueries`-sized probe at
+    * `nProbe` (the rerank search carries both the ADC and the exact
+    * ordering) — index-size-independent beyond the probed lists' scan.
     */
   def staleness(
       spark: SparkSession,
@@ -619,8 +620,9 @@ object IvfIndex {
   /** Mean |ADC rank − exact rank| of the exact top-k within the
     * k·rerank ADC shortlist, over a seeded member sample — the direct
     * codebook-quality probe [[staleness]] reports and [[buildLocked]]
-    * anchors. Two probes of the live index; None on an empty join (a
-    * degenerate corpus).
+    * anchors. ONE probe of the live index (the rerank search carries
+    * the shortlist's ADC rank alongside the exact rank — `keepAdcRank`);
+    * None on an empty result (a degenerate corpus).
     */
   private def measureAdcDisplacement(
       spark: SparkSession,
@@ -646,18 +648,16 @@ object IvfIndex {
         < lit(math.min(nRows, probeQueries * 2L)))
       .limit(probeQueries)
       .localCheckpoint(eager = false)
-    // same queries, same nProbe → identical probed lists, so the
-    // exact-reranked top-k is a REORDERING of the ADC shortlist and
-    // the rank join below is total
-    val adcOrder = search(spark, dir, sample, "id", "vec",
-      k = k * math.max(1, rerank), nProbe = nProbe, usePq = true,
-      rerank = 0, preMeta = preMeta, prePq = prePq)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").as("__adc_rank"))
-    val exactTop = search(spark, dir, sample, "id", "vec",
+    // ONE search carries both orderings (keepAdcRank): the rerank path
+    // already ranks the k·rerank ADC shortlist before the exact rerank,
+    // so the exact top-k rows come back WITH their shortlist ADC rank —
+    // equal row-for-row to the former two-search join (same queries,
+    // same nProbe → identical shortlist and windows), at half the
+    // probe/scan/ADC compute and one fewer probed-cid collect
+    val both = search(spark, dir, sample, "id", "vec",
       k = k, nProbe = nProbe, usePq = true, rerank = math.max(1, rerank),
-      preMeta = preMeta, prePq = prePq)
-    val joined = exactTop.join(adcOrder, Seq("query_id", "neighbor_id"))
+      preMeta = preMeta, prePq = prePq, keepAdcRank = true)
+    val joined = both
       .agg(avg(abs(col("__adc_rank") - col("rank"))).as("d"))
       .collect()(0)
     if (joined.isNullAt(0)) None else Some(joined.getDouble(0))
@@ -1165,9 +1165,12 @@ object IvfIndex {
       usePq: Boolean = false,
       rerank: Int = 4,
       preMeta: Option[(Array[Array[Float]], String)] = None,
-      prePq: Option[(PqCodebooks, Boolean)] = None): DataFrame = {
+      prePq: Option[(PqCodebooks, Boolean)] = None,
+      keepAdcRank: Boolean = false): DataFrame = {
     import spark.implicits._
     require(nProbe > 0, s"IvfIndex.search: nProbe must be positive, got $nProbe")
+    require(!keepAdcRank || rerank > 0,
+      "IvfIndex.search: keepAdcRank needs the PQ rerank path (rerank > 0)")
     // preMeta: caller-loaded (centroids, metric) — a per-batch caller
     // (the streaming ANN ingester) loads the metadata ONCE via
     // [[loadIndexMeta]] and shares it between probe and append
@@ -1287,12 +1290,23 @@ object IvfIndex {
             col("__query_vec"), col("__neighbor_vec"))
           else graft.functions.VectorExpressions.squaredL2(
             col("__query_vec"), col("__neighbor_vec"))
-        shortList.select("query_id", "neighbor_id", "__query_vec")
+        // keepAdcRank: carry the shortlist's ADC rank through the rerank
+        // join as `__adc_rank` — the staleness/anchor probe
+        // ([[measureAdcDisplacement]]) reads both orderings from ONE
+        // search instead of paying the probe+scan+ADC+window subtree
+        // twice (the r19 q58 regression: two searches per anchor)
+        val reranked = shortList
+          .select(Seq(col("query_id"), col("neighbor_id"),
+            col("__query_vec")) ++
+            (if (keepAdcRank) Seq(col("rank").as("__adc_rank")) else Nil): _*)
           .join(vecs, "neighbor_id")
           .withColumn("dist", exact)
-          .select("query_id", "neighbor_id", "dist")
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
+        if (keepAdcRank)
+          reranked.select("query_id", "neighbor_id", "dist", "rank",
+            "__adc_rank")
+        else reranked.select("query_id", "neighbor_id", "dist", "rank")
       }
     }
   }
