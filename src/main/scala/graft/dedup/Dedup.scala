@@ -133,11 +133,21 @@ object Dedup {
       // re-verified), never shorten it, so exactness is preserved.
       .filter(col("pos") <=
         col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1)
-      .select("id", "tok")
+      .select("id", "tok", "sz")
 
+    // AllPairs LENGTH filter riding the candidate join: jaccard ≥ t
+    // forces inter ≥ t·max(sz_a, sz_b) and inter ≤ min(sz_a, sz_b), so
+    // min ≥ t·max — any pair whose sizes differ by more than 1/t is
+    // dropped BEFORE the verification join ever ships its token lists
+    // (guide §3.2 shape: prune the expensive join's input with a cheap
+    // predicate that admits no false negatives). The 1e-9 guard can
+    // only ADMIT extra candidates at the exact boundary (re-verified
+    // below), never drop a true pair — the prefix-length epsilon rule.
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            greatest(col("a.sz"), col("b.sz")) * threshold - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
@@ -467,11 +477,13 @@ object Dedup {
     */
   private[graft] def nearDupComponentsWithRounds(pairs: DataFrame,
       maxIters: Int = 20): (DataFrame, Int) = {
-    // symmetric edge list; self-loops drop out of min-propagation anyway
+    // symmetric edge list, LAZY-checkpointed: the first labels action
+    // below materializes it as a side effect — an eager checkpoint here
+    // paid a dedicated job for the same blocks
     val fwd = pairs.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.groupBy("src").agg(min("dst").as("component"))
       .select(col("src").as("id"),
         least(col("src"), col("component")).as("component"))
@@ -492,11 +504,17 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_component"),
             col("component"))).as("component"),
           // null nbr_component (no changed neighbor) compares to null →
-          // the filter below drops it, exactly "unchanged"
+          // the frontier filter drops it, exactly "unchanged"
           (col("nbr_component") < col("component")).as("__changed"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // ONE job per round: the changed-count aggregate materializes the
+      // lazy checkpoint AND answers convergence — the former eager
+      // checkpoint + frontier.isEmpty pair paid two scheduler
+      // round-trips for the same information
+      val nChanged = next
+        .agg(count(when(col("__changed"), lit(1)))).collect()(0).getLong(0)
       frontier = next.filter(col("__changed")).select("id", "component")
-      converged = frontier.isEmpty
+      converged = nChanged == 0
       labels = next.select("id", "component")
       iter += 1
     }

@@ -59,6 +59,25 @@ object Eval {
         count(when(col("__t").isNull, lit(1))).as("fp"))
       .withColumn("fn", lit(nTruth) - col("tp")))
 
+  /** [[microPrf1Counted]] over a PRE-JOINED frame — the repeated-cells
+    * fast path one step further: the SemLink grid left-joins its ONE
+    * kMax kNN result against the truth relation ONCE (`__t` non-null on
+    * a truth hit) and every (k, threshold) cell reduces to a conditional
+    * aggregate over that checkpointed frame, instead of re-shipping the
+    * cell's discovered rows through a per-cell join. The caller
+    * guarantees `marked` rows are DISTINCT per (query, candidate) after
+    * its cell filter (kNN output is unique per pair by construction —
+    * ranking windows emit one row per neighbor). Identical output to
+    * [[microPrf1Counted]] by construction (same counts, shared
+    * [[prfColumns]] arithmetic).
+    */
+  def microPrf1Marked(marked: DataFrame, nTruth: Long): DataFrame =
+    prfColumns(marked
+      .agg(
+        count(when(col("__t").isNotNull, lit(1))).as("tp"),
+        count(when(col("__t").isNull, lit(1))).as("fp"))
+      .withColumn("fn", lit(nTruth) - col("tp")))
+
   /** The one shared P/R/F1 arithmetic over a (tp, fp, fn) frame — eps in
     * denominators, round to 4 — so the full-outer and counted paths
     * cannot drift.
@@ -141,18 +160,28 @@ object Eval {
       // `preRelCounts` reuses a per-query relevant-count frame computed
       // once instead of re-aggregating the (possibly huge) truth per k
       truthIsDistinct: Boolean = false,
-      preRelCounts: Option[DataFrame] = None): DataFrame = {
+      preRelCounts: Option[DataFrame] = None,
+      // repeated-cells hook: a caller that already left-joined its
+      // ranked rows against the truth relation (`__t` non-null on a
+      // hit — the [[microPrf1Marked]] frame) passes it here and the
+      // per-k DCG becomes a filter + aggregate over that one join
+      // instead of a fresh join per k; `ranked`/`truth` still supply
+      // the relevant-count side (via preRelCounts) and the query
+      // universe semantics
+      preMarked: Option[DataFrame] = None): DataFrame = {
     val t =
       if (truthIsDistinct) truth.select("query", "candidate")
       else truth.select("query", "candidate").distinct()
     val relCounts = preRelCounts.getOrElse(
       t.groupBy("query").agg(count(lit(1)).as("n_relevant")))
 
-    val dcg = ranked
+    val dcg = preMarked.getOrElse(
+      ranked
+        .filter(col("rank") <= k)
+        .join(t.withColumn("__t", lit(1)), Seq("query", "candidate"), "left"))
       .filter(col("rank") <= k)
-      .join(t.withColumn("__rel", lit(1)), Seq("query", "candidate"), "left")
       .groupBy("query")
-      .agg(sum(when(col("__rel") === 1,
+      .agg(sum(when(col("__t").isNotNull,
         lit(1.0) / log2(col("rank") + lit(1.0))).otherwise(lit(0.0))).as("dcg"))
 
     // the query universe (default): truth queries the retrieval

@@ -654,11 +654,25 @@ object HnswIndex {
     * index was always served at, not a guess — and the rc columns as
     * None (never measured).
     */
-  private final case class Params(m: Int, metric: String, shards: Int,
+  private[graft] final case class Params(m: Int, metric: String, shards: Int,
       efConstruction: Int, seed: Int, efSearch: Int,
       rcMedian: Option[Double], rcQ25: Option[Double])
 
-  private def loadParams(spark: SparkSession, dir: String): Params = {
+  /** Commit-generation fingerprint of `params/` — the revalidation key
+    * for an ingest loop's per-loop params memo (the
+    * [[graft.knn.IvfIndex.metaGen]] contract: appends never touch
+    * params, but a build/reshard committing — or being crash-recovered
+    * by the loop's own in-lock `recoverReshard` — between batches swaps
+    * the table, and a memo serving the pre-swap shard count would route
+    * fresh ids to shards the live manifest does not hold). Filesystem
+    * metadata only, no Spark jobs.
+    */
+  private[graft] def metaGen(spark: SparkSession, dir: String): Long =
+    graft.util.StagedTables.metaFingerprint(
+      new Path(dir).getFileSystem(spark.sessionState.newHadoopConf()),
+      dir, Seq("params"))
+
+  private[graft] def loadParams(spark: SparkSession, dir: String): Params = {
     val raw = spark.read.parquet(s"$dir/params")
     val df = Seq[(String, org.apache.spark.sql.Column)](
         "ef_search" -> lit(DefaultServeEf).cast("int"),
@@ -705,15 +719,27 @@ object HnswIndex {
       newVectors: DataFrame,
       idCol: String,
       vecCol: String,
-      takeLock: Boolean = true): Long =
+      takeLock: Boolean = true,
+      checkBatchUnique: Boolean = true,
+      checkPresence: Boolean = true,
+      preParams: Option[Params] = None): Long =
     // takeLock = false is for callers ALREADY holding the directory's
     // writer lock (the watermarked ingest gate locks the whole
     // micro-batch); the lock is not reentrant, so a nested acquire would
-    // fail fast against the caller's own hold
-    if (!takeLock) appendImpl(spark, dir, newVectors, idCol, vecCol)
+    // fail fast against the caller's own hold.
+    // checkBatchUnique/checkPresence = false skip the respective guard
+    // for callers that have JUST established the property themselves
+    // (the streaming ingester's freshness marker join establishes
+    // absence; its input contract covers within-batch uniqueness) — the
+    // [[graft.dedup.LshDedupIndex.append]] family contract: each skipped
+    // guard is one fewer Spark job per micro-batch, and skipping only
+    // moves responsibility, never what a violation does.
+    if (!takeLock) appendImpl(spark, dir, newVectors, idCol, vecCol,
+      checkBatchUnique, checkPresence, preParams)
     else
       graft.util.IndexLock.withLock(spark, dir, "HnswIndex.append") {
-        appendImpl(spark, dir, newVectors, idCol, vecCol)
+        appendImpl(spark, dir, newVectors, idCol, vecCol,
+          checkBatchUnique, checkPresence, preParams)
       }
 
   /** The committed id set (one `id` column over the live generations).
@@ -736,7 +762,10 @@ object HnswIndex {
       dir: String,
       newVectors: DataFrame,
       idCol: String,
-      vecCol: String): Long = {
+      vecCol: String,
+      checkBatchUnique: Boolean = true,
+      checkPresence: Boolean = true,
+      preParams: Option[Params] = None): Long = {
     import spark.implicits._
     // heal a crashed reshard BEFORE reading params ([[IvfIndex]] runs
     // recoverSwap at every writer entry for the same reason): a reshard
@@ -745,10 +774,11 @@ object HnswIndex {
     // — loadParams would then route ids by the uncommitted count while
     // the presence check reads the committed layout, silently admitting
     // duplicate nodes. Idempotent, so the streaming thunk's own call is
-    // a harmless second pass.
-    recoverReshard(spark, dir)
+    // a harmless second pass. (A preParams caller owns this ordering:
+    // its params were loaded AFTER its own in-lock recovery ran.)
+    if (preParams.isEmpty) recoverReshard(spark, dir)
     val Params(m, metric, shards, efConstruction, seed, _, _, _) =
-      loadParams(spark, dir)
+      preParams.getOrElse(loadParams(spark, dir))
     val cosine = HnswSearch.isCosine(metric)
     val fresh = newVectors
       .select(col(idCol).cast("long").as("id"),
@@ -768,8 +798,9 @@ object HnswIndex {
       // duplicate labels are rejected, matching hnswlib add_items: a
       // silent double-insert would persist two nodes with one external id
       // and search would return that neighbor twice within top-k
-      require(fresh.groupBy("id").count().filter(col("count") > 1).isEmpty,
-        "HnswIndex.append: duplicate ids within the appended batch")
+      if (checkBatchUnique)
+        require(fresh.groupBy("id").count().filter(col("count") > 1).isEmpty,
+          "HnswIndex.append: duplicate ids within the appended batch")
 
       val (gen, shardGens, oldCounts) = readManifest(spark, dir)
       val touchedLive = shardGens.view.filterKeys(touched.contains).toMap
@@ -781,9 +812,10 @@ object HnswIndex {
           col("vec").cast("array<float>"),
           col("links").cast("array<array<int>>"))
         .as[(Int, Int, Long, Array[Float], Seq[Seq[Int]])]
-      require(existing.select("id")
-        .join(fresh.select("id"), "id").isEmpty,
-        "HnswIndex.append: id already present in the index")
+      if (checkPresence)
+        require(existing.select("id")
+          .join(fresh.select("id"), "id").isEmpty,
+          "HnswIndex.append: id already present in the index")
       val rebuilt = rebuildTouchedShards(existing.toDF(),
           fresh.select(col("shard"), col("id"), col("vec")),
           touched.toSeq, m, cosine, efConstruction, seed)
@@ -909,9 +941,14 @@ object HnswIndex {
       k: Int,
       efSearch: Int = UseIndexDefault,
       excludeSelf: Boolean = true,
-      efAutoScale: Boolean = true): DataFrame = {
+      efAutoScale: Boolean = true,
+      preParams: Option[Params] = None): DataFrame = {
     import spark.implicits._
-    val params = loadParams(spark, dir)
+    // preParams: caller-loaded params — a per-batch caller (the streaming
+    // HNSW ingester) loads them once per LOOP (generation-keyed memo)
+    // and shares them between its probe and its append, the
+    // [[IvfIndex.search]] preMeta contract
+    val params = preParams.getOrElse(loadParams(spark, dir))
     val (m, metric, efDefault) = (params.m, params.metric, params.efSearch)
     val cosine = HnswSearch.isCosine(metric)
     val bc = spark.sparkContext.broadcast(

@@ -348,6 +348,23 @@ object SemLinkGrid {
     val knn = coreKnn.localCheckpoint(eager = false)
     knn.count() // materialize once
 
+    // ONE left join of the kMax kNN against the (pre-partitioned,
+    // checkpointed) truth relation, checkpointed: every (k, threshold)
+    // cell's tp/fp AND every per-k DCG reduce to conditional aggregates
+    // over this frame — |cells| + |ks| truth-side joins collapse to one
+    // (the reference default sweep is 12 cells; each join re-shipped
+    // the cell's discovered rows into the truth partitioning). kNN rows
+    // are unique per (query, candidate) by construction — every engine
+    // emits one row per neighbor through a ranking window or
+    // disjoint-list scan — so the cell filters below preserve the
+    // distinctness microPrf1 semantics require.
+    val knnMarked = knn
+      .select(col("query_id").as("query"),
+        col("neighbor_id").as("candidate"), col("dist"), col("rank"))
+      .join(truth.select(col("query"), col("candidate"))
+        .withColumn("__t", lit(1)), Seq("query", "candidate"), "left")
+      .localCheckpoint(eager = false)
+
     // NDCG depends only on k — compute and MATERIALIZE it once per k
     // (a lazy per-cell frame would re-run the join+aggregate for every
     // (k, threshold) cell, |thresholds|× redundant scans); it is one
@@ -357,7 +374,8 @@ object SemLinkGrid {
         knn.filter(col("rank") <= k)
           .select(col("query_id").as("query"),
             col("neighbor_id").as("candidate"), col("rank")),
-        truth, k, truthIsDistinct = true, preRelCounts = Some(relCounts))
+        truth, k, truthIsDistinct = true, preRelCounts = Some(relCounts),
+        preMarked = Some(knnMarked))
         .select("ndcg").collect().head
       k -> (if (row.isNullAt(0)) None else Some(row.getDouble(0)))
     }.toMap
@@ -374,7 +392,9 @@ object SemLinkGrid {
           col("key").as("__ckey"))), Seq("candidate"))
         .select(col("__qkey").as("query"), col("__ckey").as("candidate"),
           col("dist"))
-      val prf = Eval.microPrf1Counted(discoveredIds, truth, nTruth)
+      val prf = Eval.microPrf1Marked(
+        Discovery.thresholdFilter(knnMarked.filter(col("rank") <= k),
+          "dist", t), nTruth)
       // the ENGINE that produced the kNN rides on every metrics row:
       // the escalation gate switches exact → ANN with only a WARN log
       // as the signal otherwise, and a downstream metrics consumer must

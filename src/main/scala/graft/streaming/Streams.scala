@@ -228,15 +228,26 @@ object Streams {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(outPath, true)
+    // one (centroids, metric) load per LOOP, not per batch — the
+    // generation-keyed MetaMemo contract the ingest family runs: an
+    // index maintenance op committing between batches swaps the memo'd
+    // tables and forces a reload; plain appends (the shared-state case
+    // this serving loop documents) keep the cached copy
+    val metaMemo = new MetaMemo[(Array[Array[Float]], String)]
     spark.readStream
       .schema(querySchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(queriesDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val meta = metaMemo.getOrLoad(graft.knn.IvfIndex.metaGen(sp, indexDir)) {
+          val (c, m, _) = graft.knn.IvfIndex.loadIndexMeta(sp, indexDir)
+          (c, m)
+        }
         graft.knn.IvfIndex
-          .search(batch.sparkSession, indexDir, batch.toDF(), idCol, vecCol,
-            k, nProbe)
+          .search(sp, indexDir, batch.toDF(), idCol, vecCol,
+            k, nProbe, preMeta = Some(meta))
           .write.mode("append").parquet(outDir)
         ()
       }
@@ -733,11 +744,16 @@ object Streams {
           late(idCol).cast("long") === ids("id"), "left_anti")
           .localCheckpoint()
         if (!fresh.isEmpty) {
+          // ONE params load shared by probe and append; the append skips
+          // the guards the anti-join just established — the
+          // annReingestLate/hnswIngestBatch fast path
+          val params = graft.knn.HnswIndex.loadParams(spark, indexDir)
           graft.knn.HnswIndex.search(spark, indexDir, fresh, idCol, vecCol,
-              k, efSearch)
+              k, efSearch, preParams = Some(params))
             .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=0")
           graft.knn.HnswIndex.append(spark, indexDir, fresh, idCol, vecCol,
-            takeLock = false)
+            takeLock = false, checkBatchUnique = false, checkPresence = false,
+            preParams = Some(params))
         }
       }
     }
@@ -1228,10 +1244,15 @@ object Streams {
       k: Int = 10,
       efSearch: Int = 64,
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    // one params read per LOOP (generation-keyed MetaMemo — a reshard/
+    // rebuild committing between batches swaps params and forces a
+    // reload), shared by every batch's probe and append — the family
+    // pattern the other three ingesters already run
+    val paramsMemo = new MetaMemo[graft.knn.HnswIndex.Params]
     val fs = runFileBatches(spark, batchesDir, batchSchema, outDir,
         "graft_hnswwm_ckpt", maxFilesPerTrigger) { (b, batchId) =>
       hnswIngestBatch(b.sparkSession, indexDir, outDir, batchId,
-        b, idCol, vecCol, tsCol, lateness, k, efSearch)
+        b, idCol, vecCol, tsCol, lateness, k, efSearch, paramsMemo)
     }
     channelOrEmpty(spark, fs, s"$outDir/search",
       graft.knn.IvfIndex.searchSchema, dropBatch = true) // engine kNN shape
@@ -1251,7 +1272,9 @@ object Streams {
       tsCol: String,
       lateness: Long,
       k: Int,
-      efSearch: Int): Unit = {
+      efSearch: Int,
+      paramsMemo: MetaMemo[graft.knn.HnswIndex.Params] =
+        new MetaMemo[graft.knn.HnswIndex.Params]): Unit = {
     // lazy checkpoints — see lexIngestBatch
     val b = batch.localCheckpoint(eager = false)
     watermarkGatedBatch(sp, indexDir, outDir, batchId, b, {
@@ -1265,14 +1288,25 @@ object Streams {
         graft.knn.HnswIndex.readIds(sp, indexDir)
           .localCheckpoint(eager = false)
       }, idCol, tsCol, lateness) { fresh =>
+      // ONE params load per LOOP (generation-keyed memo, revalidated
+      // against the commit fingerprint AFTER this batch's in-lock
+      // recovery ran), shared by the probe and the append; the append
+      // skips the guards the gate just established (freshness via the
+      // marker join; within-batch uniqueness is the input contract) —
+      // the annIngestBatch/lexIngestBatch fast path, two fewer jobs per
+      // batch
+      val params = paramsMemo.getOrLoad(
+          graft.knn.HnswIndex.metaGen(sp, indexDir))(
+        graft.knn.HnswIndex.loadParams(sp, indexDir))
       sp.sparkContext.setJobDescription("graft ingest: probe")
       graft.knn.HnswIndex.search(sp, indexDir, fresh, idCol, vecCol, k,
-          efSearch)
+          efSearch, preParams = Some(params))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/search/batch=$batchId")
       sp.sparkContext.setJobDescription("graft ingest: append")
       graft.knn.HnswIndex.append(sp, indexDir, fresh, idCol, vecCol,
-        takeLock = false)
+        takeLock = false, checkBatchUnique = false, checkPresence = false,
+        preParams = Some(params))
     }
   }
 

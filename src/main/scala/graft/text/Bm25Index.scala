@@ -407,19 +407,36 @@ object Bm25Index {
     val probeN =
       if (maxDriverQueryTerms == Int.MaxValue) Int.MaxValue
       else maxDriverQueryTerms + 1
-    val qtCollected = qtWithBucket.limit(probeN).collect()
+    // corpus stats (N, avgdl: one tiny agg over the caller-checkpointed
+    // doclens frame) ride the SAME collect as the query-term probe,
+    // union-encoded as one null-padded trailer row (`__n_docs` is
+    // non-null exactly on the stats row — count() can't be null): the
+    // probe pays driver round-trips per call, and a micro-batch serving
+    // loop pays them per batch, so one action for both beats two
+    val dl = preDoclens.getOrElse(readDoclens(spark, dir))
+    val qtPart = qtWithBucket.limit(probeN)
+      .withColumn("__n_docs", lit(null).cast("double"))
+      .withColumn("__avgdl", lit(null).cast("double"))
+    val statsPart = dl
+      .agg(count(lit(1)).cast("double").as("__n_docs"),
+        avg("dl").as("__avgdl"))
+      .select(qtWithBucket.schema.map(f =>
+        lit(null).cast(f.dataType).as(f.name)) ++
+        Seq(col("__n_docs"), col("__avgdl")): _*)
+    val collected = qtPart.unionByName(statsPart).collect()
+    val statsIdx = collected.head.length - 2 // __n_docs position
+    val statsRow = collected.find(r => !r.isNullAt(statsIdx)).getOrElse(
+      throw new IllegalStateException(
+        "Bm25Index.searchTopK: stats trailer row missing from the probe"))
+    val qtCollected = collected.filter(r => r.isNullAt(statsIdx))
     if (qtCollected.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], searchSchema)
     val fitsDriver = qtCollected.length <= maxDriverQueryTerms
-    // corpus stats: one tiny agg over the (caller-checkpointed) doclens
-    // frame, collected — the probe pays driver round-trips per call, so
-    // literals beat a broadcast-stage for the two scalars
-    val dl = preDoclens.getOrElse(readDoclens(spark, dir))
-    val statsRow = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg("dl").as("avgdl")).collect().head
-    val nDocs = statsRow.getDouble(0)
-    val avgdl = if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1)
+    val nDocs = statsRow.getDouble(statsIdx)
+    val avgdl =
+      if (statsRow.isNullAt(statsIdx + 1)) 0.0
+      else statsRow.getDouble(statsIdx + 1)
     // candidate generation in ONE term-keyed exchange: repartition by
     // term, then the duplicate collapse (a retried crashed append stages
     // its postings TWICE before the single doclens commit — identical
@@ -437,11 +454,12 @@ object Bm25Index {
     // a left-semi join in the over-cap fallback.
     val (pruned, qterms, broadcastQ) =
       if (fitsDriver) {
-        val buckets = qtCollected.map(r => r.getLong(r.length - 1)).distinct
+        // row layout: qterms0 cols ++ (__bucket, __n_docs, __avgdl)
+        val buckets = qtCollected.map(r => r.getLong(r.length - 3)).distinct
         val q = {
           import scala.jdk.CollectionConverters._
           spark.createDataFrame(
-            qtCollected.map(r => org.apache.spark.sql.Row(r.toSeq.dropRight(1): _*))
+            qtCollected.map(r => org.apache.spark.sql.Row(r.toSeq.dropRight(3): _*))
               .toList.asJava,
             qterms0.schema)
         }

@@ -904,4 +904,35 @@ class HnswIndexSpec extends SparkSpec {
     assert(HnswIndex.staleness(spark, dir).collect()(0).getInt(1)
       == DefaultShards, "spec-scale auto build must keep the old default")
   }
+
+  test("per-batch fast path: preParams search and guard-skipped append " +
+      "are state- and result-identical to the default path") {
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    // default path
+    val dirA = tempDir("fastpath_a")
+    HnswIndex.build(base, "vec_id", "embedding", dirA, shards = 4)
+    HnswIndex.append(spark, dirA, batch, "vec_id", "embedding")
+    val sA = HnswIndex.search(spark, dirA, base.limit(50), "vec_id",
+      "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // fast path: caller-loaded params, guards skipped (the streaming
+    // ingester's contract — freshness established by its marker join,
+    // within-batch uniqueness by input contract)
+    val dirB = tempDir("fastpath_b")
+    HnswIndex.build(base, "vec_id", "embedding", dirB, shards = 4)
+    val params = HnswIndex.loadParams(spark, dirB)
+    HnswIndex.append(spark, dirB, batch, "vec_id", "embedding",
+      takeLock = true, checkBatchUnique = false, checkPresence = false,
+      preParams = Some(params))
+    val sB = HnswIndex.search(spark, dirB, base.limit(50), "vec_id",
+      "embedding", k = 5, preParams = Some(params)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(sA == sB, "fast-path append/search must answer identically")
+    // committed id sets agree too (the append filed the same nodes)
+    val idsA = HnswIndex.readIds(spark, dirA).collect().map(_.getLong(0)).toSet
+    val idsB = HnswIndex.readIds(spark, dirB).collect().map(_.getLong(0)).toSet
+    assert(idsA == idsB)
+  }
 }
