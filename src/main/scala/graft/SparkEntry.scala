@@ -817,12 +817,24 @@ object SparkEntry {
           (x * (lit(1.0) + (hash(col("vec_id"), i) % 301) / lit(1000.0)))
             .cast("float")).as("embedding"))
       val corpus = emb.unionByName(perturbed)
-      val hits = Seq(1, 2, 4).map { p =>
-        graft.dedup.Dedup.semanticNearDups(corpus, "vec_id", "embedding",
-            maxCosineDistance = 0.05, nClusters = 16, assignProbes = p)
-          .filter(col("id_b") === col("id_a") + 1000000)
-          .count()
-      }
+      // probe sets are NESTED (nearestN orders by (dist, idx)), so the
+      // probes=4 run carries the probes-1/2 pair sets as probe_level
+      // prefixes: one k-means + assign + self-join pipeline and one
+      // conditional aggregate replace three full pipelines — hits(p) is
+      // value-identical to a separate run at assignProbes=p.
+      val r = graft.dedup.Dedup.semanticNearDups(corpus, "vec_id",
+          "embedding", maxCosineDistance = 0.05, nClusters = 16,
+          assignProbes = 4, probeLevel = true)
+        .filter(col("id_b") === col("id_a") + 1000000)
+        .agg(
+          sum(when(col("probe_level") <= 1, 1L).otherwise(0L)).as("h1"),
+          sum(when(col("probe_level") <= 2, 1L).otherwise(0L)).as("h2"),
+          count(lit(1)).as("h4"))
+        .head()
+      val hits = Seq(
+        Option(r.get(0)).fold(0L)(_ => r.getLong(0)),
+        Option(r.get(1)).fold(0L)(_ => r.getLong(1)),
+        r.getLong(2))
       val n = emb.count()
       Seq((n,
         if (hits(0) <= hits(1) && hits(1) <= hits(2)) 1L else 0L,

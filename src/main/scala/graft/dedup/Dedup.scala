@@ -313,6 +313,17 @@ object Dedup {
     * everything (the engine-wide convention) and so never pair at any
     * threshold < 1.0; a threshold ≥ 1.0 admits every co-blocked pair,
     * zero vectors included.
+    *
+    * `probeLevel = true` appends a `probe_level` column: the SMALLEST
+    * probe count at which the pair co-blocks. The kernel's nearestN
+    * contract orders probes by (distance, index), so the probe set at p
+    * is exactly the p-prefix of the set at `assignProbes` — one run at
+    * the largest probe count therefore carries every smaller probe
+    * count's pair set as `filter(probe_level <= p)`, replacing one full
+    * k-means + assign + self-join pipeline PER probe level with one.
+    * Only the flat top-level blocking tracks levels (`blockCap` must be
+    * 0: sub-blocking re-probes hot blocks, which has no single-level
+    * reading).
     */
   def semanticNearDups(
       df: DataFrame,
@@ -329,7 +340,10 @@ object Dedup {
       twoLevelAssign: Boolean = false,
       twoLevelProbes: Int = 4,
       blockCap: Int = 0,
-      subClusters: Int = 16): DataFrame = {
+      subClusters: Int = 16,
+      probeLevel: Boolean = false): DataFrame = {
+    require(!probeLevel || blockCap <= 0,
+      "semanticNearDups: probeLevel tracking requires blockCap <= 0")
     val spark = df.sparkSession
     import spark.implicits._
     val unit = graft.knn.ApproxKnn.unitNormalized(
@@ -372,9 +386,15 @@ object Dedup {
     // scan + normalize + assign work. The materialization is
     // (id, vec, zero, cid) × assignProbes rows; pass `false` to recompute
     // per side instead when cluster storage is the binding constraint.
-    val assignedPlain = graft.util.Par.balance(unit)
-      .withColumn("cid", explode(graft.functions.VectorExpressions
-        .nearestCentroids(col("__vec"), kernel, assignProbes)))
+    val probeList = graft.functions.VectorExpressions
+      .nearestCentroids(col("__vec"), kernel, assignProbes)
+    val assignedPlain =
+      if (probeLevel)
+        // posexplode: `__probe` is the probe RANK of this co-block entry
+        // (0 = nearest). Pair level below = max of the two ranks + 1.
+        graft.util.Par.balance(unit)
+          .select(col("*"), posexplode(probeList).as(Seq("__probe", "cid")))
+      else graft.util.Par.balance(unit).withColumn("cid", explode(probeList))
     // lazy for the same reason as setJaccardPairs: constructing the
     // near-dup plan must not run the assign job before the caller acts
     val assignedTop =
@@ -432,15 +452,27 @@ object Dedup {
       col("a.__vec"), col("b.__vec"))
     val cosDist = when(col("a.__zero") || col("b.__zero"), lit(1.0))
       .otherwise(l2 / 2.0)
-    assigned.as("a")
+    val joined = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.sub") === col("b.sub") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosDist.as("cos_dist"))
-      .filter(col("cos_dist") <= maxCosineDistance)
-      // multi-probe co-block collisions collapse on scalars only
-      .groupBy("id_a", "id_b").agg(min("cos_dist").as("cos_dist"))
+    if (probeLevel)
+      joined
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          cosDist.as("cos_dist"),
+          (greatest(col("a.__probe"), col("b.__probe")) + 1)
+            .as("probe_level"))
+        .filter(col("cos_dist") <= maxCosineDistance)
+        // min over co-blocks: the first probe count at which the pair met
+        .groupBy("id_a", "id_b").agg(min("cos_dist").as("cos_dist"),
+          min("probe_level").as("probe_level"))
+    else
+      joined
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          cosDist.as("cos_dist"))
+        .filter(col("cos_dist") <= maxCosineDistance)
+        // multi-probe co-block collisions collapse on scalars only
+        .groupBy("id_a", "id_b").agg(min("cos_dist").as("cos_dist"))
   }
 
   /** Connected components over a near-dup pair graph — the step that

@@ -153,9 +153,14 @@ object CorpusPrep {
       // pairs among CLEAN SURVIVORS only: an embedding of a document the
       // quality gate already dropped must not link two survivors into one
       // component
+      // lazy checkpoint (the pipeline-wide rule): this join is otherwise
+      // executed three times — the emptiness gate here, then
+      // semanticNearDups' k-means sample collect and its assignment
+      // materialization both re-run it as their scan lineage
       val live = emb
         .select(col(embIdCol).cast("long").as("sid"), col(embVecCol).as("svec"))
         .join(cleaned.select(col("id").as("sid")), "sid")
+        .localCheckpoint(eager = false)
       if (live.isEmpty) None
       else Some(graft.dedup.Dedup.semanticNearDups(live, "sid", "svec",
           cfg.semanticMaxCosDist, nClusters = cfg.semanticClusters,

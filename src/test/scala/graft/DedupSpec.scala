@@ -323,6 +323,32 @@ class DedupSpec extends SparkSpec {
       s"probes=4 recall ${hits(2).toDouble / n} below 0.8 floor")
   }
 
+  test("semanticNearDups probeLevel: level-filtered pairs equal a separate run per probe count") {
+    // the q73 fusion's correctness claim: nearestN orders probes by
+    // (dist, idx), so one probes=4 run with probe_level carries every
+    // smaller probe count's EXACT pair set as filter(probe_level <= p)
+    val perturbed = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + (hash(col("vec_id"), i) % 301) / lit(1000.0)))
+          .cast("float")).as("embedding"))
+    val corpus = emb.unionByName(perturbed)
+    val leveled = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+        maxCosineDistance = 0.05, nClusters = 16, assignProbes = 4,
+        probeLevel = true)
+      .select("id_a", "id_b", "cos_dist", "probe_level").collect()
+    Seq(1, 2, 4).foreach { p =>
+      val separate = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+          maxCosineDistance = 0.05, nClusters = 16, assignProbes = p)
+        .select("id_a", "id_b", "cos_dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val filtered = leveled.filter(_.getInt(3) <= p)
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(filtered == separate,
+        s"probeLevel<=$p pair set diverges from assignProbes=$p run: " +
+          s"${(filtered -- separate).take(3)} vs ${(separate -- filtered).take(3)}")
+    }
+  }
+
   test("semanticNearDups blockCap: oversized blocks split, exact dups survive") {
     import spark.implicits._
     // degenerate corpus: one dominant direction (a cone wider than the
